@@ -20,8 +20,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vexere_lakehouse_pipeline_spark.plans import star  # noqa: E402
+from vexere_lakehouse_pipeline_spark.plans import star, star_ml  # noqa: E402
 from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
+
+ALL_QUERIES = {**star.QUERIES, **star_ml.QUERIES}
 
 HEADLINE = [
     "tpch_q1_pricing_summary",
@@ -33,6 +35,12 @@ HEADLINE = [
     "cau4_daily_avg_order_value",
     "cau7_hourly_coverage_grid",
     "cau8_size_coverage_grid",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_signatures",
+    "sim_topk_bruteforce",
+    "text_quality_scores",
+    "silver_conform_chain",
+    "events_sessionization",
 ]
 
 
@@ -42,14 +50,14 @@ def main() -> None:
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in star.QUERIES]
+    names = [n for n in HEADLINE if n in ALL_QUERIES]
     # Warmup: run the first query once to absorb JVM startup / codegen.
-    star.QUERIES[names[0]](spark, sf_dir).count()
+    ALL_QUERIES[names[0]](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
-        star.QUERIES[name](spark, sf_dir).count()
+        ALL_QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -1,0 +1,75 @@
+"""Semantic unit tests for dedup / similarity operators on crafted
+inputs (the oracle tests in test_star_oracle.py check engine parity;
+these check the algorithms do the right thing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators import dedup, similarity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_duplicate_groups(spark):
+    docs = _docs(spark, ["a b c", "a b c", "x y z"])
+    got = {
+        r["canonical_id"]: r["n_docs"]
+        for r in dedup.exact_duplicate_groups(docs).collect()
+    }
+    assert got == {0: 2, 2: 1}
+
+
+def test_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words about spark catalyst optimizer plans"
+    docs = _docs(spark, [base, near, other])
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_jaccard_values(spark):
+    docs = _docs(spark, ["a b c d e", "a b c d e", "a b c d x"])
+    j = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    assert j.get((0, 1)) == 1.0  # identical docs
+    if (0, 2) in j:  # near-dup: 3 shared of 5 distinct bigrams
+        assert j[(0, 2)] == 0.6
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = "spark sql catalyst tungsten shuffle partition broadcast join " * 4
+    near = base + "extra"
+    other = "völlig andere wörter über etwas ganz anderes hier jetzt " * 4
+    docs = _docs(spark, [base, near, other])
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sigs[0], sigs[1]) <= 4
+    assert ham(sigs[0], sigs[2]) > ham(sigs[0], sigs[1])
+
+
+def test_topk_bruteforce_finds_identical_vector(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.9, 0.1, 0.0, 0.0]),   # close
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=3
+    ).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    assert out[0]["cos_sim"] == 1.0

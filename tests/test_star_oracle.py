@@ -13,7 +13,10 @@ sys.path.insert(0, "/root/repo")
 from tools.check_oracle import table_hash  # noqa: E402
 
 from vexere_lakehouse_pipeline_spark.catalog import TESTDATA_TABLES
-from vexere_lakehouse_pipeline_spark.plans import star
+from vexere_lakehouse_pipeline_spark.plans import star, star_ml
+
+ALL_QUERIES = {**star.QUERIES, **star_ml.QUERIES}
+ALL_ORACLES = {**star.ORACLE_SQL, **star_ml.ORACLE_SQL}
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -26,14 +29,14 @@ def oracle_con():
     return con
 
 
-@pytest.mark.parametrize("name", sorted(star.QUERIES))
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_star_query_matches_oracle(spark, oracle_con, name):
-    sdf = star.QUERIES[name](spark, SF_DIR)
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
-    if name not in star.ORACLE_SQL:
+    if name not in ALL_ORACLES:
         assert len(srows) >= 0  # rows-only check for non-SQL-expressible ops
         return
-    cur = oracle_con.execute(star.ORACLE_SQL[name])
+    cur = oracle_con.execute(ALL_ORACLES[name])
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()
     assert sorted(sdf.columns) == sorted(ocols)

@@ -1,0 +1,245 @@
+"""Deduplication operators for large-scale corpus processing.
+
+North-star extensions (BASELINE.json) beyond the reference's surface:
+exact hash-dedup, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.  All are pure DataFrame pipelines — the
+shapes that survive 100 TB:
+
+- exact:   one hash-groupBy (map-side partial agg).
+- MinHash: explode shingles → per-(band,row) min-agg → band-key self
+  join.  The self-join is on band_key, so the shuffle is tiny (one row
+  per doc per band), never O(N²); candidate verification (Jaccard)
+  touches only LSH survivors.
+- SimHash: explode tokens → 16 partial sums per doc → one int.
+- embedding near-dup: blocked pairwise cosine (block key keeps the
+  join from going quadratic).
+
+Hashes are md5-based — bit-stable across engines (Spark/DuckDB/
+Presto), which is what lets the DuckDB oracle verify these
+end-to-end.  xxhash64 is the faster JVM-only alternative; md5 is kept
+as the portable default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.functions.text import tokenize, word_shingles
+from vexere_lakehouse_pipeline_spark.functions.vectors import cosine_similarity
+
+# LSH defaults: 4 bands × 2 rows = 8 minhashes.  P(candidate) = 1-(1-J²)⁴,
+# i.e. ~50% at J=0.4 — tuned for near-dup discovery, not exact-dup only.
+N_BANDS = 4
+N_ROWS = 2
+SHINGLE_N = 2
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by md5(text); keep the min id as canonical.
+    Returns (text_hash, n_docs, canonical_id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.col(id_col)).alias("canonical_id"),
+        )
+    )
+
+
+def shingle_sets(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    ).distinct()
+
+
+def minhash_band_keys(sh: DataFrame, n_bands: int = N_BANDS,
+                      n_rows: int = N_ROWS) -> DataFrame:
+    """Per-document LSH band keys from minhash signatures.
+
+    minhash(b,r) = min over shingles of md5("b_r:" + shingle) — the min
+    of a seeded portable hash; a band key concatenates its rows'
+    minhashes.  Returns (doc_id, band, band_key).
+
+    Scale shape: all bands×rows minhashes are parallel MIN aggregates in
+    a SINGLE map-side-partial groupBy (no grid cross-join, no row
+    inflation), and the input need not be deduplicated — MIN is
+    duplicate-invariant — so the whole signature costs one shuffle of
+    one row per document.  Each md5 yields FOUR independent 32-bit
+    hashes (8-hex-char slices), quartering the hash work per shingle.
+    """
+    n_hashes = n_bands * n_rows
+    n_seeds = -(-n_hashes // 4)
+    seeded = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(n_seeds)
+        ],
+    )
+    mins = seeded.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col(f"h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(
+                f"mh{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * n_rows + r}") for r in range(n_rows)],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs (doc_a < doc_b).
+
+    Docs sharing any band key become candidates; the band-key equi-join
+    replaces the O(N²) pair enumeration.
+    """
+    # No distinct() here: minhash is duplicate-invariant and the dedup
+    # shuffle would dominate the pipeline (shingle_sets is still used by
+    # the exact-Jaccard verifier, which does need sets).
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, SHINGLE_N)).alias("shingle"),
+    )
+    # Persist the signatures: tiny (n_bands rows/doc) and read twice by
+    # the self-join — without this the whole shingle+hash lineage runs
+    # twice.
+    bands = minhash_band_keys(sh).persist()
+    a = bands.withColumnsRenamed({"doc_id": "doc_a"})
+    b = bands.withColumnsRenamed({"doc_id": "doc_b"})
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidate pairs.
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed with joins/group-bys on
+    the candidate set only (LSH prunes the quadratic blowup).  Returns
+    (doc_a, doc_b, jaccard) rounded to 4dp.
+    """
+    sh = shingle_sets(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a"}), on="doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b"}), on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, on=["doc_a", "doc_b"], how="left")
+        .na.fill({"n_inter": 0})
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "n_a"}),
+            on="doc_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "n_b"}),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+# 16-bit simhash built from portable primitives only (md5 + instr + substr
+# + arithmetic), so the DuckDB oracle can reproduce it bit-for-bit.  The
+# per-bit contribution expressions are generated from one template shared
+# with the oracle SQL.
+
+HEX = "0123456789abcdef"
+
+
+def simhash_bit_contrib_sql(i: int, hash_col: str = "h") -> str:
+    """Engine-portable SQL for one simhash bit contribution (+1/-1)."""
+    k, j = i // 4 + 1, i % 4
+    return (
+        f"CASE WHEN CAST(FLOOR((instr('{HEX}', substr({hash_col},{k},1))-1)"
+        f"/{2 ** j}) AS INTEGER)%2=1 THEN 1 ELSE -1 END"
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per document: tokens (all occurrences) vote ±1 on
+    each bit of md5(token); bit set iff the sum is positive.
+    Returns (doc_id, simhash)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("token"),
+    ).withColumn("h", F.md5("token"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.expr(f"sum({simhash_bit_contrib_sql(i)})").alias(f"s{i}")
+            for i in range(16)
+        ]
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16)
+    )
+    return sums.select(
+        "doc_id", F.expr(f"CAST({combine} AS BIGINT)").alias("simhash")
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id", block_col: str = "label",
+                            threshold: float = 0.3) -> DataFrame:
+    """Blocked pairwise cosine near-dup: only pairs sharing ``block_col``
+    are compared (at scale the block key is an LSH bucket — see
+    operators/similarity.py).  Returns (vec_a, vec_b, cos_sim)."""
+    a = emb.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("emb_a"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("emb_b"),
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity("emb_a", "emb_b"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

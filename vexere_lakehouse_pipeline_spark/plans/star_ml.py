@@ -1,0 +1,676 @@
+"""Training-data-pipeline queries (dedup / similarity / text analysis)
+over the driver star schema, with DuckDB oracles.
+
+These are the north-star operators (BASELINE.json): each runs the real
+distributed operator from ``operators/`` / ``functions/`` on Spark and
+is verified against an independently-written DuckDB SQL re-expression
+of the same algorithm.  Portability contract: only md5, instr, substr,
+regexes and arithmetic — primitives that are bit-stable across engines
+— feed anything hashed; float cosines are computed double-precision
+with identical fold order on both sides and rounded to 6dp.
+
+Where SQL fragments must match the Spark expression EXACTLY (simhash
+bit math, language-ID tie-breaking), the fragment is generated once in
+Python and fed to both engines (Spark via ``F.expr``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.functions.cleaning import (
+    NORMALIZE_GENERIC_RULES,
+    NORMALIZE_SPECIFIC_RULES,
+    VIETNAMESE_CHARS,
+    bus_type_category,
+    normalize_place,
+    parse_duration_hours,
+    parse_price_vnd,
+)
+from vexere_lakehouse_pipeline_spark.functions.text import (
+    BPE_ISH_RE,
+    bpe_ish_token_count,
+    detect_language,
+    document_fingerprint,
+    quality_features,
+    whitespace_token_count,
+)
+from vexere_lakehouse_pipeline_spark.operators import dedup, similarity
+from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB mirror of functions.text.tokenize (lowercase word tokens).
+_DUCK_TOKENS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+# DuckDB mirror of word_shingles(n): n-gram list with the whole-text
+# fallback for docs shorter than n words (functions/text.py semantics).
+def _duck_shingles(n: int) -> str:
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n - 2}), i -> array_to_string(w[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string(w, ' ')] END"
+    )
+
+
+_N_HASHES = dedup.N_BANDS * dedup.N_ROWS
+
+_DUCK_SHINGLE_CTES = f"""
+    tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_duck_shingles(dedup.SHINGLE_N)}) AS shingle
+           FROM tok),
+    grid AS (SELECT unnest(range(0, {_N_HASHES})) AS i),
+    mins AS (
+        SELECT doc_id, i,
+               min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || shingle),
+                          CAST(1 + 8 * (i % 4) AS INTEGER), 8)) AS mh
+        FROM sh, grid GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, i // {dedup.N_ROWS} AS b,
+               string_agg(mh, '|' ORDER BY i) AS band_key
+        FROM mins GROUP BY doc_id, i // {dedup.N_ROWS}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+                     AND a.doc_id < c.doc_id
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text) ORDER BY text_hash
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicate_groups(docs).orderBy("text_hash")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_DUCK_SHINGLE_CTES}
+    SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact n-gram Jaccard over the LSH candidates
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+    WITH {_DUCK_SHINGLE_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(COALESCE(i.n_inter, 0) * 1.0
+                 / (x.n + y.n - COALESCE(i.n_inter, 0)), 4) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes x ON x.doc_id = p.doc_a
+    JOIN sizes y ON y.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: 16-bit SimHash signatures (bit math shared with the oracle)
+# ---------------------------------------------------------------------------
+_SIMHASH_SUMS = ", ".join(
+    f"sum({dedup.simhash_bit_contrib_sql(i)}) AS s{i}" for i in range(16)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16)
+)
+
+
+@_register(
+    "dedup_simhash_signatures",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    hs AS (SELECT doc_id, md5(token) AS h FROM tok),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM hs GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash
+    FROM sums ORDER BY doc_id
+    """,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash16(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: embedding-cosine near-dup (blocked by label)
+# ---------------------------------------------------------------------------
+_DUCK_EMB = (
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings"
+)
+_DUCK_COS = (
+    "ROUND(list_dot_product({a}, {b}) / nullif(sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})), 0), 6)"
+)
+
+
+@_register(
+    "dedup_embedding_neardup_pairs",
+    f"""
+    WITH e AS ({_DUCK_EMB})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE cos_sim >= 0.3
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.3).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force top-k
+# ---------------------------------------------------------------------------
+@_register(
+    "sim_topk_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DUCK_COS.format(a="qv", b="e.v")} AS cos_sim
+        FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: sign-LSH bucketed approximate top-k
+# ---------------------------------------------------------------------------
+_DUCK_BUCKET = (
+    "array_to_string(list_transform({v}[1:4], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@_register(
+    "sim_topk_lsh_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    eb AS (SELECT vec_id, v, {_DUCK_BUCKET.format(v="v")} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_DUCK_COS.format(a="qv", b="c.v")} AS cos_sim
+        FROM eb c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_lsh_bucketed(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=4
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality features
+# ---------------------------------------------------------------------------
+@_register(
+    "text_quality_scores",
+    r"""
+    WITH t AS (SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+               FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(w) AS BIGINT) AS n_words,
+           ROUND(length(array_to_string(w, '')) * 1.0 / nullif(len(w), 0), 4)
+             AS avg_word_len,
+           ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                 / nullif(length(text), 0), 4) AS punct_ratio,
+           ROUND(len(regexp_extract_all(text, '[0-9]')) * 1.0
+                 / nullif(length(text), 0), 4) AS digit_ratio,
+           ROUND(len(regexp_extract_all(lower(text),
+                 '\b(the|a|of|and|to|in|is|that|it|for)\b')) * 1.0
+                 / nullif(len(w), 0), 4) AS stopword_ratio
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", quality_features("text").alias("q"))
+        .select("doc_id", "q.*")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID heuristic (tie-break CASE shared with oracle)
+# ---------------------------------------------------------------------------
+_LANG_PANELS = {
+    "en": "(the|a|of|and|to|in|is|that|it|for)",
+    "es": "(el|la|de|que|y|en|un|una|los|las)",
+    "fr": "(le|la|les|de|des|et|un|une|est|dans)",
+    "de": "(der|die|das|und|ist|ein|eine|nicht|mit|von)",
+    "vi": "(và|của|là|có|cho|không|được|trong|người|một)",
+}
+_LANG_PICK = (
+    "CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_vi) = 0 THEN 'und' "
+    "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_vi THEN 'en' "
+    "WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_vi THEN 'es' "
+    "WHEN s_fr >= s_de AND s_fr >= s_vi THEN 'fr' "
+    "WHEN s_de >= s_vi THEN 'de' ELSE 'vi' END"
+)
+
+
+@_register(
+    "text_language_id",
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{pat}\\b')) AS s_{lang}"
+        for lang, pat in _LANG_PANELS.items()
+    )
+    + f" FROM documents) SELECT doc_id, {_LANG_PICK} AS lang_pred FROM s ORDER BY doc_id",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id",
+        *[
+            F.size(
+                F.regexp_extract_all(F.lower("text"), F.lit(f"\\b{pat}\\b"), 0)
+            ).alias(f"s_{lang}")
+            for lang, pat in _LANG_PANELS.items()
+        ],
+    )
+    return scores.select(
+        "doc_id", F.expr(_LANG_PICK).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting (whitespace + BPE-ish)
+# ---------------------------------------------------------------------------
+@_register(
+    "text_token_counts",
+    rf"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS BIGINT) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: winnowing-style document fingerprint
+# ---------------------------------------------------------------------------
+@_register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
+    SELECT doc_id,
+           list_aggregate(list_transform({_duck_shingles(5)}, s -> md5(s)), 'min')
+             AS fingerprint
+    FROM t ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", document_fingerprint("text", 5).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID library parity: detect_language() (struct-max tie-break)
+# against a struct-max oracle — complements text_language_id which pins
+# the CASE-chain variant.
+# ---------------------------------------------------------------------------
+@_register(
+    "text_detect_language_lib",
+    "WITH s AS (SELECT doc_id, "
+    + ", ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{pat}\\b'))"
+        + (
+            " + len(regexp_extract_all(lower(text), '[ăâđêôơưạ-ỹ]'))"
+            if lang == "vi"
+            else ""
+        )
+        + f" AS s_{lang}"
+        for lang, pat in _LANG_PANELS.items()
+    )
+    + """ FROM documents),
+    m AS (SELECT doc_id,
+                 list_aggregate([struct_pack(score := s_en, lang := 'en'),
+                                 struct_pack(score := s_es, lang := 'es'),
+                                 struct_pack(score := s_fr, lang := 'fr'),
+                                 struct_pack(score := s_de, lang := 'de'),
+                                 struct_pack(score := s_vi, lang := 'vi')],
+                                'max') AS best
+          FROM s)
+    SELECT doc_id,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+    FROM m ORDER BY doc_id""",
+)
+def text_detect_language_lib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", detect_language("text").alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Events: gap-based sessionization (lag + cumulative window)
+# ---------------------------------------------------------------------------
+@_register(
+    "events_sessionization",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ),
+    sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    per_sess AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           ROUND(SUM(n_events) * 1.0 / COUNT(*), 4) AS avg_events_per_session,
+           MAX(n_events) AS max_session_events
+    FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.sum("n_events") / F.count("*"), 4).alias(
+                "avg_events_per_session"
+            ),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames: cumulative + day-over-day revenue (rowsBetween, lag)
+# ---------------------------------------------------------------------------
+@_register(
+    "window_cumulative_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_date,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+                 AS day_revenue
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, ship_date, day_revenue,
+           ROUND(SUM(day_revenue) OVER (PARTITION BY l_returnflag ORDER BY ship_date
+                                        ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue,
+           ROUND(day_revenue - COALESCE(lag(day_revenue) OVER (
+                 PARTITION BY l_returnflag ORDER BY ship_date), 0), 2) AS dod_delta
+    FROM daily ORDER BY l_returnflag, ship_date
+    """,
+)
+def window_cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.to_date("l_shipdate").alias("ship_date")
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("day_revenue")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("ship_date")
+    return daily.select(
+        "l_returnflag",
+        "ship_date",
+        "day_revenue",
+        F.round(
+            F.sum("day_revenue").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("cum_revenue"),
+        F.round(
+            F.col("day_revenue")
+            - F.coalesce(F.lag("day_revenue").over(w), F.lit(0.0)),
+            2,
+        ).alias("dod_delta"),
+    ).orderBy("l_returnflag", "ship_date")
+
+
+# ---------------------------------------------------------------------------
+# Silver conform chain (U1 normalizer + U2 duration + U3 price + P7
+# categorizer) through the oracle gate, on synthesized messy strings.
+# The raw strings are built with a shared recipe from lineitem columns;
+# the oracle re-implements each parser arithmetically (independent path).
+# ---------------------------------------------------------------------------
+_TYPE_CASES = [
+    "giường nằm 40 chỗ",
+    "huyndai solati 11 chỗ",
+    "limousine ghế ngồi",
+    "limousine giường nằm có wc",
+    "limousine giường nằm",
+    "limousine giường massage",
+    "limousine 22 chỗ",
+    "limousine 22 phòng (có wc)",
+    "ghế ngồi 29 chỗ",
+    "xe 16 chỗ",
+]
+_TYPE_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN l_linenumber % 10 = {i} THEN '{s}'" for i, s in enumerate(_TYPE_CASES)
+    )
+    + " END"
+)
+_CATEGORY_SQL = """
+    CASE WHEN type_raw LIKE '%giường nằm%' AND type_raw NOT LIKE '%limousine%'
+           THEN 'giường nằm'
+         WHEN type_raw LIKE '%huyndai solati 11 chỗ%' THEN 'limousine ghế ngồi'
+         WHEN type_raw LIKE '%limousine%' AND type_raw LIKE '%ghế ngồi%'
+           THEN 'limousine ghế ngồi'
+         WHEN type_raw LIKE '%limousine%' AND type_raw LIKE '%giường nằm có wc%'
+           THEN 'limousine giường nằm có WC'
+         WHEN type_raw LIKE '%limousine%' AND (type_raw LIKE '%giường nằm%'
+              OR type_raw LIKE '%giường%') THEN 'limousine giường nằm'
+         WHEN regexp_matches(type_raw, 'limousine.*[0-9]+\\s*chỗ')
+           THEN 'limousine giường nằm'
+         WHEN type_raw LIKE '%phòng%' THEN 'limousine giường phòng'
+         WHEN type_raw LIKE '%ghế ngồi%' THEN 'ghế ngồi'
+         ELSE 'khác' END
+"""
+
+
+def _duck_normalizer_chain(col: str) -> str:
+    """DuckDB regexp_replace chain mirroring normalize_place().
+
+    The lookbehind rule ((?<=\\w)ql...) is unsupported by RE2 and cannot
+    fire on the synthesized inputs (ql is always space-separated), so it
+    is omitted here; all other rules apply in the same order.
+    """
+    expr = f"lower({col})"
+    for pattern, repl in NORMALIZE_GENERIC_RULES + NORMALIZE_SPECIFIC_RULES:
+        if "(?<=" in pattern:
+            continue
+        duck_repl = repl.replace("$2", "\\2")
+        expr = f"regexp_replace({expr}, '{pattern}', '{duck_repl}', 'g')"
+    expr = f"regexp_replace({expr}, '[^a-z0-9\\s{VIETNAMESE_CHARS}]', '', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return expr
+
+
+@_register(
+    "silver_conform_chain",
+    f"""
+    WITH raw AS (
+        SELECT l_orderkey, l_linenumber,
+               'BX q' || CAST(l_suppkey % 12 + 1 AS VARCHAR)
+                 || ' tp hcm ql 1a kcn ' || CAST(l_partkey % 100 AS VARCHAR)
+                 AS place_raw,
+               CAST(l_quantity AS INTEGER) % 24 AS dh,
+               l_partkey % 60 AS dm,
+               CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_units,
+               {_TYPE_CASE_SQL} AS type_raw
+        FROM lineitem WHERE l_orderkey % 7 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           {_duck_normalizer_chain("place_raw")} AS place_norm,
+           CAST(ROUND(dh + dm / 60.0, 2) AS FLOAT) AS duration_hours,
+           CAST(price_units * 1000 AS INTEGER) AS price_vnd,
+           {_CATEGORY_SQL} AS bus_type
+    FROM raw ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def silver_conform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    raw = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(
+            F.lit("BX q"),
+            (F.col("l_suppkey") % 12 + 1).cast("string"),
+            F.lit(" tp hcm ql 1a kcn "),
+            (F.col("l_partkey") % 100).cast("string"),
+        ).alias("place_raw"),
+        F.concat(
+            (F.col("l_quantity").cast("int") % 24).cast("string"),
+            F.lit("h"),
+            (F.col("l_partkey") % 60).cast("string"),
+            F.lit("m"),
+        ).alias("duration_raw"),
+        F.concat(
+            F.floor("l_extendedprice").cast("bigint").cast("string"),
+            F.lit(".000đ"),
+        ).alias("price_raw"),
+        F.expr(_TYPE_CASE_SQL).alias("type_raw"),
+    )
+    return raw.select(
+        "l_orderkey",
+        "l_linenumber",
+        normalize_place("place_raw").alias("place_norm"),
+        parse_duration_hours("duration_raw").alias("duration_hours"),
+        parse_price_vnd("price_raw").alias("price_vnd"),
+        bus_type_category("type_raw").alias("bus_type"),
+    ).orderBy("l_orderkey", "l_linenumber")
