@@ -1,0 +1,133 @@
+"""End-to-end medallion pipeline tests on deterministic fixtures
+(SURVEY.md §5 strategy 2): raw → bronze → silver → gold, plus the
+idempotency and key-continuation properties the reference lacks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators.incremental import ZoneCatalog
+from vexere_lakehouse_pipeline_spark.plans.pipeline import run_full_pipeline
+from vexere_lakehouse_pipeline_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("zones"))
+    zones = ZoneCatalog(base, fmt="parquet")
+    gold = run_full_pipeline(
+        spark,
+        zones,
+        fixtures.raw_tickets(spark, days=("01-05-2025", "02-05-2025")),
+        fixtures.raw_facilities(spark),
+        fixtures.raw_reviews(spark),
+        fixtures.bus_ids(spark),
+    )
+    return zones, gold
+
+
+def test_silver_ticket_typed_and_keyed(spark, pipeline_out):
+    zones, _ = pipeline_out
+    t = zones.read(spark, "silver", "ticket")
+    dt = dict(t.dtypes)
+    assert dt["Start_Date"] == "date"
+    assert dt["Duration"] == "float"
+    assert dt["Price"] == "int"
+    assert dt["Bus_Key"] == "bigint"
+    n = t.count()
+    assert n == 480  # 2 days × 240
+    keys = t.select("Bus_Key").distinct().count()
+    assert keys == n  # unique surrogate keys
+    # prices parsed: all multiples of 1000 or null
+    bad = t.filter(F.col("Price").isNotNull() & (F.col("Price") % 1000 != 0))
+    assert bad.count() == 0
+    # places normalized: no uppercase/punctuation survives
+    assert t.filter(F.col("Departure_Place").rlike("[A-Z.,!]")).count() == 0
+    cats = {r["Bus_Type_Category"] for r in t.select("Bus_Type_Category").distinct().collect()}
+    assert cats <= {
+        "giường nằm", "limousine ghế ngồi", "limousine giường nằm có WC",
+        "limousine giường nằm", "limousine giường phòng", "ghế ngồi", "khác",
+    }
+
+
+def test_unmatched_operator_gets_null_bus_id(spark, pipeline_out):
+    zones, _ = pipeline_out
+    t = zones.read(spark, "silver", "ticket")
+    # fixtures.bus_ids omits the last operator
+    missing = fixtures.OPERATORS[-1]
+    rows = t.filter(F.col("Bus_Name") == missing)
+    assert rows.count() > 0
+    assert rows.filter(F.col("Bus_Id").isNotNull()).count() == 0
+
+
+def test_facility_bridge_and_dim(spark, pipeline_out):
+    zones, _ = pipeline_out
+    names = zones.read(spark, "silver", "facility_name")
+    bridge = zones.read(spark, "silver", "facility")
+    assert names.count() <= 21
+    ids = [r["Facility_Id"] for r in names.collect()]
+    assert sorted(ids) == list(range(1, len(ids) + 1))
+    # ghost/empty facility rows were filtered
+    assert bridge.filter(F.col("Bus_Name").isin("Ghost Lines", "Empty Lines")).count() == 0
+
+
+def test_reviews_split_and_scored(spark, pipeline_out):
+    zones, _ = pipeline_out
+    vi = zones.read(spark, "silver", "bus_reviews_vi")
+    en = zones.read(spark, "silver", "bus_reviews_en")
+    assert "NEU" in vi.columns and "NEU" not in en.columns
+    for df in (vi, en):
+        assert df.filter((F.col("POS") < 0) | (F.col("POS") > 1)).count() == 0
+    # vi comments routed vi: the fake heuristic must catch diacritics
+    assert vi.count() > 0 and en.count() > 0
+
+
+def test_gold_outputs_shape(spark, pipeline_out):
+    _, gold = pipeline_out
+    assert set(gold) == {f"cau_{i}" for i in range(1, 9)}
+    c1 = gold["cau_1"]
+    assert c1.columns == ["Route", "Bus_Name", "Total_Trips",
+                          "Avg_Price_Per_Day", "depart_time_ranges"]
+    # cau_7: |operators| × 24 dense grid
+    c7 = gold["cau_7"]
+    n_ops = c7.select("bus_name").distinct().count()
+    assert c7.count() == n_ops * 24
+    assert c7.agg(F.max("has_departure")).first()[0] == 1
+    # cau_8: |operators| × 21 dense grid
+    c8 = gold["cau_8"]
+    n_ops8 = c8.select("bus_name").distinct().count()
+    assert c8.count() == n_ops8 * 21
+    # cau_6 only projects the aggregate (reference parity quirk)
+    assert gold["cau_6"].columns == ["avg_rating_10pt"]
+
+
+def test_rerun_is_idempotent_and_keys_continue(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("zones2"))
+    zones = ZoneCatalog(base, fmt="parquet")
+    day1 = dict(
+        raw_tickets=fixtures.raw_tickets(spark, days=("01-05-2025",)),
+        raw_facilities=fixtures.raw_facilities(spark),
+        raw_reviews=fixtures.raw_reviews(spark),
+        bus_ids=fixtures.bus_ids(spark),
+    )
+    run_full_pipeline(spark, zones, **day1)
+    n1 = zones.read(spark, "silver", "ticket").count()
+    # replay same batch: merge keys dedupe → no growth (reference would double)
+    run_full_pipeline(spark, zones, **day1)
+    assert zones.read(spark, "silver", "ticket").count() == n1
+    # new day appends with keys continuing above the previous max
+    day2 = dict(day1, raw_tickets=fixtures.raw_tickets(spark, days=("02-05-2025",), seed=7))
+    run_full_pipeline(spark, zones, **day2)
+    t = zones.read(spark, "silver", "ticket")
+    assert t.count() > n1
+    assert t.select("Bus_Key").distinct().count() == t.count()
+
+
+def test_audit_rows_written(spark, pipeline_out):
+    zones, _ = pipeline_out
+    audit = zones.read(spark, "audit", "audit")
+    tasks = {r["task_id"] for r in audit.select("task_id").collect()}
+    assert {"to_bronze", "ticket_to_silver", "facility_to_silver",
+            "review_to_silver", "update_charts"} <= tasks
+    assert audit.filter(F.col("state") != "success").count() == 0

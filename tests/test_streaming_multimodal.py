@@ -1,0 +1,101 @@
+"""Streaming ingestion (AvailableNow-driven) and multimodal plumbing
+tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators import multimodal
+from vexere_lakehouse_pipeline_spark.sources import fixtures
+from vexere_lakehouse_pipeline_spark.streaming import ingest
+
+
+def test_stream_tickets_to_silver(spark, tmp_path):
+    src = str(tmp_path / "bronze_stream")
+    out = str(tmp_path / "silver_stream")
+    ckpt = str(tmp_path / "ckpt")
+    fixtures.raw_tickets(spark, days=("01-05-2025",), rows_per_day=100).write.parquet(src)
+    stream = ingest.stream_tickets_to_silver(spark, src)
+    assert stream.isStreaming
+    ingest.run_stream_to_sink(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert dict(got.dtypes)["Start_Date"] == "date"
+    assert dict(got.dtypes)["Price"] == "int"
+    # second run with no new files: exactly-once, no duplicates
+    ingest.run_stream_to_sink(ingest.stream_tickets_to_silver(spark, src), out, ckpt)
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "events_stream")
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.write.parquet(src)
+    events = spark.read.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = ingest.windowed_event_counts(stream)
+    # append-mode file sink requires watermark-closed windows; use the
+    # batch equivalent to pin values and the stream to pin machinery
+    ingest.run_stream_to_sink(agg, out, ckpt)
+    streamed = spark.read.parquet(out)
+    batch = ingest.windowed_event_counts(events)
+    # streamed output contains only closed windows — subset of batch
+    closed = streamed.count()
+    assert closed > 0
+    joined = streamed.join(
+        batch,
+        on=["window_start", "window_end", "event_type"],
+        how="inner",
+    )
+    assert joined.count() == closed  # every streamed window matches batch
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, b"abcdef" * 10, "image", "image/png", 8, 8, None),
+        (2, b"", "image", "image/png", 1, 1, None),
+        (3, None, "audio", "audio/wav", None, None, 1500),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, decode_fn=multimodal.fake_decode)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert got[1]["n_bytes"] == 60
+    assert len(got[1]["feature"]) == 8
+    assert got[2]["feature"] == [0.0] * 8
+    assert got[3]["payload_md5"] is None
+    # determinism across runs
+    again = {r["media_id"]: r["feature"] for r in
+             multimodal.extract_features(media, decode_fn=multimodal.fake_decode).collect()}
+    assert again[1] == got[1]["feature"]
+
+
+def test_multimodal_stub_boundary_explicit(spark):
+    media = spark.createDataFrame(
+        [(1, b"x", "image", "image/png", 1, 1, None)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media)
+
+
+def test_frame_sample_plan(spark):
+    rows = [
+        (1, b"v", "video", "video/mp4", None, None, 3500),
+        (2, b"v", "video", "video/mp4", None, None, 400),
+        (3, b"i", "image", "image/png", 2, 2, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    got = (
+        plan.groupBy("media_id")
+        .agg(F.count("*").alias("n"), F.collect_set("frame_ts_ms").alias("ts"))
+        .collect()
+    )
+    by_id = {r["media_id"]: r for r in got}
+    assert by_id[1]["n"] == 3 and sorted(by_id[1]["ts"]) == [0, 1000, 2000]
+    assert by_id[2]["n"] == 1  # short video still yields one frame
+    assert 3 not in by_id  # images excluded

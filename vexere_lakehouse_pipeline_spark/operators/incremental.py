@@ -1,0 +1,121 @@
+"""Incremental, idempotent table writes.
+
+The reference appends blindly (`mode("append")`, to_silver.py:135) —
+replays double-count (SURVEY.md §2.9).  The rebuild's default is
+merge-style: only rows whose merge keys are absent from the target are
+appended.  With delta-spark installed this uses a real ``MERGE``
+(atomic); on plain parquet it is anti-join + append (idempotent w.r.t.
+content, not concurrent writers — documented).
+
+Zone layout mirrors the reference's bronze/silver/gold buckets but with
+REAL date partitioning (``partitionBy("ingest_date")``) instead of
+path-string convention (to_brz.py:13-14), so Catalyst prunes partitions
+from date predicates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - delta not present in this environment
+    from delta.tables import DeltaTable
+
+    _HAVE_DELTA = True
+except ImportError:
+    _HAVE_DELTA = False
+
+DEFAULT_FORMAT = "delta" if _HAVE_DELTA else "parquet"
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """Public-API existence probe (the reference reaches into py4j
+    internals, audit_logger.py:24 — S11)."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return bool(fs.exists(jvm_path))
+
+
+def read_table(spark: SparkSession, path: str,
+               fmt: str = DEFAULT_FORMAT) -> DataFrame | None:
+    if not table_exists(spark, path):
+        return None
+    return spark.read.format(fmt).load(path)
+
+
+def write_overwrite(df: DataFrame, path: str, fmt: str = DEFAULT_FORMAT,
+                    partition_by: tuple[str, ...] = ()) -> None:
+    w = df.write.format(fmt).mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def merge_append(df: DataFrame, path: str, merge_keys: list[str],
+                 fmt: str = DEFAULT_FORMAT,
+                 partition_by: tuple[str, ...] = ()) -> int:
+    """Idempotent append: insert only rows whose ``merge_keys`` are not
+    already present.  Returns the number of rows appended."""
+    spark = df.sparkSession
+    existing = read_table(spark, path, fmt)
+    if existing is None:
+        write_overwrite(df, path, fmt, partition_by)
+        return df.count()
+    if _HAVE_DELTA and fmt == "delta":  # pragma: no cover
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in merge_keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(df.alias("s"), cond)
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return -1  # delta does not report insert counts synchronously
+    # Null-safe key equality (<=>): rows with null key components must
+    # still match their replay twins, else every rerun re-appends them.
+    seen = existing.select(
+        *[F.col(k).alias(f"__k_{k}") for k in merge_keys]
+    ).distinct()
+    cond = None
+    for k in merge_keys:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else (cond & c)
+    # No broadcast hint: the existing-keys side grows with the table;
+    # AQE picks broadcast when (and only when) it actually fits.
+    novel = df.join(seen, on=cond, how="left_anti")
+    n = novel.count()
+    if n:
+        w = novel.write.format(fmt).mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+    return n
+
+
+class ZoneCatalog:
+    """bronze/silver/gold/audit zone registry over a base directory —
+    the rebuild's equivalent of the reference's MinIO buckets
+    (s3a://bronze/... etc.); works identically over s3a:// or file://."""
+
+    def __init__(self, base: str, fmt: str = DEFAULT_FORMAT):
+        self.base = base.rstrip("/")
+        self.fmt = fmt
+
+    def path(self, zone: str, table: str) -> str:
+        return os.path.join(self.base, zone, table)
+
+    def read(self, spark: SparkSession, zone: str, table: str) -> DataFrame | None:
+        return read_table(spark, self.path(zone, table), self.fmt)
+
+    def overwrite(self, df: DataFrame, zone: str, table: str,
+                  partition_by: tuple[str, ...] = ()) -> None:
+        write_overwrite(df, self.path(zone, table), self.fmt, partition_by)
+
+    def merge(self, df: DataFrame, zone: str, table: str,
+              merge_keys: list[str],
+              partition_by: tuple[str, ...] = ()) -> int:
+        return merge_append(
+            df, self.path(zone, table), merge_keys, self.fmt, partition_by
+        )

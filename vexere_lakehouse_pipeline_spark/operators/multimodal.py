@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video columns at 100 TB (BASELINE north star):
+the payload is an opaque ``binary`` column; decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so
+bytes move JVM→Python once per batch, not per row.  The media libraries
+(PIL/ffmpeg/torchaudio) are NOT in this container, so the actual decode
+is stubbed: :func:`decode_image_batch` raises ``NotImplementedError``
+unless handed a ``decode_fn``, and tests exercise the full Spark-side
+plumbing (schema, batching, partitioning) with a deterministic fake.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_type", T.StringType()),     # image|audio|video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),         # typed metadata
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+DecodeFn = Callable[[bytes], list[float]]
+
+
+def fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in 'feature extractor': 8 floats from byte
+    statistics.  Replaces PIL/torch decode in this container."""
+    if not payload:
+        return [0.0] * 8
+    n = len(payload)
+    return [
+        float(n),
+        float(payload[0]),
+        float(payload[-1]),
+        float(sum(payload) % 997),
+        float(max(payload)),
+        float(min(payload)),
+        float(payload[n // 2]),
+        float(n % 251),
+    ]
+
+
+def extract_features(media: DataFrame,
+                     decode_fn: DecodeFn | None = None) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    ``decode_fn`` maps raw bytes → feature vector; pass a real decoder
+    (e.g. PIL→resize→embed) in production.  Without one the
+    deterministic fake is used only if explicitly requested via
+    ``decode_fn=fake_decode``; passing None raises to make the stub
+    boundary explicit.
+    """
+    if decode_fn is None:
+        raise NotImplementedError(
+            "no media decoder in this environment — pass decode_fn="
+            "fake_decode for the plumbing path, or a real decoder"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "feature": payloads.map(
+                        lambda b: decode_fn(b if b is not None else b"")
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp (payload decode stubbed).  Shows the explode-then-process
+    shape: frame timestamps are generated JVM-side so the expensive
+    Python stage only sees rows it must decode."""
+    n_frames = F.greatest(
+        (F.col("duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1)
+    )
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            "payload",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames - 1),
+                    lambda i: i * F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,70 @@
+"""Surrogate-key assignment.
+
+The reference computes keys with ``row_number()`` over a GLOBAL window
+(`convert/to_silver.py:130-131`) — an ``Exchange SinglePartition`` that
+serializes the entire table through one task (SURVEY.md §7.4).  Two
+replacements:
+
+- :func:`assign_keys_distributed` (default): per-partition local ranks
+  + a driver-side prefix-sum of partition counts (bytes of metadata),
+  so no global shuffle ever happens.  Like the reference's, the
+  assignment depends on physical row order — fine for append-only
+  surrogate keys whose only contract is uniqueness + continuation
+  above ``base``.
+- :func:`assign_keys_ordered`: deterministic keys from an explicit
+  business ordering.  Still windowed per partition-group, shuffling
+  once on the high-order key — use when replayability matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_keys_distributed(df: DataFrame, key_col: str, base: int = 0) -> DataFrame:
+    """Unique sequential-ish long keys > ``base`` without a global shuffle."""
+    with_pid = df.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, base
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return (
+        with_pid.withColumn("_local", F.row_number().over(w))
+        .withColumn(
+            key_col,
+            (offset_col[F.col("_pid")] + F.col("_local")).cast("long"),
+        )
+        .drop("_pid", "_local")
+    )
+
+
+def assign_keys_ordered(df: DataFrame, key_col: str, order_cols: list[str],
+                        base: int = 0) -> DataFrame:
+    """Deterministic keys: row_number over an explicit total order.
+
+    Compatibility mode for the reference's semantics; the global window
+    is the documented cost (single partition) — callers at scale should
+    prefer :func:`assign_keys_distributed`.
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(
+        key_col, (F.row_number().over(w) + F.lit(base)).cast("long")
+    )
+
+
+def max_existing_key(existing: DataFrame | None, key_col: str) -> int:
+    """Continuation watermark: max key in the target table, 0 if absent
+    (`convert/to_silver.py:104-108` semantics, minus the bare except)."""
+    if existing is None:
+        return 0
+    row = existing.agg(F.max(F.col(key_col).cast("long")).alias("m")).first()
+    return int(row["m"] or 0)

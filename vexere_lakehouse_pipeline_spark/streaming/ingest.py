@@ -1,0 +1,87 @@
+"""Streaming ingestion + stateful aggregation.
+
+The reference's incrementality is a daily cron re-reading whole paths
+(SURVEY.md §2.9).  This module offers the same silver conform step as a
+Structured Streaming flow (file source → transform → sink), plus
+watermarked windowed aggregation for event streams — the patterns a
+100 TB pipeline uses for continuous ingestion:
+
+- file-source streaming reuses the SAME column transforms as batch
+  (one definition, two execution modes);
+- watermark bounds state so late data is handled without unbounded
+  memory;
+- ``Trigger.AvailableNow`` gives exactly-once catch-up batches, which
+  is also how the tests drive these flows deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from vexere_lakehouse_pipeline_spark.catalog import RAW_TICKET_SCHEMA
+from vexere_lakehouse_pipeline_spark.functions.cleaning import (
+    bus_type_category,
+    normalize_place,
+    parse_duration_hours,
+    parse_price_vnd,
+)
+
+
+def stream_tickets_to_silver(spark: SparkSession, source_dir: str,
+                             schema: StructType = RAW_TICKET_SCHEMA) -> DataFrame:
+    """readStream over a bronze ticket directory (csv or parquet by
+    extension sniffing is avoided — parquet contract) with the batch
+    conform chain applied.  Returns a streaming DataFrame; callers
+    attach writeStream."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        raw.withColumn("Start_Date", F.to_date("Start_Date", "dd-MM-yyyy"))
+        .withColumn("Departure_Place", normalize_place("Departure_Place"))
+        .withColumn("Arrival_Place", normalize_place("Arrival_Place"))
+        .withColumn("Duration", parse_duration_hours("Duration"))
+        .withColumn("Price", parse_price_vnd("Price"))
+        .withColumn("Type_Bus", F.lower(F.col("Type_Bus")))
+        .withColumn("Bus_Type_Category", bus_type_category(F.col("Type_Bus")))
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type.
+
+    State is bounded by the watermark: events later than ``watermark``
+    behind max(ts) are dropped, so state size is O(active windows), not
+    O(stream length).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_sink(stream_df: DataFrame, target_dir: str,
+                       checkpoint_dir: str, fmt: str = "parquet") -> None:
+    """Drive a streaming DataFrame to a file sink with AvailableNow
+    (process-everything-then-stop) — deterministic catch-up semantics,
+    also the test harness path."""
+    (
+        stream_df.writeStream.format(fmt)
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
