@@ -37,7 +37,10 @@ def fake_score_batch(texts: pd.Series) -> pd.DataFrame:
         h = hashlib.md5(t.encode("utf-8")).digest()
         a, b, c = h[0] + 1, h[1] + 1, h[2] + 1
         s = a + b + c
-        return (round(a / s, 4), round(b / s, 4), round(c / s, 4))
+        # Integer floor at 4dp (not round()): exact in both Python and
+        # SQL engines, so oracle checks reproduce it bit-for-bit.
+        return (a * 10000 // s / 10000, b * 10000 // s / 10000,
+                c * 10000 // s / 10000)
 
     scored = texts.map(one)
     return pd.DataFrame(

@@ -1,0 +1,165 @@
+"""Extended coverage queries: pandas-UDF sentiment through the oracle
+gate, rollup subtotals, pivot, and the batch twin of the streaming
+windowed aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.operators.nlp import sentiment_udf
+from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Sentiment scoring (U5): the ACTUAL Arrow-batched pandas UDF runs on
+# Spark; the oracle re-derives the md5-arithmetic contract in SQL.
+# This is the one deliberate Python-path query — it exists to pin the
+# UDF surface (Arrow batches, struct return), not as the scale path.
+# ---------------------------------------------------------------------------
+_HEX = "0123456789abcdef"
+
+
+def _duck_md5_byte(k: int) -> str:  # 0-indexed byte of md5(text)
+    c1 = f"substr(md5(text), {2 * k + 1}, 1)"
+    c2 = f"substr(md5(text), {2 * k + 2}, 1)"
+    return f"((instr('{_HEX}', {c1}) - 1) * 16 + instr('{_HEX}', {c2}) - 1)"
+
+
+@_register(
+    "nlp_sentiment_scores",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               {_duck_md5_byte(0)} + 1 AS a,
+               {_duck_md5_byte(1)} + 1 AS bb,
+               {_duck_md5_byte(2)} + 1 AS c
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((a * 10000) // (a + bb + c) AS DOUBLE) / 10000 AS pos,
+           CAST((bb * 10000) // (a + bb + c) AS DOUBLE) / 10000 AS neg,
+           CAST((c * 10000) // (a + bb + c) AS DOUBLE) / 10000 AS neu
+    FROM b ORDER BY doc_id
+    """,
+)
+def nlp_sentiment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("s", sentiment_udf()("text"))
+        .select("doc_id", "s.pos", "s.neg", "s.neu")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP subtotals (beyond the reference's flat GROUP BYs — the engine
+# exposes cube/rollup/grouping sets).
+# ---------------------------------------------------------------------------
+@_register(
+    "agg_rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation in the oracle — identical column names).
+# ---------------------------------------------------------------------------
+@_register(
+    "agg_pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of streaming.windowed_event_counts — same semantics the
+# watermarked stream produces for closed windows.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_hourly_windows",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
