@@ -1,0 +1,112 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bounded range join.
+
+The reference has no temporal joins (SURVEY.md §2.3 — J1-J8 are plain
+equi/cross joins), but a lakehouse engine serving event data needs
+them.  Both are built as compositions of existing DataFrame ops (no
+UDFs, no RDDs), shaped so the plan survives 100 TB:
+
+- as-of join: ONE shuffle on the key (a union + running ``last``
+  window), never a per-row subquery and never a join blowup.  This is
+  the standard distributed as-of pattern (union the two streams, sort
+  within key, carry the most recent right row forward).
+- range join: equi-join on (key, time-bucket) with the right side
+  exploded over the buckets its interval spans.  The fanout is bounded
+  by ``span/bucket + 1`` rows per input row, so the shuffle stays
+  linear — Spark would otherwise plan key-equi + range-filter, which
+  is fine until one key is hot; bucketing also gives AQE a finer
+  partitioning to rebalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward (at-or-before) as-of join.
+
+    For each left row, attach the payload of the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
+    (ties on ``right_ts`` broken by the greatest ``tiebreak``).  Left
+    rows with no earlier right row keep null payloads.
+
+    Plan shape: union(left, right) → window(partitionBy=key,
+    orderBy=(ts, side, tiebreak)) running ``last(payload,
+    ignorenulls)`` → filter left side.  One shuffle, no O(L×R) pairs.
+    """
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),  # right rows sort before left at equal ts
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
+        payload_struct.alias("_payload"),
+    )
+    left_cols = left.columns
+    l = left.select(  # noqa: E741
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in left_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = matched.filter(F.col("_side") == 1).select(
+        *left_cols,
+        *[F.col("_match")[c].alias(c) for c in right_payload],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: Column,
+    upper: Column,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Inner join of pairs where ``right_ts`` ∈ (left_ts+lower,
+    left_ts+upper], co-keyed on ``on``.
+
+    ``lower``/``upper`` are interval Columns (e.g. ``F.expr("INTERVAL
+    0 SECONDS")``).  ``bucket_seconds`` should be ≈ the window span:
+    each left row is exploded to the buckets its window covers
+    (span/bucket+1 of them), the join is a plain equi-join on
+    (key, bucket), and the exact range predicate filters after.
+    """
+    lb = F.unix_micros(F.col(left_ts) + lower)
+    ub = F.unix_micros(F.col(left_ts) + upper)
+    step = bucket_seconds * 1_000_000
+    lhs = left.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(lb / step), F.floor(ub / step))),
+    )
+    rhs = right.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(right_ts)) / step)
+    )
+    joined = lhs.join(rhs, on=[on, "_bucket"]).filter(
+        (F.unix_micros(F.col(right_ts)) > lb)
+        & (F.unix_micros(F.col(right_ts)) <= ub)
+    )
+    return joined.drop("_bucket")
