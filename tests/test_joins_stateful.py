@@ -1,0 +1,138 @@
+"""Edge-case tests for the temporal joins (operators/joins.py) and the
+stateful streaming operators (streaming/stateful.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators.joins import asof_join, range_join
+from vexere_lakehouse_pipeline_spark.streaming import ingest, stateful
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_basic_ties_and_misses(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (2, 100, _ts(5)), (3, 200, _ts(10)), (4, 300, _ts(10))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        # key 100: rows at :05 (two, tie on ts -> larger rid wins) and :08
+        # key 200: only a later row (:15) -> no match at :10
+        [(11, 100, _ts(5)), (12, 100, _ts(5)), (13, 100, _ts(8)), (21, 200, _ts(15))],
+        "rid long, k long, rts timestamp",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_payload=["rid"], tiebreak="rid",
+    )
+    got = {r["id"]: r["rid"] for r in out.collect()}
+    assert got[1] == 13          # latest at-or-before :10
+    assert got[2] == 12          # tie at :05 -> max tiebreak
+    assert got[3] is None        # right row is later than left ts
+    assert got[4] is None        # key absent from right
+    assert out.count() == left.count()  # left-join semantics: no row loss
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, 1, _ts(5))], "id long, k long, ts timestamp")
+    right = spark.createDataFrame([(9, 1, _ts(5))], "rid long, k long, rts timestamp")
+    out = asof_join(left, right, "k", "ts", "rts", ["rid"], tiebreak="rid")
+    assert out.first()["rid"] == 9  # at-or-before includes equal ts
+
+
+def test_range_join_bounds_and_buckets(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(0)), (2, 7, _ts(30))], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 7, _ts(0)),   # equal to left ts -> excluded (strict lower)
+            (11, 7, _ts(10)),  # inside (0, 20]
+            (12, 7, _ts(20)),  # on the upper bound -> included
+            (13, 7, _ts(35)),  # inside left-2's window (30, 50]
+            (14, 8, _ts(10)),  # other key
+        ],
+        "rid long, k long, rts timestamp",
+    )
+    out = range_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        lower=F.expr("INTERVAL 0 SECONDS"), upper=F.expr("INTERVAL 20 MINUTES"),
+        bucket_seconds=600,  # bucket smaller than span: multi-bucket explode
+    )
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert pairs == [(1, 11), (1, 12), (2, 13)]
+    # no duplicate pairs despite bucket overlap
+    assert out.count() == out.select("lid", "rid").distinct().count()
+
+
+def test_running_user_totals_state_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+    batch_a = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(1), 5.0), (2, _ts(0), 1.0)], schema
+    )
+    batch_a.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(batch_a.schema).parquet(src)
+    ingest.run_stream_to_sink(
+        stateful.running_user_totals(stream), out, ckpt
+    )
+    # second run: new file arrives; checkpointed state must carry over
+    spark.createDataFrame([(1, _ts(2), 2.5)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(batch_a.schema).parquet(src)
+    ingest.run_stream_to_sink(
+        stateful.running_user_totals(stream2), out, ckpt
+    )
+    latest = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("v"))
+        .collect()
+    )
+    got = {r["user_id"]: (r["n"], r["v"]) for r in latest}
+    assert got[1] == (3, 17.5)  # 2 events from run 1 + 1 from run 2
+    assert got[2] == (1, 1.0)
+
+
+def test_sessionized_event_counts_batch_matches_manual(spark):
+    rows = [
+        (1, _ts(0), 1.0), (1, _ts(10), 2.0),   # one session (gap < 30m)
+        (1, dt.datetime(2024, 1, 1, 2, 0), 4.0),  # new session after 2h
+        (2, _ts(0), 8.0),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    sess = stateful.sessionized_event_counts(events, gap="30 minutes")
+    got = sorted(
+        (r["user_id"], r["n_events"], r["total_value"]) for r in sess.collect()
+    )
+    assert got == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 8.0)]
+
+
+def test_sessionized_event_counts_streaming(spark, tmp_path):
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    ingest.run_stream_to_sink(
+        stateful.sessionized_event_counts(stream), out, ckpt
+    )
+    streamed = spark.read.parquet(out)
+    batch = stateful.sessionized_event_counts(spark.read.parquet(src))
+    closed = streamed.count()
+    assert closed > 0
+    joined = streamed.join(
+        batch, on=["session_start", "session_end", "user_id"], how="inner"
+    )
+    assert joined.count() == closed
