@@ -1,0 +1,105 @@
+"""SCD2 operator tests (operators/scd2.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators.scd2 import (
+    scd2_from_changelog,
+    scd2_merge,
+)
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day)
+
+
+def _rows(df):
+    return sorted(
+        (
+            r["k"],
+            r["seg"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_scd2_from_changelog_collapses_noops(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, _ts(1), "A", 10),
+            (1, _ts(2), "A", 11),  # no-op on tracked attr -> no version
+            (1, _ts(3), "B", 12),
+            (2, _ts(1), "X", 13),
+        ],
+        "k long, ts timestamp, seg string, change_id long",
+    )
+    hist = scd2_from_changelog(
+        changes, key_cols=["k"], ts_col="ts", attr_cols=["seg"],
+        tiebreak_col="change_id",
+    )
+    assert _rows(hist) == [
+        (1, "A", _ts(1), _ts(3), False),
+        (1, "B", _ts(3), None, True),
+        (2, "X", _ts(1), None, True),
+    ]
+
+
+def test_scd2_merge_closes_opens_and_passes_through(spark):
+    dim = scd2_from_changelog(
+        spark.createDataFrame(
+            [(1, _ts(1), "A"), (2, _ts(1), "X")],
+            "k long, ts timestamp, seg string",
+        ),
+        key_cols=["k"], ts_col="ts", attr_cols=["seg"],
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, _ts(5), "B"),   # changed -> close + open
+            (2, _ts(5), "X"),   # unchanged -> no-op
+            (3, _ts(5), "New"),  # new key -> open
+        ],
+        "k long, ts timestamp, seg string",
+    )
+    merged = scd2_merge(
+        dim, updates, key_cols=["k"], ts_col="ts", attr_cols=["seg"]
+    )
+    assert _rows(merged) == [
+        (1, "A", _ts(1), _ts(5), False),
+        (1, "B", _ts(5), None, True),
+        (2, "X", _ts(1), None, True),
+        (3, "New", _ts(5), None, True),
+    ]
+    # idempotent: same batch again changes nothing
+    again = scd2_merge(
+        merged, updates, key_cols=["k"], ts_col="ts", attr_cols=["seg"]
+    )
+    assert _rows(again) == _rows(merged)
+
+
+def test_scd2_merge_then_changelog_equivalence(spark):
+    """Merging batches one at a time equals rebuilding from the full
+    changelog (when each batch has one row per key)."""
+    full = spark.createDataFrame(
+        [(1, _ts(1), "A"), (1, _ts(4), "B"), (1, _ts(8), "C")],
+        "k long, ts timestamp, seg string",
+    )
+    rebuilt = scd2_from_changelog(
+        full, key_cols=["k"], ts_col="ts", attr_cols=["seg"]
+    )
+    step = scd2_from_changelog(
+        full.filter(F.col("ts") == _ts(1)),
+        key_cols=["k"], ts_col="ts", attr_cols=["seg"],
+    )
+    for day in (4, 8):
+        step = scd2_merge(
+            step,
+            full.filter(F.col("ts") == _ts(day)),
+            key_cols=["k"], ts_col="ts", attr_cols=["seg"],
+        )
+    assert _rows(step) == _rows(rebuilt)

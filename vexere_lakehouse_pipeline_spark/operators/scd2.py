@@ -1,0 +1,130 @@
+"""Slowly-changing-dimension type 2 (SCD2) operators.
+
+The reference's dimensions are overwrite-only snapshots (SURVEY.md
+§1.2); a lakehouse engine needs versioned dimensions.  Two shapes:
+
+- :func:`scd2_from_changelog` — rebuild full version history from an
+  event/change log in one pass: collapse consecutive no-op changes,
+  then ``lead`` gives each version its close timestamp.  One shuffle
+  on the business key; no iteration, no driver loops.
+- :func:`scd2_merge` — incremental: apply one batch of updated
+  attribute rows to an existing SCD2 dimension, closing changed
+  current versions and opening new ones.  Pure DataFrame (union +
+  joins); on Delta-enabled clusters the same logic maps to one
+  ``MERGE`` with a whenMatched update + insert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _attrs_differ(attr_cols: list[str], other_prefix: str) -> Column:
+    cond = F.lit(False)
+    for c in attr_cols:
+        cond = cond | ~F.col(c).eqNullSafe(F.col(f"{other_prefix}{c}"))
+    return cond
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Changelog → SCD2 history.
+
+    Returns one row per version: key cols, attr cols, ``valid_from``,
+    ``valid_to`` (null while current), ``is_current``.  Consecutive
+    changelog rows whose tracked attributes are unchanged do not open
+    a new version.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = changes.select(
+        *key_cols,
+        ts_col,
+        *([tiebreak_col] if tiebreak_col else []),
+        *attr_cols,
+        *[F.lag(c).over(w).alias(f"_prev_{c}") for c in attr_cols],
+        F.lag(ts_col).over(w).alias("_prev_ts"),
+    )
+    opens = prev.filter(
+        F.col("_prev_ts").isNull() | _attrs_differ(attr_cols, "_prev_")
+    ).select(*key_cols, F.col(ts_col).alias("valid_from"),
+             *([tiebreak_col] if tiebreak_col else []), *attr_cols)
+    worder = [F.col("valid_from")] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*worder)
+    out = opens.select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    return out
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Apply one update batch (one row per key: key cols, ``ts_col``,
+    attr cols) to an SCD2 dimension produced by
+    :func:`scd2_from_changelog` (or a prior merge).
+
+    Semantics: keys whose current attrs differ (or that are new) get
+    their current version closed at the update timestamp and a new
+    current version opened.  Unchanged keys pass through untouched —
+    idempotent re-application of the same batch is a no-op.
+    """
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    upd = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in key_cols],
+        F.col(ts_col).alias("_u_ts"),
+        *[F.col(c).alias(f"_u_{c}") for c in attr_cols],
+    )
+    joined = cur.join(
+        upd,
+        on=[F.col(k) == F.col(f"_u_{k}") for k in key_cols],
+        how="full_outer",
+    )
+    changed = joined.filter(
+        F.col("_u_ts").isNotNull()
+        & F.col("valid_from").isNotNull()
+        & _attrs_differ(attr_cols, "_u_")
+    )
+    unchanged_or_no_update = joined.filter(
+        F.col("_u_ts").isNull()
+        | (F.col("valid_from").isNotNull() & ~_attrs_differ(attr_cols, "_u_"))
+    ).select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
+    closed = changed.select(
+        *key_cols, *attr_cols, "valid_from",
+        F.col("_u_ts").alias("valid_to"), F.lit(False).alias("is_current"),
+    )
+    new_keys = joined.filter(
+        F.col("_u_ts").isNotNull() & F.col("valid_from").isNull()
+    )
+    opened = (
+        changed.unionByName(new_keys, allowMissingColumns=True)
+        .select(
+            *[F.coalesce(F.col(k), F.col(f"_u_{k}")).alias(k) for k in key_cols],
+            *[F.col(f"_u_{c}").alias(c) for c in attr_cols],
+            F.col("_u_ts").alias("valid_from"),
+            F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return (
+        hist.select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
+        .unionByName(unchanged_or_no_update)
+        .unionByName(closed)
+        .unionByName(opened)
+    )

@@ -54,6 +54,68 @@ def topk_bruteforce(candidates: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def topk_ivf(candidates: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 32, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the scale path.
+
+    Build: every candidate is assigned to its nearest centroid (the
+    inverted list).  Search: each query probes only its ``nprobe``
+    nearest lists.  Scoring work drops from |C|×|Q| to
+    ~|C|×nprobe/n_centroids×|Q|, and the list assignment is a plain
+    column that big tables can be PARTITIONED/bucketed by — probes then
+    touch only matching partitions.
+
+    ``centroids`` is pluggable (pass pyspark.ml KMeans centers in
+    production).  The default — the first ``n_centroids`` candidates by
+    id — is a deterministic coarse quantizer that keeps the whole
+    operator oracle-verifiable.
+    """
+    c = candidates.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    cents = (
+        centroids
+        if centroids is not None
+        else c.filter(F.col("vec_id") < n_centroids)
+    ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"))
+
+    def nearest_lists(df: DataFrame, side_id: str, side_emb: str,
+                      n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            side_id,
+            side_emb,
+            "cid",
+            F.round(cosine_similarity(side_emb, "c_emb"), 6).alias("_cs"),
+        )
+        w = Window.partitionBy(side_id).orderBy(F.desc("_cs"), "cid")
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_cs", "_rn")
+        )
+
+    inverted = nearest_lists(c, "vec_id", "emb", 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    probes = nearest_lists(q, "query_id", "q_emb", nprobe)
+    scored = (
+        inverted.join(F.broadcast(probes), on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity("q_emb", "emb"), 6).alias("cos_sim"),
+        )
+        .distinct()  # a (query, candidate) pair can meet in ≤1 list; keep explicit
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       n_bits: int = 4) -> DataFrame:

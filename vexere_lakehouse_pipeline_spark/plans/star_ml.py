@@ -674,3 +674,102 @@ def silver_conform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_price_vnd("price_raw").alias("price_vnd"),
         bus_type_category("type_raw").alias("bus_type"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: IVF (inverted-file) approximate top-k — the scale
+# path beyond sign-LSH.  Deterministic coarse quantizer (centroids =
+# vec_id < 32) keeps the full build+probe pipeline oracle-checkable.
+# ---------------------------------------------------------------------------
+@_register(
+    "sim_topk_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 32),
+    assign AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_DUCK_COS.format(a="e.v", b="c.cv")} DESC, c.cid) AS rn
+            FROM e, cents c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_DUCK_COS.format(a="q.qv", b="c.cv")} DESC, c.cid) AS rn
+            FROM q, cents c) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT DISTINCT p.query_id, a.vec_id,
+               {_DUCK_COS.format(a="p.qv", b="a.v")} AS cos_sim
+        FROM assign a JOIN probes p ON p.cid = a.cid
+        WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=32, nprobe=4
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 from a changelog: events as a change stream — each user's
+# event_type transitions become dimension versions (operators/scd2.py).
+# ---------------------------------------------------------------------------
+@_register(
+    "scd2_user_type_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    opens AS (
+        SELECT user_id, event_id, ts AS valid_from, event_type
+        FROM ordered
+        WHERE prev_ts IS NULL OR event_type <> prev_type
+    ),
+    versions AS (
+        SELECT user_id, event_type, epoch_us(valid_from) AS valid_from_us,
+               epoch_us(lead(valid_from) OVER (PARTITION BY user_id
+                        ORDER BY valid_from, event_id)) AS valid_to_us
+        FROM opens
+    )
+    SELECT user_id, event_type, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM versions ORDER BY user_id, valid_from_us
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.scd2 import scd2_from_changelog
+
+    events = load_table(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        events,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("user_id", "valid_from_us")
