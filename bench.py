@@ -41,6 +41,13 @@ HEADLINE = [
     "text_quality_scores",
     "silver_conform_chain",
     "events_sessionization",
+    "tpch_q10_returned_top_customers",
+    "tpch_q18_large_orders",
+    "sim_topk_ivf",
+    "asof_join_error_last_click",
+    "range_join_click_then_purchase",
+    "scd2_user_type_history",
+    "window_spend_quartiles",
 ]
 
 

@@ -73,3 +73,17 @@ def test_topk_bruteforce_finds_identical_vector(spark):
     ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranked == [1, 2, 3]
     assert out[0]["cos_sim"] == 1.0
+
+
+def test_topk_arrow_matches_column_fold(spark):
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    fold = similarity.topk_bruteforce(emb, q, k=5)
+    arrow = similarity.topk_bruteforce_arrow(emb, q, k=5)
+    a = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in fold.collect())
+    b = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in arrow.collect())
+    assert a == b

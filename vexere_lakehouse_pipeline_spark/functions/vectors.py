@@ -37,6 +37,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot_product(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
+def cosine_from_norms(a: Column | str, b: Column | str,
+                      norm_a: Column | str, norm_b: Column | str) -> Column:
+    """Cosine with precomputed L2 norms.
+
+    Join-heavy similarity plans should hoist ``l2_norm`` into a column
+    on each side BEFORE the join — otherwise each pair recomputes both
+    norms, tripling the fold work (norms are O(dim) like the dot
+    product).  Bit-identical to :func:`cosine_similarity`: same
+    expressions, evaluated once.
+    """
+    return dot_product(a, b) / F.nullif(_c(norm_a) * _c(norm_b), F.lit(0.0))
+
+
 def sign_lsh_bucket(a: Column | str, n_bits: int = 8) -> Column:
     """Random-hyperplane-style LSH bucket from the signs of the first
     ``n_bits`` components (deterministic, engine-portable stand-in for

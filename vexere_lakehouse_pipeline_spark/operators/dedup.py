@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.functions.text import tokenize, word_shingles
-from vexere_lakehouse_pipeline_spark.functions.vectors import cosine_similarity
+from vexere_lakehouse_pipeline_spark.functions.vectors import cosine_from_norms, l2_norm
 
 # LSH defaults: 4 bands × 2 rows = 8 minhashes.  P(candidate) = 1-(1-J²)⁴,
 # i.e. ~50% at J=0.4 — tuned for near-dup discovery, not exact-dup only.
@@ -227,11 +227,13 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
         F.col(block_col).alias("block"),
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("emb_a"),
+        l2_norm(vec_col).alias("norm_a"),
     )
     b = emb.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("emb_b"),
+        l2_norm(vec_col).alias("norm_b"),
     )
     return (
         a.join(b, on="block")
@@ -239,7 +241,9 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_similarity("emb_a", "emb_b"), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms("emb_a", "emb_b", "norm_a", "norm_b"), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

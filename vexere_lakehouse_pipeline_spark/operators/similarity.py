@@ -1,19 +1,21 @@
 """Similarity search over embedding columns.
 
-Two strategies, both pure DataFrame plans:
+Four strategies:
 
-- **Brute force** — broadcast the (small) query set against the full
-  candidate table, score with a JVM-side cosine fold, rank per query.
-  Exact; scales linearly in |candidates| × |queries| and stays fully
-  distributed (the candidate side never moves).
+- **Brute force (column fold)** — broadcast the (small) query set
+  against the full candidate table, score with a JVM-side cosine fold,
+  rank per query.  Exact; scales linearly in |candidates| × |queries|
+  and stays fully distributed (the candidate side never moves).
+- **Brute force (Arrow/numpy)** — same plan, but scoring runs as one
+  numpy matmul per Arrow batch inside ``mapInPandas``.  Exact; wins
+  for wide vectors (d ≳ a few hundred) where BLAS beats the
+  interpreted higher-order-function fold.
 - **LSH-bucketed** — sign-bucket both sides (random-hyperplane-style),
   equi-join on the bucket, rank within.  Approximate; the join prunes
-  the score count by ~2^bits.  An IVF variant would replace the bucket
-  fn with a learned centroid id — same plan shape.
-
-For very wide vectors a numpy/Arrow ``mapInPandas`` scorer can beat the
-column fold; see operators/multimodal.py for the batch-UDF plumbing
-pattern.
+  the score count by ~2^bits.
+- **IVF** — coarse-quantize into inverted lists, probe the nprobe
+  nearest lists per query.  Approximate; the list id doubles as a
+  partition/bucket key at 100 TB.
 """
 
 from __future__ import annotations
@@ -22,7 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.functions.vectors import (
-    cosine_similarity,
+    cosine_from_norms,
+    l2_norm,
     sign_lsh_bucket,
 )
 
@@ -35,16 +38,24 @@ def topk_bruteforce(candidates: DataFrame, queries: DataFrame, k: int = 5,
     by (cos_sim desc, vec_id) after 6dp rounding.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        l2_norm(vec_col).alias("q_norm"),
     )
-    c = candidates.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    c = candidates.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(vec_col).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_similarity("q_emb", "emb"), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms("q_emb", "emb", "q_norm", "c_norm"), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
@@ -72,20 +83,31 @@ def topk_ivf(candidates: DataFrame, queries: DataFrame, k: int = 5,
     id — is a deterministic coarse quantizer that keeps the whole
     operator oracle-verifiable.
     """
-    c = candidates.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    c = candidates.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(vec_col).alias("_norm"),
+    )
     cents = (
         centroids
         if centroids is not None
-        else c.filter(F.col("vec_id") < n_centroids)
-    ).select(F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb"))
+        else c.filter(F.col("vec_id") < n_centroids).drop("_norm")
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("c_emb"),
+        l2_norm("emb").alias("c_norm"),
+    )
 
     def nearest_lists(df: DataFrame, side_id: str, side_emb: str,
                       n: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
             side_id,
             side_emb,
+            "_norm",
             "cid",
-            F.round(cosine_similarity(side_emb, "c_emb"), 6).alias("_cs"),
+            F.round(
+                cosine_from_norms(side_emb, "c_emb", "_norm", "c_norm"), 6
+            ).alias("_cs"),
         )
         w = Window.partitionBy(side_id).orderBy(F.desc("_cs"), "cid")
         return (
@@ -94,18 +116,26 @@ def topk_ivf(candidates: DataFrame, queries: DataFrame, k: int = 5,
             .drop("_cs", "_rn")
         )
 
-    inverted = nearest_lists(c, "vec_id", "emb", 1)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    inverted = nearest_lists(c, "vec_id", "emb", 1).withColumnRenamed(
+        "_norm", "c_norm2"
     )
-    probes = nearest_lists(q, "query_id", "q_emb", nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        l2_norm(vec_col).alias("_norm"),
+    )
+    probes = nearest_lists(q, "query_id", "q_emb", nprobe).withColumnRenamed(
+        "_norm", "q_norm"
+    )
     scored = (
         inverted.join(F.broadcast(probes), on="cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_similarity("q_emb", "emb"), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms("q_emb", "emb", "q_norm", "c_norm2"), 6
+            ).alias("cos_sim"),
         )
         .distinct()  # a (query, candidate) pair can meet in ≤1 list; keep explicit
     )
@@ -124,11 +154,13 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_emb"),
+        l2_norm(vec_col).alias("q_norm"),
         sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
     )
     c = candidates.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
+        l2_norm(vec_col).alias("c_norm"),
         sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
     )
     scored = (
@@ -137,11 +169,68 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_similarity("q_emb", "emb"), 6).alias("cos_sim"),
+            F.round(
+                cosine_from_norms("q_emb", "emb", "q_norm", "c_norm"), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_bruteforce_arrow(candidates: DataFrame, queries: DataFrame,
+                          k: int = 5, vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k scored by numpy matmul over Arrow batches.
+
+    Same contract as :func:`topk_bruteforce`; use for wide vectors.
+    The query set is collected to the driver (it must be small — it is
+    broadcast in every strategy) and shipped once per executor; each
+    ``mapInPandas`` batch emits only its partial top-k per query, so
+    shuffle volume is O(batches × |Q| × k), not O(|C| × |Q|).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sc = candidates.sparkSession.sparkContext
+    bc = sc.broadcast((qids, qn))
+
+    def score(batches):
+        b_qids, b_qn = bc.value
+        m = len(b_qids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(cm, axis=1, keepdims=True)
+            norms[norms == 0] = np.nan
+            sims = (cm / norms) @ b_qn.T  # (n, m)
+            vec_ids = pdf[id_col].to_numpy()
+            top = min(k + 1, len(vec_ids))  # +1 absorbs a self-match
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, m)
+            out_q, out_v, out_s = [], [], []
+            for j in range(m):
+                rows = idx[:, j]
+                out_q.extend([b_qids[j]] * len(rows))
+                out_v.extend(vec_ids[rows])
+                out_s.extend(np.round(sims[rows, j], 6))
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "cos_sim": out_s}
+            )
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        partial.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
