@@ -1,0 +1,103 @@
+"""Property-based tests (SURVEY.md §5.4): normalizer idempotence,
+parser round-trips, merge idempotence.
+
+Hypothesis generates the inputs; each property is evaluated through a
+single Spark job per test (inputs batched into one DataFrame) to keep
+runtime sane.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.functions.cleaning import (
+    normalize_place,
+    parse_duration_hours,
+    parse_price_vnd,
+)
+from vexere_lakehouse_pipeline_spark.operators.incremental import merge_append
+
+# Text alphabet biased toward the normalizer's interesting inputs:
+# Vietnamese diacritics, the abbreviations it expands, punctuation.
+_VI_TEXT = st.lists(
+    st.one_of(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcdefghijklmnopqrstuvwxyz0123456789 .,-/()#")
+                + list("àáảãạăằắẳẵặâầấẩẫậđèéẻẽẹêềếểễệìíỉĩịòóỏõọôồốổỗộơờớởỡợ")
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        # the abbreviations the normalizer expands
+        st.sampled_from(["q1", "tp", "bx", "sg", "hcm", "ql 1a", "tt", "kcn"]),
+    ),
+    min_size=0,
+    max_size=6,
+).map(" ".join)
+
+
+def _run_column(spark, values: list[str | None], col_expr) -> list:
+    df = spark.createDataFrame([(v,) for v in values], "x string")
+    return [r["y"] for r in df.select(col_expr("x").alias("y")).collect()]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_VI_TEXT, min_size=1, max_size=150))
+def test_normalizer_idempotent(spark, texts):
+    """f(f(x)) == f(x): normalization is a fixpoint after one pass."""
+    once = _run_column(spark, texts, normalize_place)
+    twice = _run_column(spark, once, normalize_place)
+    assert twice == once
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 99), st.integers(0, 59)),
+        min_size=1,
+        max_size=150,
+    )
+)
+def test_duration_parser_round_trip(spark, pairs):
+    """format(h,m) -> parse == h + m/60 (2dp) for every h/m."""
+    raw = [f"{h}h{m}m" for h, m in pairs]
+    got = _run_column(spark, raw, parse_duration_hours)
+    want = [round(h + m / 60, 2) for h, m in pairs]
+    assert [round(g, 2) for g in got] == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(0, 10_000_000), min_size=1, max_size=150))
+def test_price_parser_round_trip(spark, prices):
+    """Thousands-formatted VND strings parse back to the integer."""
+    raw = [f"{p:,}đ".replace(",", ".") for p in prices]
+    got = _run_column(spark, raw, parse_price_vnd)
+    assert got == prices
+
+
+def test_price_parser_garbage_is_null(spark):
+    got = _run_column(spark, ["", "abc", None, "đ"], parse_price_vnd)
+    assert got == [None, None, None, None]
+
+
+def test_merge_twice_equals_merge_once(spark, tmp_path):
+    """Replaying the same batch through merge_append changes nothing
+    (the idempotency the reference's blind append lacks, SURVEY §2.9)."""
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    merge_append(batch, path, merge_keys=["k"])
+    once = sorted(map(tuple, spark.read.parquet(path).collect()))
+    merge_append(batch, path, merge_keys=["k"])
+    twice = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert twice == once
+    # and a genuinely new key still lands
+    merge_append(
+        spark.createDataFrame([(4, "d")], "k long, v string"),
+        path,
+        merge_keys=["k"],
+    )
+    assert spark.read.parquet(path).count() == 4
