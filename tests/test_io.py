@@ -5,6 +5,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from vexere_lakehouse_pipeline_spark import io as vio
 from vexere_lakehouse_pipeline_spark.catalog import (
     RAW_REVIEW_SCHEMA,
@@ -52,3 +54,44 @@ def test_write_single_json(spark, tmp_path):
     assert len(parts) == 1
     back = spark.read.json(out)
     assert back.count() == 5
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join without a shuffle: the whole point of
+    write_bucketed.  Asserts on the physical plan."""
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.io import write_bucketed
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):  # leftover dirs from a dead session
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(
+        load_table(spark, sf, "orders"), "b_orders",
+        bucket_cols=["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf, "lineitem"), "b_lineitem",
+        bucket_cols=["l_orderkey"], n_buckets=8, sort_cols=["l_orderkey"],
+    )
+    # tiny test tables would be broadcast (bypassing bucketing); force
+    # the sort-merge path the bucketing exists for
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -136,3 +136,44 @@ def test_sessionized_event_counts_streaming(spark, tmp_path):
         batch, on=["session_start", "session_end", "user_id"], how="inner"
     )
     assert joined.count() == closed
+
+
+def test_stream_dedup_drops_replayed_ids(spark, tmp_path):
+    src = str(tmp_path / "dup_src")
+    out = str(tmp_path / "dup_out")
+    ckpt = str(tmp_path / "dup_ckpt")
+    schema = "event_id long, ts timestamp, value double"
+    rows = [(i, _ts(i % 30), float(i)) for i in range(50)]
+    dup_rows = rows + rows[:20]  # 20 replayed ids in the same batch
+    spark.createDataFrame(dup_rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    deduped = ingest.stream_dedup(stream, ["event_id"])
+    ingest.run_stream_merge_sink(
+        deduped, out, ckpt, merge_keys=["event_id"]
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.select("event_id").distinct().count() == 50
+
+
+def test_stream_merge_sink_idempotent_across_runs(spark, tmp_path):
+    src = str(tmp_path / "m_src")
+    out = str(tmp_path / "m_out")
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(
+        [(1, _ts(0), 1.0), (2, _ts(1), 2.0)], schema
+    ).write.mode("append").parquet(src)
+    read = lambda: spark.readStream.schema(  # noqa: E731
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    # two runs with SEPARATE checkpoints: the second reprocesses
+    # everything, but the merge sink keeps the target exactly-once
+    ingest.run_stream_merge_sink(
+        read(), out, str(tmp_path / "ck1"), merge_keys=["event_id"]
+    )
+    ingest.run_stream_merge_sink(
+        read(), out, str(tmp_path / "ck2"), merge_keys=["event_id"]
+    )
+    assert spark.read.parquet(out).count() == 2

@@ -42,3 +42,21 @@ def write_single_json(df: DataFrame, path: str) -> None:
     single-partition write is by definition not scalable; in-engine
     exchange uses zone tables."""
     df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32, sort_cols: list[str] | None = None,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Bucketed saved table: pre-shuffles once at write time so every
+    later equi-join/aggregation on ``bucket_cols`` between co-bucketed
+    tables runs with ZERO exchange (SortMergeJoin reads both sides
+    already partitioned — the 100 TB answer to repeated fact⋈fact
+    joins on the same key).
+
+    Bucketing requires the session catalog (``saveAsTable``) — plain
+    ``.save(path)`` cannot record bucket metadata.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -1,0 +1,80 @@
+"""Skew mitigation: salted aggregation and salted broadcast-side join.
+
+AQE's skew-join handling (on by default in session.py) fixes skewed
+SORT-MERGE joins at runtime, but two shapes still need explicit
+salting at 100 TB:
+
+- **Skewed groupBy** — one hot key funnels into one reduce task.
+  :func:`salted_agg` runs the aggregation in two stages: stage 1
+  groups on (key, salt) spreading the hot key over ``n_salts`` tasks,
+  stage 2 combines the partials.  Works for any algebraic aggregate
+  (sum/count/min/max — pass the partial and combine forms).
+- **Hot-key equi-join against a medium dimension** — when the dim is
+  too big to broadcast whole but hot keys overwhelm one task:
+  :func:`salted_join` salts the fact side randomly and EXPLODES the
+  dim side across all salts (dim rows × n_salts), restoring a uniform
+  equi-join.
+
+Salts are deterministic (hash of a row id), not rand(), so retries and
+oracle checks reproduce exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_from: str, n_salts: int,
+              salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, n_salts) from an existing column
+    (use a high-cardinality id so salts spread evenly)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    partial_aggs: Sequence[Column],
+    combine_aggs: Sequence[Column],
+    salt_from: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation immune to per-key skew.
+
+    ``partial_aggs`` aggregate within (group, salt); ``combine_aggs``
+    fold the partials (referencing the partial aliases).  Example::
+
+        salted_agg(df, ["k"],
+                   [F.count("*").alias("c"), F.sum("v").alias("s")],
+                   [F.sum("c").alias("n"), F.sum("s").alias("total")],
+                   salt_from="row_id")
+    """
+    salted = with_salt(df, salt_from, n_salts)
+    partial = salted.groupBy(*group_cols, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*group_cols).agg(*combine_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_from: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the fact side salted and the dim side replicated
+    across all salts — hot join keys spread over ``n_salts`` tasks.
+
+    Dim inflation is dim_rows × n_salts: use for medium dims (too big
+    to broadcast, small enough to replicate 16x), hot-key facts.
+    """
+    f = with_salt(fact, salt_from, n_salts)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, on=[on, "_salt"], how=how).drop("_salt")

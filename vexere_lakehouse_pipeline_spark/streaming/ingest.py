@@ -85,3 +85,35 @@ def run_stream_to_sink(stream_df: DataFrame, target_dir: str,
         .start()
         .awaitTermination()
     )
+
+
+def stream_dedup(events: DataFrame, id_cols: list[str],
+                 ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: drops any row whose ``id_cols`` were seen
+    within the watermark horizon (state auto-expires past it — bounded
+    memory, unlike an unbounded dropDuplicates).  The streaming face of
+    operators/dedup.exact_duplicate_groups."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )
+
+
+def run_stream_merge_sink(stream_df: DataFrame, target_path: str,
+                          checkpoint_dir: str, merge_keys: list[str]) -> None:
+    """foreachBatch merge sink: every micro-batch is applied with
+    merge-on-key semantics (operators/incremental.merge_append), so
+    sink contents stay idempotent even if a batch replays after a
+    crash — the end-to-end-exactly-once pattern for file/table sinks.
+    """
+    from vexere_lakehouse_pipeline_spark.operators.incremental import merge_append
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        merge_append(batch_df, target_path, merge_keys=merge_keys)
+
+    (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
