@@ -131,3 +131,47 @@ def test_audit_rows_written(spark, pipeline_out):
     assert {"to_bronze", "ticket_to_silver", "facility_to_silver",
             "review_to_silver", "update_charts"} <= tasks
     assert audit.filter(F.col("state") != "success").count() == 0
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partitionBy + date predicate -> Catalyst reads ONLY matching
+    partition dirs (the pruning the reference's path-string layout
+    defeated, SURVEY §4)."""
+    import datetime as dt
+
+    from vexere_lakehouse_pipeline_spark.operators import incremental as inc
+
+    path = str(tmp_path / "part_t")
+    df = spark.createDataFrame(
+        [(i, dt.date(2025, 5, 1 + i % 3)) for i in range(30)],
+        "id long, ingest_date date",
+    )
+    inc.write_overwrite(df, path, partition_by=("ingest_date",))
+    q = spark.read.parquet(path).filter(
+        F.col("ingest_date") == dt.date(2025, 5, 2)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ingest_date" in plan
+    assert q.count() == 10
+    # file-level check: only one partition directory is touched
+    files = {f["ingest_date"] for f in
+             q.select(F.input_file_name().alias("f"), "ingest_date").collect()}
+    assert files == {dt.date(2025, 5, 2)}
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    import glob
+
+    from vexere_lakehouse_pipeline_spark.operators import incremental as inc
+
+    path = str(tmp_path / "compact_t")
+    # simulate streaming-style small appends
+    for i in range(5):
+        spark.range(i * 10, (i + 1) * 10).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    inc.compact_table(spark, path, target_rows_per_file=1000)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 20 and after == 1
+    assert spark.read.parquet(path).count() == 50

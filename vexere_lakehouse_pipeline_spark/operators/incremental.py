@@ -119,3 +119,30 @@ class ZoneCatalog:
         return merge_append(
             df, self.path(zone, table), merge_keys, self.fmt, partition_by
         )
+
+
+def compact_table(spark: SparkSession, path: str, fmt: str = DEFAULT_FORMAT,
+                  target_rows_per_file: int = 1_000_000,
+                  partition_by: tuple[str, ...] = ()) -> int:
+    """Small-file compaction (the engine's OPTIMIZE): rewrite the table
+    with files sized for scan efficiency.  Streaming/incremental
+    appends accumulate small files; thousands of tiny parquet files
+    turn a 100 TB scan into a metadata storm.  Returns the new file
+    count target.  (With delta-spark installed, prefer OPTIMIZE /
+    ZORDER; this is the format-agnostic fallback.)
+    """
+    df = spark.read.format(fmt).load(path)
+    n = max(1, df.count() // target_rows_per_file)
+    compacted = (
+        df.repartition(n, *partition_by) if partition_by else df.repartition(n)
+    )
+    # rewrite via a temp dir then swap would be safer on object stores
+    # with no atomic rename; local/HDFS overwrite is transactional enough
+    # for the engine's zone tables (writers are single-pipeline).
+    compacted.cache().count()  # materialize before overwriting the source
+    w = compacted.write.format(fmt).mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+    compacted.unpersist()
+    return n
