@@ -163,3 +163,136 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON functions — events.props is a JSON string column; extract + typed
+# aggregate (the reference handles JSON only at scan time, SURVEY §2.7).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time function family — trunc/extract/diff/last_day over orders.
+# ---------------------------------------------------------------------------
+@_register(
+    "datetime_function_showcase",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(EXTRACT(dow FROM CAST(o_orderdate AS DATE)) AS INTEGER) AS first_dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           COUNT(*) AS n_orders,
+           CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01'))
+                AS INTEGER) AS max_days_to_2002
+    FROM orders
+    GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+)
+def datetime_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            # DuckDB dow: Sunday=0; Spark dayofweek: Sunday=1
+            (F.dayofweek(d) - 1).cast("int").alias("first_dow"),
+            F.last_day(d).alias("month_end"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max(F.datediff(F.lit("2002-01-01").cast("date"), d))
+            .cast("int")
+            .alias("max_days_to_2002"),
+        )
+        .orderBy("order_month", "first_dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array function family — sort/distinct/slice/contains over token arrays.
+# ---------------------------------------------------------------------------
+@_register(
+    "array_function_showcase",
+    """
+    WITH t AS (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(w)) AS INTEGER) AS n_unique,
+           list_sort(list_distinct(w))[1:3] AS first3_sorted,
+           CAST(list_contains(w, 'the') AS BOOLEAN) AS has_the
+    FROM t ORDER BY doc_id
+    """,
+)
+def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("int").alias("n_unique"),
+        F.slice(F.array_sort(F.array_distinct(w)), 1, 3).alias("first3_sorted"),
+        F.array_contains(w, "the").alias("has_the"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# String function family — the scalar surface beyond the cleaning chain.
+# ---------------------------------------------------------------------------
+@_register(
+    "string_function_showcase",
+    """
+    SELECT s_suppkey,
+           upper(s_name) AS uname,
+           CAST(length(s_name) AS INTEGER) AS name_len,
+           substr(s_name, 1, 4) AS prefix,
+           replace(s_name, '_', '-') AS dashed,
+           CAST(strpos(s_name, '1') AS INTEGER) AS pos1,
+           lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS padded,
+           reverse(s_name) AS rname,
+           trim(concat('  ', s_name, '  ')) AS trimmed
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def string_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.upper("s_name").alias("uname"),
+        F.length("s_name").cast("int").alias("name_len"),
+        F.substring("s_name", 1, 4).alias("prefix"),
+        F.replace(F.col("s_name"), F.lit("_"), F.lit("-")).alias("dashed"),
+        F.instr(F.col("s_name"), "1").cast("int").alias("pos1"),
+        F.lpad(F.col("s_suppkey").cast("string"), 6, "0").alias("padded"),
+        F.reverse("s_name").alias("rname"),
+        F.trim(F.concat(F.lit("  "), F.col("s_name"), F.lit("  "))).alias(
+            "trimmed"
+        ),
+    ).orderBy("s_suppkey")
