@@ -773,3 +773,34 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_to").alias("valid_to_us"),
         "is_current",
     ).orderBy("user_id", "valid_from_us")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing through the oracle gate: documents' text bytes as
+# the opaque binary payload; the mapInPandas feature extractor's
+# byte-stat columns are reproduced by DuckDB over the same blob.
+# ---------------------------------------------------------------------------
+@_register(
+    "multimodal_payload_stats",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        extract_features,
+        fake_decode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(media, decode_fn=fake_decode)
+    return feats.select("media_id", "n_bytes", "payload_md5").orderBy(
+        "media_id"
+    )
