@@ -61,11 +61,22 @@ def main() -> None:
     # Warmup: run the first query once to absorb JVM startup / codegen.
     ALL_QUERIES[names[0]](spark, sf_dir).count()
 
+    # Best-of-N per query (N=2 default): the min over repetitions is
+    # the standard noise-robust estimator of steady-state latency.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        ALL_QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            # Drop cached data between reps: operators that persist()
+            # internally would otherwise serve rep 2 from rep 1's cache
+            # (CacheManager matches plan-identical subtrees) and the
+            # number would measure the cache, not the pipeline.
+            spark.catalog.clearCache()
+            t0 = time.time()
+            ALL_QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
