@@ -46,10 +46,25 @@ def _run_column(spark, values: list[str | None], col_expr) -> list:
 @settings(max_examples=10, deadline=None)
 @given(st.lists(_VI_TEXT, min_size=1, max_size=150))
 def test_normalizer_idempotent(spark, texts):
-    """f(f(x)) == f(x): normalization is a fixpoint after one pass."""
+    """f(f(x)) == f(x) — except through the reference's own
+    non-idempotent duplicate-collapse fixup ('sài gòn sài gòn' →
+    'sài gòn', to_silver.py:46), which we reproduce faithfully: an
+    input like 'sg  sg' expands on pass 1 and only collapses on pass 2
+    because whitespace collapse runs after the fixups."""
     once = _run_column(spark, texts, normalize_place)
     twice = _run_column(spark, once, normalize_place)
-    assert twice == once
+    for a, b in zip(once, twice):
+        if "sài gòn sài gòn" in a:
+            continue  # the documented non-idempotent corner
+        assert b == a, (a, b)
+
+
+def test_normalizer_duplicate_collapse_corner(spark):
+    """Pin the reference-faithful non-idempotent corner explicitly."""
+    once = _run_column(spark, ["sg  sg"], normalize_place)
+    assert once == ["sài gòn sài gòn"]  # pass 1: expand, collapse spaces
+    twice = _run_column(spark, once, normalize_place)
+    assert twice == ["sài gòn"]  # pass 2: the to_silver.py:46 fixup fires
 
 
 @settings(max_examples=10, deadline=None)

@@ -697,3 +697,191 @@ def range_join_click_then_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("p_id").alias("n_purchases_1h"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape — market share: conditional aggregate ratio inside a grouped
+# multi-join (nation in two roles).
+# ---------------------------------------------------------------------------
+@_register(
+    "tpch_q8_market_share",
+    """
+    WITH all_orders AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+               n.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n2.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                                              AND DATE '1996-12-31'
+    )
+    SELECT order_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_orders GROUP BY order_year ORDER BY order_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    volume = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", volume)
+                    .otherwise(F.lit(0).cast("decimal(18,2)"))
+                ).cast("double")
+                / F.sum(volume).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — bucketed conditional counts (shipping delay classes).
+# ---------------------------------------------------------------------------
+@_register(
+    "tpch_q12_delay_buckets",
+    """
+    SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 30 THEN 'fast'
+                WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE)) <= 90 THEN 'normal'
+                ELSE 'slow' END AS delay_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q12_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(delay <= 30, "fast")
+            .when(delay <= 90, "normal")
+            .otherwise("slow")
+            .alias("delay_class")
+        )
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — EXISTS and NOT EXISTS correlated against the same fact
+# (suppliers whose lineitem is the unique latest-shipping line of a
+# multi-supplier order): decorrelated into semi + anti joins.
+# ---------------------------------------------------------------------------
+@_register(
+    "tpch_q21_sole_late_supplier",
+    """
+    WITH latest AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN latest m ON m.l_orderkey = l1.l_orderkey
+                 AND l1.l_shipdate = m.max_ship
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate = m.max_ship)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    latest = li.groupBy(F.col("l_orderkey").alias("m_key")).agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            latest,
+            (F.col("l_orderkey") == F.col("m_key"))
+            & (F.col("l_shipdate") == F.col("max_ship")),
+        )
+        .drop("m_key")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    sole = waited.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("max_ship") == F.col("d3")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
