@@ -42,3 +42,31 @@ def test_star_query_matches_oracle(spark, oracle_con, name):
     assert sorted(sdf.columns) == sorted(ocols)
     assert len(srows) == len(orows)
     assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The approximate sketch surface (HLL) has no cross-engine oracle;
+    pin it against the exact count instead (rsd 1%)."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact, approx = li.agg(
+        F.countDistinct("l_orderkey").alias("e"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a"),
+    ).first()
+    assert abs(approx - exact) / exact < 0.03
+
+
+def test_approx_percentile_brackets_exact(spark):
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    row = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
