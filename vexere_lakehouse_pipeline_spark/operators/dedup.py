@@ -247,3 +247,82 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Duplicate clusters from candidate pairs: each node gets the MIN
+    doc id reachable from it (the cluster's canonical id).
+
+    Iterative min-label propagation: every round each node adopts the
+    smallest label among itself and its neighbors; converged when no
+    label changes.  Rounds needed = graph diameter (near-dup clusters
+    are shallow — a handful of rounds), each round is one shuffle of
+    the label table, so the whole thing is O(diameter) shuffles of
+    O(nodes) rows — the standard distributed CC shape (driver only
+    checks a per-round convergence count, it never holds data).
+
+    Input: (doc_a, doc_b) pairs.  Output: (doc_id, component_id).
+    """
+    edges = (
+        pairs.selectExpr("doc_a AS u", "doc_b AS v")
+        .unionByName(pairs.selectExpr("doc_b AS u", "doc_a AS v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read every round — never recompute
+        # the upstream pair-generation lineage per iteration
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iterations):
+        # 1-hop: each node's best neighbor label this round
+        neighbor_min = (
+            edges.join(labels.withColumnsRenamed({"u": "v2"}), edges.v == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        hop = labels.join(neighbor_min, on="u", how="left").select(
+            "u",
+            "label",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("l1"),
+        )
+        # pointer jump: adopt your label's label — doubles propagation
+        # distance per round, so long chains converge in O(log diameter)
+        # rounds instead of O(diameter)
+        jump = hop.select(F.col("u").alias("ju"), F.col("l1").alias("jl"))
+        updated = (
+            hop.join(jump, hop.l1 == F.col("ju"), "left")
+            .select(
+                "u",
+                "label",
+                F.least(
+                    F.col("l1"), F.coalesce(F.col("jl"), F.col("l1"))
+                ).alias("new_label"),
+            )
+            .localCheckpoint(eager=True)  # materialize, then test convergence
+        )
+        labels = updated.select("u", F.col("new_label").alias("label"))
+        if updated.filter(F.col("new_label") < F.col("label")).isEmpty():
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def duplicate_clusters(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """End-to-end near-dup clustering: LSH candidate pairs → connected
+    components → (doc_id, component_id, is_canonical).  Docs in no pair
+    are their own singleton component."""
+    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    comp = connected_components(pairs)
+    all_ids = docs.select(F.col(id_col).alias("doc_id"))
+    full = (
+        all_ids.join(comp, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+        )
+    )
+    return full.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("component_id")
+    )

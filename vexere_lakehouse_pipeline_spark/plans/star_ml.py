@@ -804,3 +804,33 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "payload_md5").orderBy(
         "media_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup completion: candidate pairs → connected components → clusters.
+# Oracle: recursive-CTE transitive closure, component = min reachable id.
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_duplicate_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_CTES},
+    undirected AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN undirected e ON e.u = r.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           COALESCE(c.component_id, d.doc_id) AS component_id,
+           d.doc_id = COALESCE(c.component_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_clusters(docs).orderBy("doc_id")
