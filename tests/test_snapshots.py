@@ -1,0 +1,61 @@
+"""Versioned-table tests (operators/snapshots.py): commit, time
+travel, rollback, atomic publish semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from vexere_lakehouse_pipeline_spark.operators.snapshots import SnapshotTable
+
+
+def _counts(spark, t, **kw):
+    return t.read(spark, **kw).count()
+
+
+def test_commit_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v0 = t.commit(spark.range(10), note="initial")
+    v1 = t.commit(spark.range(25), note="grew")
+    assert (v0, v1) == (0, 1)
+    assert _counts(spark, t) == 25                 # current
+    assert _counts(spark, t, version=0) == 10      # time travel
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[1]["is_current"] and not hist[0]["is_current"]
+
+
+def test_as_of_timestamp_read(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(5))
+    ts_between = t.history()[0]["committed_at"] + 1e-4
+    t.commit(spark.range(50))
+    assert _counts(spark, t, as_of_ts=ts_between) == 5
+    with pytest.raises(ValueError):
+        t.read(spark, as_of_ts=0.0)  # before the first commit
+
+
+def test_rollback_is_metadata_only_and_reversible(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(10))
+    t.commit(spark.range(99))
+    t.rollback(0)
+    assert _counts(spark, t) == 10
+    # the newer version's data is still there — roll forward again
+    t.rollback(1)
+    assert _counts(spark, t) == 99
+    with pytest.raises(ValueError):
+        t.rollback(7)
+
+
+def test_versions_are_immutable(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(10))
+    before = t.read(spark, version=0).collect()
+    t.commit(spark.range(3))
+    assert t.read(spark, version=0).collect() == before
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "none"))
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)

@@ -1,0 +1,111 @@
+"""Versioned tables: commit / time travel / rollback over plain parquet.
+
+Delta/Iceberg provide this in production (and `ZoneCatalog` maps onto
+them when delta-spark is present); this is the engine's dependency-free
+equivalent so versioned semantics are testable anywhere:
+
+- every commit writes a NEW immutable version directory ``v=N`` and
+  then atomically publishes a tiny manifest file naming it — readers
+  either see the old version or the new one, never a half-written mix
+  (the same commit-protocol idea as a Delta log entry);
+- time travel = reading an older version directory;
+- rollback = publishing a manifest that points back to it (the data is
+  immutable, so rollback is metadata-only and O(1)).
+
+Full-copy-on-write per commit: simple and correct, trades storage for
+simplicity.  At 100 TB you want Delta/Iceberg's file-level manifests —
+the API here is deliberately shaped so swapping the backend is a
+one-class change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """A versioned table rooted at ``base`` (local or any Hadoop FS
+    path that supports atomic rename of a single file)."""
+
+    def __init__(self, base: str, fmt: str = "parquet"):
+        self.base = base.rstrip("/")
+        self.fmt = fmt
+
+    # -- manifest protocol -------------------------------------------------
+    def _manifest_path(self) -> str:
+        return f"{self.base}/_MANIFEST.json"
+
+    def _read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return {"current": None, "versions": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _publish(self, manifest: dict) -> None:
+        os.makedirs(self.base, exist_ok=True)
+        tmp = f"{self.base}/._manifest.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())  # atomic publish
+
+    # -- public API --------------------------------------------------------
+    def commit(self, df: DataFrame, note: str = "") -> int:
+        """Write ``df`` as the next version and publish it. Returns the
+        new version number."""
+        m = self._read_manifest()
+        version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
+        path = f"{self.base}/v={version}"
+        df.write.format(self.fmt).mode("errorifexists").save(path)
+        m["versions"].append(
+            {
+                "version": version,
+                "committed_at": time.time(),
+                "note": note,
+            }
+        )
+        m["current"] = version
+        self._publish(m)
+        return version
+
+    def read(self, spark: SparkSession, version: int | None = None,
+             as_of_ts: float | None = None) -> DataFrame:
+        """Read the current version, a specific ``version``, or the
+        latest version committed at-or-before ``as_of_ts``."""
+        m = self._read_manifest()
+        if m["current"] is None:
+            raise FileNotFoundError(f"no committed version at {self.base}")
+        if version is None and as_of_ts is not None:
+            eligible = [
+                v["version"] for v in m["versions"]
+                if v["committed_at"] <= as_of_ts
+            ]
+            if not eligible:
+                raise ValueError(f"no version at or before {as_of_ts}")
+            version = max(eligible)
+        if version is None:
+            version = m["current"]
+        known = {v["version"] for v in m["versions"]}
+        if version not in known:
+            raise ValueError(f"unknown version {version}; have {sorted(known)}")
+        return spark.read.format(self.fmt).load(f"{self.base}/v={version}")
+
+    def history(self) -> list[dict]:
+        m = self._read_manifest()
+        return [
+            {**v, "is_current": v["version"] == m["current"]}
+            for v in m["versions"]
+        ]
+
+    def rollback(self, version: int) -> None:
+        """Point the table back at an older version (metadata-only)."""
+        m = self._read_manifest()
+        if version not in {v["version"] for v in m["versions"]}:
+            raise ValueError(f"unknown version {version}")
+        m["current"] = version
+        self._publish(m)
