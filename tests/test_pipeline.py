@@ -175,3 +175,21 @@ def test_compact_table_reduces_files(spark, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert before >= 20 and after == 1
     assert spark.read.parquet(path).count() == 50
+
+
+def test_schema_evolution_append_and_merged_read(spark, tmp_path):
+    """A later batch adds a column; mergeSchema reads reconcile old
+    files (null-filled) with new — no rewrite of history needed."""
+    from vexere_lakehouse_pipeline_spark.operators import incremental as inc
+
+    path = str(tmp_path / "evolve")
+    inc.merge_append(
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        path, merge_keys=["k"],
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.mode("append").parquet(path)
+    got = inc.read_table(spark, path, merge_schema=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}

@@ -39,10 +39,18 @@ def table_exists(spark: SparkSession, path: str) -> bool:
 
 
 def read_table(spark: SparkSession, path: str,
-               fmt: str = DEFAULT_FORMAT) -> DataFrame | None:
+               fmt: str = DEFAULT_FORMAT,
+               merge_schema: bool = False) -> DataFrame | None:
+    """``merge_schema=True`` reconciles files written under evolved
+    schemas (columns added over time null-fill on old files) — the
+    drift tolerance SURVEY §1.3 calls out as a real requirement
+    (the reference's dual-type Facilities column)."""
     if not table_exists(spark, path):
         return None
-    return spark.read.format(fmt).load(path)
+    reader = spark.read.format(fmt)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.load(path)
 
 
 def write_overwrite(df: DataFrame, path: str, fmt: str = DEFAULT_FORMAT,
