@@ -486,8 +486,12 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("l_shipdate") > F.lit("1996-03-15").cast("date")
     )
     return (
+        # customer is a bounded dim -> explicit broadcast; the filtered
+        # orders side is FACT-derived, so no hint: AQE broadcasts it at
+        # small SF and falls back to shuffle join when it outgrows the
+        # threshold (a quarter of orders at 100 TB is not broadcastable).
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+            orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .groupBy(
