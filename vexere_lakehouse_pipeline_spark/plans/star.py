@@ -619,13 +619,22 @@ def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+                        AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01')
     ORDER BY c_custkey
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a pushed-down filter on the right side: customers
+    with no order in 1996H1 (a window, so the result is non-empty at
+    every SF — every customer has SOME order in this data)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")

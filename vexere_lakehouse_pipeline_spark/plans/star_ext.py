@@ -296,3 +296,46 @@ def string_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed"
         ),
     ).orderBy("s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Unpivot/stack — wide measures to long (measure, value) rows; DuckDB
+# oracle uses the portable UNION ALL form.
+# ---------------------------------------------------------------------------
+@_register(
+    "reshape_unpivot_measures",
+    """
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+                 AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                 AS sum_price,
+               CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+                 AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    ORDER BY l_returnflag, measure
+    """,
+)
+def reshape_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+        .cast("double").alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double").alias("sum_price"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,2)")), 2)
+        .cast("double").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "measure")

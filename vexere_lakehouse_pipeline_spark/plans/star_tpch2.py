@@ -393,13 +393,17 @@ def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFra
     FROM customer c
     WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                          WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01')
     GROUP BY 1 ORDER BY 1
     """,
 )
 def tpch_q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("1999-01-01").cast("date")
+    )
     # Scalar threshold via a 1-row broadcast cross join — no driver
     # collect, stays one job (SURVEY §2.1 S9 replacement).
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
