@@ -923,3 +923,213 @@ def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — correlated scalar subquery (min supplycost per part) over a
+# derived part-supplier relation, restricted to one region.  TESTDATA has
+# no partsupp table, so MIN(l_extendedprice) per (partkey, suppkey) stands
+# in for ps_supplycost (MIN of doubles is exact, so equality against the
+# per-part minimum is bit-stable across engines).
+# Scale: decorrelated as a per-part MIN window over the region-filtered
+# relation — one shuffle on partkey, no self-join; supplier/nation/region
+# dims broadcast.  (Reference ref: SURVEY §2.3 — subqueries absent there;
+# this is engine-widening coverage.)
+# ---------------------------------------------------------------------------
+@_register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+        FROM lineitem GROUP BY 1, 2
+    ), rps AS (
+        SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+        FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT s_acctbal, s_name, n_name, p.p_partkey AS p_partkey, p.p_brand,
+           supplycost
+    FROM part p JOIN rps ON p.p_partkey = rps.l_partkey
+    WHERE p.p_size <= 10 AND p.p_type = 'PROMO'
+      AND supplycost = (SELECT MIN(supplycost) FROM rps r2
+                        WHERE r2.l_partkey = p.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    region_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    rps = ps.join(F.broadcast(region_supp), ps.l_suppkey == F.col("s_suppkey"))
+    # Decorrelate the per-part MIN as a window — no second scan/self-join.
+    w = Window.partitionBy("l_partkey")
+    best = rps.withColumn("min_cost", F.min("supplycost").over(w)).filter(
+        F.col("supplycost") == F.col("min_cost")
+    )
+    sized = part.filter((F.col("p_size") <= 10) & (F.col("p_type") == "PROMO"))
+    return (
+        best.join(F.broadcast(sized), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — multi-way fact/dim join with computed profit, grouped by
+# nation x year.  No ps_supplycost: cost = p_retailprice * l_quantity
+# (both decimal(18,2); the product's scale-4 result is identical in Spark
+# and DuckDB because precision 37 needs no truncation).
+# Scale: one shuffle per join on the fact side; part/supplier/nation
+# broadcast at any SF where dims stay small relative to the fact.
+# ---------------------------------------------------------------------------
+@_register(
+    "tpch_q9_product_profit",
+    """
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               - CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS profit
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY 1, 2 ORDER BY nation, o_year
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit_expr = _dec("l_extendedprice") * (1 - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_expr), 2).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape — scalar aggregate subquery as a HAVING threshold: parts whose
+# inventory value (within a nation group) exceeds 1/1200 of the group
+# total.  The fraction is expressed as an integer multiply (v * 1200 >
+# total) so the decimal comparison is exact in both engines.
+# Scale: the global total is a 1-row aggregate broadcast into the filter —
+# no driver collect, no second shuffle of the big side.
+# ---------------------------------------------------------------------------
+@_register(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        GROUP BY 1
+    )
+    SELECT partkey, CAST(v AS DOUBLE) AS value FROM val
+    WHERE v * 1200 > (SELECT SUM(v) FROM val)
+    ORDER BY value DESC, partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("v"))
+    )
+    total = val.agg(F.sum("v").alias("total"))  # 1 row -> broadcast NL join
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v") * 1200 > F.col("total"))
+        .select("partkey", F.col("v").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — nested IN subqueries with a correlated aggregate: suppliers
+# who shipped more than half of a red part's 1997 volume.  qty * 2 >
+# total keeps the decimal comparison exact.
+# Scale: per-part totals via a window over the (partkey, suppkey)
+# aggregate — one shuffle; the supplier probe is a left-semi join.
+# ---------------------------------------------------------------------------
+@_register(
+    "tpch_q20_dominant_supplier",
+    """
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1
+    )
+    SELECT s_name, s_acctbal FROM supplier WHERE s_suppkey IN (
+        SELECT sh.l_suppkey
+        FROM shipped sh JOIN tot ON tot.l_partkey = sh.l_partkey
+             JOIN part p ON p.p_partkey = sh.l_partkey
+        WHERE p.p_name LIKE 'red%' AND sh.qty * 2 > tot.total_qty
+    ) ORDER BY s_name
+    """,
+)
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("qty")
+    )
+    dominant = (
+        shipped.withColumn(
+            "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
