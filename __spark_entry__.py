@@ -11,7 +11,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from vexere_lakehouse_pipeline_spark.plans import star, star_ext, star_ml, star_tpch2
+from vexere_lakehouse_pipeline_spark.plans import (
+    corpus,
+    star,
+    star_ext,
+    star_ml,
+    star_tpch2,
+)
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
@@ -23,9 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator cluster from SURVEY.md §2."""
-    return {**star.QUERIES, **star_ml.QUERIES, **star_ext.QUERIES, **star_tpch2.QUERIES}
+    return {**star.QUERIES, **star_ml.QUERIES, **star_ext.QUERIES, **star_tpch2.QUERIES, **corpus.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/types)."""
-    return {**star.ORACLE_SQL, **star_ml.ORACLE_SQL, **star_ext.ORACLE_SQL, **star_tpch2.ORACLE_SQL}
+    return {**star.ORACLE_SQL, **star_ml.ORACLE_SQL, **star_ext.ORACLE_SQL, **star_tpch2.ORACLE_SQL, **corpus.ORACLE_SQL}

@@ -1,0 +1,89 @@
+"""Deterministic-sampling properties (operators/sampling.py).
+
+The load-bearing guarantee is *stability*: the kept set is a pure
+function of the key, so repartitioning, retries, or a different engine
+must not change it — exactly what rand()-based df.sample does NOT
+guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    docs = _docs(spark)
+    a = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in sampling.hash_sample(docs.repartition(17), "doc_id", 0.3).collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_hash_sample_fraction_roughly_holds(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    kept = sampling.hash_sample(docs, "doc_id", 0.5).count()
+    assert 0.35 * n < kept < 0.65 * n  # md5 uniformity, small-n tolerance
+
+
+def test_split_column_partitions_exactly(spark):
+    docs = _docs(spark)
+    assigned = docs.withColumn(
+        "split", sampling.split_column("doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05})
+    )
+    counts = {r.split: r.n for r in assigned.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "valid", "test"}
+    assert sum(counts.values()) == docs.count()  # total partition, no loss
+    assert counts.get("train", 0) > counts.get("valid", 0)
+    # different salts decorrelate: split assignment is independent of a
+    # sampling decision on the same key
+    sampled = sampling.hash_sample(assigned, "doc_id", 0.5, salt="other")
+    got = {r.split for r in sampled.select("split").distinct().collect()}
+    assert "train" in got
+
+
+def test_stratified_fractions_per_stratum(spark):
+    docs = _docs(spark)
+    kept = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.25}, default=1.0
+    )
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    after = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in before.items():
+        if lang == "en":
+            assert after.get(lang, 0) < 0.55 * n
+        else:
+            assert after.get(lang) == n  # tail untouched
+
+
+def test_weighted_mixture_tags_and_rates(spark):
+    docs = _docs(spark)
+    curated = docs.filter(F.col("source") == "src0")
+    web = docs.filter(F.col("source") != "src0")
+    mixed = sampling.weighted_mixture(
+        {"curated": (curated, 1.0), "web": (web, 0.25)}, key="doc_id"
+    )
+    counts = {r.mix_source: r.n for r in mixed.groupBy("mix_source").agg(F.count("*").alias("n")).collect()}
+    assert counts["curated"] == curated.count()  # rate 1.0 keeps all
+    assert 0 < counts["web"] < 0.6 * web.count()
+    # idempotent: same mixture twice -> same rows
+    again = sampling.weighted_mixture(
+        {"curated": (curated, 1.0), "web": (web, 0.25)}, key="doc_id"
+    )
+    assert again.count() == mixed.count()
+
+
+def test_no_shuffle_in_hash_sample_plan(spark):
+    docs = _docs(spark)
+    plan = sampling.hash_sample(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side filter

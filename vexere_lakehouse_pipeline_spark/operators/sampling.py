@@ -1,0 +1,108 @@
+"""Deterministic, engine-portable sampling for training-data pipelines.
+
+Reproducible sampling is a core corpus operation at 100 TB: train/valid/
+test splits, per-language downsampling, and weighted source mixtures must
+give the SAME answer on every run, on every engine, at any parallelism.
+``rand()``-based sampling (Spark's ``df.sample`` / ``sampleBy``) is
+seed-deterministic only per partitioning, so a repartition or an AQE
+re-plan silently changes the sample.  Instead every decision here is a
+pure function of the row key: bucket = first 4 hex nibbles of
+``md5(salt || ':' || key)`` -> [0, 65536), keep iff bucket < fraction *
+65536.  That is embarrassingly parallel (no shuffle, no state), stable
+under repartitioning, and reproducible bit-for-bit in any engine with
+md5 (the DuckDB oracles in plans/corpus.py recompute it verbatim).
+
+No analog in the reference (its "sampling" is the crawler's 13-province
+scope) — this is north-star surface per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 65536  # 4 md5 nibbles
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 65536) from the row key.
+
+    Uniform for md5's purposes; independent buckets for different salts,
+    so layered decisions (split, then downsample) don't correlate.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int")
+
+
+def hash_bucket_sql(key_sql: str, salt: str = "") -> str:
+    """DuckDB-portable SQL computing exactly :func:`hash_bucket`."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}:' || CAST({key_sql} AS STRING)), 1, 4)"
+        " AS INTEGER)"
+    )
+
+
+def hash_sample(df: DataFrame, key: Column | str, fraction: float,
+                salt: str = "sample") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key.
+
+    A map-side filter — no shuffle, no driver state; at 100 TB this is
+    the only sampling primitive that survives retries and re-planning
+    unchanged.
+    """
+    return df.filter(hash_bucket(key, salt) < int(fraction * BUCKETS))
+
+
+def split_column(key: Column | str, weights: dict[str, float],
+                 salt: str = "split") -> Column:
+    """Assign each row to a named split (e.g. train/valid/test).
+
+    ``weights`` maps split name -> weight; thresholds are cumulative
+    integer bucket bounds so the assignment is exact and portable.
+    Insertion order of ``weights`` defines the bucket layout — keep it
+    fixed across runs.
+    """
+    total = sum(weights.values())
+    bucket = hash_bucket(key, salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        bound = int(acc * BUCKETS)
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def stratified_hash_sample(df: DataFrame, key: Column | str, strata: Column | str,
+                           fractions: dict[str, float], default: float = 1.0,
+                           salt: str = "strata") -> DataFrame:
+    """Per-stratum deterministic downsampling (e.g. cap dominant
+    languages while keeping the tail intact).  Same guarantees as
+    :func:`hash_sample`; the threshold is looked up per row from a
+    when-chain (tiny, broadcast-free)."""
+    s = F.col(strata) if isinstance(strata, str) else strata
+    thr: Column = F.lit(int(default * BUCKETS))
+    for name, frac in fractions.items():
+        thr = F.when(s == name, int(frac * BUCKETS)).otherwise(thr)
+    return df.filter(hash_bucket(key, salt) < thr)
+
+
+def weighted_mixture(sources: dict[str, tuple[DataFrame, float]],
+                     key: Column | str, salt: str = "mix") -> DataFrame:
+    """Weighted union of corpora: each source is hash-downsampled to its
+    rate, tagged with a ``mix_source`` column, and unioned by name.
+    The standard "training mix" operator (e.g. 100% curated + 30% web);
+    rates > 1.0 are clamped (hash sampling cannot oversample — repeat
+    the union for integer multiples)."""
+    parts = []
+    for name, (df, rate) in sources.items():
+        kept = hash_sample(df, key, min(rate, 1.0), salt=f"{salt}:{name}")
+        parts.append(kept.withColumn("mix_source", F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,173 @@
+"""Corpus-construction queries: deterministic sampling, splits, source
+mixtures, and vocabulary statistics over the ``documents`` table.
+
+The training-data-pipeline layer above dedup/similarity (plans/
+star_ml.py): reproducible train/valid/test assignment, per-language
+downsampling, weighted source mixing (operators/sampling.py), and the
+classic distributed word-count/vocabulary build.  All hash decisions go
+through md5 nibbles so the DuckDB oracles reproduce every kept row
+bit-for-bit — thresholds are computed ONCE in Python below and
+interpolated into both engines' expressions.
+
+No reference analog (SURVEY §2 has no sampling surface); north-star
+coverage per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.functions.text import (
+    tokenize,
+    whitespace_token_count,
+)
+from vexere_lakehouse_pipeline_spark.operators import sampling
+from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
+from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared constants — single source of truth for Spark AND the oracles.
+_SPLIT_WEIGHTS = {"train": 0.90, "valid": 0.05, "test": 0.05}
+_TRAIN_BOUND = int(0.90 * sampling.BUCKETS)          # 58982
+_VALID_BOUND = int(0.95 * sampling.BUCKETS)          # 62259
+_EN_FRACTION = 0.5
+_EN_BOUND = int(_EN_FRACTION * sampling.BUCKETS)     # 32768
+_MIX_RATES = {"src0": 1.0, "other": 0.25}
+_OTHER_BOUND = int(0.25 * sampling.BUCKETS)          # 16384
+
+_DUCK_WS_TOKENS = (
+    "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Train/valid/test assignment — pure map-side, stable under
+# repartitioning/retries (unlike rand()-seeded df.randomSplit).
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_split_counts",
+    f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {sampling.hash_bucket_sql('doc_id', 'split')} < {_TRAIN_BOUND}
+                    THEN 'train'
+                    WHEN {sampling.hash_bucket_sql('doc_id', 'split')} < {_VALID_BOUND}
+                    THEN 'valid' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", sampling.split_column("doc_id", _SPLIT_WEIGHTS))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified downsampling — cap the dominant language at 50%, keep the
+# tail at 100%.  Emits the kept rows themselves so the oracle verifies
+# membership, not just counts.
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {sampling.hash_bucket_sql('doc_id', 'strata')}
+          < CASE WHEN lang = 'en' THEN {_EN_BOUND} ELSE {sampling.BUCKETS} END
+    ORDER BY doc_id
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": _EN_FRACTION}, default=1.0
+    )
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted training mix — 100% of the curated source, 25% of everything
+# else, tagged by mix_source.  Per-source doc and whitespace-token
+# totals (the numbers a data-mix design is balanced on).
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_training_mix",
+    f"""
+    WITH mixed AS (
+        SELECT 'src0' AS mix_source, text FROM documents
+        WHERE source = 'src0'
+          AND {sampling.hash_bucket_sql('doc_id', 'mix:src0')} < {sampling.BUCKETS}
+        UNION ALL
+        SELECT 'other', text FROM documents
+        WHERE source <> 'src0'
+          AND {sampling.hash_bucket_sql('doc_id', 'mix:other')} < {_OTHER_BOUND}
+    )
+    SELECT mix_source, COUNT(*) AS n_docs,
+           CAST(SUM({_DUCK_WS_TOKENS}) AS BIGINT) AS n_tokens
+    FROM mixed GROUP BY mix_source ORDER BY mix_source
+    """,
+)
+def corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = sampling.weighted_mixture(
+        {
+            "src0": (docs.filter(F.col("source") == "src0"), _MIX_RATES["src0"]),
+            "other": (docs.filter(F.col("source") != "src0"), _MIX_RATES["other"]),
+        },
+        key="doc_id",
+    )
+    return (
+        mixed.groupBy("mix_source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(whitespace_token_count("text")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("mix_source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build — the canonical distributed word count: explode
+# tokens, partial-aggregate map-side, one shuffle on token, top-k with a
+# total deterministic order.  At 100 TB this is exactly the BPE/vocab
+# pre-pass; the explode never materializes more than a task's batch.
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_vocab_topk",
+    f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+    SELECT token, COUNT(*) AS freq
+    FROM tok GROUP BY token
+    ORDER BY freq DESC, token LIMIT 50
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(50)
+    )
