@@ -20,10 +20,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vexere_lakehouse_pipeline_spark.plans import star, star_ext, star_ml, star_tpch2  # noqa: E402
+from vexere_lakehouse_pipeline_spark.plans import corpus, star, star_ext, star_ml, star_tpch2  # noqa: E402
 from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
-ALL_QUERIES = {**star.QUERIES, **star_ml.QUERIES, **star_ext.QUERIES, **star_tpch2.QUERIES}
+ALL_QUERIES = {
+    **star.QUERIES,
+    **star_ml.QUERIES,
+    **star_ext.QUERIES,
+    **star_tpch2.QUERIES,
+    **corpus.QUERIES,
+}
 
 HEADLINE = [
     "tpch_q1_pricing_summary",
@@ -48,6 +54,8 @@ HEADLINE = [
     "range_join_click_then_purchase",
     "scd2_user_type_history",
     "window_spend_quartiles",
+    "tpch_q9_product_profit",
+    "corpus_vocab_topk",
 ]
 
 
