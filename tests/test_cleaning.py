@@ -148,3 +148,24 @@ def test_bus_type_category(spark):
         ).collect()
     }
     assert got == CATEGORY_CASES
+
+
+def test_redact_pii_urls_and_emails(spark):
+    from vexere_lakehouse_pipeline_spark.functions.text import redact_pii
+
+    rows = spark.createDataFrame(
+        [
+            ("contact bob@example.com or visit https://ex.com/a?b=1 now",),
+            ("no pii here",),
+            ("mail.to+x@sub-domain.example.org",),
+            ("https://a.b/c bob@x.io trailing",),
+        ],
+        ["text"],
+    ).select(redact_pii("text").alias("out"))
+    got = [r.out for r in rows.collect()]
+    assert got == [
+        "contact <EMAIL> or visit <URL> now",
+        "no pii here",
+        "<EMAIL>",
+        "<URL> <EMAIL> trailing",
+    ]

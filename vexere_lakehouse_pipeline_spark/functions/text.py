@@ -134,6 +134,23 @@ def word_shingles(col: Column | str, n: int = 5) -> Column:
     return F.element_at(F.transform(F.array(tokenize(col)), body), 1)
 
 
+PII_URL_RE = r"https?://[^\s]+"
+PII_EMAIL_RE = r"[\w.+-]+@[\w-]+\.[\w.-]+"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace URLs and email addresses with placeholder tokens.
+
+    The standard pre-training scrub pass; both patterns use only
+    RE2-safe syntax so Spark (Java regex) and DuckDB/Presto (RE2)
+    produce identical output.  URLs first — an email-looking substring
+    inside a URL is already gone by the time the email rule runs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_url = F.regexp_replace(c, PII_URL_RE, "<URL>")
+    return F.regexp_replace(no_url, PII_EMAIL_RE, "<EMAIL>")
+
+
 def document_fingerprint(col: Column | str, n: int = 5) -> Column:
     """Winnowing-style fingerprint: the lexicographic min of md5 over
     word n-gram shingles.  Engine-portable (md5 is bit-stable across

@@ -20,12 +20,15 @@ from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.catalog import load_table
 from vexere_lakehouse_pipeline_spark.functions.text import (
+    document_fingerprint,
+    quality_features,
+    redact_pii,
     tokenize,
     whitespace_token_count,
 )
 from vexere_lakehouse_pipeline_spark.operators import sampling
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
-from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS
+from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS, _duck_shingles
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -171,3 +174,54 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end cleaning pipeline — the composite a pre-training corpus
+# actually runs: PII redaction -> quality gate (word-count band, drop a
+# language) -> fingerprint near-dup collapse keeping the smallest
+# doc_id.  Everything is JVM-side Column code; the only shuffle is the
+# fingerprint groupBy.  min(struct(doc_id, ...)) picks the canonical
+# row per fingerprint in ONE aggregation (no join-back).
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH docs_r AS (
+        SELECT doc_id, lang,
+               regexp_replace(regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+                              '[\\w.+-]+@[\\w-]+\\.[\\w.-]+', '<EMAIL>', 'g') AS text
+        FROM documents
+    ),
+    qual AS (
+        SELECT doc_id, lang, {_DUCK_TOKENS} AS w
+        FROM docs_r WHERE lang <> 'zh'
+    ),
+    gated AS (
+        SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_words,
+               list_aggregate(list_transform({_duck_shingles(5).replace('len(w)', 'len(w)')}, s -> md5(s)), 'min')
+                 AS fp
+        FROM qual WHERE len(w) BETWEEN 30 AND 90
+    ),
+    canon AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+    )
+    SELECT doc_id, lang, n_words FROM canon WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id", "lang", redact_pii("text").alias("text")
+    ).filter(F.col("lang") != "zh")
+    gated = cleaned.select(
+        "doc_id",
+        "lang",
+        quality_features("text")["n_words"].alias("n_words"),
+        document_fingerprint("text", 5).alias("fp"),
+    ).filter(F.col("n_words").between(30, 90))
+    canon = gated.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "lang", "n_words")).alias("r")
+    )
+    return canon.select("r.doc_id", "r.lang", "r.n_words").orderBy("doc_id")

@@ -339,3 +339,44 @@ def reshape_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     ).orderBy("l_returnflag", "measure")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — non-hierarchical multi-grouping in one pass (neither
+# rollup nor cube expresses {(returnflag), (linestatus)}).  One shuffle
+# produces both groupings; at scale this halves the fact-scan cost vs
+# two separate aggregations + union.
+# ---------------------------------------------------------------------------
+@_register(
+    "agg_grouping_sets_flags",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS sum_price,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    ORDER BY returnflag, linestatus
+    """,
+)
+def agg_grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_items",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
