@@ -234,3 +234,95 @@ def topk_bruteforce_arrow(candidates: DataFrame, queries: DataFrame,
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def train_kmeans(emb: DataFrame, k: int = 16, iters: int = 5,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column; returns a
+    centroid DataFrame ``(cluster int, centroid array<double>)`` ready
+    to feed :func:`topk_ivf` as its coarse quantizer.
+
+    Spark-idiomatic iteration shape (same as MLlib's KMeans):
+
+    - centroids are *model state* — k × dim doubles — collected to the
+      driver each round and re-broadcast as literal expressions, so the
+      assignment step is a pure projection: NO join, NO shuffle, and
+      executors stream the 100 TB side exactly once per iteration;
+    - the update step is one groupBy(cluster) with per-dimension AVG —
+      the only shuffle, and it moves k × dim partial sums per task,
+      not data;
+    - init is the first ``k`` vectors by id (deterministic — no seeded
+      rand, so retries/re-plans reproduce the same model);
+    - empty clusters simply drop out (standard Lloyd behavior).
+    """
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    cents = [
+        (i, [float(x) for x in r[0]])
+        for i, r in enumerate(emb.orderBy(id_col).limit(k).select(vec_col).collect())
+    ]
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        choices = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist2"),
+                F.lit(cid).alias("cluster"),
+            )
+            for cid, c in cents
+        ]
+        assigned = emb.withColumn(
+            "cluster", F.array_min(F.array(*choices))["cluster"]
+        )
+        new_cents = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(vec[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        cents = sorted(
+            (r["cluster"], [float(r[f"c{i}"]) for i in range(dim)])
+            for r in new_cents
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(cid, c) for cid, c in cents], "cluster int, centroid array<double>"
+    )
+
+
+def kmeans_assign(emb: DataFrame, centroids: DataFrame,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Tag each row with its nearest trained centroid (squared-L2).
+    Collects the (tiny) centroid table and assigns via a pure
+    projection — the shuffle-free path used for IVF list assignment."""
+    cents = [
+        (r["cluster"], [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    ]
+    vec = F.col(vec_col).cast("array<double>")
+    choices = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            F.lit(cid).alias("cluster"),
+        )
+        for cid, c in cents
+    ]
+    best = F.array_min(F.array(*choices))
+    return emb.withColumn("cluster", best["cluster"]).withColumn(
+        "dist2", best["dist2"]
+    )

@@ -834,3 +834,28 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicate_clusters(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF with TRAINED centroids (Lloyd's k-means, operators/similarity.py).
+# Registered WITHOUT an oracle: k-means means are floating-point
+# averages whose partial-aggregation order differs between engines, so
+# an independent SQL re-execution is not bit-comparable — the driver
+# records the weaker rows-only check, and tests/test_kmeans.py pins the
+# algorithm's properties (monotone inertia, determinism, recall vs
+# brute force) instead.
+# ---------------------------------------------------------------------------
+@_register("sim_topk_ivf_trained")
+def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.train_kmeans(emb, k=8, iters=3)
+    out = similarity.topk_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=3,
+        centroids=cents.select(
+            F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+        ),
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
