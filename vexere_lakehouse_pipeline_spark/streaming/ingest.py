@@ -117,3 +117,42 @@ def run_stream_merge_sink(stream_df: DataFrame, target_path: str,
         .start()
         .awaitTermination()
     )
+
+
+def stream_stream_attribution_join(clicks: DataFrame, purchases: DataFrame,
+                                   horizon: str = "1 hour",
+                                   watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner interval join: purchase attributed to a prior
+    click by the same user within ``horizon``.
+
+    Both sides are watermarked so Spark can bound the join state: a
+    buffered click can be evicted once the purchase-side watermark
+    passes click.ts + horizon (the time-bound in the join condition is
+    what makes eviction possible — an unconstrained stream-stream join
+    would buffer forever).  This is the streaming twin of
+    operators/joins.range_join.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
