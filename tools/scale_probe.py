@@ -1,0 +1,119 @@
+"""Empirical scaling probe: do the headline operators scale ~linearly?
+
+Materializes synthetic larger inputs by replicating sf0.1 K times with
+remapped keys (so group/join cardinalities grow realistically: new
+orderkeys/doc_ids per replica, shared dimension keys), then times a
+representative query per operator family at 1x and Kx and reports the
+observed scaling exponent  log(t_K/t_1) / log(K)  — ~1.0 means linear,
+>1.2 means a superlinear bottleneck that would bite at 100 TB.
+
+Writes SCALE.md.  Usage: python tools/scale_probe.py [K] (default 8).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import ALL_QUERIES  # noqa: E402
+from vexere_lakehouse_pipeline_spark.catalog import load_table  # noqa: E402
+from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+
+# (query, replicated tables, key columns remapped per replica)
+PROBES = [
+    ("tpch_q1_pricing_summary", {"lineitem": ["l_orderkey"]}),
+    ("tpch_q3_shipping_priority",
+     {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"],
+      "customer": ["c_custkey"]}),
+    ("cau4_daily_avg_order_value", {"orders": ["o_orderkey"]}),
+    ("dedup_exact_groups", {"documents": ["doc_id"]}),
+    ("corpus_vocab_topk", {"documents": ["doc_id"]}),
+    ("text_quality_scores", {"documents": ["doc_id"]}),
+    ("window_cumulative_daily_revenue", {"orders": ["o_orderkey"]}),
+]
+
+ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+
+
+def replicate(spark, out_dir: str, k: int, remap: dict[str, list[str]]) -> None:
+    """K-fold replica with per-replica key offsets for the named columns
+    (joins/groups then see K distinct key spaces, like real growth —
+    naive duplication would instead multiply group sizes)."""
+    for name in ALL_TABLES:
+        src = f"{BASE}/{name}.parquet"
+        dst = f"{out_dir}/{name}.parquet"
+        if name not in remap:
+            shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+            continue
+        df = load_table(spark, BASE, name)
+        rep = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        offset = 10_000_000_000
+        for c in remap[name]:
+            rep = rep.withColumn(c, F.col(c) + F.col("_r").cast("long") * offset)
+        # events.ts round-trips as timestamp in the replica — load_table
+        # only rewrites the nanos physical type of the ORIGINAL file.
+        rep.drop("_r").write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = build_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    needed: dict[str, list[str]] = {}
+    for _, remap in PROBES:
+        for t, cols in remap.items():
+            needed.setdefault(t, cols)
+    replicate(spark, tmp, k, needed)
+
+    lines = [
+        "# SCALE — observed scaling exponents",
+        "",
+        f"Inputs: sf0.1 replicated ×{k} with remapped keys "
+        "(tools/scale_probe.py). exponent = log(t_K/t_1)/log(K); "
+        "~1.0 = linear, <1 = fixed overhead amortizing, >1.2 = "
+        "superlinear bottleneck.",
+        "",
+        "| query | t_1x (s) | t_%dx (s) | exponent |" % k,
+        "|---|---|---|---|",
+    ]
+    for name, _ in PROBES:
+        fn = ALL_QUERIES[name]
+        fn(spark, BASE).count()  # warm codegen/JVM for this plan shape
+        times = {}
+        for label, d in (("1x", BASE), (f"{k}x", tmp)):
+            spark.catalog.clearCache()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, d).count()
+                best = min(best, time.time() - t0)
+            times[label] = best
+        exp = math.log(times[f"{k}x"] / times["1x"]) / math.log(k)
+        lines.append(
+            f"| {name} | {times['1x']:.2f} | {times[f'{k}x']:.2f} | {exp:.2f} |"
+        )
+        print(lines[-1])
+
+    lines.append("")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE.md"), "w") as f:
+        f.write("\n".join(lines))
+    shutil.rmtree(tmp, ignore_errors=True)
+    print("wrote SCALE.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -380,3 +380,39 @@ def agg_grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# VariantType semi-structured path (Spark 4): parse the JSON props
+# column ONCE into a variant, then extract typed fields.  At scale this
+# beats per-field get_json_object (which re-parses the string per
+# extraction) — variant stores a parsed binary form, so N extractions
+# cost one parse.  Values are identical to the string-JSON path, so the
+# DuckDB oracle is plain json_extract.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_variant_props",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS n_big
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type",
+        F.variant_get("p", "$.k", "bigint").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_big"),
+        )
+        .orderBy("event_type")
+    )
