@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.operators.joins import asof_join, range_join
@@ -230,3 +232,58 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     assert got <= want
     assert len(got) >= 0.5 * len(want)
     assert len(want) > 0
+
+
+def test_running_totals_tws_matches_legacy_api(spark, tmp_path):
+    """transformWithStateInPandas and applyInPandasWithState compute the
+    same final per-user totals over the same input stream."""
+    from vexere_lakehouse_pipeline_spark.streaming.stateful import (
+        HAS_TWS,
+        running_user_totals_tws,
+    )
+
+    if not HAS_TWS:
+        pytest.skip("pyspark < 4 or protobuf unavailable")
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+
+    # transformWithState requires the RocksDB state store
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    outs = {}
+    for name, op in (("tws", running_user_totals_tws),
+                     ("legacy", stateful.running_user_totals)):
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        sink = str(tmp_path / f"out_{name}")
+        q = (
+            op(stream).writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # final snapshot per user = row with max n_events
+        final = (
+            spark.read.parquet(sink)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+            .select("user_id", "s.n_events", "s.total_value")
+        )
+        outs[name] = {
+            (r.user_id, r.n_events, round(r.total_value, 6))
+            for r in final.collect()
+        }
+    if prev is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert outs["tws"] == outs["legacy"] and len(outs["tws"]) > 0

@@ -89,3 +89,61 @@ def sessionized_event_counts(
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas — the successor API to
+# applyInPandasWithState: named state variables (ValueState/ListState/
+# MapState) on a handle, explicit init/close lifecycle, timers.  Kept
+# alongside the legacy operator above so both API generations are
+# covered.
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - availability gate
+    # The TWS protocol speaks protobuf between the JVM and the Python
+    # driver worker; a pyspark-4 install without a working protobuf
+    # (this container) crashes at query start, so gate on BOTH.
+    import google.protobuf.descriptor  # noqa: F401
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running totals as a ValueState named variable."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pyspark < 4, or protobuf unavailable
+    HAS_TWS = False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """`running_user_totals` on the transformWithStateInPandas API —
+    identical semantics, state held in a named ValueState; snapshot row
+    per key per micro-batch."""
+    if not HAS_TWS:  # pragma: no cover
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0 and protobuf"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        outputMode="append",
+        timeMode="none",
+    )
