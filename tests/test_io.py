@@ -95,3 +95,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_python_datasource_ticket_source(spark):
+    """Spark-4 Python Data Source: partitioned executor-side generation
+    of the raw ticket contract (SURVEY S12)."""
+    from vexere_lakehouse_pipeline_spark.catalog import RAW_TICKET_SCHEMA
+    from vexere_lakehouse_pipeline_spark.sources.ticket_source import (
+        TicketDataSource,
+    )
+
+    spark.dataSource.register(TicketDataSource)
+    df = (
+        spark.read.format("vexere_tickets")
+        .option("days", "01-05-2025,02-05-2025,03-05-2025")
+        .option("rows_per_day", 40)
+        .load()
+    )
+    assert df.schema == RAW_TICKET_SCHEMA
+    assert df.rdd.getNumPartitions() == 3  # one partition per crawl day
+    assert df.count() == 120
+    # deterministic: re-read yields identical rows
+    again = (
+        spark.read.format("vexere_tickets")
+        .option("days", "01-05-2025,02-05-2025,03-05-2025")
+        .option("rows_per_day", 40)
+        .load()
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, again.collect()))
+    # feeds the same silver pipeline as any bronze scan
+    keys = df.select("Bus_Key").distinct().count()
+    assert keys == 120

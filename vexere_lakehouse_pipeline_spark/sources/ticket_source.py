@@ -1,0 +1,109 @@
+"""Pluggable ticket source on the Spark 4 Python Data Source API.
+
+SURVEY §2.1 S12: the reference's Selenium crawlers
+(crawl/crawl_ticket.py:212-317) are out of engine scope, but their
+*contract* — a partitioned producer of raw all-string ticket rows — is
+modeled here as a first-class `spark.read.format("vexere_tickets")`
+source.  One `InputPartition` per crawl day, so generation (in
+production: the per-day scrape/fetch shard) runs ON EXECUTORS in
+parallel instead of on the driver like a createDataFrame fixture; a
+real deployment swaps the row generator for an HTTP/page fetch while
+keeping schema, partitioning and options identical.
+
+Deterministic per (seed, day): same options always produce the same
+rows, independent of parallelism — the same reproducibility contract
+as operators/sampling.py.
+
+Usage:
+    spark.dataSource.register(TicketDataSource)
+    df = (spark.read.format("vexere_tickets")
+          .option("days", "01-05-2025,02-05-2025")
+          .option("rows_per_day", 240).load())
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from vexere_lakehouse_pipeline_spark.sources.fixtures import (
+    OPERATORS,
+    PLACES,
+    ROUTES,
+    TYPE_BUSES,
+)
+
+TICKET_DDL = (
+    "Bus_Key string, Bus_Name string, Start_Date string, Route string, "
+    "Departure_Time string, Arrival_Time string, Departure_Place string, "
+    "Arrival_Place string, Duration string, Type_Bus string, Price string"
+)
+
+
+class DayPartition(InputPartition):
+    def __init__(self, day: str, rows: int, seed: int, key_base: int):
+        self.day = day
+        self.rows = rows
+        self.seed = seed
+        self.key_base = key_base
+
+
+def _day_rows(p: DayPartition) -> Iterator[tuple]:
+    # Same messy-raw shape as fixtures.raw_tickets, but seeded per
+    # partition so executors generate independently and deterministically.
+    rng = random.Random(f"{p.seed}:{p.day}")
+    for i in range(p.rows):
+        op = rng.choice(OPERATORS)
+        h, m = rng.randrange(24), rng.choice(("00", "15", "30", "45"))
+        dur_h, dur_m = rng.randrange(1, 8), rng.randrange(60)
+        price = rng.randrange(90, 1300) * 1000
+        yield (
+            str(p.key_base + i),
+            op,
+            p.day,
+            rng.choice(ROUTES),
+            "Không rõ" if rng.random() < 0.03 else f"{h:02d}:{m}",
+            f"{(h + dur_h) % 24:02d}:{m}",
+            rng.choice(PLACES),
+            rng.choice(PLACES),
+            rng.choice((f"{dur_h}h{dur_m}m", f"{dur_h}h", "Không rõ", ""))
+            if rng.random() < 0.1
+            else f"{dur_h}h{dur_m}m",
+            rng.choice(TYPE_BUSES),
+            "Không rõ" if rng.random() < 0.02
+            else f"{price:,}đ".replace(",", "."),
+        )
+
+
+class TicketReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.days: Sequence[str] = [
+            d.strip() for d in options.get("days", "01-05-2025").split(",")
+            if d.strip()
+        ]
+        self.rows_per_day = int(options.get("rows_per_day", 240))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            DayPartition(day, self.rows_per_day, self.seed,
+                         key_base=1 + i * self.rows_per_day)
+            for i, day in enumerate(self.days)
+        ]
+
+    def read(self, partition: DayPartition) -> Iterator[tuple]:
+        return _day_rows(partition)
+
+
+class TicketDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "vexere_tickets"
+
+    def schema(self) -> str:
+        return TICKET_DDL
+
+    def reader(self, schema) -> TicketReader:
+        return TicketReader(self.options)
