@@ -126,3 +126,31 @@ def test_python_datasource_ticket_source(spark):
     # feeds the same silver pipeline as any bronze scan
     keys = df.select("Bus_Key").distinct().count()
     assert keys == 120
+
+
+def test_python_datasource_streaming_reader(spark, tmp_path):
+    """Streaming flavor: one micro-batch per crawl day, drains under
+    availableNow, total rows match the batch read."""
+    from vexere_lakehouse_pipeline_spark.sources.ticket_source import (
+        TicketDataSource,
+    )
+
+    spark.dataSource.register(TicketDataSource)
+    stream = (
+        spark.readStream.format("vexere_tickets")
+        .option("days", "01-05-2025,02-05-2025")
+        .option("rows_per_day", 25)
+        .load()
+    )
+    sink = str(tmp_path / "tickets_out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "tickets_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == 50
+    assert got.select("Start_Date").distinct().count() == 2

@@ -107,3 +107,45 @@ class TicketDataSource(DataSource):
 
     def reader(self, schema) -> TicketReader:
         return TicketReader(self.options)
+
+    def streamReader(self, schema):  # noqa: N802
+        if not HAS_STREAM_READER:  # pragma: no cover
+            raise NotImplementedError("streaming reader needs pyspark >= 4")
+        return TicketStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: each micro-batch emits one crawl day — the shape of
+# an incremental crawler feed.  Offsets are day indexes, so restarts
+# resume from the checkpoint exactly; with trigger(availableNow=True)
+# the stream drains all configured days then stops.
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - availability gate (pyspark >= 4)
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class TicketStreamReader(DataSourceStreamReader):
+        def __init__(self, options: dict):
+            self._r = TicketReader(options)
+
+        def initialOffset(self) -> dict:  # noqa: N802
+            return {"index": 0}
+
+        def latestOffset(self) -> dict:  # noqa: N802
+            return {"index": len(self._r.days)}
+
+        def partitions(self, start: dict, end: dict):
+            return [
+                DayPartition(day, self._r.rows_per_day, self._r.seed,
+                             key_base=1 + i * self._r.rows_per_day)
+                for i, day in enumerate(self._r.days)
+            ][start["index"]:end["index"]]
+
+        def read(self, partition: DayPartition) -> Iterator[tuple]:
+            return _day_rows(partition)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    HAS_STREAM_READER = True
+except ImportError:  # pragma: no cover
+    HAS_STREAM_READER = False
