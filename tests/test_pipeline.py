@@ -193,3 +193,75 @@ def test_schema_evolution_append_and_merged_read(spark, tmp_path):
     got = inc.read_table(spark, path, merge_schema=True)
     rows = {r["k"]: (r["v"], r["score"]) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        incremental_rollup,
+        read_table,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    day = F.to_date("o_orderdate").cast("string")
+    o = orders.select(day.alias("day"), "o_custkey", "o_totalprice")
+    # split by order date parity: batch1 = even days, batch2 = odd
+    b1 = o.filter(F.dayofmonth(F.to_date("day")) % 2 == 0)
+    b2 = o.filter(F.dayofmonth(F.to_date("day")) % 2 == 1)
+    path = str(tmp_path / "rollup")
+    measures = {
+        "revenue": ("sum", "o_totalprice"),
+        "n_orders": ("count", "o_custkey"),
+    }
+    incremental_rollup(b1, path, ["day"], measures, "day")
+    # partition values round-trip via directory names, so Spark
+    # re-infers day as DateType on read — normalize with str()
+    before = {
+        str(r["day"]): (round(r["revenue"], 2), r["n_orders"])
+        for r in read_table(spark, path).collect()
+    }
+    incremental_rollup(b2, path, ["day"], measures, "day")
+    got = {
+        str(r["day"]): (round(r["revenue"], 2), r["n_orders"])
+        for r in read_table(spark, path).collect()
+    }
+    want = {
+        str(r["day"]): (round(r["revenue"], 2), r["n_orders"])
+        for r in o.groupBy("day").agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count("o_custkey").alias("n_orders"),
+        ).collect()
+    }
+    assert got == want
+    # disjoint partition keys -> batch-1 partitions were NOT rewritten
+    assert all(got[d] == before[d] for d in before)
+
+
+def test_incremental_rollup_leaves_untouched_partitions_alone(spark, tmp_path):
+    import os
+
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        incremental_rollup,
+    )
+
+    rows = spark.createDataFrame(
+        [("d1", 10.0), ("d2", 20.0)], "day string, v double"
+    )
+    path = str(tmp_path / "r2")
+    m = {"total": ("sum", "v"), "n": ("count", "v")}
+    incremental_rollup(rows, path, ["day"], m, "day")
+    d1_files = {
+        f: os.path.getmtime(os.path.join(path, "day=d1", f))
+        for f in os.listdir(os.path.join(path, "day=d1"))
+        if f.endswith(".parquet")
+    }
+    # second batch touches only d2
+    incremental_rollup(
+        spark.createDataFrame([("d2", 5.0)], "day string, v double"),
+        path, ["day"], m, "day",
+    )
+    d1_after = {
+        f: os.path.getmtime(os.path.join(path, "day=d1", f))
+        for f in os.listdir(os.path.join(path, "day=d1"))
+        if f.endswith(".parquet")
+    }
+    assert d1_files == d1_after  # dynamic overwrite skipped day=d1

@@ -154,3 +154,72 @@ def compact_table(spark: SparkSession, path: str, fmt: str = DEFAULT_FORMAT,
     w.save(path)
     compacted.unpersist()
     return n
+
+
+def incremental_rollup(delta: DataFrame, path: str, group_keys: list[str],
+                       measures: dict[str, tuple[str, str]],
+                       partition_key: str,
+                       fmt: str = DEFAULT_FORMAT) -> None:
+    """Maintain a pre-aggregated rollup table incrementally — the
+    materialized-view pattern: fold a batch of new fact rows into an
+    existing aggregate WITHOUT recomputing history.
+
+    ``measures`` maps output column -> (combinable agg, input column),
+    agg in {"sum", "count"} — the algebraic aggregates whose partials
+    merge by addition (avg is derived downstream as sum/count; holistic
+    aggs like median can't be maintained this way).
+
+    Scale contract: the delta is aggregated first (small), only
+    partitions of the rollup containing touched ``partition_key``
+    values are read back, and the write uses dynamic partition
+    overwrite, so cost is O(delta + touched partitions) — history never
+    rewrites.  ``partition_key`` must be one of ``group_keys``.
+    """
+    if partition_key not in group_keys:
+        raise ValueError("partition_key must be a group key")
+    spark = delta.sparkSession
+
+    def partials(df: DataFrame) -> DataFrame:
+        aggs = []
+        for out, (how, col) in measures.items():
+            if how == "sum":
+                aggs.append(F.sum(col).alias(out))
+            elif how == "count":
+                aggs.append(F.count(col).alias(out))
+            else:
+                raise ValueError(f"non-combinable aggregate: {how}")
+        return df.groupBy(*group_keys).agg(*aggs)
+
+    new_partials = partials(delta)
+    existing = read_table(spark, path, fmt)
+    if existing is None:
+        write_overwrite(new_partials, path, fmt, (partition_key,))
+        return
+
+    touched = new_partials.select(partition_key).distinct()
+    # Partition-pruned read-back: the IN-filter on the partition column
+    # prunes directories, so untouched history is never scanned.
+    keys = [r[0] for r in touched.collect()]
+    relevant = existing.filter(F.col(partition_key).isin(keys))
+    merged = partials_union_combine(relevant, new_partials, group_keys, measures)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # Dynamic mode replaces ONLY the partitions present in `merged`.
+        merged.write.format(fmt).mode("overwrite").partitionBy(
+            partition_key
+        ).save(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def partials_union_combine(a: DataFrame, b: DataFrame, group_keys: list[str],
+                           measures: dict[str, tuple[str, str]]) -> DataFrame:
+    """Combine two partial-aggregate frames: union then SUM each
+    measure (sums and counts both merge by addition)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_keys)
+        .agg(*[F.sum(out).alias(out) for out in measures])
+    )
