@@ -1,0 +1,72 @@
+"""Data-quality expectations (operators/quality.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators import quality
+
+SF = "/root/testdata/sf0.001"
+
+
+def _li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+def test_check_counts_violations_in_one_pass(spark):
+    li = _li(spark)
+    report = quality.check(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") > 0,
+            "discount_unit_interval": F.col("l_discount").between(0, 1),
+            "impossible": F.col("l_quantity") < 0,
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+        },
+    )
+    rows = {r["expectation"]: r for r in report.collect()}
+    n = li.count()
+    assert rows["qty_positive"]["n_violations"] == 0
+    assert rows["discount_unit_interval"]["n_violations"] == 0
+    assert rows["impossible"]["n_violations"] == n  # all rows violate
+    assert all(r["n_rows"] == n for r in rows.values())
+
+
+def test_null_condition_counts_as_violation(spark):
+    df = spark.createDataFrame(
+        [(1,), (None,)], "x int"
+    )
+    report = quality.check(df, {"x_positive": F.col("x") > 0})
+    assert report.first()["n_violations"] == 1  # the null row
+
+
+def test_enforce_raises_with_names_and_passes_through(spark):
+    li = _li(spark)
+    out = quality.enforce(li, {"qty_positive": F.col("l_quantity") > 0})
+    assert out is li
+    with pytest.raises(quality.QualityError, match="impossible"):
+        quality.enforce(li, {"impossible": F.col("l_quantity") < 0})
+
+
+def test_quarantine_splits_and_tags_reasons(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, None)], "id int, v double"
+    )
+    good, bad = quality.quarantine(
+        df, {"v_positive": F.col("v") > 0, "v_not_null": F.col("v").isNotNull()}
+    )
+    assert [r.id for r in good.orderBy("id").collect()] == [1]
+    got = {r.id: set(r.failed_expectations) for r in bad.collect()}
+    assert got == {2: {"v_positive"}, 3: {"v_positive", "v_not_null"}}
+    assert good.count() + bad.count() == df.count()
+
+
+def test_unique_key_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, s string"
+    )
+    dups = quality.unique_key(df, ["k", "s"]).collect()
+    assert len(dups) == 1 and dups[0]["n"] == 2
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    assert quality.unique_key(orders, ["o_orderkey"]).count() == 0

@@ -1,0 +1,92 @@
+"""Declarative data-quality expectations, evaluated in one pass.
+
+The lakehouse contract layer (Delta Live Tables expectations / dbt
+tests / Great Expectations, re-expressed Spark-first): each expectation
+is a boolean Column; violation counts for ALL expectations are computed
+in a SINGLE aggregation over one scan (conditional-count fusion), so a
+50-expectation suite costs the same scan as one.  The reference has no
+checks at all — errors are swallowed (convert/to_silver.py:137-140,
+SURVEY §3.2); this is the engine-grade replacement.
+
+Three verbs:
+- :func:`check`     -> tidy report DataFrame (expectation, n_violations, n_rows)
+- :func:`enforce`   -> raise QualityError if any hard expectation fails
+- :func:`quarantine`-> split (good, bad) in one lazy pass; bad rows carry
+  the list of failed expectation names for triage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class QualityError(AssertionError):
+    """Raised by :func:`enforce` when hard expectations fail."""
+
+
+def check(df: DataFrame, expectations: dict[str, Column]) -> DataFrame:
+    """Violation report for all expectations in one aggregation.
+
+    ``expectations`` maps name -> boolean Column that should hold for
+    every row (null counts as a violation — unknown is not a pass).
+    """
+    aggs = [
+        F.count(F.when(~F.coalesce(cond, F.lit(False)), 1)).alias(name)
+        for name, cond in expectations.items()
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs).first()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(name, int(row[name]), int(row["__n"])) for name in expectations],
+        "expectation string, n_violations long, n_rows long",
+    )
+
+
+def enforce(df: DataFrame, expectations: dict[str, Column]) -> DataFrame:
+    """Raise :class:`QualityError` naming every failed expectation (with
+    counts); returns ``df`` unchanged when all hold — composes as a
+    pipeline stage: ``silver = enforce(conform(bronze), CONTRACT)``."""
+    report = check(df, expectations)
+    failed = [
+        f"{r['expectation']} ({r['n_violations']}/{r['n_rows']} rows)"
+        for r in report.collect()
+        if r["n_violations"] > 0
+    ]
+    if failed:
+        raise QualityError("expectations failed: " + "; ".join(failed))
+    return df
+
+
+def quarantine(df: DataFrame,
+               expectations: dict[str, Column]) -> tuple[DataFrame, DataFrame]:
+    """Split into (good, bad) lazily — no extra scan at split time; the
+    bad side carries ``failed_expectations array<string>``.  The scale
+    path for continuous ingest: good rows flow on, bad rows land in a
+    quarantine table with their reasons."""
+    fails = F.filter(
+        F.array(
+            *[
+                F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+                for name, cond in expectations.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = df.withColumn("failed_expectations", fails)
+    good = tagged.filter(F.size("failed_expectations") == 0).drop(
+        "failed_expectations"
+    )
+    bad = tagged.filter(F.size("failed_expectations") > 0)
+    return good, bad
+
+
+def unique_key(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Duplicate-key report (uniqueness can't be a per-row Column —
+    it needs a groupBy): keys appearing more than once, with counts."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy(F.desc("n"), *cols)
+    )

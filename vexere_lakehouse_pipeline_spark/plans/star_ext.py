@@ -416,3 +416,48 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations report (operators/quality.check): violation
+# counts for a whole expectation suite in ONE scan+aggregation.
+# ---------------------------------------------------------------------------
+@_register(
+    "quality_expectations_report",
+    """
+    WITH agg AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE)
+                          THEN 1 END) AS qty_positive,
+               COUNT(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE)
+                          THEN 1 END) AS discount_unit_interval,
+               COUNT(CASE WHEN NOT COALESCE(l_shipdate IS NOT NULL, FALSE)
+                          THEN 1 END) AS shipdate_not_null,
+               COUNT(CASE WHEN NOT COALESCE(l_extendedprice >= l_quantity, FALSE)
+                          THEN 1 END) AS price_at_least_qty
+        FROM lineitem
+    )
+    SELECT 'discount_unit_interval' AS expectation,
+           discount_unit_interval AS n_violations, n_rows FROM agg
+    UNION ALL
+    SELECT 'price_at_least_qty', price_at_least_qty, n_rows FROM agg
+    UNION ALL
+    SELECT 'qty_positive', qty_positive, n_rows FROM agg
+    UNION ALL
+    SELECT 'shipdate_not_null', shipdate_not_null, n_rows FROM agg
+    ORDER BY expectation
+    """,
+)
+def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.quality import check
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return check(
+        li,
+        {
+            "qty_positive": F.col("l_quantity") > 0,
+            "discount_unit_interval": F.col("l_discount").between(0, 1),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "price_at_least_qty": F.col("l_extendedprice") >= F.col("l_quantity"),
+        },
+    ).orderBy("expectation")
