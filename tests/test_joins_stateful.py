@@ -287,3 +287,29 @@ def test_running_totals_tws_matches_legacy_api(spark, tmp_path):
     else:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert outs["tws"] == outs["legacy"] and len(outs["tws"]) > 0
+
+
+def test_cogrouped_asof_matches_window_asof(spark):
+    """pd.merge_asof per cogroup == the union+window as-of join."""
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators.joins import (
+        asof_join_cogrouped,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    a = asof_join(errors, clicks, "user_id", "ts", "cts", ["click_id"],
+                  tiebreak="click_id")
+    b = asof_join_cogrouped(errors, clicks, "user_id", "ts", "cts",
+                            ["click_id"])
+    got_a = {(r.user_id, r.event_id, r.click_id) for r in a.collect()}
+    got_b = {(r.user_id, r.event_id, r.click_id) for r in b.collect()}
+    # merge_asof keeps the LAST right row at equal ts like the window's
+    # last(); identical data -> identical matches
+    assert got_a == got_b and len(got_a) > 0

@@ -110,3 +110,55 @@ def range_join(
         & (F.unix_micros(F.col(right_ts)) <= ub)
     )
     return joined.drop("_bucket")
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Backward as-of join via cogrouped ``applyInPandas`` —
+    ``pd.merge_asof`` runs per key group, Arrow-batched.
+
+    Same semantics as :func:`asof_join` (at-or-before match, null
+    payload when none) minus the tiebreak knob; exists as the escape
+    hatch for per-key alignment logic a window can't express
+    (tolerance bands, nearest-direction, interpolation) and as the
+    engine's cogroup API coverage.  Prefer :func:`asof_join` when a
+    window CAN express it — JVM-side beats Python even Arrow-batched.
+    One shuffle per side (cogroup on the key).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    left_cols = left.columns
+    # StructType.add MUTATES — never call it on a DataFrame's cached
+    # schema object (it would grow left.columns for every later user).
+    out_schema = StructType(
+        list(left.schema.fields) + [right.schema[c] for c in right_payload]
+    )
+
+    def align(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        lg = lg.sort_values(left_ts, kind="mergesort")
+        if rg.empty:
+            for c in right_payload:
+                lg[c] = None
+            return lg[left_cols + right_payload]
+        rg = rg[[right_ts, *right_payload]].sort_values(
+            right_ts, kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            lg, rg, left_on=left_ts, right_on=right_ts,
+            direction="backward", suffixes=("", "_r"),
+        )
+        return merged[left_cols + right_payload]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(align, schema=out_schema)
+    )

@@ -1133,3 +1133,61 @@ def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set ops — EXCEPT ALL / INTERSECT ALL keep duplicate
+# multiplicity (the bag semantics DISTINCT set ops destroy).  Shape:
+# per-customer order-priority bags in two halves of 1996 compared as
+# multisets.
+# ---------------------------------------------------------------------------
+@_register(
+    "setop_priority_bags_except_all",
+    """
+    SELECT o_custkey, o_orderpriority FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+    EXCEPT ALL
+    SELECT o_custkey, o_orderpriority FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    ORDER BY o_custkey, o_orderpriority
+    """,
+)
+def setop_priority_bags_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    ).select("o_custkey", "o_orderpriority")
+    h2 = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_custkey", "o_orderpriority")
+    return h1.exceptAll(h2).orderBy("o_custkey", "o_orderpriority")
+
+
+@_register(
+    "setop_priority_bags_intersect_all",
+    """
+    SELECT o_custkey, o_orderpriority FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+    INTERSECT ALL
+    SELECT o_custkey, o_orderpriority FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    ORDER BY o_custkey, o_orderpriority
+    """,
+)
+def setop_priority_bags_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    ).select("o_custkey", "o_orderpriority")
+    h2 = orders.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_custkey", "o_orderpriority")
+    return h1.intersectAll(h2).orderBy("o_custkey", "o_orderpriority")
