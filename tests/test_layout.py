@@ -1,0 +1,64 @@
+"""Z-order clustering (operators/layout.py): correctness + the
+data-skipping payoff it exists for."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators import layout
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def test_zorder_write_roundtrips_all_rows(spark, tmp_path):
+    o = _orders(spark)
+    path = str(tmp_path / "z")
+    layout.write_zordered(o, path, ["o_custkey", "o_totalprice"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.columns == o.columns or set(back.columns) == set(o.columns)
+    assert back.count() == o.count()
+    assert (
+        back.agg(F.sum("o_orderkey")).first()[0]
+        == o.agg(F.sum("o_orderkey")).first()[0]
+    )
+
+
+def test_zorder_prunes_second_dimension_linear_does_not(spark, tmp_path):
+    o = _orders(spark)
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "l")
+    layout.write_zordered(o, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+    layout.write_linear(o, lpath, "o_custkey", n_files=8)
+
+    lo, hi = o.approxQuantile("o_totalprice", [0.45, 0.55], 0.0)
+    zstats = layout.file_minmax_stats(spark, zpath, ["o_totalprice"])
+    lstats = layout.file_minmax_stats(spark, lpath, ["o_totalprice"])
+    z_hit = layout.candidate_files(zstats, "o_totalprice", lo, hi)
+    l_hit = layout.candidate_files(lstats, "o_totalprice", lo, hi)
+    # custkey-sorted files each span ~the full price range -> no pruning;
+    # z-ordered files have bounded price ranges -> real pruning.
+    assert len(l_hit) == len(lstats)
+    assert len(z_hit) < len(zstats)
+    # and the first dimension still prunes under z-order (tight boxes in
+    # BOTH dims is the whole point)
+    # off-center box: a mid-span box can straddle the top-bit split
+    # (worst case for any space-filling curve) and touch every file
+    ck_lo, ck_hi = o.approxQuantile("o_custkey", [0.05, 0.15], 0.0)
+    zc = layout.file_minmax_stats(spark, zpath, ["o_custkey"])
+    assert len(layout.candidate_files(zc, "o_custkey", ck_lo, ck_hi)) < len(zc)
+
+
+def test_zorder_key_handles_constant_column(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("a"), F.lit(7).alias("b")
+    )
+    keyed = df.withColumn("z", layout.zorder_key(df, ["a", "b"], bits=8))
+    assert keyed.filter(F.col("z").isNull()).count() == 0
+    # constant column contributes nothing; key stays monotone in `a`
+    rows = keyed.orderBy("a").select("z").collect()
+    assert all(rows[i].z <= rows[i + 1].z for i in range(len(rows) - 1))
