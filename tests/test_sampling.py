@@ -87,3 +87,15 @@ def test_no_shuffle_in_hash_sample_plan(spark):
     docs = _docs(spark)
     plan = sampling.hash_sample(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side filter
+
+
+def test_weighted_mixture_oversamples_with_epochs(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    mixed = sampling.weighted_mixture({"d": (docs, 2.25)}, key="doc_id")
+    total = mixed.count()
+    assert 2 * n < total < 2.5 * n  # two full epochs + ~25%
+    epochs = {r.epoch for r in mixed.select("epoch").distinct().collect()}
+    assert epochs == {0, 1, 2}
+    # full epochs are complete copies
+    assert mixed.filter(F.col("epoch") == 1).count() == n

@@ -93,15 +93,28 @@ def stratified_hash_sample(df: DataFrame, key: Column | str, strata: Column | st
 
 def weighted_mixture(sources: dict[str, tuple[DataFrame, float]],
                      key: Column | str, salt: str = "mix") -> DataFrame:
-    """Weighted union of corpora: each source is hash-downsampled to its
-    rate, tagged with a ``mix_source`` column, and unioned by name.
-    The standard "training mix" operator (e.g. 100% curated + 30% web);
-    rates > 1.0 are clamped (hash sampling cannot oversample — repeat
-    the union for integer multiples)."""
+    """Weighted union of corpora: each source is hash-sampled to its
+    rate, tagged with ``mix_source`` and an ``epoch``, and unioned.
+    The standard "training mix" operator (e.g. 100% curated + 30% web).
+
+    Rates > 1.0 oversample: floor(rate) full epochs plus one
+    hash-sampled fractional epoch (e.g. rate 2.3 -> epochs 0,1 complete
+    + ~30% of epoch 2, all deterministic).  Downstream shuffling of
+    epochs is the trainer's job; the mix only fixes multiplicity."""
     parts = []
     for name, (df, rate) in sources.items():
-        kept = hash_sample(df, key, min(rate, 1.0), salt=f"{salt}:{name}")
-        parts.append(kept.withColumn("mix_source", F.lit(name)))
+        whole, frac = int(rate), rate - int(rate)
+        for epoch in range(whole):
+            parts.append(
+                df.withColumn("mix_source", F.lit(name))
+                .withColumn("epoch", F.lit(epoch))
+            )
+        if frac > 0:
+            kept = hash_sample(df, key, frac, salt=f"{salt}:{name}:{whole}")
+            parts.append(
+                kept.withColumn("mix_source", F.lit(name))
+                .withColumn("epoch", F.lit(whole))
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

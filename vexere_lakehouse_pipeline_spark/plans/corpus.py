@@ -124,7 +124,7 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'other', text FROM documents
         WHERE source <> 'src0'
-          AND {sampling.hash_bucket_sql('doc_id', 'mix:other')} < {_OTHER_BOUND}
+          AND {sampling.hash_bucket_sql('doc_id', 'mix:other:0')} < {_OTHER_BOUND}
     )
     SELECT mix_source, COUNT(*) AS n_docs,
            CAST(SUM({_DUCK_WS_TOKENS}) AS BIGINT) AS n_tokens
