@@ -326,3 +326,33 @@ def duplicate_clusters(docs: DataFrame, text_col: str = "text",
     return full.withColumn(
         "is_canonical", F.col("doc_id") == F.col("component_id")
     )
+
+
+def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5, min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_hits`` distinct word ``n``-gram shingles with any benchmark
+    document (the standard eval-leakage check before training).
+
+    Plan shape at 100 TB: both sides explode to DISTINCT (doc, shingle)
+    pairs, the join runs on md5(shingle) — a short fixed-width key
+    instead of the raw n-gram string — and the benchmark side is tiny
+    relative to the corpus, so AQE broadcasts it.  Output: (doc_id,
+    n_hits) per contaminated corpus doc.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    ).withColumn("h", F.md5("shingle")).select("doc_id", "h").distinct()
+    b = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .select(F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    return (
+        c.join(b, on="h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )

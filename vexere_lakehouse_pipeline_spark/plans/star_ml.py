@@ -859,3 +859,29 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — corpus docs leaking benchmark shingles.
+# source='src0' plays the benchmark; everything else is the corpus.
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_contamination_flags",
+    f"""
+    WITH tokc AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+                  WHERE source <> 'src0'),
+    tokb AS (SELECT {_DUCK_TOKENS} AS w FROM documents WHERE source = 'src0'),
+    csh AS (SELECT DISTINCT doc_id, md5(unnest({_duck_shingles(4)})) AS h
+            FROM tokc),
+    bsh AS (SELECT DISTINCT md5(unnest({_duck_shingles(4)})) AS h FROM tokb)
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM csh JOIN bsh USING (h)
+    GROUP BY doc_id HAVING COUNT(*) >= 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    benchmark = docs.filter(F.col("source") == "src0")
+    return dedup.contamination_flags(corpus, benchmark, n=4).orderBy("doc_id")
