@@ -225,3 +225,57 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("doc_id", "lang", "n_words")).alias("r")
     )
     return canon.select("r.doc_id", "r.lang", "r.n_words").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model quality score — the two-pass "model-based
+# filter": pass 1 fits the model (corpus token frequencies), pass 2
+# scores every document by mean log10 unigram probability (higher =
+# more typical; the cheap perplexity proxy used for corpus filtering).
+# Portability: per-token logprobs round to 6dp THEN become
+# decimal(18,6), so the per-doc SUM is order-independent and the oracle
+# matches bit-for-bit; only the final mean divides in double.
+# Scale: freq table is vocab-sized; the token join shuffles on the
+# token hash; no driver state.
+# ---------------------------------------------------------------------------
+@_register(
+    "text_unigram_logprob_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY token),
+    lp AS (SELECT token,
+                  CAST(ROUND(LOG10(CAST(f AS DOUBLE)
+                       / (SELECT SUM(f) FROM freq)), 6) AS DECIMAL(18,6)) AS lp
+           FROM freq)
+    SELECT t.doc_id,
+           CAST(ROUND(CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+             AS mean_logprob,
+           COUNT(*) AS n_tokens
+    FROM tok t JOIN lp ON lp.token = t.token
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("f"))
+    total = freq.agg(F.sum("f").alias("total"))
+    lp = freq.join(F.broadcast(total)).select(
+        "token",
+        F.round(F.log10(F.col("f").cast("double") / F.col("total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        tok.join(lp, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+            .cast("double")
+            .alias("mean_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
