@@ -99,3 +99,51 @@ def test_frame_sample_plan(spark):
     assert by_id[1]["n"] == 3 and sorted(by_id[1]["ts"]) == [0, 1000, 2000]
     assert by_id[2]["n"] == 1  # short video still yields one frame
     assert 3 not in by_id  # images excluded
+
+
+def test_payload_stats_arrow_matches_pandas_path(spark):
+    from vexere_lakehouse_pipeline_spark.operators import multimodal
+
+    rows = [
+        (i, (b"payload-%d " % i) * (i + 1), "image", "image/png", 4, 4, None)
+        for i in range(19)
+    ] + [(99, None, "audio", "audio/wav", None, None, 700)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    arrow = {
+        (r.media_id, r.n_bytes, r.payload_md5)
+        for r in multimodal.payload_stats_arrow(media).collect()
+    }
+    pandas_path = {
+        (r.media_id, r.n_bytes, r.payload_md5)
+        for r in multimodal.extract_features(
+            media, decode_fn=multimodal.fake_decode
+        ).select("media_id", "n_bytes", "payload_md5").collect()
+    }
+    assert arrow == pandas_path and len(arrow) == 20
+
+
+def test_udtf_ngram_spans_matches_jvm_shingles(spark):
+    from vexere_lakehouse_pipeline_spark.functions.text import word_shingles
+    from vexere_lakehouse_pipeline_spark.operators.nlp import (
+        HAS_UDTF,
+        register_udtfs,
+    )
+
+    if not HAS_UDTF:
+        import pytest
+
+        pytest.skip("pyspark < 3.5")
+    register_udtfs(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    docs.createOrReplaceTempView("udtf_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, s.pos, s.ngram "
+        "FROM udtf_docs d, LATERAL ngram_spans(d.text, 3) s"
+    )
+    via_jvm = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles("text", 3)).alias("pos", "ngram"),
+    )
+    a = {(r.doc_id, r.pos, r.ngram) for r in via_udtf.collect()}
+    b = {(r.doc_id, r.pos, r.ngram) for r in via_jvm.collect()}
+    assert a == b and len(a) > 0

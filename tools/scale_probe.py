@@ -40,6 +40,9 @@ PROBES = [
     ("corpus_vocab_topk", {"documents": ["doc_id"]}),
     ("text_quality_scores", {"documents": ["doc_id"]}),
     ("window_cumulative_daily_revenue", {"orders": ["o_orderkey"]}),
+    ("dedup_minhash_lsh_pairs", {"documents": ["doc_id"]}),
+    ("corpus_clean_pipeline", {"documents": ["doc_id"]}),
+    ("text_unigram_logprob_scores", {"documents": ["doc_id"]}),
 ]
 
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

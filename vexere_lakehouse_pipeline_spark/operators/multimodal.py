@@ -121,3 +121,38 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def payload_stats_arrow(media: DataFrame) -> DataFrame:
+    """Byte-level payload stats via ``mapInArrow`` — zero-copy Arrow
+    record batches, no pandas materialization.  The right API tier when
+    the per-batch work is itself columnar (here: byte lengths and
+    checksums straight off the Arrow binary buffers); mapInPandas adds
+    a pandas conversion on top of Arrow for no benefit in that case.
+    """
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import hashlib
+
+        for batch in it:
+            ids = batch.column("media_id")
+            payloads = batch.column("payload")
+            lengths = pa.array(
+                [len(v) if v is not None else 0 for v in payloads.to_pylist()],
+                type=pa.int64(),
+            )
+            digests = pa.array(
+                [
+                    hashlib.md5(v).hexdigest() if v is not None else None
+                    for v in payloads.to_pylist()
+                ],
+                type=pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, lengths, digests], ["media_id", "n_bytes", "payload_md5"]
+            )
+
+    return media.select("media_id", "payload").mapInArrow(
+        batches, schema="media_id long, n_bytes long, payload_md5 string"
+    )

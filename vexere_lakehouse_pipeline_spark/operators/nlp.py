@@ -103,3 +103,43 @@ def language_column(col: str | Column) -> Column:
         from vexere_lakehouse_pipeline_spark.functions.text import detect_language
 
         return detect_language(col)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark >= 3.5): one input row -> many typed output rows.
+# Kept for API coverage next to explode()-based shingling (which stays
+# the JVM-side fast path — a UDTF pays the Python worker round-trip).
+# Use a UDTF when span logic needs real Python (a tokenizer lib, a
+# spaCy pipeline); this one emits word n-gram spans with positions.
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - availability gate
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class NgramSpans:
+        """Yield (position, n-gram) for word trigrams of the input."""
+
+        def eval(self, text: str, n: int = 3):  # noqa: D102
+            import re as _re
+
+            words = [w for w in _re.split(r"[^a-z0-9]+", (text or "").lower()) if w]
+            if not words:
+                return
+            if len(words) < n:
+                yield 0, " ".join(words)
+                return
+            for i in range(len(words) - n + 1):
+                yield i, " ".join(words[i : i + n])
+
+    HAS_UDTF = True
+except ImportError:  # pragma: no cover
+    NgramSpans = None
+    HAS_UDTF = False
+
+
+def register_udtfs(spark) -> None:
+    """Register UDTFs for SQL use: ``SELECT s.* FROM t, LATERAL
+    ngram_spans(t.text, 3) s``."""
+    if not HAS_UDTF:  # pragma: no cover
+        raise NotImplementedError("Python UDTFs require pyspark >= 3.5")
+    spark.udtf.register("ngram_spans", NgramSpans)
