@@ -4,7 +4,7 @@ windowed aggregation."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.catalog import load_table
@@ -461,3 +461,47 @@ def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_at_least_qty": F.col("l_extendedprice") >= F.col("l_quantity"),
         },
     ).orderBy("expectation")
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame on event time — sliding 1-hour revenue per user: every
+# purchase row sees the sum of its trailing hour (value-based frame, not
+# row-count).  Frames bound state by TIME, the shape rowsBetween can't
+# express when event density varies.
+# ---------------------------------------------------------------------------
+@_register(
+    "window_trailing_hour_value",
+    """
+    WITH p AS (
+        SELECT user_id, event_id, epoch(ts)::BIGINT AS ts_s,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(v) OVER (
+               PARTITION BY user_id ORDER BY ts_s
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_hour_value
+    FROM p ORDER BY user_id, event_id
+    """,
+)
+def window_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        F.sum("v").over(w).cast("double").alias("trailing_hour_value"),
+    ).orderBy("user_id", "event_id")
