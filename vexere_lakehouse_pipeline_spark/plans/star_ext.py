@@ -505,3 +505,97 @@ def window_trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("v").over(w).cast("double").alias("trailing_hour_value"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# first_value / last_value / nth_value over a full-partition frame —
+# per-customer order trajectory (first, latest, second order values).
+# last_value needs the explicit unbounded-following frame (the default
+# frame ends at CURRENT ROW, a classic window footgun both engines
+# share).
+# ---------------------------------------------------------------------------
+@_register(
+    "window_first_last_orders",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    ), traj AS (
+        SELECT o_custkey,
+               FIRST_VALUE(price) OVER w AS first_order_value,
+               LAST_VALUE(price) OVER w AS last_order_value,
+               NTH_VALUE(price, 2) OVER w AS second_order_value,
+               ROW_NUMBER() OVER w AS rn
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_custkey AS custkey,
+           CAST(first_order_value AS DOUBLE) AS first_order_value,
+           CAST(last_order_value AS DOUBLE) AS last_order_value,
+           CAST(second_order_value AS DOUBLE) AS second_order_value
+    FROM traj WHERE rn = 1 ORDER BY custkey
+    """,
+)
+def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    traj = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.first("price").over(w).alias("first_order_value"),
+        F.last("price").over(w).alias("last_order_value"),
+        F.nth_value("price", 2).over(w).alias("second_order_value"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderkey"))
+        .alias("rn"),
+    )
+    return (
+        traj.filter(F.col("rn") == 1)
+        .select(
+            "custkey",
+            F.col("first_order_value").cast("double").alias("first_order_value"),
+            F.col("last_order_value").cast("double").alias("last_order_value"),
+            F.col("second_order_value").cast("double").alias("second_order_value"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe arithmetic — try_divide / try_to_number return NULL instead
+# of raising under ANSI mode (Spark 4 default).  The engine's pattern
+# for dirty numeric input: parse failures and div-by-zero become nulls
+# the quality layer can count, not job failures.
+# ---------------------------------------------------------------------------
+@_register(
+    "ansi_safe_arithmetic",
+    """
+    SELECT s_suppkey,
+           CAST(TRY_CAST(s_name AS DOUBLE) AS DOUBLE) AS bad_parse,
+           ROUND(CAST(s_acctbal AS DOUBLE)
+                / NULLIF(s_suppkey % 3, 0), 4) AS per_unit
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.try_to_number("s_name", F.lit("999")).cast("double").alias("bad_parse"),
+        F.round(
+            F.try_divide(
+                F.col("s_acctbal").cast("double"),
+                F.nullif(F.col("s_suppkey") % 3, F.lit(0)),
+            ),
+            4,
+        ).alias("per_unit"),
+    ).orderBy("s_suppkey")
