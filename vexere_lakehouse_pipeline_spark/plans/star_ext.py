@@ -599,3 +599,41 @@ def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("per_unit"),
     ).orderBy("s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Map function family — build a per-user map<event_type, count>, filter
+# entries inside the map, then explode back to rows (map_from_entries /
+# map_filter / explode).  Result is row-shaped so the oracle compares
+# plain tuples; the map is the intermediate, as it would be in a
+# feature-store column.
+# ---------------------------------------------------------------------------
+@_register(
+    "map_function_showcase",
+    """
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, n FROM counts
+    WHERE n >= 3 AND user_id < 50
+    ORDER BY user_id, event_type
+    """,
+)
+def map_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    per_user_map = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias("m")
+        )
+        .withColumn("m", F.map_filter("m", lambda _, v: v >= 3))
+    )
+    return (
+        per_user_map.select("user_id", F.explode("m").alias("event_type", "n"))
+        .orderBy("user_id", "event_type")
+    )
