@@ -279,3 +279,36 @@ def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style filter): fraction of word
+# bigrams that are duplicates within the doc.  Pure Column arithmetic
+# over the shingle array — no shuffle at all beyond the scan; the
+# classic cheap screen for degenerate/templated text.
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_repetition_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    sh AS (SELECT doc_id, {_duck_shingles(3)} AS s FROM t)
+    SELECT doc_id, CAST(len(s) AS BIGINT) AS n_ngrams,
+           CAST(len(s) - len(list_distinct(s)) AS BIGINT) AS n_dup,
+           ROUND((len(s) - len(list_distinct(s))) * 1.0
+                 / nullif(len(s), 0), 4) AS dup_ratio
+    FROM sh ORDER BY doc_id
+    """,
+)
+def corpus_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("s"))
+    n = F.size("s").cast("bigint")
+    dup = (F.size("s") - F.size(F.array_distinct("s"))).cast("bigint")
+    return sh.select(
+        "doc_id",
+        n.alias("n_ngrams"),
+        dup.alias("n_dup"),
+        F.round(dup * 1.0 / F.nullif(n, F.lit(0)), 4).alias("dup_ratio"),
+    ).orderBy("doc_id")
