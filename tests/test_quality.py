@@ -70,3 +70,39 @@ def test_unique_key_report(spark):
     assert len(dups) == 1 and dups[0]["n"] == 2
     orders = spark.read.parquet(f"{SF}/orders.parquet")
     assert quality.unique_key(orders, ["o_orderkey"]).count() == 0
+
+
+def test_streaming_quarantine_routes_by_expectation(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.sources.ticket_source import (
+        TicketDataSource,
+    )
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        run_stream_with_quarantine,
+    )
+
+    spark.dataSource.register(TicketDataSource)
+    stream = (
+        spark.readStream.format("vexere_tickets")
+        .option("days", "01-05-2025,02-05-2025")
+        .option("rows_per_day", 60)
+        .load()
+    )
+    good_p, bad_p = str(tmp_path / "good"), str(tmp_path / "bad")
+    run_stream_with_quarantine(
+        stream,
+        {
+            "price_parses": F.regexp_replace("Price", "[^0-9]", "") != "",
+            "departure_known": F.col("Departure_Time") != "Không rõ",
+        },
+        good_p, bad_p, str(tmp_path / "ck"),
+    )
+    good = spark.read.parquet(good_p)
+    bad = spark.read.parquet(bad_p)
+    assert good.count() + bad.count() == 120
+    assert bad.count() > 0  # fixture injects unparseable rows
+    # good rows satisfy both expectations
+    assert good.filter(F.col("Departure_Time") == "Không rõ").count() == 0
+    # quarantined rows name what failed
+    reasons = {r.failed_expectations for r in bad.collect()}
+    assert all(r for r in reasons)
+    assert any("price_parses" in r or "departure_known" in r for r in reasons)

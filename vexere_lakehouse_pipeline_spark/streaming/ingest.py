@@ -156,3 +156,31 @@ def stream_stream_attribution_join(clicks: DataFrame, purchases: DataFrame,
         "purchase_ts",
         "purchase_value",
     )
+
+
+def run_stream_with_quarantine(stream_df: DataFrame, expectations,
+                               good_path: str, bad_path: str,
+                               checkpoint: str) -> None:
+    """Continuous ingest with in-flight data-quality routing: each
+    micro-batch splits via operators/quality.quarantine — clean rows to
+    the main table, violating rows (tagged with their failed
+    expectation names) to a quarantine table.  foreachBatch keeps both
+    writes inside one checkpointed transaction boundary per batch, the
+    standard DLT-expectations shape on plain Structured Streaming."""
+    from vexere_lakehouse_pipeline_spark.operators.quality import quarantine
+
+    def route(batch_df: DataFrame, _batch_id: int) -> None:
+        good, bad = quarantine(batch_df, expectations)
+        good.write.mode("append").parquet(good_path)
+        bad.withColumn(
+            "failed_expectations",
+            F.concat_ws(",", F.col("failed_expectations")),
+        ).write.mode("append").parquet(bad_path)
+
+    (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
