@@ -265,3 +265,47 @@ def test_incremental_rollup_leaves_untouched_partitions_alone(spark, tmp_path):
         if f.endswith(".parquet")
     }
     assert d1_files == d1_after  # dynamic overwrite skipped day=d1
+
+
+def test_upsert_updates_matches_and_inserts_new(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        read_table,
+        upsert,
+    )
+
+    path = str(tmp_path / "scd1")
+    v1 = spark.createDataFrame(
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c")],
+        "day string, id int, v string",
+    )
+    upsert(v1, path, ["id"], partition_by=("day",))
+    v2 = spark.createDataFrame(
+        [("d1", 2, "B2"), ("d1", 9, "new")], "day string, id int, v string"
+    )
+    upsert(v2, path, ["id"], partition_by=("day",))
+    got = {
+        (r.id, r.v) for r in read_table(spark, path).collect()
+    }
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "new")}
+    # unpartitioned path too
+    p2 = str(tmp_path / "flat")
+    upsert(v1.drop("day"), p2, ["id"])
+    upsert(v2.drop("day"), p2, ["id"])
+    got2 = {(r.id, r.v) for r in read_table(spark, p2).collect()}
+    assert got2 == got
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        read_table,
+        upsert,
+    )
+
+    path = str(tmp_path / "idem")
+    batch = spark.createDataFrame(
+        [("d1", 1, "x"), ("d2", 2, "y")], "day string, id int, v string"
+    )
+    upsert(batch, path, ["id"], partition_by=("day",))
+    upsert(batch, path, ["id"], partition_by=("day",))  # replay
+    rows = read_table(spark, path).collect()
+    assert len(rows) == 2

@@ -223,3 +223,63 @@ def partials_union_combine(a: DataFrame, b: DataFrame, group_keys: list[str],
         .groupBy(*group_keys)
         .agg(*[F.sum(out).alias(out) for out in measures])
     )
+
+
+def upsert(df: DataFrame, path: str, merge_keys: list[str],
+           fmt: str = DEFAULT_FORMAT,
+           partition_by: tuple[str, ...] = ()) -> None:
+    """SCD1 upsert: new rows replace existing rows with the same
+    ``merge_keys`` (whenMatchedUpdateAll + whenNotMatchedInsertAll
+    semantics).  On Delta this is a true transactional MERGE; on plain
+    parquet it rewrites as anti-join(existing) ∪ new — with
+    ``partition_by`` set, dynamic partition overwrite limits the
+    rewrite to partitions the batch touches (same scale contract as
+    :func:`incremental_rollup`)."""
+    spark = df.sparkSession
+    existing = read_table(spark, path, fmt)
+    if existing is None:
+        write_overwrite(df, path, fmt, partition_by)
+        return
+    if _HAVE_DELTA and fmt == "delta":  # pragma: no cover
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in merge_keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(df.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    keys = df.select(
+        *[F.col(k).alias(f"__k_{k}") for k in merge_keys]
+    ).distinct()
+    cond = None
+    for k in merge_keys:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else (cond & c)
+    survivors = existing.join(keys, on=cond, how="left_anti")
+    merged = survivors.unionByName(df)
+    if partition_by:
+        touched = df.select(*partition_by).distinct()
+        # dynamic overwrite: write ONLY rows belonging to touched
+        # partitions (semi join), leaving others on disk untouched
+        merged_touched = merged.join(
+            F.broadcast(touched), on=list(partition_by), how="left_semi"
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged_touched.write.format(fmt).mode("overwrite").partitionBy(
+                *partition_by
+            ).save(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        # full rewrite via staging dir would be needed for true atomicity
+        # on plain files; Spark's overwrite-with-read-self is unsafe, so
+        # materialize first.
+        merged.localCheckpoint(eager=True).write.format(fmt).mode(
+            "overwrite"
+        ).save(path)
