@@ -106,3 +106,27 @@ def test_streaming_quarantine_routes_by_expectation(spark, tmp_path):
     reasons = {r.failed_expectations for r in bad.collect()}
     assert all(r for r in reasons)
     assert any("price_parses" in r or "departure_known" in r for r in reasons)
+
+
+def test_observation_metrics_computed_during_write(spark, tmp_path):
+    li = _li(spark)
+    observed, obs = quality.with_observation(
+        li,
+        "silver_write",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "null_qty": F.count(F.when(F.col("l_quantity").isNull(), 1)),
+            "revenue": F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2
+            ).cast("double"),
+        },
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    want_rev = li.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+    ).first()[0]
+    assert got["n_rows"] == li.count()
+    assert got["null_qty"] == 0
+    assert abs(got["revenue"] - want_rev) < 0.01

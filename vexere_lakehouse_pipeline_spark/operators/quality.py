@@ -90,3 +90,16 @@ def unique_key(df: DataFrame, cols: list[str]) -> DataFrame:
         .filter(F.col("n") > 1)
         .orderBy(F.desc("n"), *cols)
     )
+
+
+def with_observation(df: DataFrame, name: str,
+                     metrics: dict[str, Column]):
+    """Attach in-flight metrics to a plan: returns (df, Observation).
+    The metrics are computed DURING the next action on ``df`` (no
+    second scan — the rows are observed as they stream through), then
+    read with ``obs.get``.  The audit-friendly way to record row
+    counts / violation counts of every pipeline write for free."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[m.alias(k) for k, m in metrics.items()]), obs
