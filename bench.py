@@ -56,6 +56,8 @@ HEADLINE = [
     "window_spend_quartiles",
     "tpch_q9_product_profit",
     "corpus_vocab_topk",
+    "corpus_clean_pipeline",
+    "dedup_contamination_flags",
 ]
 
 
