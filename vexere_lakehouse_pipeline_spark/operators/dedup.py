@@ -341,10 +341,15 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
     relative to the corpus, so AQE broadcasts it.  Output: (doc_id,
     n_hits) per contaminated corpus doc.
     """
+    # No corpus-side pre-distinct: that would shuffle the full exploded
+    # shingle set once just to dedup.  Instead join raw (doc, h) pairs
+    # against the (small, distinct) benchmark set — AQE broadcasts it —
+    # and count DISTINCT hits in the final aggregation, whose partial
+    # phase dedups map-side.  One wide shuffle instead of two.
     c = corpus.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
-    ).withColumn("h", F.md5("shingle")).select("doc_id", "h").distinct()
+    ).select("doc_id", F.md5("shingle").alias("h"))
     b = (
         benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
         .select(F.md5("shingle").alias("h"))
@@ -353,6 +358,6 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
     return (
         c.join(b, on="h")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.countDistinct("h").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
