@@ -59,3 +59,26 @@ def test_read_empty_table_raises(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "none"))
     with pytest.raises(FileNotFoundError):
         t.read(spark)
+
+
+def test_expire_keeps_window_and_current(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "versioned"))
+    for i in range(4):
+        t.commit(spark.range(i + 1).toDF("id"), note=f"c{i}")
+    t.rollback(0)  # current is now the OLDEST version
+    expired = t.expire(keep_last=2)
+    hist = {h["version"] for h in t.history()}
+    assert 0 in hist  # current survives despite being outside the window
+    assert {2, 3} <= hist  # newest two kept
+    assert set(expired) == {1}
+    # expired data is gone, survivors still read
+    assert t.read(spark, version=0).count() == 1
+    assert t.read(spark).count() == 1  # current = v0 after rollback
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.read(spark, version=1)

@@ -109,3 +109,27 @@ class SnapshotTable:
             raise ValueError(f"unknown version {version}")
         m["current"] = version
         self._publish(m)
+
+    def expire(self, keep_last: int = 2) -> list[int]:
+        """Retention maintenance (Delta VACUUM / Iceberg
+        expire_snapshots): drop all but the newest ``keep_last``
+        versions' data directories.  The current version is always
+        kept even if older than the window (a rollback target must
+        stay readable).  Publishes the pruned manifest FIRST, then
+        deletes data — a crash between the two steps leaves unreferenced
+        directories (garbage), never dangling references.  Returns the
+        expired version numbers."""
+        import shutil
+
+        m = self._read_manifest()
+        versions = sorted(v["version"] for v in m["versions"])
+        keep = set(versions[-keep_last:]) | {m["current"]}
+        expired = [v for v in versions if v not in keep]
+        if not expired:
+            return []
+        m["versions"] = [v for v in m["versions"] if v["version"] in keep]
+        self._publish(m)
+        for v in expired:
+            shutil.rmtree(os.path.join(self.base, f"v={v}"),
+                          ignore_errors=True)
+        return expired
