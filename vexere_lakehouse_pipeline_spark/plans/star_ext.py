@@ -637,3 +637,77 @@ def map_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user_map.select("user_id", F.explode("m").alias("event_type", "n"))
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset profiling (operators/quality.profile): per-column stats for
+# the whole table in one aggregation pass.
+# ---------------------------------------------------------------------------
+@_register(
+    "quality_table_profile",
+    """
+    WITH agg AS (
+        SELECT COUNT(*) AS n,
+               COUNT(l_quantity) AS q_nn, COUNT(DISTINCT l_quantity) AS q_nd,
+               MIN(CAST(l_quantity AS DOUBLE)) AS q_lo,
+               MAX(CAST(l_quantity AS DOUBLE)) AS q_hi,
+               COUNT(l_discount) AS d_nn, COUNT(DISTINCT l_discount) AS d_nd,
+               MIN(CAST(l_discount AS DOUBLE)) AS d_lo,
+               MAX(CAST(l_discount AS DOUBLE)) AS d_hi
+        FROM lineitem
+    )
+    SELECT 'l_discount' AS "column", n AS n_rows, n - d_nn AS n_null,
+           d_nd AS n_distinct, d_lo AS min_value, d_hi AS max_value FROM agg
+    UNION ALL
+    SELECT 'l_quantity', n, n - q_nn, q_nd, q_lo, q_hi FROM agg
+    ORDER BY "column"
+    """,
+)
+def quality_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.quality import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_quantity", "l_discount"]).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users bucketed by signup week, activity counted by
+# weeks-since-signup: the classic triangle. Self-join of the events
+# fact with its own signup slice (broadcastable — signups are a small
+# fraction) then a two-key aggregation.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_cohort_retention",
+    """
+    WITH signup AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS signup_date
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', signup_date) AS DATE) AS cohort_week,
+           CAST(FLOOR(date_diff('day', signup_date, CAST(e.ts AS DATE)) / 7)
+                AS INT) AS weeks_since,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN signup s ON s.user_id = e.user_id
+    WHERE CAST(e.ts AS DATE) >= signup_date
+    GROUP BY 1, 2 ORDER BY cohort_week, weeks_since
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("signup_date"))
+    )
+    return (
+        ev.join(F.broadcast(signup), on="user_id")
+        .filter(F.to_date("ts") >= F.col("signup_date"))
+        .groupBy(
+            F.date_trunc("week", "signup_date").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("signup_date")) / 7
+            ).cast("int").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
