@@ -711,3 +711,85 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered view -> click -> purchase conversion: a
+# user converts at step N only if step N's first event follows step
+# N-1's.  One conditional-MIN aggregation per user (no joins, no
+# window), then a single funnel-count row.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_funnel_conversion",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS step1_view,
+        COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                   THEN 1 END) AS step2_click,
+        COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                   AND t_buy > t_click THEN 1 END) AS step3_purchase
+    FROM per_user
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    reached2 = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("step1_view"),
+        F.count(F.when(reached2, 1)).alias("step2_click"),
+        F.count(F.when(reached2 & (F.col("t_buy") > F.col("t_click")), 1)).alias(
+            "step3_purchase"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram — price distribution in 20 buckets via floor
+# arithmetic (portable; width_bucket isn't).  Bucketing is the
+# map-side; one small shuffle on bucket id.
+# ---------------------------------------------------------------------------
+@_register(
+    "agg_price_histogram",
+    """
+    WITH b AS (
+        SELECT LEAST(19, CAST(FLOOR((o_totalprice - mn) / ((mx - mn) / 20.0))
+                              AS INT)) AS bucket
+        FROM orders,
+             (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+              FROM orders)
+    )
+    SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    return (
+        o.join(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(19),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / 20.0)
+                ).cast("int"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
