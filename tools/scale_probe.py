@@ -43,6 +43,9 @@ PROBES = [
     ("dedup_minhash_lsh_pairs", {"documents": ["doc_id"]}),
     ("corpus_clean_pipeline", {"documents": ["doc_id"]}),
     ("text_unigram_logprob_scores", {"documents": ["doc_id"]}),
+    ("dedup_contamination_flags", {"documents": ["doc_id"]}),
+    ("events_cohort_retention", {"events": ["event_id", "user_id"]}),
+    ("corpus_split_counts", {"documents": ["doc_id"]}),
 ]
 
 ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
