@@ -1,0 +1,84 @@
+"""Degenerate-input robustness: every operator family must handle an
+EMPTY frame without crashing (schema-correct empty output) — at 100 TB
+a partition-pruned read or a quiet day produces exactly this."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.functions.text import (
+    detect_language,
+    document_fingerprint,
+    quality_features,
+)
+from vexere_lakehouse_pipeline_spark.operators import dedup, sampling, similarity
+from vexere_lakehouse_pipeline_spark.operators.joins import asof_join
+from vexere_lakehouse_pipeline_spark.operators.quality import check, quarantine
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_dedup_ops_on_empty(spark):
+    docs = _empty_docs(spark)
+    assert dedup.exact_duplicate_groups(docs).count() == 0
+    assert dedup.lsh_candidate_pairs(docs).count() == 0
+    assert dedup.simhash16(docs).count() == 0
+    assert dedup.contamination_flags(docs, docs).count() == 0
+
+
+def test_text_functions_on_empty_and_null(spark):
+    rows = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    out = rows.select(
+        detect_language("text").alias("lang"),
+        quality_features("text").alias("q"),
+        document_fingerprint("text").alias("fp"),
+    ).collect()
+    assert len(out) == 2  # no crash; nulls propagate
+
+
+def test_sampling_on_empty(spark):
+    docs = _empty_docs(spark)
+    assert sampling.hash_sample(docs, "doc_id", 0.5).count() == 0
+    assert (
+        docs.withColumn(
+            "split", sampling.split_column("doc_id", {"a": 0.5, "b": 0.5})
+        ).count()
+        == 0
+    )
+    mixed = sampling.weighted_mixture({"x": (docs, 1.5)}, key="doc_id")
+    assert mixed.count() == 0 and "mix_source" in mixed.columns
+
+
+def test_asof_join_empty_right_keeps_left(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "k long, ts long, event long"
+    )
+    right = spark.createDataFrame([], "k long, rts long, rid long")
+    out = asof_join(left, right, "k", "ts", "rts", ["rid"]).collect()
+    assert len(out) == 1 and out[0]["rid"] is None
+
+
+def test_quality_on_empty(spark):
+    docs = _empty_docs(spark)
+    report = check(docs, {"has_text": F.col("text").isNotNull()})
+    assert report.first()["n_violations"] == 0
+    good, bad = quarantine(docs, {"has_text": F.col("text").isNotNull()})
+    assert good.count() == 0 and bad.count() == 0
+
+
+def test_similarity_on_empty_queries(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("label", T.IntegerType()),
+        ]),
+    )
+    queries = emb.filter(F.col("vec_id") < 0)  # empty
+    assert similarity.topk_bruteforce(emb, queries, k=3).count() == 0
