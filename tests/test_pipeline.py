@@ -309,3 +309,36 @@ def test_upsert_is_idempotent(spark, tmp_path):
     upsert(batch, path, ["id"], partition_by=("day",))  # replay
     rows = read_table(spark, path).collect()
     assert len(rows) == 2
+
+
+def test_runner_retries_and_audits_each_attempt(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        ZoneCatalog,
+        read_table,
+    )
+    from vexere_lakehouse_pipeline_spark.plans.pipeline import PipelineRunner
+
+    zones = ZoneCatalog(str(tmp_path))
+    runner = PipelineRunner(spark, zones, dag_id="retry_dag")
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+
+    runner.run_task("flaky_task", flaky, retries=1)
+    runner.flush_audit()
+    audit = read_table(spark, zones.path("audit", "audit")).collect()
+    by_try = {(r.try_number, r.state) for r in audit if r.task_id == "flaky_task"}
+    assert by_try == {(1, "failed"), (2, "success")}
+    assert calls["n"] == 2
+
+    # permanent failure: exhausts retries then raises
+    import pytest
+
+    def broken():
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        runner.run_task("broken_task", broken, retries=1)

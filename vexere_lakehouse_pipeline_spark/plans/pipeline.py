@@ -174,27 +174,37 @@ class PipelineRunner:
         self.dag_id = dag_id
         self._audit_rows: list[tuple] = []
 
-    def run_task(self, task_id: str, fn: Callable[[], None]) -> None:
-        start = time.time()
-        state, err = "success", None
-        try:
-            fn()
-        except Exception as e:  # noqa: BLE001
-            state, err = "failed", e
-            traceback.print_exc()
-        end = time.time()
-        now = datetime.now(timezone.utc).isoformat()
-        self._audit_rows.append(
-            (
-                now, self.dag_id, task_id, state,
-                datetime.fromtimestamp(start, timezone.utc).isoformat(),
-                datetime.fromtimestamp(end, timezone.utc).isoformat(),
-                round(end - start, 3), 1, socket.gethostname(),
+    def run_task(self, task_id: str, fn: Callable[[], None],
+                 retries: int = 1, retry_delay_s: float = 0.0) -> None:
+        """Run a task with the reference's retry policy (kltn.dag.py:18-22 —
+        1 retry, delay between attempts) and one audit row PER ATTEMPT
+        with an honest try_number.  The task fails only after the final
+        attempt; intermediate failures are audited, not swallowed."""
+        err: Exception | None = None
+        for attempt in range(1, retries + 2):
+            start = time.time()
+            state, err = "success", None
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001
+                state, err = "failed", e
+                traceback.print_exc()
+            end = time.time()
+            now = datetime.now(timezone.utc).isoformat()
+            self._audit_rows.append(
+                (
+                    now, self.dag_id, task_id, state,
+                    datetime.fromtimestamp(start, timezone.utc).isoformat(),
+                    datetime.fromtimestamp(end, timezone.utc).isoformat(),
+                    round(end - start, 3), attempt, socket.gethostname(),
+                )
             )
-        )
-        if err is not None:
-            self.flush_audit()
-            raise err
+            if err is None:
+                return
+            if attempt <= retries and retry_delay_s:
+                time.sleep(retry_delay_s)
+        self.flush_audit()
+        raise err
 
     def flush_audit(self) -> None:
         if not self._audit_rows:
