@@ -99,3 +99,15 @@ def test_weighted_mixture_oversamples_with_epochs(spark):
     assert epochs == {0, 1, 2}
     # full epochs are complete copies
     assert mixed.filter(F.col("epoch") == 1).count() == n
+
+
+def test_hash_sample_fractions_are_nested(spark):
+    """sample(f1) ⊆ sample(f2) for f1 < f2 under the same salt — the
+    bucket-threshold construction makes samples MONOTONE, so growing a
+    sample never churns previously selected rows (critical when a
+    training set is later enlarged)."""
+    docs = _docs(spark)
+    small = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.2).collect()}
+    large = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.6).collect()}
+    assert small <= large
+    assert len(small) < len(large)
