@@ -48,7 +48,17 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = build_session("check-oracle")
+    # SPARK_GRAFT_VANILLA=1 -> plain SparkSession (driver-faithful: 200
+    # shuffle partitions, none of our conf) to catch partition-count- or
+    # conf-sensitive results before the driver does.
+    import os
+
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = build_session("check-oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
