@@ -82,3 +82,20 @@ def test_expire_keeps_window_and_current(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.read(spark, version=1)
+
+
+def test_commit_skips_colliding_version_dirs(spark, tmp_path):
+    import os
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "occ"))
+    t.commit(spark.range(1).toDF("id"))
+    # simulate a concurrent writer that grabbed v=1 but hasn't published
+    os.makedirs(str(tmp_path / "occ" / "v=1"))
+    v = t.commit(spark.range(2).toDF("id"))
+    assert v == 2  # collision detected, next version allocated
+    assert t.read(spark).count() == 2
+    assert [h["version"] for h in t.history()] == [0, 2]

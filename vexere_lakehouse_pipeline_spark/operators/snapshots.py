@@ -55,23 +55,53 @@ class SnapshotTable:
         os.replace(tmp, self._manifest_path())  # atomic publish
 
     # -- public API --------------------------------------------------------
-    def commit(self, df: DataFrame, note: str = "") -> int:
-        """Write ``df`` as the next version and publish it. Returns the
-        new version number."""
-        m = self._read_manifest()
-        version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
-        path = f"{self.base}/v={version}"
-        df.write.format(self.fmt).mode("errorifexists").save(path)
-        m["versions"].append(
-            {
-                "version": version,
-                "committed_at": time.time(),
-                "note": note,
-            }
+    def commit(self, df: DataFrame, note: str = "",
+               max_attempts: int = 5) -> int:
+        """Write ``df`` as the next version and publish it.  Optimistic
+        concurrency: the version directory is created with
+        ``errorifexists``, so two racing writers cannot share one — the
+        loser re-reads the manifest and retries the NEXT number; the
+        manifest is re-read immediately before publish so a concurrent
+        winner's entry is merged, not clobbered.  (A true multi-writer
+        log needs a CAS primitive the local FS lacks — Delta/Iceberg
+        provide it in production; this makes the local behavior safe
+        for retrying single writers and honest about the residual
+        window.)  Returns the new version number."""
+        last_err: Exception | None = None
+        for _ in range(max_attempts):
+            m = self._read_manifest()
+            version = (m["versions"][-1]["version"] + 1) if m["versions"] else 0
+            # advance past any version dir a concurrent (or crashed)
+            # writer already claimed, published or not
+            if os.path.isdir(self.base):
+                claimed = [
+                    int(d[2:]) for d in os.listdir(self.base)
+                    if d.startswith("v=") and d[2:].isdigit()
+                ]
+                if claimed:
+                    version = max(version, max(claimed) + 1)
+            path = f"{self.base}/v={version}"
+            try:
+                df.write.format(self.fmt).mode("errorifexists").save(path)
+            except Exception as e:  # noqa: BLE001 - collision -> retry next id
+                last_err = e
+                continue
+            m = self._read_manifest()  # merge any concurrent publishes
+            m["versions"] = [v for v in m["versions"] if v["version"] != version]
+            m["versions"].append(
+                {
+                    "version": version,
+                    "committed_at": time.time(),
+                    "note": note,
+                }
+            )
+            m["versions"].sort(key=lambda v: v["version"])
+            m["current"] = version
+            self._publish(m)
+            return version
+        raise RuntimeError(
+            f"commit failed after {max_attempts} attempts: {last_err}"
         )
-        m["current"] = version
-        self._publish(m)
-        return version
 
     def read(self, spark: SparkSession, version: int | None = None,
              as_of_ts: float | None = None) -> DataFrame:
