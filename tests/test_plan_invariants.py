@@ -1,0 +1,57 @@
+"""Physical-plan regression guards: the properties that matter at
+100 TB, pinned as tests so a refactor that silently degrades a plan
+(broadcast lost, pushdown broken, extra shuffle) fails CI instead of
+production.  Uses the same plan-text audit as tools/explain_report.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from vexere_lakehouse_pipeline_spark.plans import corpus, star, star_tpch2
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    df.collect()  # materialize so AQE's final plan is available
+    text = df._jdf.queryExecution().executedPlan().toString()
+    # under AQE the string contains final + initial; audit the final
+    return text.split("== Initial Plan ==")[0]
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_q9_broadcasts_all_dims_no_smj(spark):
+    plan = _plan(star_tpch2.QUERIES["tpch_q9_product_profit"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(star.QUERIES["tpch_q1_pricing_summary"](spark, SF))
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    assert scans and all("PushedFilters: [" in s for s in scans)
+    # executedPlan text lists projected columns in the scan's bracket
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) <= 7  # not the full 11-col table
+
+
+def test_vocab_topk_single_wide_shuffle(spark):
+    plan = _plan(corpus.QUERIES["corpus_vocab_topk"](spark, SF))
+    # explode -> partial agg -> ONE exchange on token -> final agg -> topk
+    assert _shuffles(plan) <= 1
+
+
+def test_split_counts_no_join_no_python(spark):
+    plan = _plan(corpus.QUERIES["corpus_split_counts"](spark, SF))
+    assert "Join" not in plan  # pure map-side assignment + one agg
+    assert "BatchEvalPython" not in plan  # md5 bucketing stays JVM-side
+    assert "ArrowEvalPython" not in plan
+
+
+def test_clean_pipeline_stays_jvm_side(spark):
+    plan = _plan(corpus.QUERIES["corpus_clean_pipeline"](spark, SF))
+    assert "BatchEvalPython" not in plan  # redact/quality/fingerprint native
