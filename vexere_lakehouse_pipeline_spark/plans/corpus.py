@@ -312,3 +312,40 @@ def corpus_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("n_dup"),
         F.round(dup * 1.0 / F.nullif(n, F.lit(0)), 4).alias("dup_ratio"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-per-class example selection — "3 random-looking but
+# reproducible examples per language": rank within each stratum by a
+# salted md5 of the key (uniform pseudo-order, stable across runs/
+# engines/partitionings), keep rank <= k.  The few-shot/eval-set
+# sampler; one shuffle on the stratum key.
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_examples_per_class",
+    """
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('ex:' || CAST(doc_id AS STRING)), doc_id
+               ) AS rnk
+        FROM documents
+    )
+    SELECT lang, doc_id, rnk FROM ranked WHERE rnk <= 3
+    ORDER BY lang, rnk
+    """,
+)
+def corpus_examples_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("ex:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "rnk")
+        .orderBy("lang", "rnk")
+    )
