@@ -62,3 +62,25 @@ def test_zorder_key_handles_constant_column(spark):
     # constant column contributes nothing; key stays monotone in `a`
     rows = keyed.orderBy("a").select("z").collect()
     assert all(rows[i].z <= rows[i + 1].z for i in range(len(rows) - 1))
+
+
+def test_zorder_rejects_overflowing_bit_budget(spark):
+    import pytest
+
+    df = spark.range(10).selectExpr(*[f"id as c{i}" for i in range(6)])
+    with pytest.raises(ValueError, match="exceeds 62"):
+        layout.zorder_key(df, [f"c{i}" for i in range(6)], bits=12)
+
+
+def test_zorder_nulls_sort_low_and_empty_ok(spark):
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (100.0, 1.0), (0.0, 1.0)], "x double, y double"
+    )
+    keyed = df.withColumn("z", layout.zorder_key(df, ["x", "y"], bits=4))
+    rows = {r.x: r.z for r in keyed.collect()}
+    assert rows[None] == rows[0.0]  # null buckets with the minimum
+    assert rows[100.0] > rows[None]
+    empty = df.filter(F2.col("y") < 0)
+    assert empty.withColumn("z", layout.zorder_key(empty, ["x"], 8)).count() == 0

@@ -342,3 +342,56 @@ def test_runner_retries_and_audits_each_attempt(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="permanent"):
         runner.run_task("broken_task", broken, retries=1)
+
+
+def test_rollup_preserves_null_partition_history(spark, tmp_path):
+    """Review finding: isin() never matches NULL, so the null
+    partition's prior aggregates were dropped on merge."""
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        incremental_rollup,
+        read_table,
+    )
+
+    path = str(tmp_path / "nullpart")
+    m = {"total": ("sum", "v"), "n": ("count", "v")}
+    b1 = spark.createDataFrame([(None, 5.0), ("d1", 1.0)], "day string, v double")
+    b2 = spark.createDataFrame([(None, 7.0)], "day string, v double")
+    incremental_rollup(b1, path, ["day"], m, "day")
+    incremental_rollup(b2, path, ["day"], m, "day")
+    got = {r.day: r.total for r in read_table(spark, path).collect()}
+    assert got[None] == 12.0  # 5 + 7, not 7
+    assert got["d1"] == 1.0
+
+
+def test_upsert_removes_stale_row_when_partition_changes(spark, tmp_path):
+    """Review finding: a key moving partitions left its old row on disk
+    because the old partition was never rewritten."""
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        read_table,
+        upsert,
+    )
+
+    path = str(tmp_path / "move")
+    upsert(
+        spark.createDataFrame([("d1", 1, "a"), ("d1", 2, "b")],
+                              "day string, id int, v string"),
+        path, ["id"], partition_by=("day",),
+    )
+    upsert(
+        spark.createDataFrame([("d3", 1, "a2")], "day string, id int, v string"),
+        path, ["id"], partition_by=("day",),
+    )
+    rows = {(r.id, r.day, r.v) for r in read_table(spark, path).collect()}
+    assert rows == {(1, "d3", "a2"), (2, "d1", "b")}  # no stale (1, d1, a)
+
+
+def test_compact_table_ceiling_file_count(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        compact_table,
+    )
+
+    path = str(tmp_path / "cmp")
+    spark.range(30).repartition(10).write.parquet(path)
+    n = compact_table(spark, path, target_rows_per_file=20)
+    assert n == 2  # ceil(30/20), not floor -> files stay under target
+    assert spark.read.parquet(path).count() == 30

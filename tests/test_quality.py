@@ -130,3 +130,13 @@ def test_observation_metrics_computed_during_write(spark, tmp_path):
     assert got["n_rows"] == li.count()
     assert got["null_qty"] == 0
     assert abs(got["revenue"] - want_rev) < 0.01
+
+
+def test_profile_handles_all_null_and_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "a int, b double")
+    rows = {r["column"]: r for r in quality.profile(df, ["a", "b"]).collect()}
+    assert rows["b"]["n_null"] == 2 and rows["b"]["min_value"] is None
+    assert rows["a"]["min_value"] == 1.0
+    empty = df.filter("a < 0")
+    out = quality.profile(empty, ["a"]).first()
+    assert out["n_rows"] == 0 and out["min_value"] is None

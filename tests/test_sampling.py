@@ -111,3 +111,11 @@ def test_hash_sample_fractions_are_nested(spark):
     large = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.6).collect()}
     assert small <= large
     assert len(small) < len(large)
+
+
+def test_weighted_mixture_rejects_empty_config(spark):
+    import pytest
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="no source contributes"):
+        sampling.weighted_mixture({"x": (docs, 0.0)}, key="doc_id")

@@ -83,16 +83,14 @@ def merge_append(df: DataFrame, path: str, merge_keys: list[str],
         return -1  # delta does not report insert counts synchronously
     # Null-safe key equality (<=>): rows with null key components must
     # still match their replay twins, else every rerun re-appends them.
-    seen = existing.select(
-        *[F.col(k).alias(f"__k_{k}") for k in merge_keys]
-    ).distinct()
-    cond = None
-    for k in merge_keys:
-        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
-        cond = c if cond is None else (cond & c)
+    seen, cond = _keys_and_cond(existing, merge_keys)
     # No broadcast hint: the existing-keys side grows with the table;
     # AQE picks broadcast when (and only when) it actually fits.
-    novel = df.join(seen, on=cond, how="left_anti")
+    # localCheckpoint: the anti-join executes ONCE — count() and the
+    # write both read the materialized blocks instead of re-running the
+    # scan+join (and a nondeterministic source can't diverge between
+    # the counted and written rows).
+    novel = df.join(seen, on=cond, how="left_anti").localCheckpoint(eager=True)
     n = novel.count()
     if n:
         w = novel.write.format(fmt).mode("append")
@@ -129,6 +127,35 @@ class ZoneCatalog:
         )
 
 
+def _keys_and_cond(df: DataFrame, merge_keys: list[str]):
+    """Distinct key frame (renamed __k_*) + null-safe equality condition
+    against it — shared by merge_append and upsert so the <=> semantics
+    can't drift between them."""
+    keys = df.select(
+        *[F.col(k).alias(f"__k_{k}") for k in merge_keys]
+    ).distinct()
+    cond = None
+    for k in merge_keys:
+        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+        cond = c if cond is None else (cond & c)
+    return keys, cond
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    """Scope spark.sql.sources.partitionOverwriteMode=dynamic so an
+    overwrite replaces ONLY the partitions present in the written data."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def compact_table(spark: SparkSession, path: str, fmt: str = DEFAULT_FORMAT,
                   target_rows_per_file: int = 1_000_000,
                   partition_by: tuple[str, ...] = ()) -> int:
@@ -140,19 +167,21 @@ def compact_table(spark: SparkSession, path: str, fmt: str = DEFAULT_FORMAT,
     ZORDER; this is the format-agnostic fallback.)
     """
     df = spark.read.format(fmt).load(path)
-    n = max(1, df.count() // target_rows_per_file)
+    n = max(1, -(-df.count() // target_rows_per_file))  # ceiling: files
+    # stay AT OR BELOW the target size, never up to 2x it
     compacted = (
         df.repartition(n, *partition_by) if partition_by else df.repartition(n)
     )
-    # rewrite via a temp dir then swap would be safer on object stores
-    # with no atomic rename; local/HDFS overwrite is transactional enough
-    # for the engine's zone tables (writers are single-pipeline).
-    compacted.cache().count()  # materialize before overwriting the source
+    # localCheckpoint TRUNCATES lineage (cache() does not): if a cached
+    # block were lost mid-write, the overwrite job would recompute from
+    # the source files it is deleting.  A rewrite-to-temp + swap would be
+    # the object-store-safe variant; checkpointing suffices where rename
+    # is atomic (local/HDFS).
+    compacted = compacted.localCheckpoint(eager=True)
     w = compacted.write.format(fmt).mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
-    compacted.unpersist()
     return n
 
 
@@ -198,20 +227,24 @@ def incremental_rollup(delta: DataFrame, path: str, group_keys: list[str],
 
     touched = new_partials.select(partition_key).distinct()
     # Partition-pruned read-back: the IN-filter on the partition column
-    # prunes directories, so untouched history is never scanned.
+    # prunes directories, so untouched history is never scanned.  A NULL
+    # partition key needs an explicit isNull arm — isin() never matches
+    # null, which would silently drop that partition's history.
     keys = [r[0] for r in touched.collect()]
-    relevant = existing.filter(F.col(partition_key).isin(keys))
+    non_null = [k for k in keys if k is not None]
+    read_cond = (
+        F.col(partition_key).isin(non_null) if non_null else F.lit(False)
+    )
+    if len(non_null) != len(keys):
+        read_cond = read_cond | F.col(partition_key).isNull()
+    relevant = existing.filter(read_cond)
     merged = partials_union_combine(relevant, new_partials, group_keys, measures)
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    with _dynamic_partition_overwrite(spark):
         # Dynamic mode replaces ONLY the partitions present in `merged`.
         merged.write.format(fmt).mode("overwrite").partitionBy(
             partition_key
         ).save(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def partials_union_combine(a: DataFrame, b: DataFrame, group_keys: list[str],
@@ -251,31 +284,35 @@ def upsert(df: DataFrame, path: str, merge_keys: list[str],
             .execute()
         )
         return
-    keys = df.select(
-        *[F.col(k).alias(f"__k_{k}") for k in merge_keys]
-    ).distinct()
-    cond = None
-    for k in merge_keys:
-        c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
-        cond = c if cond is None else (cond & c)
+    keys, cond = _keys_and_cond(df, merge_keys)
     survivors = existing.join(keys, on=cond, how="left_anti")
     merged = survivors.unionByName(df)
     if partition_by:
-        touched = df.select(*partition_by).distinct()
-        # dynamic overwrite: write ONLY rows belonging to touched
-        # partitions (semi join), leaving others on disk untouched
-        merged_touched = merged.join(
-            F.broadcast(touched), on=list(partition_by), how="left_semi"
+        # Touched partitions = partitions the batch writes into PLUS the
+        # partitions matched old rows currently live in — when a key's
+        # partition value changes, the OLD partition must be rewritten
+        # too or its stale row survives on disk (SCD1 would then hold
+        # two rows for one key).
+        new_parts = df.select(*partition_by).distinct()
+        old_parts = existing.join(keys, on=cond, how="left_semi").select(
+            *partition_by
+        ).distinct()
+        touched = new_parts.unionByName(old_parts).distinct().select(
+            *[F.col(k).alias(f"__p_{k}") for k in partition_by]
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                              "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        # Null-safe semi join: a NULL partition value must still count
+        # as touched (plain column equality would drop those rows).
+        tcond = None
+        for k in partition_by:
+            c = F.col(k).eqNullSafe(F.col(f"__p_{k}"))
+            tcond = c if tcond is None else (tcond & c)
+        merged_touched = merged.join(
+            F.broadcast(touched), on=tcond, how="left_semi"
+        )
+        with _dynamic_partition_overwrite(spark):
             merged_touched.write.format(fmt).mode("overwrite").partitionBy(
                 *partition_by
             ).save(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     else:
         # full rewrite via staging dir would be needed for true atomicity
         # on plain files; Spark's overwrite-with-read-self is unsafe, so

@@ -30,19 +30,30 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12) -> Column:
     """Interleaved-bit Z-order key over ``cols`` (numeric), each
     min-max normalized to ``bits`` bits.  Returns a bigint Column.
     Constant columns contribute zero bits (min == max -> bucket 0)."""
+    n = len(cols)
+    if bits * n > 62:  # bigint sign bit + headroom; shifts wrap mod 64
+        raise ValueError(
+            f"bits({bits}) * len(cols)({n}) = {bits * n} exceeds 62 — "
+            "reduce bits (interleaved key must fit a signed 64-bit long)"
+        )
     row = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).first()
     scale = (1 << bits) - 1
     z = F.lit(0).cast("long")
-    n = len(cols)
     for j, c in enumerate(cols):
-        lo, hi = float(row[f"lo_{c}"]), float(row[f"hi_{c}"])
+        lo_v, hi_v = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo_v is None:  # empty frame or all-null column: contributes 0
+            continue
+        lo, hi = float(lo_v), float(hi_v)
         span = (hi - lo) or 1.0
+        # NULL values sort with the minimum (bucket 0) rather than
+        # silently landing in the MAX bucket (least() skips nulls).
+        val = F.coalesce(F.col(c).cast("double"), F.lit(lo))
         bucket = F.least(
             F.lit(scale),
-            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * scale),
+            F.floor((val - F.lit(lo)) / F.lit(span) * scale),
         ).cast("long")
         for i in range(bits):
             bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))

@@ -122,6 +122,8 @@ def profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
         ]
     row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs).first()
     spark = df.sparkSession
+    opt = lambda v: None if v is None else float(v)  # noqa: E731 — all-null
+    # columns / empty frames profile as NULL min/max, they don't crash
     return spark.createDataFrame(
         [
             (
@@ -129,8 +131,8 @@ def profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
                 int(row["__n"]),
                 int(row["__n"]) - int(row[f"{c}__nn"]),
                 int(row[f"{c}__nd"]),
-                float(row[f"{c}__lo"]),
-                float(row[f"{c}__hi"]),
+                opt(row[f"{c}__lo"]),
+                opt(row[f"{c}__hi"]),
             )
             for c in numeric_cols
         ],

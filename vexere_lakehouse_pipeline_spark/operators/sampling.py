@@ -115,6 +115,11 @@ def weighted_mixture(sources: dict[str, tuple[DataFrame, float]],
                 kept.withColumn("mix_source", F.lit(name))
                 .withColumn("epoch", F.lit(whole))
             )
+    if not parts:
+        raise ValueError(
+            "weighted_mixture: no source contributes rows "
+            "(empty sources dict, or every rate is 0.0)"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
