@@ -87,3 +87,39 @@ def test_topk_arrow_matches_column_fold(spark):
     a = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in fold.collect())
     b = sorted((r["query_id"], r["rank"], r["vec_id"]) for r in arrow.collect())
     assert a == b
+
+
+def test_arrow_topk_handles_zero_vectors_like_fold_path(spark):
+    import pyspark.sql.types as T
+
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, [0.5, 0.5])],
+        schema,
+    )
+    queries = cands.filter("vec_id = 1")
+    fold = similarity.topk_bruteforce(cands, queries, k=2)
+    arrow = similarity.topk_bruteforce_arrow(cands, queries, k=2)
+    f = [(r.vec_id, r.rank) for r in fold.orderBy("rank").collect()]
+    a = [(r.vec_id, r.rank) for r in arrow.orderBy("rank").collect()]
+    assert a == f
+    assert 3 not in {v for v, _ in a}  # zero vector never ranks
+
+
+def test_ivf_default_quantizer_survives_offset_ids(spark):
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F2
+
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    shifted = emb.withColumn("vec_id", F2.col("vec_id") + 10_000)
+    out = similarity.topk_ivf(
+        shifted, shifted.filter(F2.col("vec_id") < 10_005), k=3, n_centroids=8
+    )
+    assert out.count() > 0  # id-offset spaces must not empty the index

@@ -313,3 +313,17 @@ def test_cogrouped_asof_matches_window_asof(spark):
     # merge_asof keeps the LAST right row at equal ts like the window's
     # last(); identical data -> identical matches
     assert got_a == got_b and len(got_a) > 0
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    left = spark.createDataFrame([(1, 10, 500)], "k long, ts long, eid long")
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, 5, 7)], "k long, rts long, rid long"
+    )
+    out = asof_join(left, right, "k", "ts", "rts", ["rid"]).collect()
+    assert out[0]["rid"] == 7  # real match wins
+    right_only_null = spark.createDataFrame(
+        [(1, None, 99)], "k long, rts long, rid long"
+    )
+    out2 = asof_join(left, right_only_null, "k", "ts", "rts", ["rid"]).collect()
+    assert out2[0]["rid"] is None  # null-ts row can never match

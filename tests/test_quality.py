@@ -95,6 +95,7 @@ def test_streaming_quarantine_routes_by_expectation(spark, tmp_path):
             "departure_known": F.col("Departure_Time") != "Không rõ",
         },
         good_p, bad_p, str(tmp_path / "ck"),
+        merge_keys=["Bus_Key"],
     )
     good = spark.read.parquet(good_p)
     bad = spark.read.parquet(bad_p)
@@ -106,6 +107,23 @@ def test_streaming_quarantine_routes_by_expectation(spark, tmp_path):
     reasons = {r.failed_expectations for r in bad.collect()}
     assert all(r for r in reasons)
     assert any("price_parses" in r or "departure_known" in r for r in reasons)
+    # replay the same batch through a FRESH checkpoint: merge_keys make
+    # the sinks idempotent, so counts must not grow
+    run_stream_with_quarantine(
+        (
+            spark.readStream.format("vexere_tickets")
+            .option("days", "01-05-2025,02-05-2025")
+            .option("rows_per_day", 60)
+            .load()
+        ),
+        {
+            "price_parses": F.regexp_replace("Price", "[^0-9]", "") != "",
+            "departure_known": F.col("Departure_Time") != "Không rõ",
+        },
+        good_p, bad_p, str(tmp_path / "ck2"),
+        merge_keys=["Bus_Key"],
+    )
+    assert spark.read.parquet(good_p).count() + spark.read.parquet(bad_p).count() == 120
 
 
 def test_observation_metrics_computed_during_write(spark, tmp_path):

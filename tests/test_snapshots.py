@@ -99,3 +99,21 @@ def test_commit_skips_colliding_version_dirs(spark, tmp_path):
     assert v == 2  # collision detected, next version allocated
     assert t.read(spark).count() == 2
     assert [h["version"] for h in t.history()] == [0, 2]
+
+
+def test_expire_keep_last_zero_keeps_only_current(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "k0"))
+    for i in range(3):
+        t.commit(spark.range(i + 1).toDF("id"))
+    expired = t.expire(keep_last=0)
+    assert set(expired) == {0, 1}
+    assert [h["version"] for h in t.history()] == [2]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="local path"):
+        SnapshotTable("s3a://bucket/tbl")

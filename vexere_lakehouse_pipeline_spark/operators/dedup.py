@@ -120,10 +120,10 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, SHINGLE_N)).alias("shingle"),
     )
-    # Persist the signatures: tiny (n_bands rows/doc) and read twice by
-    # the self-join — without this the whole shingle+hash lineage runs
-    # twice.
-    bands = minhash_band_keys(sh).persist()
+    # localCheckpoint: tiny (n_bands rows/doc) and read twice by the
+    # self-join — materialize once AND avoid the unbounded cache-manager
+    # entry a bare persist() would leak (blocks free with the DataFrame).
+    bands = minhash_band_keys(sh).localCheckpoint(eager=True)
     a = bands.withColumnsRenamed({"doc_id": "doc_a"})
     b = bands.withColumnsRenamed({"doc_id": "doc_b"})
     return (

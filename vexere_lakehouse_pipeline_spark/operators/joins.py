@@ -45,6 +45,10 @@ def asof_join(
     ignorenulls)`` → filter left side.  One shuffle, no O(L×R) pairs.
     """
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    # A null right_ts can never satisfy "greatest right_ts <= left_ts";
+    # unfiltered it would sort FIRST in the window and become a phantom
+    # fallback match for the whole key.
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),

@@ -88,11 +88,17 @@ def topk_ivf(candidates: DataFrame, queries: DataFrame, k: int = 5,
         F.col(vec_col).alias("emb"),
         l2_norm(vec_col).alias("_norm"),
     )
-    cents = (
-        centroids
-        if centroids is not None
-        else c.filter(F.col("vec_id") < n_centroids).drop("_norm")
-    ).select(
+    if centroids is None:
+        # First n_centroids candidates BY ID (as documented) — robust
+        # to sparse/offset id spaces, unlike a `vec_id < n` filter.
+        centroids = (
+            c.orderBy("vec_id").limit(n_centroids).drop("_norm")
+        )
+    elif "cluster" in centroids.columns:  # train_kmeans output, as-is
+        centroids = centroids.select(
+            F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
+        )
+    cents = centroids.select(
         F.col("vec_id").alias("cid"),
         F.col("emb").alias("c_emb"),
         l2_norm("emb").alias("c_norm"),
@@ -210,17 +216,26 @@ def topk_bruteforce_arrow(candidates: DataFrame, queries: DataFrame,
                 continue
             cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(cm, axis=1, keepdims=True)
-            norms[norms == 0] = np.nan
-            sims = (cm / norms) @ b_qn.T  # (n, m)
             vec_ids = pdf[id_col].to_numpy()
+            # Drop zero-norm candidates: cosine is undefined for them.
+            # (topk_bruteforce's nullif path yields null, sorted last —
+            # emitting NaN here would instead sort FIRST under desc.)
+            ok = norms[:, 0] > 0
+            if not ok.any():
+                continue
+            cm, norms, vec_ids = cm[ok], norms[ok], vec_ids[ok]
+            sims = (cm / norms) @ b_qn.T  # (n, m)
             top = min(k + 1, len(vec_ids))  # +1 absorbs a self-match
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, m)
             out_q, out_v, out_s = [], [], []
             for j in range(m):
-                rows = idx[:, j]
-                out_q.extend([b_qids[j]] * len(rows))
-                out_v.extend(vec_ids[rows])
-                out_s.extend(np.round(sims[rows, j], 6))
+                # lexsort = deterministic (cos_sim desc, vec_id asc)
+                # order, so boundary TIES keep the same row the plain
+                # column-fold path keeps — batch layout can't change
+                # the result.
+                order = np.lexsort((vec_ids, -sims[:, j]))[:top]
+                out_q.extend([b_qids[j]] * len(order))
+                out_v.extend(vec_ids[order])
+                out_s.extend(np.round(sims[order, j], 6))
             yield pd.DataFrame(
                 {"query_id": out_q, "vec_id": out_v, "cos_sim": out_s}
             )

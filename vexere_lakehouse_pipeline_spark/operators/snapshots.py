@@ -29,10 +29,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotTable:
-    """A versioned table rooted at ``base`` (local or any Hadoop FS
-    path that supports atomic rename of a single file)."""
+    """A versioned table rooted at ``base`` — a LOCAL (or locally
+    mounted) filesystem path: the manifest protocol uses os.* atomic
+    rename, so remote URIs (hdfs://, s3a://) are not supported here.
+    On clusters, back the same API with Delta/Iceberg, whose commit
+    logs provide this natively."""
+
+    # (df.write itself could target any Hadoop path, but the manifest
+    # would silently live on the driver's local disk — refuse instead.)
 
     def __init__(self, base: str, fmt: str = "parquet"):
+        if "://" in base:
+            raise ValueError(
+                "SnapshotTable requires a local path (manifest uses "
+                f"os.rename); got remote URI {base!r} — use Delta/Iceberg"
+            )
         self.base = base.rstrip("/")
         self.fmt = fmt
 
@@ -153,7 +164,8 @@ class SnapshotTable:
 
         m = self._read_manifest()
         versions = sorted(v["version"] for v in m["versions"])
-        keep = set(versions[-keep_last:]) | {m["current"]}
+        window = set(versions[-keep_last:]) if keep_last > 0 else set()
+        keep = window | {m["current"]}
         expired = [v for v in versions if v not in keep]
         if not expired:
             return []

@@ -160,27 +160,43 @@ def stream_stream_attribution_join(clicks: DataFrame, purchases: DataFrame,
 
 def run_stream_with_quarantine(stream_df: DataFrame, expectations,
                                good_path: str, bad_path: str,
-                               checkpoint: str) -> None:
+                               checkpoint: str,
+                               merge_keys: list[str] | None = None) -> None:
     """Continuous ingest with in-flight data-quality routing: each
     micro-batch splits via operators/quality.quarantine — clean rows to
     the main table, violating rows (tagged with their failed
-    expectation names) to a quarantine table.  foreachBatch keeps both
-    writes inside one checkpointed transaction boundary per batch, the
-    standard DLT-expectations shape on plain Structured Streaming."""
+    expectation names) to a quarantine table.
+
+    Exactly-once: foreachBatch itself is at-least-once (a crash between
+    the write and the checkpoint commit replays the batch), so pass
+    ``merge_keys`` to route replays through merge_append, which skips
+    rows already present.  Without keys the sinks are plain appends and
+    a replay can duplicate rows — acceptable only when downstream
+    consumers dedup anyway.  Blocks until the availableNow backlog
+    fully drains.
+    """
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        merge_append,
+    )
     from vexere_lakehouse_pipeline_spark.operators.quality import quarantine
 
     def route(batch_df: DataFrame, _batch_id: int) -> None:
         good, bad = quarantine(batch_df, expectations)
-        good.write.mode("append").parquet(good_path)
-        bad.withColumn(
+        bad = bad.withColumn(
             "failed_expectations",
             F.concat_ws(",", F.col("failed_expectations")),
-        ).write.mode("append").parquet(bad_path)
+        )
+        if merge_keys:
+            merge_append(good, good_path, merge_keys, fmt="parquet")
+            merge_append(bad, bad_path, merge_keys, fmt="parquet")
+        else:
+            good.write.mode("append").parquet(good_path)
+            bad.write.mode("append").parquet(bad_path)
 
-    (
+    q = (
         stream_df.writeStream.foreachBatch(route)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
+    q.awaitTermination()  # no timeout: wait for the full backlog
