@@ -169,3 +169,14 @@ def test_redact_pii_urls_and_emails(spark):
         "<EMAIL>",
         "<URL> <EMAIL> trailing",
     ]
+
+
+def test_punct_ratio_not_inflated_by_vietnamese_diacritics(spark):
+    from vexere_lakehouse_pipeline_spark.functions.text import quality_features
+
+    rows = spark.createDataFrame(
+        [("hà nội!",), ("ha noi!",)], ["text"]
+    ).select(quality_features("text").alias("q")).collect()
+    vi, ascii_ = rows[0]["q"], rows[1]["q"]
+    # one '!' in 7 chars for both — diacritics must not count as punct
+    assert vi["punct_ratio"] == ascii_["punct_ratio"]

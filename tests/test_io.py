@@ -154,3 +154,22 @@ def test_python_datasource_streaming_reader(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 50
     assert got.select("Start_Date").distinct().count() == 2
+
+
+def test_read_csv_captures_corrupt_records(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from vexere_lakehouse_pipeline_spark.io import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nnot_an_int,5\n3,4\n")
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", IntegerType())]
+    )
+    df = read_csv(spark, str(p), schema, keep_corrupt=True).cache()
+    bad = df.filter(df["_corrupt_record"].isNotNull()).collect()
+    assert len(bad) == 1 and "not_an_int" in bad[0]["_corrupt_record"]
+    assert df.filter(df["_corrupt_record"].isNull()).count() == 2
+    # contract object not mutated by the corrupt-column addition
+    assert len(schema.fields) == 2
+    df.unpersist()

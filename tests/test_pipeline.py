@@ -395,3 +395,19 @@ def test_compact_table_ceiling_file_count(spark, tmp_path):
     n = compact_table(spark, path, target_rows_per_file=20)
     assert n == 2  # ceil(30/20), not floor -> files stay under target
     assert spark.read.parquet(path).count() == 30
+
+
+def test_bronze_keeps_prior_ingest_dates(spark, tmp_path):
+    """Review finding: static overwrite wiped every earlier ingest_date
+    partition on each daily run."""
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        ZoneCatalog,
+    )
+
+    zones = ZoneCatalog(str(tmp_path))
+    d1 = spark.createDataFrame([("a", "2025-05-01")], "v string, ingest_date string")
+    d2 = spark.createDataFrame([("b", "2025-05-02")], "v string, ingest_date string")
+    zones.overwrite_partitions(d1, "bronze", "ticket", ("ingest_date",))
+    zones.overwrite_partitions(d2, "bronze", "ticket", ("ingest_date",))
+    got = {str(r.ingest_date) for r in zones.read(spark, "bronze", "ticket").collect()}
+    assert got == {"2025-05-01", "2025-05-02"}  # day 1 survives day 2's run

@@ -103,3 +103,36 @@ def test_scd2_merge_then_changelog_equivalence(spark):
             key_cols=["k"], ts_col="ts", attr_cols=["seg"],
         )
     assert _rows(step) == _rows(rebuilt)
+
+
+def test_scd2_merge_null_key_replay_is_idempotent(spark):
+    from vexere_lakehouse_pipeline_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(None, "a", "2024-01-01", None, True)],
+        "k string, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    batch = spark.createDataFrame(
+        [(None, "2024-02-01", "a")], "k string, ts string, attr string"
+    )
+    once = scd2_merge(dim, batch, ["k"], "ts", ["attr"])
+    twice = scd2_merge(once, batch, ["k"], "ts", ["attr"])
+    assert once.count() == 1  # unchanged attrs -> no new version
+    assert twice.count() == 1  # replay is a no-op, no duplicate current
+
+
+def test_scd2_merge_closes_row_with_null_valid_from(spark):
+    from vexere_lakehouse_pipeline_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [("k1", "a", None, None, True)],
+        "k string, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    batch = spark.createDataFrame(
+        [("k1", "2024-02-01", "b")], "k string, ts string, attr string"
+    )
+    out = scd2_merge(dim, batch, ["k"], "ts", ["attr"]).collect()
+    # old version closed (not silently dropped), new one opened
+    assert len(out) == 2
+    states = {(r.attr, r.is_current) for r in out}
+    assert states == {("a", False), ("b", True)}

@@ -60,3 +60,14 @@ def test_with_salt_spreads_hot_key(spark):
     per_salt = salted.groupBy("_salt").count().collect()
     assert len(per_salt) == 16  # every salt bucket used
     assert max(r["count"] for r in per_salt) < 10_000 * 0.25  # spread out
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10)], "k int, fv int")
+    dim = spark.createDataFrame([(1, "x")], "k int, dv string")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(fact, dim, on="k", salt_from="fv", how="full")

@@ -30,8 +30,13 @@ VIETNAMESE_CHARS = (
 # Ordered rewrite rules: (java_regex, replacement).
 # Semantics follow convert/to_silver.py:22-46 (canonical plugin ordering —
 # generic rules, then specific fixups).  Java regex notes:
-#  - `\b` in Java is ASCII-word-boundary like Python's default `re`, so the
-#    patterns behave identically on these ASCII abbreviation tokens.
+#  - `\b` is Unicode-aware in BOTH Java and Python `re`, so the boundary
+#    patterns agree on these tokens.  Java's `\w` (used in a lookbehind
+#    below) is ASCII-only though, unlike Python's: a diacritic letter
+#    directly touching an abbreviation (e.g. "bộql1") is expanded by a
+#    Python re-implementation but not by Spark.  Real place names always
+#    separate with whitespace/punctuation, and the unit tests pin the
+#    Spark behavior as canonical.
 #  - Python backrefs `\2` become `$2` in Java replacement strings.
 NORMALIZE_GENERIC_RULES: tuple[tuple[str, str], ...] = (
     (r"\b(q([0-9]+))\b", "quận $2"),

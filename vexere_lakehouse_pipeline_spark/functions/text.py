@@ -14,6 +14,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from vexere_lakehouse_pipeline_spark.functions.cleaning import VIETNAMESE_CHARS
+
+# Explicit "letterish" class: Java's default \w is ASCII-only, so a bare
+# [^\w\s] would count every diacritic letter as punctuation and junk
+# Vietnamese documents via an inflated punct_ratio.  The explicit class
+# is also RE2-safe, so the DuckDB oracles use the same characters.
+PUNCT_RE = rf"[^A-Za-z0-9_\s{VIETNAMESE_CHARS}]"
+
 WORD_RE = r"[a-z0-9]+"
 # GPT-2-style pre-tokenizer shape: word pieces, numbers, or single
 # non-space symbols.  (A real BPE merges further; this counts pre-tokens,
@@ -86,7 +94,7 @@ def quality_features(col: Column | str) -> Column:
     words = tokenize(c)
     n_words = F.size(words).cast("double")
     total_word_chars = F.length(F.concat_ws("", words)).cast("double")
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0)).cast("double")
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0)).cast("double")
     n_digits = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0)).cast("double")
     n_stop = _stopword_hits(F.lower(c), _LANG_STOPWORDS["en"]).cast("double")
     safe = lambda num, den: F.round(num / F.nullif(den, F.lit(0.0)), 4)  # noqa: E731

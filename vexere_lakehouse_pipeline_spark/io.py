@@ -3,8 +3,10 @@
 The reference reads CSV untyped (header only, to_brz.py:15) and infers
 JSON schemas (to_brz.py:21,27) — every downstream step then re-parses
 strings.  Here every scan takes an explicit StructType contract
-(lenient: malformed values null out, bad rows land in
-``_corrupt_record`` instead of failing mid-job or silently drifting).
+(lenient PERMISSIVE mode: malformed values null out rather than failing
+mid-job; pass ``keep_corrupt=True`` to additionally capture each bad
+raw line in a ``_corrupt_record`` column for quarantine/audit — Spark
+only populates it when the column is present in the schema).
 """
 
 from __future__ import annotations
@@ -13,13 +15,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: StructType) -> StructType:
+    # copy — StructType.add would mutate the caller's contract object
+    from pyspark.sql.types import StringType, StructField
+
+    return StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
+
+
 def read_csv(spark: SparkSession, path: str, schema: StructType,
-             header: bool = True) -> DataFrame:
+             header: bool = True, keep_corrupt: bool = False) -> DataFrame:
     """S1: header CSV scan with an enforced contract (PERMISSIVE mode:
-    unparseable values → null, never a job failure at 100 TB)."""
+    unparseable values → null, never a job failure at 100 TB).  With
+    ``keep_corrupt`` the raw text of each malformed line is retained in
+    ``_corrupt_record`` (null for clean rows) so ingest can quarantine
+    instead of silently nulling."""
+    if keep_corrupt:
+        schema = _with_corrupt(schema)
     return (
         spark.read.option("header", header)
         .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(schema)
         .csv(path)
     )

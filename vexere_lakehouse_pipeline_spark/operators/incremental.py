@@ -119,6 +119,16 @@ class ZoneCatalog:
                   partition_by: tuple[str, ...] = ()) -> None:
         write_overwrite(df, self.path(zone, table), self.fmt, partition_by)
 
+    def overwrite_partitions(self, df: DataFrame, zone: str, table: str,
+                             partition_by: tuple[str, ...]) -> None:
+        """Dynamic partition overwrite: replace ONLY the partitions
+        present in ``df``, keeping other dates' history — the correct
+        verb for date-partitioned ingest zones (a static overwrite
+        would wipe every previous ingest_date)."""
+        with _dynamic_partition_overwrite(df.sparkSession):
+            write_overwrite(df, self.path(zone, table), self.fmt,
+                            partition_by)
+
     def merge(self, df: DataFrame, zone: str, table: str,
               merge_keys: list[str],
               partition_by: tuple[str, ...] = ()) -> int:

@@ -49,10 +49,14 @@ def scd2_from_changelog(
         *([tiebreak_col] if tiebreak_col else []),
         *attr_cols,
         *[F.lag(c).over(w).alias(f"_prev_{c}") for c in attr_cols],
-        F.lag(ts_col).over(w).alias("_prev_ts"),
     )
-    opens = prev.filter(
-        F.col("_prev_ts").isNull() | _attrs_differ(attr_cols, "_prev_")
+    # First-row test via row_number, NOT lag(ts).isNull(): a null ts
+    # VALUE in the changelog would otherwise make its successor look
+    # like a first row and open a spurious no-op version.
+    opens = prev.withColumn(
+        "_rn", F.row_number().over(w)
+    ).filter(
+        (F.col("_rn") == 1) | _attrs_differ(attr_cols, "_prev_")
     ).select(*key_cols, F.col(ts_col).alias("valid_from"),
              *([tiebreak_col] if tiebreak_col else []), *attr_cols)
     worder = [F.col("valid_from")] + (
@@ -84,33 +88,45 @@ def scd2_merge(
     current version opened.  Unchanged keys pass through untouched —
     idempotent re-application of the same batch is a no-op.
     """
-    cur = dim.filter(F.col("is_current"))
+    # Explicit existence marker: after the full outer join, "dim row
+    # present" must not be inferred from a NULLABLE data column like
+    # valid_from (a matched current row with null valid_from would look
+    # absent and be silently dropped).
+    cur = dim.filter(F.col("is_current")).withColumn(
+        "_dim_exists", F.lit(True)
+    )
     hist = dim.filter(~F.col("is_current"))
     upd = updates.select(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols],
         F.col(ts_col).alias("_u_ts"),
         *[F.col(c).alias(f"_u_{c}") for c in attr_cols],
     )
+    # Null-safe key equality: replayed null-keyed rows must MATCH their
+    # existing version, not open a duplicate one (same reason
+    # incremental.merge_append uses <=>).
     joined = cur.join(
         upd,
-        on=[F.col(k) == F.col(f"_u_{k}") for k in key_cols],
+        on=[F.col(k).eqNullSafe(F.col(f"_u_{k}")) for k in key_cols],
         how="full_outer",
     )
     changed = joined.filter(
         F.col("_u_ts").isNotNull()
-        & F.col("valid_from").isNotNull()
+        & F.col("_dim_exists").isNotNull()
         & _attrs_differ(attr_cols, "_u_")
     )
     unchanged_or_no_update = joined.filter(
-        F.col("_u_ts").isNull()
-        | (F.col("valid_from").isNotNull() & ~_attrs_differ(attr_cols, "_u_"))
+        F.col("_dim_exists").isNotNull()
+        & (
+            F.col("_u_ts").isNull()
+            | ~_attrs_differ(attr_cols, "_u_")
+        )
     ).select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
     closed = changed.select(
         *key_cols, *attr_cols, "valid_from",
         F.col("_u_ts").alias("valid_to"), F.lit(False).alias("is_current"),
     )
     new_keys = joined.filter(
-        F.col("_u_ts").isNotNull() & F.col("valid_from").isNull()
+        F.col("_u_ts").isNotNull() & F.col("_dim_exists").isNull()
     )
     opened = (
         changed.unionByName(new_keys, allowMissingColumns=True)

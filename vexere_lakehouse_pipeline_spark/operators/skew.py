@@ -72,7 +72,16 @@ def salted_join(
 
     Dim inflation is dim_rows × n_salts: use for medium dims (too big
     to broadcast, small enough to replicate 16x), hot-key facts.
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are
+    semantics-safe: a right/full outer would emit each UNMATCHED dim
+    row once per salt replica (n_salts duplicates).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r} "
+            "(outer joins would duplicate unmatched dim rows per salt)"
+        )
     f = with_salt(fact, salt_from, n_salts)
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

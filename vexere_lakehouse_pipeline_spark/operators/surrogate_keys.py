@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 def assign_keys_distributed(df: DataFrame, key_col: str, base: int = 0) -> DataFrame:
     """Unique sequential-ish long keys > ``base`` without a global shuffle."""
-    with_pid = df.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint pins the row->partition assignment: the counts
+    # job and the keyed output otherwise re-evaluate the (possibly
+    # nondeterministic) upstream twice, which could both double the
+    # work and make the per-partition offsets WRONG (key collisions).
+    with_pid = df.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["cnt"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

@@ -232,7 +232,10 @@ def run_full_pipeline(spark: SparkSession, zones: ZoneCatalog,
     runner = PipelineRunner(spark, zones)
 
     def to_bronze():
-        zones.overwrite(
+        # Dynamic overwrite: re-running a day replaces THAT day's
+        # partition only; prior ingest dates stay (the reference's
+        # daily overwrite kept one day ever — SURVEY §2.1 S5 upgraded).
+        zones.overwrite_partitions(
             raw_tickets.withColumn("ingest_date", F.lit(ingest_date)),
             "bronze", "ticket", partition_by=("ingest_date",),
         )

@@ -31,6 +31,7 @@ from vexere_lakehouse_pipeline_spark.functions.cleaning import (
 )
 from vexere_lakehouse_pipeline_spark.functions.text import (
     BPE_ISH_RE,
+    PUNCT_RE,
     bpe_ish_token_count,
     detect_language,
     document_fingerprint,
@@ -283,7 +284,7 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "text_quality_scores",
-    r"""
+    rf"""
     WITH t AS (SELECT doc_id, text,
                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                            x -> x <> '') AS w
@@ -293,7 +294,7 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(w) AS BIGINT) AS n_words,
            ROUND(length(array_to_string(w, '')) * 1.0 / nullif(len(w), 0), 4)
              AS avg_word_len,
-           ROUND(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+           ROUND(len(regexp_extract_all(text, '{PUNCT_RE}')) * 1.0
                  / nullif(length(text), 0), 4) AS punct_ratio,
            ROUND(len(regexp_extract_all(text, '[0-9]')) * 1.0
                  / nullif(length(text), 0), 4) AS digit_ratio,
