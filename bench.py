@@ -5,9 +5,11 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a count() action (no driver-side collect of
-result data beyond the row count — the work measured is the plan
-execution).  A warmup pass of the first query absorbs JVM/codegen
+Each query is forced through the noop sink (df.write.format("noop")),
+which evaluates EVERY output column and row — count() would let
+Catalyst prune projection work entirely (a quality-scoring query would
+"run" as an empty scan) and answer unfiltered counts from parquet
+metadata.  A warmup pass of the first query absorbs JVM/codegen
 startup so numbers reflect steady-state execution.
 """
 
@@ -67,9 +69,12 @@ def main() -> None:
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def force(df):  # noop sink: full evaluation, zero output cost
+        df.write.format("noop").mode("overwrite").save()
+
     names = [n for n in HEADLINE if n in ALL_QUERIES]
     # Warmup: run the first query once to absorb JVM startup / codegen.
-    ALL_QUERIES[names[0]](spark, sf_dir).count()
+    force(ALL_QUERIES[names[0]](spark, sf_dir))
 
     # Best-of-N per query (N=2 default): the min over repetitions is
     # the standard noise-robust estimator of steady-state latency.
@@ -84,7 +89,7 @@ def main() -> None:
             # number would measure the cache, not the pipeline.
             spark.catalog.clearCache()
             t0 = time.time()
-            ALL_QUERIES[name](spark, sf_dir).count()
+            force(ALL_QUERIES[name](spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 

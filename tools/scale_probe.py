@@ -95,16 +95,19 @@ def main() -> None:
         "| query | t_1x (s) | t_%dx (s) | exponent |" % k,
         "|---|---|---|---|",
     ]
+    def force(df):  # noop sink evaluates all columns (see bench.py)
+        df.write.format("noop").mode("overwrite").save()
+
     for name, _ in PROBES:
         fn = ALL_QUERIES[name]
-        fn(spark, BASE).count()  # warm codegen/JVM for this plan shape
+        force(fn(spark, BASE))  # warm codegen/JVM for this plan shape
         times = {}
         for label, d in (("1x", BASE), (f"{k}x", tmp)):
             spark.catalog.clearCache()
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                fn(spark, d).count()
+                force(fn(spark, d))
                 best = min(best, time.time() - t0)
             times[label] = best
         exp = math.log(times[f"{k}x"] / times["1x"]) / math.log(k)

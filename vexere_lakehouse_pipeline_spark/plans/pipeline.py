@@ -88,21 +88,42 @@ def conform_facilities(raw: DataFrame) -> DataFrame:
     )
 
 
-def facility_to_silver(raw: DataFrame, bus_ids: DataFrame) -> dict[str, DataFrame]:
+def facility_to_silver(raw: DataFrame, bus_ids: DataFrame,
+                       existing_names: DataFrame | None = None,
+                       ) -> dict[str, DataFrame]:
     """→ {facility: bridge(Bus_Id, Bus_Name, Facility_Id),
     facility_name: dim(Facility_Name, Facility_Id)}
     (to_silver.py:142-164).  The name dim is tiny (21 rows) so its
-    row_number window is harmless; the bridge join broadcasts it."""
+    row_number window is harmless; the bridge join broadcasts it.
+
+    ``existing_names`` (the current silver dim) makes reruns id-STABLE:
+    already-assigned names keep their Facility_Id and only genuinely
+    new names get fresh ids above the existing max — without this, a
+    rerun whose batch contains a new name would re-number the sorted
+    list and corrupt the dim/bridge (two names sharing one id).
+    """
     conformed = _with_bus_id(
         conform_facilities(raw), bus_ids, ["Id", "Bus_Id", "Bus_Name"]
     )
-    names = (
-        conformed.select(F.explode("Facilities").alias("Facility_Name"))
-        .distinct()
-        .withColumn(
+    batch_names = conformed.select(
+        F.explode("Facilities").alias("Facility_Name")
+    ).distinct()
+    if existing_names is not None:
+        base = existing_names.agg(F.max("Facility_Id")).first()[0] or 0
+        fresh = batch_names.join(
+            F.broadcast(existing_names.select("Facility_Name")),
+            on="Facility_Name", how="left_anti",
+        ).withColumn(
+            "Facility_Id",
+            F.row_number().over(Window.orderBy("Facility_Name")) + F.lit(base),
+        )
+        names = existing_names.select(
+            "Facility_Name", "Facility_Id"
+        ).unionByName(fresh)
+    else:
+        names = batch_names.withColumn(
             "Facility_Id", F.row_number().over(Window.orderBy("Facility_Name"))
         )
-    )
     bridge = (
         conformed.select(
             "Bus_Id", "Bus_Name", F.explode("Facilities").alias("Facility_Name")
@@ -122,9 +143,12 @@ def review_to_silver(raw: DataFrame, bus_ids: DataFrame,
 
     vi rows carry POS/NEG/NEU; en rows POS/NEG only (reference parity:
     3-class vi model, 2-class en model)."""
+    # localCheckpoint: the vi/en branches below are two filters over
+    # this frame — without materialization each branch re-runs language
+    # detection AND the sentiment UDF over the full review set.
     scored = raw.withColumn("lang", language_column("Comment")).withColumn(
         "s", sentiment_udf(score_batch)("Comment")
-    )
+    ).localCheckpoint(eager=True)
     vi = scored.filter(F.col("lang") == "vi").select(
         "Bus_Name", "Customer_Name", "Stars", "Comment", "Date",
         F.round(F.col("s.pos"), 4).alias("POS"),
@@ -157,7 +181,11 @@ def run_gold(silver: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "cau_5": gold.cau_5_review_volume(vi),
         "cau_6": gold.cau_6_satisfaction_10pt(vi, en),
         "cau_7": gold.cau_7_hourly_coverage(t),
-        "cau_8": gold.cau_8_facility_coverage(fac, fname),
+        # grid width follows the ACTUAL dim (hardcoding 21 would drop
+        # ids above it / emit phantom rows below it); the dim is tiny.
+        "cau_8": gold.cau_8_facility_coverage(
+            fac, fname, n_facilities=max(fname.count(), 1)
+        ),
     }
 
 
@@ -246,7 +274,11 @@ def run_full_pipeline(spark: SparkSession, zones: ZoneCatalog,
     runner.run_task("to_bronze", to_bronze)
 
     def ticket_silver():
-        bronze = zones.read(spark, "bronze", "ticket")
+        # Prune to TODAY's partition: bronze retains all ingest dates,
+        # and reprocessing the full history each run would grow O(history).
+        bronze = zones.read(spark, "bronze", "ticket").filter(
+            F.col("ingest_date") == ingest_date
+        )
         existing = zones.read(spark, "silver", "ticket")
         base = max_existing_key(existing, "Bus_Key")
         silver = ticket_to_silver(
@@ -265,6 +297,7 @@ def run_full_pipeline(spark: SparkSession, zones: ZoneCatalog,
         out = facility_to_silver(
             zones.read(spark, "bronze", "facility"),
             zones.read(spark, "silver", "bus_ids"),
+            existing_names=zones.read(spark, "silver", "facility_name"),
         )
         zones.merge(out["facility"], "silver", "facility",
                     merge_keys=["Bus_Id", "Bus_Name", "Facility_Id"])

