@@ -135,17 +135,21 @@ def payload_stats_arrow(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import hashlib
 
+        import pyarrow.compute as pc
+
         for batch in it:
             ids = batch.column("media_id")
             payloads = batch.column("payload")
-            lengths = pa.array(
-                [len(v) if v is not None else 0 for v in payloads.to_pylist()],
-                type=pa.int64(),
+            # lengths straight off the Arrow buffers (no Python objects);
+            # md5 needs bytes, so materialize the payloads exactly once
+            lengths = pc.coalesce(
+                pc.binary_length(payloads).cast(pa.int64()), pa.scalar(0, pa.int64())
             )
+            vals = payloads.to_pylist()
             digests = pa.array(
                 [
                     hashlib.md5(v).hexdigest() if v is not None else None
-                    for v in payloads.to_pylist()
+                    for v in vals
                 ],
                 type=pa.string(),
             )

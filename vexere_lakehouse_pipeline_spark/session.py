@@ -64,15 +64,18 @@ def build_session(
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     conf["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
     if with_s3a:
-        # Reference wiring (spark_config.py:15-24), generalized: endpoint +
-        # creds come from the environment, never hardcoded.
-        conf.update(
-            {
-                "spark.hadoop.fs.s3a.endpoint": os.environ.get("S3_ENDPOINT", ""),
-                "spark.hadoop.fs.s3a.path.style.access": "true",
-                "spark.hadoop.fs.s3a.connection.ssl.enabled": "false",
-            }
-        )
+        # Reference wiring (spark_config.py:15-24), generalized: endpoint,
+        # creds AND transport security come from the environment.  Only
+        # set the endpoint when one is configured (an empty string breaks
+        # the client; absent = AWS default), and default SSL to ON —
+        # plaintext only when S3_SSL=false is requested (MinIO-style
+        # local stacks).
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+        endpoint = os.environ.get("S3_ENDPOINT")
+        if endpoint:
+            conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        if os.environ.get("S3_SSL", "true").lower() == "false":
+            conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] = "false"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -55,6 +55,32 @@ EN_COMMENTS = [
 ]
 
 
+def messy_ticket_row(rng: random.Random, key: int, day: str) -> tuple:
+    """ONE raw ticket row in the crawler's messy string shape —
+    the single source of truth shared by the batch fixture below and
+    the executor-side generator in sources/ticket_source.py (two
+    copies would drift apart on the mess probabilities/formats)."""
+    op = rng.choice(OPERATORS)
+    h, m = rng.randrange(24), rng.choice(("00", "15", "30", "45"))
+    dur_h, dur_m = rng.randrange(1, 8), rng.randrange(60)
+    price = rng.randrange(90, 1300) * 1000
+    return (
+        str(key),
+        op,
+        day,
+        rng.choice(ROUTES),
+        "Không rõ" if rng.random() < 0.03 else f"{h:02d}:{m}",
+        f"{(h + dur_h) % 24:02d}:{m}",
+        rng.choice(PLACES),
+        rng.choice(PLACES),
+        rng.choice((f"{dur_h}h{dur_m}m", f"{dur_h}h", "Không rõ", ""))
+        if rng.random() < 0.1
+        else f"{dur_h}h{dur_m}m",
+        rng.choice(TYPE_BUSES),
+        "Không rõ" if rng.random() < 0.02 else f"{price:,}đ".replace(",", "."),
+    )
+
+
 def raw_tickets(spark: SparkSession, days: tuple[str, ...] = ("01-05-2025",),
                 rows_per_day: int = 240, seed: int = 42) -> DataFrame:
     """Messy raw ticket rows (all strings) for the given dd-MM-yyyy days."""
@@ -64,29 +90,7 @@ def raw_tickets(spark: SparkSession, days: tuple[str, ...] = ("01-05-2025",),
     for day in days:
         for _ in range(rows_per_day):
             key += 1
-            op = rng.choice(OPERATORS)
-            h, m = rng.randrange(24), rng.choice(("00", "15", "30", "45"))
-            dur_h, dur_m = rng.randrange(1, 8), rng.randrange(60)
-            price = rng.randrange(90, 1300) * 1000
-            rows.append(
-                (
-                    str(key),
-                    op,
-                    day,
-                    rng.choice(ROUTES),
-                    "Không rõ" if rng.random() < 0.03 else f"{h:02d}:{m}",
-                    f"{(h + dur_h) % 24:02d}:{m}",
-                    rng.choice(PLACES),
-                    rng.choice(PLACES),
-                    rng.choice(
-                        (f"{dur_h}h{dur_m}m", f"{dur_h}h", "Không rõ", "")
-                    )
-                    if rng.random() < 0.1
-                    else f"{dur_h}h{dur_m}m",
-                    rng.choice(TYPE_BUSES),
-                    "Không rõ" if rng.random() < 0.02 else f"{price:,}đ".replace(",", "."),
-                )
-            )
+            rows.append(messy_ticket_row(rng, key, day))
     return spark.createDataFrame(rows, RAW_TICKET_SCHEMA)
 
 

@@ -28,12 +28,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from vexere_lakehouse_pipeline_spark.sources.fixtures import (
-    OPERATORS,
-    PLACES,
-    ROUTES,
-    TYPE_BUSES,
-)
+from vexere_lakehouse_pipeline_spark.sources.fixtures import messy_ticket_row
 
 TICKET_DDL = (
     "Bus_Key string, Bus_Name string, Start_Date string, Route string, "
@@ -51,30 +46,12 @@ class DayPartition(InputPartition):
 
 
 def _day_rows(p: DayPartition) -> Iterator[tuple]:
-    # Same messy-raw shape as fixtures.raw_tickets, but seeded per
-    # partition so executors generate independently and deterministically.
+    # Shared row builder with fixtures.raw_tickets (one source of
+    # truth); seeded per partition so executors generate independently
+    # and deterministically.
     rng = random.Random(f"{p.seed}:{p.day}")
     for i in range(p.rows):
-        op = rng.choice(OPERATORS)
-        h, m = rng.randrange(24), rng.choice(("00", "15", "30", "45"))
-        dur_h, dur_m = rng.randrange(1, 8), rng.randrange(60)
-        price = rng.randrange(90, 1300) * 1000
-        yield (
-            str(p.key_base + i),
-            op,
-            p.day,
-            rng.choice(ROUTES),
-            "Không rõ" if rng.random() < 0.03 else f"{h:02d}:{m}",
-            f"{(h + dur_h) % 24:02d}:{m}",
-            rng.choice(PLACES),
-            rng.choice(PLACES),
-            rng.choice((f"{dur_h}h{dur_m}m", f"{dur_h}h", "Không rõ", ""))
-            if rng.random() < 0.1
-            else f"{dur_h}h{dur_m}m",
-            rng.choice(TYPE_BUSES),
-            "Không rõ" if rng.random() < 0.02
-            else f"{price:,}đ".replace(",", "."),
-        )
+        yield messy_ticket_row(rng, p.key_base + i, p.day)
 
 
 class TicketReader(DataSourceReader):
@@ -115,10 +92,11 @@ class TicketDataSource(DataSource):
 
 
 # ---------------------------------------------------------------------------
-# Streaming flavor: each micro-batch emits one crawl day — the shape of
-# an incremental crawler feed.  Offsets are day indexes, so restarts
-# resume from the checkpoint exactly; with trigger(availableNow=True)
-# the stream drains all configured days then stops.
+# Streaming flavor: offsets are crawl-day indexes — restarts resume
+# from the checkpointed day boundary and each day is its own input
+# partition; with trigger(availableNow=True) the stream drains every
+# configured day (possibly in one micro-batch — see latestOffset) then
+# stops.
 # ---------------------------------------------------------------------------
 try:  # pragma: no cover - availability gate (pyspark >= 4)
     from pyspark.sql.datasource import DataSourceStreamReader
@@ -126,11 +104,20 @@ try:  # pragma: no cover - availability gate (pyspark >= 4)
     class TicketStreamReader(DataSourceStreamReader):
         def __init__(self, options: dict):
             self._r = TicketReader(options)
+            self._committed = 0
 
         def initialOffset(self) -> dict:  # noqa: N802
             return {"index": 0}
 
         def latestOffset(self) -> dict:  # noqa: N802
+            # The whole configured range is "available": under
+            # availableNow Spark snapshots this ONCE and may admit all
+            # days into a single micro-batch (the Python stream-reader
+            # API has no admission-control hook yet, so per-day batch
+            # pacing is not expressible).  Restarts still resume from
+            # the committed day boundary, and partitions() keeps one
+            # InputPartition per day, so day remains the parallelism
+            # and replay unit.
             return {"index": len(self._r.days)}
 
         def partitions(self, start: dict, end: dict):
@@ -144,7 +131,7 @@ try:  # pragma: no cover - availability gate (pyspark >= 4)
             return _day_rows(partition)
 
         def commit(self, end: dict) -> None:
-            pass
+            self._committed = max(self._committed, end["index"])
 
     HAS_STREAM_READER = True
 except ImportError:  # pragma: no cover
