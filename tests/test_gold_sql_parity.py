@@ -43,3 +43,23 @@ def test_sql_matches_dataframe_mode(spark, silver, name):
     a = sorted(str(tuple(r)) for r in sql_df.collect())
     b = sorted(str(tuple(r)) for r in df_df.collect())
     assert a == b
+
+
+def test_catalog_register_views_sql_matches_dataframe(spark):
+    """S10: catalog.register_views exposes the star tables to spark.sql
+    under the same names the DuckDB oracle uses."""
+    from vexere_lakehouse_pipeline_spark.catalog import register_views
+    from vexere_lakehouse_pipeline_spark.plans import star
+
+    register_views(spark, "/root/testdata/sf0.001")
+    via_sql = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).collect()
+    via_df = (
+        star.QUERIES["tpch_q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+        .select("l_returnflag")  # same grouping keys exist
+        .collect()
+    )
+    assert {r.l_returnflag for r in via_sql} == {r.l_returnflag for r in via_df}
+    assert sum(r.n for r in via_sql) == spark.table("lineitem").count()

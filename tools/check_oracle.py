@@ -48,6 +48,12 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    known = set(entry_mod.queries())
+    unknown = only - known
+    if unknown:
+        # a typo'd name must NOT silently become "0 failures"
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     # SPARK_GRAFT_VANILLA=1 -> plain SparkSession (driver-faithful: 200
     # shuffle partitions, none of our conf) to catch partition-count- or
     # conf-sensitive results before the driver does.

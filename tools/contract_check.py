@@ -12,8 +12,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = {"region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"}
+from vexere_lakehouse_pipeline_spark.catalog import TESTDATA_TABLES
+
+TABLES = set(TESTDATA_TABLES)
 
 
 def main() -> int:

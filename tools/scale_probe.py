@@ -24,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from bench import ALL_QUERIES  # noqa: E402
-from vexere_lakehouse_pipeline_spark.catalog import load_table  # noqa: E402
+from vexere_lakehouse_pipeline_spark.catalog import (  # noqa: E402
+    TESTDATA_TABLES,
+    load_table,
+)
 from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
@@ -33,8 +36,9 @@ BASE = "/root/testdata/sf0.1"
 PROBES = [
     ("tpch_q1_pricing_summary", {"lineitem": ["l_orderkey"]}),
     ("tpch_q3_shipping_priority",
-     {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"],
-      "customer": ["c_custkey"]}),
+     {"lineitem": ["l_orderkey"], "orders": ["o_orderkey", "o_custkey"],
+      "customer": ["c_custkey"]}),  # o_custkey remaps in lockstep with
+    # c_custkey (same replica offset) so the FK holds per replica
     ("cau4_daily_avg_order_value", {"orders": ["o_orderkey"]}),
     ("dedup_exact_groups", {"documents": ["doc_id"]}),
     ("corpus_vocab_topk", {"documents": ["doc_id"]}),
@@ -48,8 +52,7 @@ PROBES = [
     ("corpus_split_counts", {"documents": ["doc_id"]}),
 ]
 
-ALL_TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]
+ALL_TABLES = list(TESTDATA_TABLES)  # single source of truth (catalog)
 
 
 def replicate(spark, out_dir: str, k: int, remap: dict[str, list[str]]) -> None:
@@ -81,7 +84,10 @@ def main() -> None:
     needed: dict[str, list[str]] = {}
     for _, remap in PROBES:
         for t, cols in remap.items():
-            needed.setdefault(t, cols)
+            # UNION column lists — setdefault would silently drop a
+            # second probe's remap and corrupt its key spaces
+            merged = set(needed.get(t, [])) | set(cols)
+            needed[t] = sorted(merged)
     replicate(spark, tmp, k, needed)
 
     lines = [

@@ -33,12 +33,6 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale factor
-# (region/nation are fixed-size; supplier/part/customer grow with SF but
-# remain << fact tables — AQE will still pick broadcast when they fit).
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table from parquet.
 

@@ -199,7 +199,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     gated AS (
         SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_words,
-               list_aggregate(list_transform({_duck_shingles(5).replace('len(w)', 'len(w)')}, s -> md5(s)), 'min')
+               list_aggregate(list_transform({_duck_shingles(5)}, s -> md5(s)), 'min')
                  AS fp
         FROM qual WHERE len(w) BETWEEN 30 AND 90
     ),

@@ -66,7 +66,8 @@ def cau_2_cheapest_good_operator(
         )
         .drop(cheapest.Start_Date)
         .drop(cheapest.Route)
-        .join(F.broadcast(review_score), on="Bus_Id", how="left")
+        .join(review_score, on="Bus_Id", how="left")  # per-operator agg:
+        # small HERE, but fact-derived — let AQE decide, don't hint
         .select(
             "Start_Date",
             "Route",

@@ -13,10 +13,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-VIEW_NAMES = (
-    "bus_ids", "ticket", "facility", "facility_name",
-    "bus_review_vi", "bus_review_en",
-)
+# silver table name -> reference view name (convert/to_gold.py:21-26)
+SILVER_VIEWS = {
+    "bus_ids": "bus_ids",
+    "ticket": "ticket",
+    "facility": "facility",
+    "facility_name": "facility_name",
+    "bus_reviews_vi": "bus_review_vi",
+    "bus_reviews_en": "bus_review_en",
+}
 
 GOLD_SQL: dict[str, str] = {
     "cau_1": """
@@ -152,15 +157,7 @@ def register_silver_views(spark: SparkSession,
     """S10: temp-view registration with the reference's view names
     (ticket / facility / facility_name / bus_review_vi / bus_review_en /
     bus_ids — convert/to_gold.py:21-26)."""
-    mapping = {
-        "bus_ids": "bus_ids",
-        "ticket": "ticket",
-        "facility": "facility",
-        "facility_name": "facility_name",
-        "bus_reviews_vi": "bus_review_vi",
-        "bus_reviews_en": "bus_review_en",
-    }
-    for table, view in mapping.items():
+    for table, view in SILVER_VIEWS.items():
         if table in silver:
             silver[table].createOrReplaceTempView(view)
 

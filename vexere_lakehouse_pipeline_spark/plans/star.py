@@ -165,7 +165,7 @@ def cau2_cheapest_top_rated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
         .join(
-            F.broadcast(review_score),
+            review_score,
             on=F.col("l_suppkey") == F.col("user_id"),
             how="left",
         )

@@ -51,9 +51,18 @@ def _duck_md5_byte(k: int) -> str:  # 0-indexed byte of md5(text)
         FROM documents
     )
     SELECT doc_id,
-           CAST((a * 10000) // (a + bb + c) AS DOUBLE) / 10000 AS pos,
-           CAST((bb * 10000) // (a + bb + c) AS DOUBLE) / 10000 AS neg,
-           CAST((c * 10000) // (a + bb + c) AS DOUBLE) / 10000 AS neu
+           -- NULL text: md5 propagates NULL, but the scorer contract is
+           -- (0, 0, 1) for missing text — mirror fake_score_batch's
+           -- None branch exactly
+           CASE WHEN a IS NULL THEN 0.0
+                ELSE CAST((a * 10000) // (a + bb + c) AS DOUBLE) / 10000
+           END AS pos,
+           CASE WHEN a IS NULL THEN 0.0
+                ELSE CAST((bb * 10000) // (a + bb + c) AS DOUBLE) / 10000
+           END AS neg,
+           CASE WHEN a IS NULL THEN 1.0
+                ELSE CAST((c * 10000) // (a + bb + c) AS DOUBLE) / 10000
+           END AS neu
     FROM b ORDER BY doc_id
     """,
 )
@@ -473,7 +482,7 @@ def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_trailing_hour_value",
     """
     WITH p AS (
-        SELECT user_id, event_id, epoch(ts)::BIGINT AS ts_s,
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
                CAST(value AS DECIMAL(18,2)) AS v
         FROM events WHERE event_type = 'purchase'
     )
@@ -700,7 +709,9 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.to_date("ts")).alias("signup_date"))
     )
     return (
-        ev.join(F.broadcast(signup), on="user_id")
+        # no broadcast hint: signup is per-user (fact-derived) — it
+        # grows with the user population; AQE broadcasts iff it fits
+        ev.join(signup, on="user_id")
         .filter(F.to_date("ts") >= F.col("signup_date"))
         .groupBy(
             F.date_trunc("week", "signup_date").cast("date").alias("cohort_week"),

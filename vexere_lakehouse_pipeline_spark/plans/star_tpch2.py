@@ -510,7 +510,9 @@ def setop_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = nation.join(
         supp, F.col("n_nationkey") == F.col("s_nationkey"), "left_semi"
     ).select("n_name")
-    return a.exceptAll(b).distinct().orderBy("n_name")
+    # subtract == SQL EXCEPT (set semantics).  exceptAll().distinct()
+    # would differ whenever a holds MORE duplicates of a row than b.
+    return a.subtract(b).orderBy("n_name")
 
 
 # ---------------------------------------------------------------------------
