@@ -116,3 +116,41 @@ def test_merge_twice_equals_merge_once(spark, tmp_path):
         merge_keys=["k"],
     )
     assert spark.read.parquet(path).count() == 4
+
+
+def test_null_text_yields_no_shingles_and_null_fingerprint(spark):
+    """Engine-parity contract: NULL text must behave like the SQL
+    oracles (no shingles -> no dedup pairs; fingerprint NULL) instead
+    of collapsing every null-text doc into one duplicate cluster."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.functions.text import (
+        document_fingerprint,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        F.size(word_shingles("text", 2)).alias("n_sh"),
+        document_fingerprint("text", 2).alias("fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1]["n_sh"] == 0 and by_id[1]["fp"] is None
+    assert by_id[2]["n_sh"] > 0 and by_id[2]["fp"] is not None
+
+
+def test_null_embedding_gets_null_lsh_bucket(spark):
+    import pyspark.sql.types as T
+
+    from vexere_lakehouse_pipeline_spark.functions.vectors import sign_lsh_bucket
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, None)],
+        T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+    ).select("id", sign_lsh_bucket("embedding", 2).alias("b"))
+    got = {r.id: r.b for r in df.collect()}
+    assert got[1] == "10" and got[2] is None

@@ -28,8 +28,17 @@ WORD_RE = r"[a-z0-9]+"
 # which is the standard cheap proxy.)
 BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# Letterish class incl. Vietnamese diacritics — used to TOKENIZE for
+# stopword matching.  \b-based matching is NOT engine-portable (Java's
+# \b is Unicode-aware, RE2's is ASCII-only, so `\bvà\b` and even
+# `\bto\b` inside 'toàn' disagree across engines); splitting on an
+# explicit literal class and testing token MEMBERSHIP is bit-identical
+# everywhere.
+LETTERISH = f"a-z0-9{VIETNAMESE_CHARS}"
+LANG_TOKEN_SPLIT_RE = f"[^{LETTERISH}]+"
+
 # Tiny per-language stopword panels for the n-gram/stopword heuristic.
-_LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
     "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
     "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans"),
@@ -55,9 +64,20 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0)).cast("long")
 
 
-def _stopword_hits(lower: Column, words: tuple[str, ...]) -> Column:
-    pattern = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(lower, F.lit(pattern), 0))
+def stopword_hits(lower: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens equal to any panel word (token membership, not
+    \b regex — see LANG_TOKEN_SPLIT_RE)."""
+    toks = F.split(lower, LANG_TOKEN_SPLIT_RE)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_hits_sql(text_sql: str, words: tuple[str, ...]) -> str:
+    """DuckDB SQL computing exactly :func:`stopword_hits`."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split_regex(lower({text_sql}), "
+        f"'{LANG_TOKEN_SPLIT_RE}'), x -> x IN ({inlist})))"
+    )
 
 
 def detect_language(col: Column | str) -> Column:
@@ -74,12 +94,12 @@ def detect_language(col: Column | str) -> Column:
     lower = F.lower(c)
     scores = [
         F.struct(
-            (_stopword_hits(lower, words)
+            (stopword_hits(lower, words)
              + (F.size(F.regexp_extract_all(lower, F.lit("[ăâđêôơưạ-ỹ]"), 0))
                 if lang == "vi" else F.lit(0))).alias("score"),
             F.lit(lang).alias("lang"),
         )
-        for lang, words in _LANG_STOPWORDS.items()
+        for lang, words in LANG_STOPWORDS.items()
     ]
     best = F.array_max(F.array(*scores))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
@@ -96,7 +116,7 @@ def quality_features(col: Column | str) -> Column:
     total_word_chars = F.length(F.concat_ws("", words)).cast("double")
     n_punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0)).cast("double")
     n_digits = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0)).cast("double")
-    n_stop = _stopword_hits(F.lower(c), _LANG_STOPWORDS["en"]).cast("double")
+    n_stop = stopword_hits(F.lower(c), LANG_STOPWORDS["en"]).cast("double")
     safe = lambda num, den: F.round(num / F.nullif(den, F.lit(0.0)), 4)  # noqa: E731
     return F.struct(
         n_chars.cast("long").alias("n_chars"),
@@ -139,7 +159,13 @@ def word_shingles(col: Column | str, n: int = 5) -> Column:
             F.array(F.concat_ws(" ", words))
         )
 
-    return F.element_at(F.transform(F.array(tokenize(col)), body), 1)
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.element_at(F.transform(F.array(tokenize(c)), body), 1)
+    # NULL text -> EMPTY shingle set (explodes to no rows; fingerprint
+    # becomes NULL) — matching the SQL oracles, where md5(NULL)/NULL
+    # band keys join nothing.  The previous [''] fallback made all
+    # null-text docs mutual duplicates with fingerprint md5('').
+    return F.when(c.isNull(), F.array().cast("array<string>")).otherwise(out)
 
 
 PII_URL_RE = r"https?://[^\s]+"

@@ -60,4 +60,9 @@ def sign_lsh_bucket(a: Column | str, n_bits: int = 8) -> Column:
         F.slice(c, 1, n_bits),
         lambda x: F.when(x.cast("double") >= 0, F.lit("1")).otherwise(F.lit("0")),
     )
-    return F.concat_ws("", bits)
+    # NULL vector -> NULL bucket (joins nothing), matching the SQL
+    # oracle; concat_ws alone would coerce it to '' and cluster all
+    # null-embedding rows into one spurious bucket.
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws("", bits)
+    )

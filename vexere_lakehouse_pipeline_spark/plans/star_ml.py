@@ -31,8 +31,11 @@ from vexere_lakehouse_pipeline_spark.functions.cleaning import (
 )
 from vexere_lakehouse_pipeline_spark.functions.text import (
     BPE_ISH_RE,
+    LANG_STOPWORDS,
     PUNCT_RE,
     bpe_ish_token_count,
+    stopword_hits,
+    stopword_hits_sql,
     detect_language,
     document_fingerprint,
     quality_features,
@@ -298,8 +301,7 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / nullif(length(text), 0), 4) AS punct_ratio,
            ROUND(len(regexp_extract_all(text, '[0-9]')) * 1.0
                  / nullif(length(text), 0), 4) AS digit_ratio,
-           ROUND(len(regexp_extract_all(lower(text),
-                 '\b(the|a|of|and|to|in|is|that|it|for)\b')) * 1.0
+           ROUND({stopword_hits_sql('text', LANG_STOPWORDS['en'])} * 1.0
                  / nullif(len(w), 0), 4) AS stopword_ratio
     FROM t ORDER BY doc_id
     """,
@@ -316,13 +318,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Text analysis: language-ID heuristic (tie-break CASE shared with oracle)
 # ---------------------------------------------------------------------------
-_LANG_PANELS = {
-    "en": "(the|a|of|and|to|in|is|that|it|for)",
-    "es": "(el|la|de|que|y|en|un|una|los|las)",
-    "fr": "(le|la|les|de|des|et|un|une|est|dans)",
-    "de": "(der|die|das|und|ist|ein|eine|nicht|mit|von)",
-    "vi": "(và|của|là|có|cho|không|được|trong|người|một)",
-}
+# Panels come from text.LANG_STOPWORDS (single source of truth); hits
+# are token-membership counts via stopword_hits/_sql — \b regex is NOT
+# portable across Java (Unicode \b) and RE2 (ASCII \b).
 _LANG_PICK = (
     "CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_vi) = 0 THEN 'und' "
     "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_vi THEN 'en' "
@@ -336,8 +334,8 @@ _LANG_PICK = (
     "text_language_id",
     "WITH s AS (SELECT doc_id, "
     + ", ".join(
-        f"len(regexp_extract_all(lower(text), '\\b{pat}\\b')) AS s_{lang}"
-        for lang, pat in _LANG_PANELS.items()
+        f"{stopword_hits_sql('text', words)} AS s_{lang}"
+        for lang, words in LANG_STOPWORDS.items()
     )
     + f" FROM documents) SELECT doc_id, {_LANG_PICK} AS lang_pred FROM s ORDER BY doc_id",
 )
@@ -346,10 +344,8 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = docs.select(
         "doc_id",
         *[
-            F.size(
-                F.regexp_extract_all(F.lower("text"), F.lit(f"\\b{pat}\\b"), 0)
-            ).alias(f"s_{lang}")
-            for lang, pat in _LANG_PANELS.items()
+            stopword_hits(F.lower("text"), words).alias(f"s_{lang}")
+            for lang, words in LANG_STOPWORDS.items()
         ],
     )
     return scores.select(
@@ -408,14 +404,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_detect_language_lib",
     "WITH s AS (SELECT doc_id, "
     + ", ".join(
-        f"len(regexp_extract_all(lower(text), '\\b{pat}\\b'))"
+        stopword_hits_sql("text", words)
         + (
             " + len(regexp_extract_all(lower(text), '[ăâđêôơưạ-ỹ]'))"
             if lang == "vi"
             else ""
         )
         + f" AS s_{lang}"
-        for lang, pat in _LANG_PANELS.items()
+        for lang, words in LANG_STOPWORDS.items()
     )
     + """ FROM documents),
     m AS (SELECT doc_id,
@@ -579,12 +575,17 @@ _TYPE_CASES = [
     "ghế ngồi 29 chỗ",
     "xe 16 chỗ",
 ]
+# (l_orderkey + l_linenumber) % 10 covers ALL ten cases — l_linenumber
+# alone is 1..7 in TPC-H, which would leave three categorizer branches
+# (indices 0, 8, 9) permanently un-exercised by the oracle gate.  The
+# ELSE makes an accidental modulus-base change loud (no silent NULLs).
 _TYPE_CASE_SQL = (
     "CASE "
     + " ".join(
-        f"WHEN l_linenumber % 10 = {i} THEN '{s}'" for i, s in enumerate(_TYPE_CASES)
+        f"WHEN (l_orderkey + l_linenumber) % 10 = {i} THEN '{s}'"
+        for i, s in enumerate(_TYPE_CASES)
     )
-    + " END"
+    + f" ELSE '{_TYPE_CASES[0]}' END"
 )
 _CATEGORY_SQL = """
     CASE WHEN type_raw LIKE '%giường nằm%' AND type_raw NOT LIKE '%limousine%'
@@ -751,7 +752,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     opens AS (
         SELECT user_id, event_id, ts AS valid_from, event_type
         FROM ordered
-        WHERE prev_ts IS NULL OR event_type <> prev_type
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
     ),
     versions AS (
         SELECT user_id, event_type, epoch_us(valid_from) AS valid_from_us,
@@ -793,7 +794,7 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_payload_stats",
     """
     SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
            md5(text) AS payload_md5
     FROM documents ORDER BY media_id
     """,

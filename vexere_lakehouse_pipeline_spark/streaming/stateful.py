@@ -110,7 +110,7 @@ try:  # pragma: no cover - availability gate
 
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
-                "totals", "n long, total double"
+                "totals", RUNNING_TOTALS_STATE
             )
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: N802
