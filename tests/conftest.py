@@ -4,9 +4,6 @@ import pytest
 
 from vexere_lakehouse_pipeline_spark.session import build_session
 
-SF_SMOKE = "/root/testdata/sf0.001"
-
-
 @pytest.fixture(scope="session")
 def spark():
     spark = build_session("pytest", shuffle_partitions=8)

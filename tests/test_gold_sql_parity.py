@@ -35,7 +35,7 @@ def silver(spark, tmp_path_factory):
 def test_sql_matches_dataframe_mode(spark, silver, name):
     gold_sql.register_silver_views(spark, silver)
     sql_df = gold_sql.run_gold_sql(spark)[name]
-    df_df = run_gold(silver)[f"cau_{name.split('_')[1]}"]
+    df_df = run_gold(silver)[name]
     assert [c.lower() for c in sql_df.columns] == [
         c.lower() for c in df_df.columns
     ]

@@ -153,10 +153,14 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ingest_date" in plan
     assert q.count() == 10
-    # file-level check: only one partition directory is touched
-    files = {f["ingest_date"] for f in
-             q.select(F.input_file_name().alias("f"), "ingest_date").collect()}
-    assert files == {dt.date(2025, 5, 2)}
+    # file-level check: only one partition DIRECTORY is touched —
+    # parse the actual file paths (asserting on the data column would
+    # be vacuous: the filter guarantees it regardless of pruning)
+    dirs = {
+        f["f"].split("ingest_date=")[1].split("/")[0]
+        for f in q.select(F.input_file_name().alias("f")).collect()
+    }
+    assert dirs == {"2025-05-02"}
 
 
 def test_compact_table_reduces_files(spark, tmp_path):
@@ -232,8 +236,9 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
         ).collect()
     }
     assert got == want
-    # disjoint partition keys -> batch-1 partitions were NOT rewritten
-    assert all(got[d] == before[d] for d in before)
+    assert all(got[d] == before[d] for d in before)  # values stable
+    # (the rewrite-scope guarantee itself is pinned by the mtime test
+    # below — identical values can't distinguish rewrite from skip)
 
 
 def test_incremental_rollup_leaves_untouched_partitions_alone(spark, tmp_path):
