@@ -130,3 +130,27 @@ def test_ivf_default_quantizer_survives_offset_ids(spark):
         shifted, shifted.filter(F2.col("vec_id") < 10_005), k=3, n_centroids=8
     )
     assert out.count() > 0  # id-offset spaces must not empty the index
+
+
+def test_topk_paths_agree_on_null_and_zero_vectors(spark):
+    import pyspark.sql.types as T
+
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0]), (4, [0.5, 0.5])],
+        schema,
+    )
+    queries = cands.filter("vec_id = 1")
+    fold = {(r.vec_id, r.rank) for r in similarity.topk_bruteforce(cands, queries, k=3).collect()}
+    arrow = {(r.vec_id, r.rank) for r in similarity.topk_bruteforce_arrow(cands, queries, k=3).collect()}
+    assert fold == arrow
+    assert {v for v, _ in fold} == {4}  # null/zero vectors never rank
+    # unscoreable QUERY -> no rows on either path
+    zq = cands.filter("vec_id = 3")
+    assert similarity.topk_bruteforce(cands, zq, k=3).count() == 0
+    assert similarity.topk_bruteforce_arrow(cands, zq, k=3).count() == 0

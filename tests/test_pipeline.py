@@ -416,3 +416,39 @@ def test_bronze_keeps_prior_ingest_dates(spark, tmp_path):
     zones.overwrite_partitions(d2, "bronze", "ticket", ("ingest_date",))
     got = {str(r.ingest_date) for r in zones.read(spark, "bronze", "ticket").collect()}
     assert got == {"2025-05-01", "2025-05-02"}  # day 1 survives day 2's run
+
+
+def test_upsert_clears_emptied_old_partition(spark, tmp_path):
+    """Review finding: a key moving out of a partition that then holds
+    NO rows left its stale file behind (dynamic overwrite only rewrites
+    partitions present in the output)."""
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        read_table,
+        upsert,
+    )
+
+    path = str(tmp_path / "mv2")
+    upsert(
+        spark.createDataFrame(
+            [("d1", 1, "a"), ("d2", 2, "b")], "day string, id int, v string"
+        ),
+        path, ["id"], partition_by=("day",),
+    )
+    upsert(
+        spark.createDataFrame([("d3", 1, "a2")], "day string, id int, v string"),
+        path, ["id"], partition_by=("day",),
+    )
+    rows = {(r.id, r.day, r.v) for r in read_table(spark, path).collect()}
+    assert rows == {(1, "d3", "a2"), (2, "d2", "b")}  # d1 fully gone
+
+
+def test_upsert_rejects_duplicate_batch_keys(spark, tmp_path):
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.incremental import upsert
+
+    batch = spark.createDataFrame(
+        [("d1", 7, "x"), ("d1", 7, "y")], "day string, id int, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate merge key"):
+        upsert(batch, str(tmp_path / "dup"), ["id"], partition_by=("day",))

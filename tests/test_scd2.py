@@ -136,3 +136,36 @@ def test_scd2_merge_closes_row_with_null_valid_from(spark):
     assert len(out) == 2
     states = {(r.attr, r.is_current) for r in out}
     assert states == {("a", False), ("b", True)}
+
+
+def test_scd2_merge_null_ts_update_not_dropped(spark):
+    from vexere_lakehouse_pipeline_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [("k1", "a", "2024-01-01", None, True)],
+        "k string, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    # brand-new key arriving with a NULL timestamp must still open a row
+    batch = spark.createDataFrame(
+        [("k2", None, "b")], "k string, ts string, attr string"
+    )
+    out = scd2_merge(dim, batch, ["k"], "ts", ["attr"]).collect()
+    keys = {r.k for r in out}
+    assert keys == {"k1", "k2"}  # nothing vanished
+
+
+def test_scd2_merge_ignores_out_of_order_update(spark):
+    from vexere_lakehouse_pipeline_spark.operators.scd2 import scd2_merge
+
+    dim = spark.createDataFrame(
+        [("k1", "new", "2026-05-01", None, True)],
+        "k string, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    stale = spark.createDataFrame(
+        [("k1", "2026-04-01", "old")], "k string, ts string, attr string"
+    )
+    out = scd2_merge(dim, stale, ["k"], "ts", ["attr"]).collect()
+    # stale update is a no-op: one row, still current, interval intact
+    assert len(out) == 1
+    r = out[0]
+    assert r.attr == "new" and r.is_current and r.valid_to is None

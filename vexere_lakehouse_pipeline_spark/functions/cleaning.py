@@ -144,3 +144,23 @@ def daypart(hour_col: Column) -> Column:
         .when(hour_col.between(12, 17), "12h-17h")
         .when(hour_col.between(18, 23), "18h-23h")
     )
+
+
+def conform_ticket_columns(df):
+    """The canonical raw-ticket conform chain (to_silver.py:110-134
+    semantics, UDF-free): typed date, normalized places, parsed
+    duration/price, lowercased type + 9-way category.  ONE definition
+    shared by the batch pipeline (plans/pipeline.ticket_to_silver) and
+    the streaming variant (streaming/ingest.stream_tickets_to_silver)
+    so the two silver paths can never drift."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn("Start_Date", F.to_date("Start_Date", "dd-MM-yyyy"))
+        .withColumn("Departure_Place", normalize_place("Departure_Place"))
+        .withColumn("Arrival_Place", normalize_place("Arrival_Place"))
+        .withColumn("Duration", parse_duration_hours("Duration"))
+        .withColumn("Price", parse_price_vnd("Price"))
+        .withColumn("Type_Bus", F.lower(F.col("Type_Bus")))
+        .withColumn("Bus_Type_Category", bus_type_category(F.col("Type_Bus")))
+    )

@@ -69,6 +69,10 @@ def merge_append(df: DataFrame, path: str, merge_keys: list[str],
     spark = df.sparkSession
     existing = read_table(spark, path, fmt)
     if existing is None:
+        # single evaluation: count + write read the same materialized
+        # blocks (a nondeterministic source otherwise double-executes
+        # and can report a count differing from the written rows)
+        df = df.localCheckpoint(eager=True)
         write_overwrite(df, path, fmt, partition_by)
         return df.count()
     if _HAVE_DELTA and fmt == "delta":  # pragma: no cover
@@ -279,6 +283,18 @@ def upsert(df: DataFrame, path: str, merge_keys: list[str],
     rewrite to partitions the batch touches (same scale contract as
     :func:`incremental_rollup`)."""
     spark = df.sparkSession
+    # Intra-batch duplicate keys would BOTH survive the rewrite (and
+    # Delta MERGE would error on multiple source matches) — reject
+    # loudly so parquet and Delta behave identically.
+    dup = (
+        df.groupBy(*merge_keys).agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key = {k: dup[0][k] for k in merge_keys}
+        raise ValueError(f"upsert batch has duplicate merge key(s): {key}")
     existing = read_table(spark, path, fmt)
     if existing is None:
         write_overwrite(df, path, fmt, partition_by)
@@ -318,11 +334,40 @@ def upsert(df: DataFrame, path: str, merge_keys: list[str],
             tcond = c if tcond is None else (tcond & c)
         merged_touched = merged.join(
             F.broadcast(touched), on=tcond, how="left_semi"
-        )
+        ).localCheckpoint(eager=True)  # evaluated twice below
+        # materialize the touched-partition list BEFORE the overwrite —
+        # its plan reads the files the overwrite is about to delete
+        touched_rows = touched.collect()
         with _dynamic_partition_overwrite(spark):
             merged_touched.write.format(fmt).mode("overwrite").partitionBy(
                 *partition_by
             ).save(path)
+        # Dynamic overwrite only rewrites partitions PRESENT in the
+        # output: a touched partition that ended up EMPTY (its only row
+        # moved away) would keep its stale files.  Delete those
+        # directories explicitly (local/HDFS-mounted paths; Delta MERGE
+        # handles this natively on clusters).
+        import os as _os
+        import shutil as _shutil
+
+        remaining = {
+            tuple(r) for r in merged_touched.select(
+                *[F.col(f"__p_{k}") if f"__p_{k}" in merged_touched.columns
+                  else F.col(k) for k in partition_by]
+            ).distinct().collect()
+        }
+        for t in touched_rows:
+            vals = tuple(t[f"__p_{k}"] for k in partition_by)
+            if vals in remaining:
+                continue
+            seg = "/".join(
+                f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for k, v in zip(partition_by, vals)
+            )
+            _shutil.rmtree(_os.path.join(path, seg), ignore_errors=True)
+        # invalidate cached file listings — readers created before this
+        # rewrite would otherwise chase deleted part files
+        spark.catalog.refreshByPath(path)
     else:
         # full rewrite via staging dir would be needed for true atomicity
         # on plain files; Spark's overwrite-with-read-self is unsafe, so

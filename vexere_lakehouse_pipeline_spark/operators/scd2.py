@@ -96,10 +96,14 @@ def scd2_merge(
         "_dim_exists", F.lit(True)
     )
     hist = dim.filter(~F.col("is_current"))
+    # Same existence-marker discipline as the dim side: inferring
+    # "update present" from the NULLABLE _u_ts would silently drop or
+    # ignore update rows whose timestamp is null.
     upd = updates.select(
         *[F.col(c).alias(f"_u_{c}") for c in key_cols],
         F.col(ts_col).alias("_u_ts"),
         *[F.col(c).alias(f"_u_{c}") for c in attr_cols],
+        F.lit(True).alias("_u_exists"),
     )
     # Null-safe key equality: replayed null-keyed rows must MATCH their
     # existing version, not open a duplicate one (same reason
@@ -109,16 +113,25 @@ def scd2_merge(
         on=[F.col(k).eqNullSafe(F.col(f"_u_{k}")) for k in key_cols],
         how="full_outer",
     )
+    # Out-of-order guard: an update OLDER than the current version's
+    # valid_from must not close it backwards (inverted validity
+    # interval) — stale updates are treated as no-ops.  A null
+    # valid_from (unknown open time) accepts any update.
+    update_is_newer = F.col("valid_from").isNull() | (
+        F.col("_u_ts") > F.col("valid_from")
+    )
     changed = joined.filter(
-        F.col("_u_ts").isNotNull()
+        F.col("_u_exists").isNotNull()
         & F.col("_dim_exists").isNotNull()
+        & update_is_newer
         & _attrs_differ(attr_cols, "_u_")
     )
     unchanged_or_no_update = joined.filter(
         F.col("_dim_exists").isNotNull()
         & (
-            F.col("_u_ts").isNull()
+            F.col("_u_exists").isNull()
             | ~_attrs_differ(attr_cols, "_u_")
+            | ~F.coalesce(update_is_newer, F.lit(False))
         )
     ).select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
     closed = changed.select(
@@ -126,7 +139,7 @@ def scd2_merge(
         F.col("_u_ts").alias("valid_to"), F.lit(False).alias("is_current"),
     )
     new_keys = joined.filter(
-        F.col("_u_ts").isNotNull() & F.col("_dim_exists").isNull()
+        F.col("_u_exists").isNotNull() & F.col("_dim_exists").isNull()
     )
     opened = (
         changed.unionByName(new_keys, allowMissingColumns=True)

@@ -58,6 +58,10 @@ def topk_bruteforce(candidates: DataFrame, queries: DataFrame, k: int = 5,
             ).alias("cos_sim"),
         )
     )
+    # Unscoreable pairs (null/zero-norm on either side -> null cosine)
+    # are EXCLUDED from ranking, not padded in as null rows — the same
+    # contract the Arrow path implements by dropping them per batch.
+    scored = scored.filter(F.col("cos_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -192,16 +196,27 @@ def topk_bruteforce_arrow(candidates: DataFrame, queries: DataFrame,
                           id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k scored by numpy matmul over Arrow batches.
 
-    Same contract as :func:`topk_bruteforce`; use for wide vectors.
-    The query set is collected to the driver (it must be small — it is
-    broadcast in every strategy) and shipped once per executor; each
-    ``mapInPandas`` batch emits only its partial top-k per query, so
-    shuffle volume is O(batches × |Q| × k), not O(|C| × |Q|).
+    Same contract as :func:`topk_bruteforce` (unscoreable null/zero-
+    norm vectors drop out of the ranking on both paths), with one
+    restriction: ids must be integral (the Arrow batches are typed
+    bigint).  Use for wide vectors.  The query set is collected to the
+    driver (it must be small — it is broadcast in every strategy) and
+    shipped once per executor; each ``mapInPandas`` batch emits only
+    its partial top-k per query, so shuffle volume is
+    O(batches × |Q| × k), not O(|C| × |Q|).
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = [
+        r for r in queries.select(id_col, vec_col).collect()
+        if r[1] is not None and any(x != 0 for x in r[1])
+    ]
+    if not q_rows:
+        spark = candidates.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -212,6 +227,12 @@ def topk_bruteforce_arrow(candidates: DataFrame, queries: DataFrame,
         b_qids, b_qn = bc.value
         m = len(b_qids)
         for pdf in batches:
+            if pdf.empty:
+                continue
+            # drop null embeddings BEFORE stacking (np.stack raises on
+            # None); they are unscoreable like zero-norm vectors below
+            notnull = pdf[vec_col].notna()
+            pdf = pdf[notnull]
             if pdf.empty:
                 continue
             cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)

@@ -57,16 +57,11 @@ def _with_bus_id(df: DataFrame, bus_ids: DataFrame, first_cols: list[str]) -> Da
 def ticket_to_silver(raw: DataFrame, bus_ids: DataFrame, base_key: int = 0) -> DataFrame:
     """Bronze ticket rows → typed, conformed silver rows
     (to_silver.py:110-134 semantics, UDF-free)."""
-    cleaned = (
-        raw.withColumn("Start_Date", F.to_date("Start_Date", "dd-MM-yyyy"))
-        .withColumn("Departure_Place", normalize_place("Departure_Place"))
-        .withColumn("Arrival_Place", normalize_place("Arrival_Place"))
-        .withColumn("Duration", parse_duration_hours("Duration"))
-        .withColumn("Price", parse_price_vnd("Price"))
-        .withColumn("Type_Bus", F.lower(F.col("Type_Bus")))
-        .withColumn("Bus_Type_Category", bus_type_category(F.col("Type_Bus")))
-        .drop("Bus_Key")
+    from vexere_lakehouse_pipeline_spark.functions.cleaning import (
+        conform_ticket_columns,
     )
+
+    cleaned = conform_ticket_columns(raw).drop("Bus_Key")
     keyed = assign_keys_distributed(cleaned, "Bus_Key", base=base_key)
     return _with_bus_id(keyed, bus_ids, ["Bus_Key", "Bus_Id", "Bus_Name"])
 

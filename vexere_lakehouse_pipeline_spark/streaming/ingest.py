@@ -35,16 +35,12 @@ def stream_tickets_to_silver(spark: SparkSession, source_dir: str,
     extension sniffing is avoided — parquet contract) with the batch
     conform chain applied.  Returns a streaming DataFrame; callers
     attach writeStream."""
-    raw = spark.readStream.schema(schema).parquet(source_dir)
-    return (
-        raw.withColumn("Start_Date", F.to_date("Start_Date", "dd-MM-yyyy"))
-        .withColumn("Departure_Place", normalize_place("Departure_Place"))
-        .withColumn("Arrival_Place", normalize_place("Arrival_Place"))
-        .withColumn("Duration", parse_duration_hours("Duration"))
-        .withColumn("Price", parse_price_vnd("Price"))
-        .withColumn("Type_Bus", F.lower(F.col("Type_Bus")))
-        .withColumn("Bus_Type_Category", bus_type_category(F.col("Type_Bus")))
+    from vexere_lakehouse_pipeline_spark.functions.cleaning import (
+        conform_ticket_columns,
     )
+
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return conform_ticket_columns(raw)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
@@ -99,7 +95,8 @@ def stream_dedup(events: DataFrame, id_cols: list[str],
 
 
 def run_stream_merge_sink(stream_df: DataFrame, target_path: str,
-                          checkpoint_dir: str, merge_keys: list[str]) -> None:
+                          checkpoint_dir: str, merge_keys: list[str],
+                          fmt: str = "parquet") -> None:
     """foreachBatch merge sink: every micro-batch is applied with
     merge-on-key semantics (operators/incremental.merge_append), so
     sink contents stay idempotent even if a batch replays after a
@@ -108,7 +105,10 @@ def run_stream_merge_sink(stream_df: DataFrame, target_path: str,
     from vexere_lakehouse_pipeline_spark.operators.incremental import merge_append
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        merge_append(batch_df, target_path, merge_keys=merge_keys)
+        # fmt pinned explicitly: the operator default flips to Delta
+        # when delta-spark is installed, and a sink's on-disk format
+        # must not depend on which packages happen to be importable
+        merge_append(batch_df, target_path, merge_keys=merge_keys, fmt=fmt)
 
     (
         stream_df.writeStream.foreachBatch(apply_batch)
