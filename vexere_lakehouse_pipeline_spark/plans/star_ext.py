@@ -183,7 +183,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type
@@ -253,7 +253,7 @@ def datetime_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(w) AS INTEGER) AS n_tokens,
            CAST(len(list_distinct(w)) AS INTEGER) AS n_unique,
-           list_sort(list_distinct(w))[1:3] AS first3_sorted,
+           array_to_string(list_sort(list_distinct(w))[1:3], '|') AS first3_sorted,
            CAST(list_contains(w, 'the') AS BOOLEAN) AS has_the
     FROM t ORDER BY doc_id
     """,
@@ -267,7 +267,9 @@ def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(w).cast("int").alias("n_tokens"),
         F.size(F.array_distinct(w)).cast("int").alias("n_unique"),
-        F.slice(F.array_sort(F.array_distinct(w)), 1, 3).alias("first3_sorted"),
+        F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(w)), 1, 3)).alias(
+            "first3_sorted"
+        ),
         F.array_contains(w, "the").alias("has_the"),
     ).orderBy("doc_id")
 
@@ -403,7 +405,7 @@ def agg_grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_variant_props",
     """
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
                       THEN 1 END) AS n_big
     FROM events GROUP BY event_type ORDER BY event_type

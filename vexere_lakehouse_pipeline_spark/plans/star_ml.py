@@ -848,14 +848,37 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF with TRAINED centroids (Lloyd's k-means, operators/similarity.py).
-# Registered WITHOUT an oracle: k-means means are floating-point
-# averages whose partial-aggregation order differs between engines, so
-# an independent SQL re-execution is not bit-comparable — the driver
-# records the weaker rows-only check, and tests/test_kmeans.py pins the
-# algorithm's properties (monotone inertia, determinism, recall vs
-# brute force) instead.
+# Oracle-checkable reformulation: with nprobe == n_centroids every
+# inverted list is probed, so trained IVF scores EVERY candidate and
+# its top-k is exactly the brute-force top-k — independent of the
+# (engine-specific, float-accumulation-ordered) centroid values.  The
+# brute-force SQL is therefore a true oracle of the full
+# train→assign→probe→score pipeline: any bug in k-means plumbing, list
+# assignment, the probe join, or scoring breaks the hash.  Pruning
+# quality (nprobe < n_centroids) is float-order-sensitive and is pinned
+# in tests/test_kmeans.py instead (recall vs brute force, monotone
+# inertia, repartition determinism).
 # ---------------------------------------------------------------------------
-@_register("sim_topk_ivf_trained")
+@_register(
+    "sim_topk_ivf_trained",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DUCK_COS.format(a="qv", b="e.v")} AS cos_sim
+        FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
 def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.train_kmeans(emb, k=8, iters=3)
@@ -863,7 +886,7 @@ def sim_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < 10),
         k=5,
-        nprobe=3,
+        nprobe=8,  # == k centroids: exact (see block comment)
         centroids=cents.select(
             F.col("cluster").alias("vec_id"), F.col("centroid").alias("emb")
         ),
