@@ -452,3 +452,36 @@ def test_upsert_rejects_duplicate_batch_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate merge key"):
         upsert(batch, str(tmp_path / "dup"), ["id"], partition_by=("day",))
+
+
+def test_upsert_clears_emptied_partition_with_escaped_value(spark, tmp_path):
+    """Advisor finding: Spark percent-escapes special chars (':' '/'
+    '%') in partition directory names, so the emptied-partition cleanup
+    must escape too — a raw f"{k}={v}" path never matches on disk and
+    the stale partition survives."""
+    import os
+
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        read_table,
+        upsert,
+    )
+
+    path = str(tmp_path / "esc")
+    upsert(
+        spark.createDataFrame(
+            [("2025-05-01 00:00:00", 1, "a"), ("plain", 2, "b")],
+            "slot string, id int, v string",
+        ),
+        path, ["id"], partition_by=("slot",),
+    )
+    # the colon-bearing value must be written percent-escaped
+    assert any("%3A" in d for d in os.listdir(path) if d.startswith("slot="))
+    upsert(
+        spark.createDataFrame(
+            [("moved", 1, "a2")], "slot string, id int, v string"
+        ),
+        path, ["id"], partition_by=("slot",),
+    )
+    rows = {(r.id, r.slot, r.v) for r in read_table(spark, path).collect()}
+    assert rows == {(1, "moved", "a2"), (2, "plain", "b")}
+    assert not any("%3A" in d for d in os.listdir(path))  # stale dir gone

@@ -51,7 +51,11 @@ def main() -> int:
     # oracle SQL should reference only known tables (catches typos that
     # would fail in the driver's DuckDB harness, not ours)
     ident = re.compile(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", re.I)
+    # `x IS [NOT] DISTINCT FROM y` is a comparison operator, not a
+    # relation reference — strip the phrase before scanning.
+    distinct_from = re.compile(r"IS\s+(?:NOT\s+)?DISTINCT\s+FROM", re.I)
     for name, sql in o.items():
+        sql = distinct_from.sub("IS_DISTINCT_CMP", sql)
         ctes = set(re.findall(
             r"(?:WITH(?:\s+RECURSIVE)?|,)\s*([a-z_][a-z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(",
             sql, re.I))

@@ -141,6 +141,24 @@ class ZoneCatalog:
         )
 
 
+# The character set Spark/Hive percent-escape in partition DIRECTORY
+# names (ExternalCatalogUtils.escapePathName / Hive FileUtils): without
+# this, a reconstructed "k=v" path for a value containing ':' '/' '%'
+# etc. (e.g. a timestamp) never matches the on-disk dir and a stale
+# emptied partition silently survives the cleanup below.
+_PATH_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^') | frozenset(
+    chr(i) for i in range(0x20)
+)
+
+
+def _escape_path_name(s: str) -> str:
+    if not any(c in _PATH_ESCAPE_CHARS for c in s):
+        return s
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c for c in s
+    )
+
+
 def _keys_and_cond(df: DataFrame, merge_keys: list[str]):
     """Distinct key frame (renamed __k_*) + null-safe equality condition
     against it — shared by merge_append and upsert so the <=> semantics
@@ -361,7 +379,7 @@ def upsert(df: DataFrame, path: str, merge_keys: list[str],
             if vals in remaining:
                 continue
             seg = "/".join(
-                f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else _escape_path_name(str(v))}"
                 for k, v in zip(partition_by, vals)
             )
             _shutil.rmtree(_os.path.join(path, seg), ignore_errors=True)

@@ -252,8 +252,11 @@ def topk_bruteforce_arrow(candidates: DataFrame, queries: DataFrame,
                 # lexsort = deterministic (cos_sim desc, vec_id asc)
                 # order, so boundary TIES keep the same row the plain
                 # column-fold path keeps — batch layout can't change
-                # the result.
-                order = np.lexsort((vec_ids, -sims[:, j]))[:top]
+                # the result.  Prune on the ROUNDED score: the global
+                # rank (and topk_bruteforce) order by 6dp-rounded
+                # cos_sim, so pruning by raw sims could drop a row the
+                # rounded order ranks higher at the k+1 boundary.
+                order = np.lexsort((vec_ids, -np.round(sims[:, j], 6)))[:top]
                 out_q.extend([b_qids[j]] * len(order))
                 out_v.extend(vec_ids[order])
                 out_s.extend(np.round(sims[order, j], 6))
