@@ -122,6 +122,55 @@ def main() -> None:
         )
         print(lines[-1])
 
+    # Skewed-corpus probe (VERDICT r1): 20% of documents share ONE
+    # boilerplate text, so every replica adds ~N/5 docs to the same
+    # band buckets — uncapped LSH would go quadratic in K.  The bucket
+    # cap must keep the exponent ~linear.
+    def skew(src: str, dst_dir: str) -> str:
+        docs = load_table(spark, src, "documents")
+        skewed = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("shared boilerplate footer text for every fifth document"),
+            ).otherwise(F.col("text")),
+        )
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in ALL_TABLES:
+            if name == "documents":
+                skewed.write.mode("overwrite").parquet(
+                    f"{dst_dir}/documents.parquet"
+                )
+            else:
+                s = f"{src}/{name}.parquet"
+                d = f"{dst_dir}/{name}.parquet"
+                if not os.path.exists(d):
+                    (shutil.copytree(s, d) if os.path.isdir(s)
+                     else shutil.copy(s, d))
+        return dst_dir
+
+    sk1 = skew(BASE, tempfile.mkdtemp(prefix="scale_skew1_"))
+    skk = skew(tmp, tempfile.mkdtemp(prefix="scale_skewk_"))
+    fn = ALL_QUERIES["dedup_minhash_lsh_pairs"]
+    force(fn(spark, sk1))  # warm
+    times = {}
+    for label, d in (("1x", sk1), (f"{k}x", skk)):
+        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(fn(spark, d))
+            best = min(best, time.time() - t0)
+        times[label] = best
+    exp = math.log(times[f"{k}x"] / times["1x"]) / math.log(k)
+    lines.append(
+        f"| dedup_minhash_lsh_pairs (skewed: 20% boilerplate) "
+        f"| {times['1x']:.2f} | {times[f'{k}x']:.2f} | {exp:.2f} |"
+    )
+    print(lines[-1])
+    shutil.rmtree(sk1, ignore_errors=True)
+    shutil.rmtree(skk, ignore_errors=True)
+
     lines.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE.md"), "w") as f:

@@ -33,6 +33,14 @@ from vexere_lakehouse_pipeline_spark.functions.vectors import cosine_from_norms,
 N_BANDS = 4
 N_ROWS = 2
 SHINGLE_N = 2
+# Band-bucket size cap: a bucket of s docs yields s·(s-1)/2 candidate
+# pairs, so ONE hot bucket (boilerplate corpora — millions of
+# near-identical docs hash to the same band key) makes the self-join
+# quadratic.  Buckets above the cap are dropped entirely: their members
+# are exact/near-exact duplicate territory already handled by
+# exact_duplicate_groups, and 1000²/2 pairs per bucket is the most the
+# verifier should ever pay.
+MAX_BUCKET_SIZE = 1000
 
 
 def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
@@ -107,11 +115,17 @@ def minhash_band_keys(sh: DataFrame, n_bands: int = N_BANDS,
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_bucket_size: int | None = MAX_BUCKET_SIZE
+                        ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (doc_a < doc_b).
 
     Docs sharing any band key become candidates; the band-key equi-join
-    replaces the O(N²) pair enumeration.
+    replaces the O(N²) pair enumeration.  Buckets larger than
+    ``max_bucket_size`` are dropped before the self-join (see
+    MAX_BUCKET_SIZE) — the hot-bucket list is tiny and broadcast, so
+    the cap costs one map-side-partial count, not an extra wide
+    shuffle.  Pass ``None`` to disable.
     """
     # No distinct() here: minhash is duplicate-invariant and the dedup
     # shuffle would dominate the pipeline (shingle_sets is still used by
@@ -124,6 +138,16 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     # self-join — materialize once AND avoid the unbounded cache-manager
     # entry a bare persist() would leak (blocks free with the DataFrame).
     bands = minhash_band_keys(sh).localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .drop("_n")
+        )
+        bands = bands.join(
+            F.broadcast(hot), on=["band", "band_key"], how="left_anti"
+        )
     a = bands.withColumnsRenamed({"doc_id": "doc_a"})
     b = bands.withColumnsRenamed({"doc_id": "doc_b"})
     return (

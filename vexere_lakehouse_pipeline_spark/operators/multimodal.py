@@ -61,6 +61,78 @@ def fake_decode(payload: bytes) -> list[float]:
     ]
 
 
+def bmp_decode(payload: bytes) -> list[float]:
+    """REAL image decode with zero media libraries: uncompressed
+    24-bit BMP header + pixel parse (pure Python/stdlib).  Proves the
+    decode_fn plumbing end-to-end beyond :func:`fake_decode` — swap in
+    PIL/torch decoders on clusters that have them; the mapInPandas
+    stage is identical.
+
+    Features: [width, height, n_pixels, mean_r, mean_g, mean_b,
+    min_luma, max_luma].
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    sums = [0, 0, 0]
+    min_l, max_l = 255.0, 0.0
+    for row in range(height):
+        src_row = (height - 1 - row) if bottom_up else row
+        base = pix_off + src_row * row_stride
+        for col in range(width):
+            b, g, r = payload[base + col * 3: base + col * 3 + 3]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            luma = 0.299 * r + 0.587 * g + 0.114 * b
+            min_l = min(min_l, luma)
+            max_l = max(max_l, luma)
+    n = float(width * height)
+    return [
+        float(width),
+        float(height),
+        n,
+        sums[0] / n,
+        sums[1] / n,
+        sums[2] / n,
+        min_l,
+        max_l,
+    ]
+
+
+def encode_bmp(width: int, height: int,
+               pixels: list[tuple[int, int, int]]) -> bytes:
+    """Minimal 24-bit BMP encoder (test fixture / round-trip partner
+    for :func:`bmp_decode`).  ``pixels`` is row-major top-down RGB."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    pix_bytes = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up storage
+        for col in range(width):
+            r, g, b = pixels[row * width + col]
+            pix_bytes += bytes((b, g, r))
+        pix_bytes += b"\x00" * (row_stride - width * 3)
+    size = 54 + len(pix_bytes)
+    header = struct.pack(
+        "<2sIHHI", b"BM", size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix_bytes),
+        2835, 2835, 0, 0,
+    )
+    return bytes(header) + bytes(pix_bytes)
+
+
 def extract_features(media: DataFrame,
                      decode_fn: DecodeFn | None = None) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.

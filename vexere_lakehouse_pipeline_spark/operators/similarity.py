@@ -29,6 +29,12 @@ from vexere_lakehouse_pipeline_spark.functions.vectors import (
     sign_lsh_bucket,
 )
 
+# Hard ceiling on the Arrow brute-force path's query-set size: the set
+# is driver-collected and broadcast, so it must stay ~MBs.  100k rows
+# × 768-d float64 ≈ 600 MB — already generous; beyond that the right
+# tool is topk_ivf/topk_lsh_bucketed.
+MAX_ARROW_QUERIES = 100_000
+
 
 def topk_bruteforce(candidates: DataFrame, queries: DataFrame, k: int = 5,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -208,8 +214,22 @@ def topk_bruteforce_arrow(candidates: DataFrame, queries: DataFrame,
     import numpy as np
     import pandas as pd
 
+    # Enforce (not just document) the small-query-set contract: the
+    # set is collected to the driver and broadcast, so an unbounded |Q|
+    # is a driver OOM at scale.  limit(MAX+1) bounds the collect itself
+    # — the guard never materializes a huge set just to refuse it.
+    probe = queries.select(id_col, vec_col).limit(
+        MAX_ARROW_QUERIES + 1
+    ).collect()
+    if len(probe) > MAX_ARROW_QUERIES:
+        raise ValueError(
+            f"topk_bruteforce_arrow: query set exceeds "
+            f"{MAX_ARROW_QUERIES} rows; it is collected to the driver "
+            "and broadcast — split the query set or use topk_ivf / "
+            "topk_lsh_bucketed for large |Q|"
+        )
     q_rows = [
-        r for r in queries.select(id_col, vec_col).collect()
+        r for r in probe
         if r[1] is not None and any(x != 0 for x in r[1])
     ]
     if not q_rows:

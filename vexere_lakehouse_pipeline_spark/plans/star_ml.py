@@ -91,9 +91,14 @@ _DUCK_SHINGLE_CTES = f"""
                string_agg(mh, '|' ORDER BY i) AS band_key
         FROM mins GROUP BY doc_id, i // {dedup.N_ROWS}
     ),
+    bsz AS (SELECT b, band_key, COUNT(*) AS bn FROM bands GROUP BY b, band_key),
+    bok AS (SELECT bands.doc_id, bands.b, bands.band_key
+            FROM bands JOIN bsz ON bsz.b = bands.b
+                 AND bsz.band_key = bands.band_key
+            WHERE bsz.bn <= {dedup.MAX_BUCKET_SIZE}),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-        FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key
+        FROM bok a JOIN bok c ON a.b = c.b AND a.band_key = c.band_key
                      AND a.doc_id < c.doc_id
     )"""
 
