@@ -1,0 +1,110 @@
+"""Sequence packing for training-data pipelines.
+
+Pretraining loaders concatenate documents in a fixed order and cut the
+stream every ``ctx`` tokens ("concat-and-chunk" packing).  The only
+non-trivial part at 100 TB is the exclusive running token offset of
+every document under a total order — a naive
+``sum().over(Window.orderBy(...))`` is an ``Exchange SinglePartition``
+that serializes the corpus through one task (the same anti-pattern as
+the reference's global row_number keys, `convert/to_silver.py:130-131`).
+
+:func:`ordered_prefix_sum` computes the identical result with a
+distributed two-phase prefix sum: range-repartition on the order key,
+per-partition token totals to the driver (bytes of metadata, one tiny
+job), then a within-partition cumulative window whose offsets are the
+driver-side prefix sums.  Values depend only on the (unique) order key,
+never on the physical partitioning, so the output is deterministic
+under repartitioning, AQE re-plans, and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "start_offset",
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` under ORDER BY ``order_col``.
+
+    ``order_col`` must be globally unique (doc ids); ``value_col`` is
+    coalesced to 0 when null.  Adds ``out_col`` (long): the sum of all
+    values strictly before this row in the total order.
+
+    Scale: one range shuffle + one metadata-sized driver collect; the
+    window runs per partition.  Equivalent single-node SQL:
+    ``SUM(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING)``.
+    """
+    v = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
+    # localCheckpoint pins row->partition assignment so the totals job
+    # and the output see the same partitioning (same reasoning as
+    # surrogate_keys.assign_keys_distributed).
+    part = (
+        df.repartitionByRange(F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_v", v)
+        .localCheckpoint(eager=True)
+    )
+    # Order partitions by their key range, not by pid: RangePartitioner
+    # does emit ascending pids, but deriving the order from min(key)
+    # makes no assumption about that internal detail.
+    stats = (
+        part.groupBy("_pid")
+        .agg(F.min(order_col).alias("lo"), F.sum("_v").alias("tot"))
+        .collect()
+    )
+    if not stats:  # empty input: no offsets to map (create_map needs args)
+        return part.withColumn(out_col, F.lit(0).cast("long")).drop("_pid", "_v")
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(stats, key=lambda r: r["lo"]):
+        offsets[r["_pid"]] = acc
+        acc += r["tot"]
+    offset_col: Column = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    cum_incl = F.sum("_v").over(w)  # inclusive within-partition sum
+    return (
+        part.withColumn(
+            out_col,
+            (offset_col[F.col("_pid")] + cum_incl - F.col("_v")).cast("long"),
+        )
+        .drop("_pid", "_v")
+    )
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    ctx: int,
+) -> DataFrame:
+    """Assign each document its chunk span under concat-and-chunk packing.
+
+    Documents are laid out in ``order_col`` order and the token stream
+    is cut every ``ctx`` tokens.  Adds ``start_offset`` (exclusive
+    prefix sum), ``start_chunk``/``end_chunk`` (0-based chunk ids the
+    doc's tokens land in), and ``n_chunks`` (how many chunks the doc
+    spans).  Zero-token documents are dropped — they occupy no chunk.
+    """
+    if ctx <= 0:
+        raise ValueError(f"ctx must be positive, got {ctx}")
+    packed = ordered_prefix_sum(
+        df.filter(F.col(token_col) > 0), order_col, token_col
+    )
+    return (
+        packed.withColumn("start_chunk", F.expr(f"start_offset div {ctx}"))
+        .withColumn(
+            "end_chunk",
+            F.expr(f"(start_offset + {token_col} - 1) div {ctx}"),
+        )
+        .withColumn(
+            "n_chunks", (F.col("end_chunk") - F.col("start_chunk") + 1).cast("long")
+        )
+    )

@@ -1,0 +1,317 @@
+"""Corpus-construction extensions: TF-IDF terms, BM25 retrieval scoring,
+sequence packing, and embedding quantization stats.
+
+Second north-star layer over the ``documents``/``embeddings`` tables
+(no reference analog — BASELINE.json extension surface, like plans/
+corpus.py): the retrieval-style scorers a data pipeline uses for
+keyword extraction and query-based corpus selection, the
+concat-and-chunk packing pass that turns documents into fixed-size
+training sequences, and the int8 quantization error screen run before
+shipping vectors to an ANN index.
+
+Portability rules (MEMORY: oracle gate): every double is produced by
+the SAME IEEE expression tree on both engines and rounded before
+comparison; per-term contributions that get summed across rows are
+rounded to 6dp and cast to decimal(18,6) first so the sum is
+order-independent; ln/log10 on identical double inputs are bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.functions.text import tokenize
+from vexere_lakehouse_pipeline_spark.functions.vectors import dot_product
+from vexere_lakehouse_pipeline_spark.operators.packing import pack_concat_chunks
+from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
+from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — top-3 terms per document.
+#
+# Plan shape (shuffles annotated):  tokens -> (doc,term) counts [1: hash
+# on (doc_id, token)] -> doc-frequency table [2: hash on token, vocab-
+# sized] -> tf x idf join [3: hash on token] -> per-doc window [4: hash
+# on doc_id].  The doc-count scalar rides a broadcast.  Nothing is
+# driver-side; the vocab table stays distributed (at 100 TB a web vocab
+# is far beyond broadcast range).  Ranking uses the ROUNDED score so
+# the window order and the emitted value are the same total order on
+# both engines.
+# ---------------------------------------------------------------------------
+_TFIDF_K = 3
+
+@_register(
+    "corpus_tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               ROUND(CAST(tf.tf AS DOUBLE)
+                     * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)),
+                     6) AS score
+        FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, token, tf, score, rnk FROM ranked WHERE rnk <= {_TFIDF_K}
+    ORDER BY doc_id, rnk
+    """,
+)
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_K)
+        .select("doc_id", "token", "tf", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 query scoring — top-20 documents for a fixed term set (the
+# query-based corpus-selection / retrieval primitive).
+#
+# Okapi BM25 with k1=1.2, b=0.75, Lucene idf = ln(1 + (N-df+.5)/(df+.5)).
+# Per-(doc,term) contributions are rounded and summed as decimal(18,6)
+# (order-independent), so the per-doc score is bit-identical however the
+# partial aggregation tree associates.  The final top-20 is orderBy +
+# limit — Spark plans TakeOrderedAndProject (per-partition heaps + one
+# tiny driver merge), NOT a global sort shuffle, which is the correct
+# top-k at any scale.  Doc-length stats ride one broadcast row.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+@_register(
+    "corpus_bm25_search",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS dl
+           FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                 ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                          / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                 / (CAST(tf.tf AS DOUBLE)
+                    + {_BM25_K1} * ({1.0 - _BM25_B}
+                                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl))),
+                 6) AS DECIMAL(18,6)) AS c
+        FROM tf JOIN dfreq ON tf.token = dfreq.token
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, COUNT(*) AS n_terms
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    dl = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + _BM25_K1 * (
+        (1.0 - _BM25_B) + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (tf_d * (_BM25_K1 + 1.0)) / denom, 6)
+            .cast("decimal(18,6)")
+            .alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("double").alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk layout for training sequences.
+#
+# The Spark side uses operators/packing.ordered_prefix_sum (range
+# shuffle + driver prefix of per-partition totals + per-partition
+# window) instead of the oracle's single-partition global window — same
+# values, scale-safe.  ctx=128 against sf docs (10-99 whitespace-ish
+# tokens) exercises both many-docs-per-chunk and chunk-straddling docs.
+# ---------------------------------------------------------------------------
+_PACK_CTX = 128
+
+@_register(
+    "corpus_pack_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    o AS (SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_offset
+          FROM t WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {_PACK_CTX} AS start_chunk,
+           (start_offset + n_tokens - 1) // {_PACK_CTX} AS end_chunk,
+           (start_offset + n_tokens - 1) // {_PACK_CTX}
+             - start_offset // {_PACK_CTX} + 1 AS n_chunks
+    FROM o ORDER BY doc_id
+    """,
+)
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("bigint").alias("n_tokens")
+    )
+    packed = pack_concat_chunks(sized, "doc_id", "n_tokens", _PACK_CTX)
+    return packed.select(
+        "doc_id", "n_tokens", "start_offset", "start_chunk", "end_chunk",
+        "n_chunks",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization screen — per-vector symmetric-scale
+# quantization error, the check run before shipping vectors to a
+# quantized ANN index.  Pure Column code: transform/fold inside codegen,
+# zero shuffles (map-only over the embeddings scan).  The fold order of
+# the MSE sum is the list order on both engines (list_dot_product ==
+# F.aggregate left fold — same contract the green cosine queries rely
+# on).  Null embeddings and all-zero vectors yield NULL stats rows, not
+# errors.
+# ---------------------------------------------------------------------------
+@_register(
+    "embed_int8_quant_stats",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 CAST(len(v) AS BIGINT) AS n_dims,
+                 127.0 / nullif(list_aggregate(list_transform(v, x -> abs(x)),
+                                               'max'), 0.0) AS scale
+          FROM e),
+    q AS (SELECT vec_id, v, n_dims, scale,
+                 list_transform(v, x ->
+                     x - least(greatest(round(x * scale), -127.0), 127.0) / scale)
+                   AS err
+          FROM s)
+    SELECT vec_id, n_dims,
+           ROUND(127.0 / scale, 6) AS max_abs,
+           ROUND(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+           ROUND(list_dot_product(err, err) / CAST(n_dims AS DOUBLE), 8) AS mse
+    FROM q ORDER BY vec_id
+    """,
+)
+def embed_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.size(v).cast("bigint").alias("n_dims"),
+        (
+            F.lit(127.0)
+            / F.nullif(
+                F.array_max(F.transform(v, F.abs)), F.lit(0.0)
+            )
+        ).alias("scale"),
+    )
+    err = F.transform(
+        F.col("v"),
+        lambda x: x
+        - F.least(
+            F.greatest(F.round(x * F.col("scale"), 0), F.lit(-127.0)),
+            F.lit(127.0),
+        )
+        / F.col("scale"),
+    )
+    quant = base.withColumn("err", err)
+    return quant.select(
+        "vec_id",
+        "n_dims",
+        F.round(F.lit(127.0) / F.col("scale"), 6).alias("max_abs"),
+        F.round(F.sqrt(dot_product("v", "v")), 6).alias("l2_norm"),
+        F.round(
+            dot_product("err", "err") / F.col("n_dims").cast("double"), 8
+        ).alias("mse"),
+    ).orderBy("vec_id")
