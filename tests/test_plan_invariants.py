@@ -55,3 +55,40 @@ def test_split_counts_no_join_no_python(spark):
 def test_clean_pipeline_stays_jvm_side(spark):
     plan = _plan(corpus.QUERIES["corpus_clean_pipeline"](spark, SF))
     assert "BatchEvalPython" not in plan  # redact/quality/fingerprint native
+
+
+def test_bm25_topk_is_heap_not_global_sort(spark):
+    from vexere_lakehouse_pipeline_spark.plans import corpus_ext
+
+    plan = _plan(corpus_ext.QUERIES["corpus_bm25_search"](spark, SF))
+    # orderBy+limit must plan as per-partition heaps + driver merge,
+    # never a full sort shuffle of every scored document
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_no_global_window_no_python(spark):
+    from vexere_lakehouse_pipeline_spark.plans import corpus_ext
+
+    plan = _plan(corpus_ext.QUERIES["corpus_tfidf_top_terms"](spark, SF))
+    # the rank window is partitioned by doc_id; the only SinglePartition
+    # exchange allowed is the 1-row n_docs scalar aggregate
+    assert "windowspecdefinition(doc_id" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    # Spark's rank-limit pushdown prunes rnk>3 rows BEFORE the window
+    # shuffle - the property that keeps per-doc top-k cheap at 100 TB
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_quant_stats_map_only_compute(spark):
+    from vexere_lakehouse_pipeline_spark.plans import corpus_ext
+
+    plan = _plan(corpus_ext.QUERIES["embed_int8_quant_stats"](spark, SF))
+    # only exchange allowed: the final presentation sort (range); the
+    # quantization itself is codegen'd map work - no hash shuffle, no
+    # join, no Python
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

@@ -50,6 +50,10 @@ PROBES = [
     ("dedup_contamination_flags", {"documents": ["doc_id"]}),
     ("events_cohort_retention", {"events": ["event_id", "user_id"]}),
     ("corpus_split_counts", {"documents": ["doc_id"]}),
+    ("corpus_tfidf_top_terms", {"documents": ["doc_id"]}),
+    ("corpus_bm25_search", {"documents": ["doc_id"]}),
+    ("corpus_pack_chunks", {"documents": ["doc_id"]}),
+    ("embed_int8_quant_stats", {"embeddings": ["vec_id"]}),
 ]
 
 ALL_TABLES = list(TESTDATA_TABLES)  # single source of truth (catalog)

@@ -25,50 +25,55 @@ from pyspark.sql import functions as F
 
 def ordered_prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     out_col: str = "start_offset",
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` under ORDER BY ``order_col``.
 
-    ``order_col`` must be globally unique (doc ids); ``value_col`` is
-    coalesced to 0 when null.  Adds ``out_col`` (long): the sum of all
-    values strictly before this row in the total order.
+    ``order_col`` is one column name or a list (lexicographic ascending
+    order); the combination must be globally unique (e.g. a quality
+    rank with a doc-id tiebreak).  ``value_col`` is coalesced to 0 when
+    null.  Adds ``out_col`` (long): the sum of all values strictly
+    before this row in the total order.
 
     Scale: one range shuffle + one metadata-sized driver collect; the
     window runs per partition.  Equivalent single-node SQL:
-    ``SUM(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    ``SUM(v) OVER (ORDER BY k... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
     PRECEDING)``.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     v = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
     # localCheckpoint pins row->partition assignment so the totals job
     # and the output see the same partitioning (same reasoning as
     # surrogate_keys.assign_keys_distributed).
     part = (
-        df.repartitionByRange(F.col(order_col))
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_v", v)
         .localCheckpoint(eager=True)
     )
     # Order partitions by their key range, not by pid: RangePartitioner
     # does emit ascending pids, but deriving the order from min(key)
-    # makes no assumption about that internal detail.
+    # makes no assumption about that internal detail.  min(struct(...))
+    # is lexicographic — the same total order the range partitioning
+    # and the window use.
     stats = (
         part.groupBy("_pid")
-        .agg(F.min(order_col).alias("lo"), F.sum("_v").alias("tot"))
+        .agg(F.min(F.struct(*order_cols)).alias("lo"), F.sum("_v").alias("tot"))
         .collect()
     )
     if not stats:  # empty input: no offsets to map (create_map needs args)
         return part.withColumn(out_col, F.lit(0).cast("long")).drop("_pid", "_v")
     offsets: dict[int, int] = {}
     acc = 0
-    for r in sorted(stats, key=lambda r: r["lo"]):
+    for r in sorted(stats, key=lambda r: tuple(r["lo"])):
         offsets[r["_pid"]] = acc
         acc += r["tot"]
     offset_col: Column = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    w = Window.partitionBy("_pid").orderBy(order_col)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     cum_incl = F.sum("_v").over(w)  # inclusive within-partition sum
     return (
         part.withColumn(

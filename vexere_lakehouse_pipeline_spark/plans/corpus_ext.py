@@ -22,9 +22,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.catalog import load_table
-from vexere_lakehouse_pipeline_spark.functions.text import tokenize
+from vexere_lakehouse_pipeline_spark.functions.text import (
+    LANG_STOPWORDS,
+    quality_features,
+    stopword_hits_sql,
+    tokenize,
+)
 from vexere_lakehouse_pipeline_spark.functions.vectors import dot_product
-from vexere_lakehouse_pipeline_spark.operators.packing import pack_concat_chunks
+from vexere_lakehouse_pipeline_spark.operators.packing import (
+    ordered_prefix_sum,
+    pack_concat_chunks,
+)
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS
 
@@ -253,8 +261,9 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Embedding int8 quantization screen — per-vector symmetric-scale
 # quantization error, the check run before shipping vectors to a
-# quantized ANN index.  Pure Column code: transform/fold inside codegen,
-# zero shuffles (map-only over the embeddings scan).  The fold order of
+# quantized ANN index.  Pure Column code: transform/fold inside codegen;
+# the compute is map-only over the embeddings scan (the single exchange
+# in the plan is the final presentation sort).  The fold order of
 # the MSE sum is the list order on both engines (list_dot_product ==
 # F.aggregate left fold — same contract the green cosine queries rely
 # on).  Null embeddings and all-zero vectors yield NULL stats rows, not
@@ -315,3 +324,70 @@ def embed_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_product("err", "err") / F.col("n_dims").cast("double"), 8
         ).alias("mse"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection — keep the highest-quality documents
+# whose cumulative token count fits a budget (40% of the corpus here):
+# the greedy data-selection pass behind "train on the best X tokens".
+#
+# Ordering is (quality DESC, doc_id) — expressed to the distributed
+# prefix sum as ascending (-quality, doc_id), which is the identical
+# total order (negation is order-reversing and exact on doubles).  The
+# budget test is integer arithmetic (cum*5 <= total*2) so the 40%
+# threshold is exact on both engines; the total-token scalar rides a
+# broadcast.  No global window anywhere (operators/packing.py).
+# ---------------------------------------------------------------------------
+_BUDGET_NUM, _BUDGET_DEN = 2, 5  # keep while cum_tokens/total <= 2/5
+
+_DUCK_QUALITY = (
+    f"ROUND({{stop}} * 1.0 / nullif(len(w), 0), 4)"
+)
+
+
+@_register(
+    "corpus_budget_selection",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS w FROM documents),
+    q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                 ROUND({stopword_hits_sql('text', LANG_STOPWORDS['en'])} * 1.0
+                       / nullif(len(w), 0), 4) AS quality
+          FROM t),
+    f AS (SELECT * FROM q WHERE quality IS NOT NULL),
+    o AS (SELECT doc_id, quality, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY quality DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + n_tokens AS cum_tokens
+          FROM f),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM f)
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM o, tot
+    WHERE cum_tokens * {_BUDGET_DEN} <= total_tokens * {_BUDGET_NUM}
+    ORDER BY doc_id
+    """,
+)
+def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+        quality_features("text")["stopword_ratio"].alias("quality"),
+    ).filter(F.col("quality").isNotNull())
+    total = scored.agg(F.sum("n_tokens").alias("total_tokens"))
+    ranked = ordered_prefix_sum(
+        scored.withColumn("neg_q", -F.col("quality")),
+        ["neg_q", "doc_id"],
+        "n_tokens",
+        out_col="cum_before",
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn("cum_tokens", F.col("cum_before") + F.col("n_tokens"))
+        .filter(
+            F.col("cum_tokens") * _BUDGET_DEN
+            <= F.col("total_tokens") * _BUDGET_NUM
+        )
+        .select("doc_id", "quality", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    )

@@ -923,3 +923,54 @@ def dedup_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src0")
     benchmark = docs.filter(F.col("source") == "src0")
     return dedup.contamination_flags(corpus, benchmark, n=4).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@5 of the sign-LSH index against exact
+# brute-force search, per query.  The standard index-quality metric a
+# pipeline tracks before trusting an approximate path at 100 TB; both
+# sides reuse the (green) top-k queries above, so the oracle is a pure
+# composition of their SQL.  LEFT join from truth: a query whose
+# neighbors the index misses entirely still reports recall 0, not a
+# dropped row.
+# ---------------------------------------------------------------------------
+@_register(
+    "sim_recall_lsh_vs_bruteforce",
+    None,  # composed below, after both source oracles are registered
+)
+def sim_recall_lsh_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = (
+        sim_topk_lsh_bucketed(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
+        )
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["a_query"])
+        & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_vec").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_SQL["sim_recall_lsh_vs_bruteforce"] = f"""
+    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
+    ap AS ({ORACLE_SQL["sim_topk_lsh_bucketed"]})
+    SELECT bf.query_id,
+           COUNT(ap.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM bf LEFT JOIN ap
+      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
