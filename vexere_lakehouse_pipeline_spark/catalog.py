@@ -48,12 +48,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the engine works under ANY caller-provided SparkSession, not
         # just ones built by our session factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Micros-precision testdata timestamps carry no isAdjustedToUTC flag;
+    # without this conf Spark 4 infers TIMESTAMP_NTZ, which breaks
+    # unix_micros()/tz functions and diverges from the DuckDB oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # parquet TIMESTAMP(NANOS) read as long nanos (nanosAsLong) —
         # integer-divide to micros (exact; double division would lose
         # precision at 1e18 magnitudes) and restore a timestamp column.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        # Safety net for caller-provided sessions where the conf above
+        # was fixed after a scan was planned: session tz is UTC, so the
+        # NTZ->TZ cast is value-identical and folds into the scan.
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

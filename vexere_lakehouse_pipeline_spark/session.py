@@ -34,6 +34,12 @@ _SCALE_DEFAULTS = {
     # Spark only reads via this legacy flag (as raw long nanos); the
     # catalog's events loader converts back to a proper timestamp.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Testdata timestamps are parquet TIMESTAMP(MICROS) without the
+    # isAdjustedToUTC flag; Spark 4 infers those as TIMESTAMP_NTZ by
+    # default, which breaks unix_micros()/tz functions and diverges from
+    # DuckDB (which treats them as plain timestamps).  Session tz is UTC,
+    # so reading them as TIMESTAMP is value-identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # The reference ran Spark 3.4 (pre-ANSI default).  We keep ANSI off so
     # lenient-ingest casts (messy raw strings -> typed silver) return null
     # instead of failing the job; the conform layer uses try_* explicitly.
