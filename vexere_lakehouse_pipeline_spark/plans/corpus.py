@@ -234,10 +234,22 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # more typical; the cheap perplexity proxy used for corpus filtering).
 # Portability: per-token logprobs round to 6dp THEN become
 # decimal(18,6), so the per-doc SUM is order-independent and the oracle
-# matches bit-for-bit; only the final mean divides in double.
+# matches bit-for-bit.  The mean is rounded in exact int64 micro-units
+# ((2a+n) div 2n = round-half-away of a/n), NOT via ROUND(double,6):
+# Spark rounds doubles through BigDecimal HALF_UP while DuckDB scales
+# and nearbyint()s in floating point, and a quotient landing on the
+# .xxxxxx5 boundary (observed at sf0.001) rounds differently.  The
+# final value is CAST(int AS DOUBLE)/1e6 — one identical IEEE op per
+# engine.
 # Scale: freq table is vocab-sized; the token join shuffles on the
 # token hash; no driver state.
 # ---------------------------------------------------------------------------
+_MEAN_MICRO = (
+    "CAST(CASE WHEN {s} < 0"
+    " THEN -(((-2 * {s}) + {n}) {div} (2 * {n}))"
+    " ELSE ((2 * {s}) + {n}) {div} (2 * {n}) END AS DOUBLE) / 1000000.0"
+)
+
 @_register(
     "text_unigram_logprob_scores",
     f"""
@@ -246,13 +258,16 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp AS (SELECT token,
                   CAST(ROUND(LOG10(CAST(f AS DOUBLE)
                        / (SELECT SUM(f) FROM freq)), 6) AS DECIMAL(18,6)) AS lp
-           FROM freq)
-    SELECT t.doc_id,
-           CAST(ROUND(CAST(SUM(lp.lp) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+           FROM freq),
+    agg AS (SELECT t.doc_id,
+                   CAST(SUM(lp.lp) * 1000000 AS BIGINT) AS s_micro,
+                   COUNT(*) AS n_tokens
+            FROM tok t JOIN lp ON lp.token = t.token GROUP BY t.doc_id)
+    SELECT doc_id,
+           {_MEAN_MICRO.format(s="s_micro", n="n_tokens", div="//")}
              AS mean_logprob,
-           COUNT(*) AS n_tokens
-    FROM tok t JOIN lp ON lp.token = t.token
-    GROUP BY t.doc_id ORDER BY t.doc_id
+           n_tokens
+    FROM agg ORDER BY doc_id
     """,
 )
 def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,17 +283,21 @@ def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("lp"),
     )
-    return (
+    agg = (
         tok.join(lp, on="token")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum("lp").cast("double") / F.count("*"), 6)
-            .cast("double")
-            .alias("mean_logprob"),
+            F.expr("CAST(SUM(lp) * 1000000 AS BIGINT)").alias("s_micro"),
             F.count("*").alias("n_tokens"),
         )
-        .orderBy("doc_id")
     )
+    return agg.select(
+        "doc_id",
+        F.expr(
+            _MEAN_MICRO.format(s="s_micro", n="n_tokens", div="DIV")
+        ).alias("mean_logprob"),
+        "n_tokens",
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
