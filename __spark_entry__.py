@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from vexere_lakehouse_pipeline_spark.plans import (
     corpus,
     corpus_ext,
+    governance,
     star,
     star_ext,
     star_ml,
@@ -30,9 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator cluster from SURVEY.md §2."""
-    return {**star.QUERIES, **star_ml.QUERIES, **star_ext.QUERIES, **star_tpch2.QUERIES, **corpus.QUERIES, **corpus_ext.QUERIES}
+    return {**star.QUERIES, **star_ml.QUERIES, **star_ext.QUERIES, **star_tpch2.QUERIES, **corpus.QUERIES, **corpus_ext.QUERIES, **governance.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/types)."""
-    return {**star.ORACLE_SQL, **star_ml.ORACLE_SQL, **star_ext.ORACLE_SQL, **star_tpch2.ORACLE_SQL, **corpus.ORACLE_SQL, **corpus_ext.ORACLE_SQL}
+    return {**star.ORACLE_SQL, **star_ml.ORACLE_SQL, **star_ext.ORACLE_SQL, **star_tpch2.ORACLE_SQL, **corpus.ORACLE_SQL, **corpus_ext.ORACLE_SQL, **governance.ORACLE_SQL}

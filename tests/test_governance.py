@@ -1,0 +1,140 @@
+"""Unit coverage for the governance/graph operators (privacy,
+anomaly gate, survivor selection, k-NN graph) beyond the oracle-gate
+parity that tests/test_star_oracle.py already pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators import dedup, privacy, similarity
+from vexere_lakehouse_pipeline_spark.plans import governance
+
+
+def test_mask_digits_masks_every_digit(spark):
+    df = spark.createDataFrame(
+        [("Customer#000000042",), ("no digits here",), (None,)], ["name"]
+    )
+    out = [
+        r.masked
+        for r in df.select(privacy.mask_digits("name").alias("masked")).collect()
+    ]
+    assert out == ["Customer#XXXXXXXXX", "no digits here", None]
+
+
+def test_pseudonymize_deterministic_and_salted(spark):
+    df = spark.createDataFrame([("alice",), ("alice",), ("bob",)], ["name"])
+    out = df.select(
+        privacy.pseudonymize("name", "s1:").alias("a"),
+        privacy.pseudonymize("name", "s2:").alias("b"),
+    ).collect()
+    # Same value + salt -> same surrogate; different salt -> different.
+    assert out[0].a == out[1].a
+    assert out[0].a != out[0].b
+    assert len(out[0].a) == 64 and out[0].a == out[0].a.lower()
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    rows = [("seg_a", 1)] * 5 + [("seg_b", 2)] * 2
+    df = spark.createDataFrame(rows, ["seg", "nat"])
+    rep = {
+        (r.seg, r.nat): (r.group_size, r.meets_k)
+        for r in privacy.k_anonymity_report(df, ["seg", "nat"], k=5).collect()
+    }
+    assert rep[("seg_a", 1)] == (5, True)
+    assert rep[("seg_b", 2)] == (2, False)
+
+
+def test_k_anonymity_requires_quasi_columns(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="quasi"):
+        privacy.k_anonymity_report(df, [])
+
+
+def test_anomaly_gate_flags_injected_spike(spark):
+    # 10 flat days then a 10x spike: only the spike day may fire, and
+    # only once it has >= _MIN_N days of trailing history.
+    rows = [(f"2024-01-{d:02d}", 100.0) for d in range(1, 11)]
+    rows.append(("2024-01-11", 1000.0))
+    orders = spark.createDataFrame(rows, ["d", "o_totalprice"]).select(
+        F.col("d").cast("timestamp").alias("o_orderdate"), "o_totalprice"
+    )
+    import vexere_lakehouse_pipeline_spark.plans.governance as g
+
+    real_load = g.load_table
+    g.load_table = lambda spark, sf_dir, name: orders
+    try:
+        out = g.QUERIES["anomaly_daily_revenue"](spark, "ignored").collect()
+    finally:
+        g.load_table = real_load
+    flags = {str(r.day): r.is_anomaly for r in out}
+    assert flags["2024-01-11"] is True
+    assert sum(flags.values()) == 1
+    by_day = {str(r.day): r for r in out}
+    # Flat stretch: trailing mean equals the constant revenue exactly.
+    assert by_day["2024-01-10"].trailing_mean_cents == 10000
+
+
+def test_survivor_selection_prefers_quality_then_id(spark):
+    # Two docs with identical text (guaranteed same cluster), one longer.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", 10),
+            (2, "alpha beta gamma delta epsilon zeta", 99),
+            (3, "totally unrelated words nothing shared here", 50),
+        ],
+        ["doc_id", "text", "n_chars"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.survivor_selection(docs, quality_col="n_chars").collect()
+    }
+    assert out[1].survivor_id == 2 and out[1].is_survivor is False
+    assert out[2].survivor_id == 2 and out[2].is_survivor is True
+    assert out[3].survivor_id == 3 and out[3].is_survivor is True
+
+
+def test_knn_graph_exact_cap_and_strategy_validation(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="unknown"):
+        similarity.knn_graph(emb, strategy="bogus")
+    orig = similarity.MAX_EXACT_KNN_ROWS
+    similarity.MAX_EXACT_KNN_ROWS = 2
+    try:
+        with pytest.raises(ValueError, match="capped"):
+            similarity.knn_graph(emb, strategy="exact").collect()
+    finally:
+        similarity.MAX_EXACT_KNN_ROWS = orig
+
+
+def test_knn_graph_lsh_edges_subset_of_exact(spark):
+    # LSH strategy may MISS edges (bucket pruning) but must never
+    # invent one: every (src, dst, cos) it emits appears in the exact
+    # pairwise scoring.
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7) % 5 - 2), float(i % 3 - 1), 1.0]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    exact = {
+        (r.src, r.dst, r.cos_sim)
+        for r in similarity.knn_graph(emb, k=11, strategy="exact").collect()
+    }
+    lsh = {
+        (r.src, r.dst, r.cos_sim)
+        for r in similarity.knn_graph(emb, k=3, strategy="lsh").collect()
+    }
+    assert lsh  # buckets are coarse enough that some edges survive
+    assert lsh <= exact
+
+
+def test_governance_queries_registered():
+    for name in (
+        "privacy_pseudonymize_customers",
+        "privacy_kanonymity_report",
+        "anomaly_daily_revenue",
+        "dedup_survivor_selection",
+        "sim_knn_graph",
+    ):
+        assert name in governance.QUERIES and name in governance.ORACLE_SQL

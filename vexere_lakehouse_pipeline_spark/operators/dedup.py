@@ -385,3 +385,37 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
         .agg(F.countDistinct("h").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+def survivor_selection(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       quality_col: str = "n_chars") -> DataFrame:
+    """Pick one canonical survivor per near-duplicate cluster.
+
+    ``duplicate_clusters`` labels components but crowns the MIN doc id;
+    real dedup keeps the *best* copy (longest / highest quality-score
+    member — the standard "keep the canonical variant" policy) and
+    drops the rest.  Output: (doc_id, component_id, quality,
+    survivor_id, is_survivor) for every document, so the caller can
+    either filter to survivors or audit what was dropped.
+
+    Scale: clustering cost dominates (see ``duplicate_clusters``); the
+    selection itself is one window over component_id — components are
+    near-dup clusters, so the partitions are tiny and skew-free by
+    construction (the LSH band-bucket cap bounds any single component's
+    pair source).
+    """
+    from pyspark.sql import Window
+
+    clusters = duplicate_clusters(docs, text_col, id_col)
+    quality = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
+    )
+    j = clusters.select("doc_id", "component_id").join(quality, on="doc_id")
+    w = (
+        Window.partitionBy("component_id")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = j.withColumn("survivor_id", F.first("doc_id").over(w))
+    return out.withColumn("is_survivor", F.col("doc_id") == F.col("survivor_id"))

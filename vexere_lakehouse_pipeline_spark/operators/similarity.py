@@ -385,3 +385,92 @@ def kmeans_assign(emb: DataFrame, centroids: DataFrame,
     return emb.withColumn("cluster", best["cluster"]).withColumn(
         "dist2", best["dist2"]
     )
+
+
+# Exact k-NN graph ceiling: the exact strategy is an O(N²) pairwise
+# scoring (broadcast self cross-join).  Past this row count the right
+# tool is the LSH-bucketed strategy (approximate, recall-gated the same
+# way sim_recall_lsh_vs_bruteforce pins topk recall).
+MAX_EXACT_KNN_ROWS = 100_000
+
+
+def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
+              id_col: str = "vec_id", strategy: str = "exact",
+              n_bits: int = 4) -> DataFrame:
+    """k-nearest-neighbor graph over a single embedding table.
+
+    Returns (src, dst, cos_sim, rnk) — each vector's top-``k`` cosine
+    neighbors (self excluded), ranked by (cos_sim desc, dst) after 6dp
+    rounding.  The edge list feeds graph clustering, label propagation,
+    and diversity-aware sampling over a corpus.
+
+    Strategies:
+
+    - ``exact``: score all N·(N-1) pairs via a broadcast self
+      cross-join.  Inherently quadratic — enforced ceiling of
+      MAX_EXACT_KNN_ROWS rows (same contract style as
+      topk_bruteforce_arrow's query cap); right for evaluation sets and
+      per-cluster refinement, never for the full corpus.
+    - ``lsh``: sign-LSH bucket self-join — each vector is scored only
+      against its bucket, one equi-join shuffle, linear in bucket
+      volume.  Approximate: vectors whose true neighbors land in other
+      buckets lose them (recall is data-dependent; gate it against the
+      exact strategy on a sample, as the recall@k query does for
+      top-k search).
+    """
+    if strategy not in ("exact", "lsh"):
+        raise ValueError(f"unknown knn_graph strategy {strategy!r}")
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(vec_col).alias("norm"),
+    )
+    if strategy == "exact":
+        n = base.count()
+        if n > MAX_EXACT_KNN_ROWS:
+            raise ValueError(
+                f"knn_graph(strategy='exact') is O(N²) and capped at "
+                f"{MAX_EXACT_KNN_ROWS} rows (got {n}); use strategy='lsh'"
+            )
+        a = base.select(
+            F.col("vec_id").alias("src"),
+            F.col("emb").alias("a_emb"),
+            F.col("norm").alias("a_norm"),
+        )
+        b = base.select(
+            F.col("vec_id").alias("dst"),
+            F.col("emb").alias("b_emb"),
+            F.col("norm").alias("b_norm"),
+        )
+        pairs = a.crossJoin(F.broadcast(b))
+    else:
+        bucketed = base.withColumn("bucket", sign_lsh_bucket("emb", n_bits))
+        a = bucketed.select(
+            "bucket",
+            F.col("vec_id").alias("src"),
+            F.col("emb").alias("a_emb"),
+            F.col("norm").alias("a_norm"),
+        )
+        b = bucketed.select(
+            "bucket",
+            F.col("vec_id").alias("dst"),
+            F.col("emb").alias("b_emb"),
+            F.col("norm").alias("b_norm"),
+        )
+        pairs = a.join(b, on="bucket")
+    scored = (
+        pairs.filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                cosine_from_norms("a_emb", "b_emb", "a_norm", "b_norm"), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,273 @@
+"""Governance & graph extensions: PII pseudonymization, k-anonymity,
+exact-arithmetic anomaly gating, dedup survivor selection, and the
+k-NN similarity graph.
+
+North-star surface (no reference analog — the reference publishes raw
+operator records straight to gold, SURVEY.md §2.1): the privacy gate a
+pipeline runs before any customer slice leaves silver, the
+anomaly screen run over revenue rollups, and the two graph-shaped
+corpus operators (survivor choice per duplicate cluster, k-NN edges
+for diversity/clustering work).
+
+Portability rules (MEMORY: oracle gate):
+- sha2(x,256) (Spark) and sha256(x) (DuckDB) both emit lowercase hex.
+- Regex patterns are character-class-only (Java regex ≡ RE2); DuckDB
+  needs the explicit 'g' flag to match Spark's global-replace default.
+- The anomaly gate compares z² > T² entirely in exact DECIMAL(38,0)
+  integer arithmetic — money is cast to decimal cents first, so no
+  float ever enters the comparison and the flag is bit-portable.
+  Trailing means use the (2a+n) div 2n int64 rounding from
+  plans/corpus.py, not ROUND(double,·) (engine rounding of doubles
+  diverges at .5 boundaries — see text_unigram_logprob_scores).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.operators import dedup, privacy, similarity
+from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
+from vexere_lakehouse_pipeline_spark.plans.star_ml import (
+    _DUCK_COS,
+    _DUCK_EMB,
+    _DUCK_SHINGLE_CTES,
+)
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymization — masked display name + salted SHA-256 surrogate.
+# Pure projection (regexp + sha2): no shuffle, whole-stage codegen,
+# scales with scan bandwidth.  The surrogate is deterministic so joins
+# against other pseudonymized tables using the same salt still work.
+# ---------------------------------------------------------------------------
+_SALT = "v1:"
+
+@_register(
+    "privacy_pseudonymize_customers",
+    f"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked_name,
+           sha256('{_SALT}' || c_name) AS surrogate_id
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def privacy_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        privacy.mask_digits("c_name").alias("masked_name"),
+        privacy.pseudonymize("c_name", _SALT).alias("surrogate_id"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity over quasi-identifiers (segment, nation, coarse balance
+# bucket).  One map-side-partial aggregation; output cardinality is the
+# anonymity-set count.  floor(double/1000) is a single IEEE divide +
+# floor on identical inputs — bit-portable.
+# ---------------------------------------------------------------------------
+_K_THRESHOLD = 5
+
+@_register(
+    "privacy_kanonymity_report",
+    f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS group_size,
+           COUNT(*) >= {_K_THRESHOLD} AS meets_k
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey, bal_bucket
+    ORDER BY c_mktsegment, c_nationkey, bal_bucket
+    """,
+)
+def privacy_kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    quasi = cust.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+    )
+    return privacy.k_anonymity_report(
+        quasi, ["c_mktsegment", "c_nationkey", "bal_bucket"], k=_K_THRESHOLD
+    ).orderBy("c_mktsegment", "c_nationkey", "bal_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window revenue anomaly gate — |z| > 2 against the 7-day
+# trailing mean/stddev, decided WITHOUT floats: with s1 = Σx, s2 = Σx²
+# and n over the window (exact integer cents),
+#     z² > T²  ⇔  (n·x − s1)² · (n−1)  >  T² · n · (n·s2 − s1²)
+# which is exact DECIMAL(38,0) arithmetic on both engines.  The daily
+# rollup is one shuffle; the window is one sort within the (tiny)
+# day-level frame.  At 1000× data the day cardinality barely grows —
+# the rollup output stays a few thousand rows regardless of input TB.
+# ---------------------------------------------------------------------------
+_Z_T = 2  # |z| threshold
+_MIN_N = 4  # minimum trailing days before the gate can fire
+
+_ANOM_FLAG = (
+    "n >= {min_n} AND (n * s2 - s1 * s1) > 0 AND "
+    "(n * x - s1) * (n * x - s1) * (n - 1) > {t2} * n * (n * s2 - s1 * s1)"
+)
+# Integer division must run on BIGINT, not DECIMAL: DuckDB's `//` on
+# decimals routes through DOUBLE division (decimal `/` is double) and
+# its floor can land one off near-integer quotients; int64 `//` is
+# exact on both engines.  s1 fits int64 far past 100 TB daily volumes.
+_MEAN_CENTS = (
+    "CAST((2 * CAST(s1 AS BIGINT) + CAST(n AS BIGINT))"
+    " {div} (2 * CAST(n AS BIGINT)) AS BIGINT)"
+)
+
+@_register(
+    "anomaly_daily_revenue",
+    f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS rev_cents
+        FROM orders GROUP BY day
+    ),
+    win AS (
+        SELECT day, rev_cents,
+               CAST(rev_cents AS DECIMAL(38,0)) AS x,
+               SUM(CAST(rev_cents AS DECIMAL(38,0)))
+                   OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS s1,
+               SUM(CAST(rev_cents AS DECIMAL(38,0))
+                   * CAST(rev_cents AS DECIMAL(38,0)))
+                   OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS s2,
+               CAST(COUNT(*)
+                   OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(38,0)) AS n
+        FROM daily
+    )
+    SELECT day, rev_cents,
+           CAST(n AS BIGINT) AS trailing_n,
+           {_MEAN_CENTS.format(div="//")} AS trailing_mean_cents,
+           {_ANOM_FLAG.format(min_n=_MIN_N, t2=_Z_T * _Z_T)} AS is_anomaly
+    FROM win ORDER BY day
+    """,
+)
+def anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+            ).alias("rev_cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    dec = F.col("rev_cents").cast("decimal(38,0)")
+    win = daily.select(
+        "day",
+        "rev_cents",
+        dec.alias("x"),
+        F.sum(dec).over(w).cast("decimal(38,0)").alias("s1"),
+        F.sum((dec * dec).cast("decimal(38,0)")).over(w)
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.count("*").over(w).cast("decimal(38,0)").alias("n"),
+    )
+    return win.select(
+        "day",
+        "rev_cents",
+        F.col("n").cast("long").alias("trailing_n"),
+        F.expr(_MEAN_CENTS.format(div="DIV")).alias("trailing_mean_cents"),
+        F.expr(_ANOM_FLAG.format(min_n=_MIN_N, t2=_Z_T * _Z_T)).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivor selection — the "keep the best copy" policy over
+# near-dup clusters (operators/dedup.survivor_selection).  The oracle
+# re-derives the clusters with the shared recursive-CTE mirror and
+# crowns the same (quality desc, doc_id) winner.
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_survivor_selection",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_CTES},
+    undirected AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN undirected e ON e.u = r.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u),
+    full_t AS (
+        SELECT d.doc_id,
+               COALESCE(c.component_id, d.doc_id) AS component_id,
+               d.n_chars AS quality
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, component_id, quality,
+           FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component_id ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS survivor_id,
+           doc_id = FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component_id ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS is_survivor
+    FROM full_t ORDER BY doc_id
+    """,
+)
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.survivor_selection(docs, quality_col="n_chars").orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph (exact strategy, oracle-checked on the full table; the
+# LSH strategy is the scale path, recall-gated in tests).
+# ---------------------------------------------------------------------------
+_KNN_K = 3
+
+@_register(
+    "sim_knn_graph",
+    f"""
+    WITH e AS ({_DUCK_EMB}),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rnk
+        FROM scored
+    )
+    SELECT src, dst, cos_sim, rnk FROM ranked WHERE rnk <= {_KNN_K}
+    ORDER BY src, rnk
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_graph(emb, k=_KNN_K, strategy="exact").orderBy(
+        "src", "rnk"
+    )
