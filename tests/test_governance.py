@@ -138,3 +138,38 @@ def test_governance_queries_registered():
         "sim_knn_graph",
     ):
         assert name in governance.QUERIES and name in governance.ORACLE_SQL
+
+
+def test_pagerank_fixed_point_mass_and_hub(spark):
+    from vexere_lakehouse_pipeline_spark.operators import graph
+
+    # Star graph: every node links to 0 (plus a back edge 0->1).
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["vec_id"])
+    pr = {
+        r.vec_id: r.pr_e12
+        for r in graph.pagerank_fixed_point(edges, nodes, iters=3).collect()
+    }
+    assert len(pr) == 6
+    # The hub receives every leaf's mass: far above any leaf.  (Node 1
+    # is NOT a leaf — the 0->1 back edge hands it the hub's whole mass,
+    # so it ranks second.)
+    leaves = [pr[k] for k in range(2, 6)]
+    assert pr[0] > 3 * max(leaves)
+    assert pr[1] > max(leaves)
+    assert max(pr, key=pr.get) == 0
+    # Fixed-point truncation only ever loses mass: total <= 1.0 and
+    # close to it (each div truncates at 1e-12).
+    assert sum(pr.values()) <= graph.PR_SCALE
+    assert sum(pr.values()) > int(graph.PR_SCALE * 0.8)
+
+
+def test_pagerank_validates_damping(spark):
+    from vexere_lakehouse_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,)], ["vec_id"])
+    with pytest.raises(ValueError, match="damping"):
+        graph.pagerank_fixed_point(edges, nodes, damping_pct=0)

@@ -485,3 +485,99 @@ def test_upsert_clears_emptied_partition_with_escaped_value(spark, tmp_path):
     rows = {(r.id, r.slot, r.v) for r in read_table(spark, path).collect()}
     assert rows == {(1, "moved", "a2"), (2, "plain", "b")}
     assert not any("%3A" in d for d in os.listdir(path))  # stale dir gone
+
+
+def test_forget_keys_erases_and_reports_count(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        forget_keys,
+        read_table,
+        upsert,
+    )
+
+    path = str(tmp_path / "forget")
+    data = spark.createDataFrame(
+        [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c"), ("d3", 4, "d")],
+        "day string, id int, v string",
+    )
+    upsert(data, path, ["id"], partition_by=("day",))
+    erase = spark.createDataFrame([(2,), (3,), (999,)], "id int")
+    n = forget_keys(spark, path, erase, ["id"], partition_by=("day",))
+    assert n == 2  # id 999 never existed
+    got = {r.id for r in read_table(spark, path).collect()}
+    assert got == {1, 4}
+    # d2's only row was erased: the partition directory must be gone,
+    # not left as a stale empty dir.
+    import os
+
+    assert not os.path.exists(os.path.join(path, "day=d2"))
+    assert os.path.exists(os.path.join(path, "day=d3"))
+
+
+def test_forget_keys_untouched_partition_not_rewritten(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        forget_keys,
+        upsert,
+    )
+
+    path = str(tmp_path / "forget_untouched")
+    data = spark.createDataFrame(
+        [("d1", 1, "a"), ("d2", 2, "b")], "day string, id int, v string"
+    )
+    upsert(data, path, ["id"], partition_by=("day",))
+    import os
+
+    def part_files(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(f for f in os.listdir(d) if f.startswith("part-"))
+
+    before = part_files("d2")
+    forget_keys(
+        spark,
+        path,
+        spark.createDataFrame([(1,)], "id int"),
+        ["id"],
+        partition_by=("day",),
+    )
+    # d2 held no matching rows: its files are bit-for-bit untouched.
+    assert part_files("d2") == before
+    assert not os.path.exists(os.path.join(path, "day=d1"))
+
+
+def test_forget_keys_noop_and_missing_table(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        forget_keys,
+        read_table,
+        upsert,
+    )
+
+    missing = str(tmp_path / "never_written")
+    erase = spark.createDataFrame([(1,)], "id int")
+    assert forget_keys(spark, missing, erase, ["id"]) == 0
+
+    path = str(tmp_path / "forget_noop")
+    data = spark.createDataFrame([(1, "a")], "id int, v string")
+    upsert(data, path, ["id"])
+    assert forget_keys(
+        spark, path, spark.createDataFrame([(42,)], "id int"), ["id"]
+    ) == 0
+    assert read_table(spark, path).count() == 1
+
+
+def test_forget_keys_null_safe_match(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        forget_keys,
+        read_table,
+        upsert,
+    )
+
+    path = str(tmp_path / "forget_null")
+    data = spark.createDataFrame(
+        [(None, "null-key"), (1, "keep")], "id int, v string"
+    )
+    upsert(data, path, ["id"])
+    n = forget_keys(
+        spark, path, spark.createDataFrame([(None,)], "id int"), ["id"]
+    )
+    assert n == 1
+    got = [r.v for r in read_table(spark, path).collect()]
+    assert got == ["keep"]

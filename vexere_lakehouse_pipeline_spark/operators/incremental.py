@@ -344,48 +344,9 @@ def upsert(df: DataFrame, path: str, merge_keys: list[str],
         touched = new_parts.unionByName(old_parts).distinct().select(
             *[F.col(k).alias(f"__p_{k}") for k in partition_by]
         )
-        # Null-safe semi join: a NULL partition value must still count
-        # as touched (plain column equality would drop those rows).
-        tcond = None
-        for k in partition_by:
-            c = F.col(k).eqNullSafe(F.col(f"__p_{k}"))
-            tcond = c if tcond is None else (tcond & c)
-        merged_touched = merged.join(
-            F.broadcast(touched), on=tcond, how="left_semi"
-        ).localCheckpoint(eager=True)  # evaluated twice below
-        # materialize the touched-partition list BEFORE the overwrite —
-        # its plan reads the files the overwrite is about to delete
-        touched_rows = touched.collect()
-        with _dynamic_partition_overwrite(spark):
-            merged_touched.write.format(fmt).mode("overwrite").partitionBy(
-                *partition_by
-            ).save(path)
-        # Dynamic overwrite only rewrites partitions PRESENT in the
-        # output: a touched partition that ended up EMPTY (its only row
-        # moved away) would keep its stale files.  Delete those
-        # directories explicitly (local/HDFS-mounted paths; Delta MERGE
-        # handles this natively on clusters).
-        import os as _os
-        import shutil as _shutil
-
-        remaining = {
-            tuple(r) for r in merged_touched.select(
-                *[F.col(f"__p_{k}") if f"__p_{k}" in merged_touched.columns
-                  else F.col(k) for k in partition_by]
-            ).distinct().collect()
-        }
-        for t in touched_rows:
-            vals = tuple(t[f"__p_{k}"] for k in partition_by)
-            if vals in remaining:
-                continue
-            seg = "/".join(
-                f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else _escape_path_name(str(v))}"
-                for k, v in zip(partition_by, vals)
-            )
-            _shutil.rmtree(_os.path.join(path, seg), ignore_errors=True)
-        # invalidate cached file listings — readers created before this
-        # rewrite would otherwise chase deleted part files
-        spark.catalog.refreshByPath(path)
+        _overwrite_touched_partitions(
+            spark, path, fmt, partition_by, merged, touched
+        )
     else:
         # full rewrite via staging dir would be needed for true atomicity
         # on plain files; Spark's overwrite-with-read-self is unsafe, so
@@ -393,3 +354,112 @@ def upsert(df: DataFrame, path: str, merge_keys: list[str],
         merged.localCheckpoint(eager=True).write.format(fmt).mode(
             "overwrite"
         ).save(path)
+
+
+def _overwrite_touched_partitions(spark: SparkSession, path: str, fmt: str,
+                                  partition_by: tuple[str, ...],
+                                  dataset: DataFrame,
+                                  touched: DataFrame) -> None:
+    """Rewrite only the ``touched`` partitions of ``path`` with the rows
+    of ``dataset`` that fall in them (shared by upsert and forget_keys —
+    the same rewrite, touched-set computation differs per caller).
+
+    ``touched`` carries one ``__p_{k}`` column per partition key.
+    Handles the two dynamic-overwrite footguns: NULL partition values
+    (null-safe semi join) and partitions whose last row disappeared
+    (dynamic overwrite only rewrites partitions PRESENT in the output,
+    so emptied ones are deleted explicitly, Hive-escaped)."""
+    # Null-safe semi join: a NULL partition value must still count
+    # as touched (plain column equality would drop those rows).
+    tcond = None
+    for k in partition_by:
+        c = F.col(k).eqNullSafe(F.col(f"__p_{k}"))
+        tcond = c if tcond is None else (tcond & c)
+    dataset_touched = dataset.join(
+        F.broadcast(touched), on=tcond, how="left_semi"
+    ).localCheckpoint(eager=True)  # evaluated twice below
+    # materialize the touched-partition list BEFORE the overwrite —
+    # its plan reads the files the overwrite is about to delete
+    touched_rows = touched.collect()
+    with _dynamic_partition_overwrite(spark):
+        dataset_touched.write.format(fmt).mode("overwrite").partitionBy(
+            *partition_by
+        ).save(path)
+    # Dynamic overwrite only rewrites partitions PRESENT in the
+    # output: a touched partition that ended up EMPTY (its only row
+    # moved away or was deleted) would keep its stale files.  Delete
+    # those directories explicitly (local/HDFS-mounted paths; Delta
+    # MERGE handles this natively on clusters).
+    import os as _os
+    import shutil as _shutil
+
+    remaining = {
+        tuple(r) for r in dataset_touched.select(
+            *[F.col(k) for k in partition_by]
+        ).distinct().collect()
+    }
+    for t in touched_rows:
+        vals = tuple(t[f"__p_{k}"] for k in partition_by)
+        if vals in remaining:
+            continue
+        seg = "/".join(
+            f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else _escape_path_name(str(v))}"
+            for k, v in zip(partition_by, vals)
+        )
+        _shutil.rmtree(_os.path.join(path, seg), ignore_errors=True)
+    # invalidate cached file listings — readers created before this
+    # rewrite would otherwise chase deleted part files
+    spark.catalog.refreshByPath(path)
+
+
+def forget_keys(spark: SparkSession, path: str, keys_df: DataFrame,
+                merge_keys: list[str], fmt: str = DEFAULT_FORMAT,
+                partition_by: tuple[str, ...] = ()) -> int:
+    """Right-to-be-forgotten erasure: delete every row of the table at
+    ``path`` whose ``merge_keys`` appear in ``keys_df``.
+
+    Returns the number of rows erased (the audit figure an erasure
+    request must report).  On Delta this is a transactional MERGE
+    whenMatchedDelete; on plain parquet it rewrites partitions — with
+    ``partition_by`` set, ONLY the partitions that actually hold
+    matching rows are rewritten (the erasure-request key set is tiny,
+    so the matched-partition probe is a broadcast semi join, and a
+    100 TB table pays for a handful of partition rewrites, not a full
+    pass).  Partitions left empty by the deletion are removed from
+    disk, not left as stale directories.
+    """
+    existing = read_table(spark, path, fmt)
+    if existing is None:
+        return 0
+    keys, cond = _keys_and_cond(
+        keys_df.select(*merge_keys), merge_keys
+    )
+    n_matched = existing.join(F.broadcast(keys), on=cond, how="left_semi").count()
+    if n_matched == 0:
+        return 0
+    if _HAVE_DELTA and fmt == "delta":  # stub-covered: tests/test_delta_wiring.py
+        mcond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in merge_keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(keys_df.select(*merge_keys).distinct().alias("s"), mcond)
+            .whenMatchedDelete()
+            .execute()
+        )
+        return n_matched
+    survivors = existing.join(F.broadcast(keys), on=cond, how="left_anti")
+    if partition_by:
+        touched = (
+            existing.join(F.broadcast(keys), on=cond, how="left_semi")
+            .select(*[F.col(k).alias(f"__p_{k}") for k in partition_by])
+            .distinct()
+        )
+        _overwrite_touched_partitions(
+            spark, path, fmt, partition_by, survivors, touched
+        )
+    else:
+        survivors.localCheckpoint(eager=True).write.format(fmt).mode(
+            "overwrite"
+        ).save(path)
+        spark.catalog.refreshByPath(path)
+    return n_matched

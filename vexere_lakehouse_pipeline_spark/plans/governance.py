@@ -271,3 +271,71 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph(emb, k=_KNN_K, strategy="exact").orderBy(
         "src", "rnk"
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank over the k-NN graph (operators/graph.py).  The
+# oracle unrolls the fixed iteration count into chained CTEs; because
+# the operator is pure int64 arithmetic, the oracle is exact — no
+# float accumulation order anywhere.  Centrality over the similarity
+# graph = the "most representative exemplars" score used for
+# diversity-aware corpus sampling.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+_PR_DAMP = 85
+
+
+def _pagerank_oracle() -> str:
+    knn_edges = f"""
+    WITH e AS ({_DUCK_EMB}),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rnk
+        FROM scored
+    ),
+    edges AS (SELECT src, dst FROM ranked WHERE rnk <= {_KNN_K}),
+    odeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS c FROM e),
+    pr0 AS (SELECT e.vec_id AS id, 1000000000000 // nn.c AS pr
+            FROM e CROSS JOIN nn)"""
+    its = []
+    prev = "pr0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    it{i} AS (
+        SELECT nd.vec_id AS id,
+               ((100 - {_PR_DAMP}) * 1000000000000 // 100) // nn.c
+               + ({_PR_DAMP} * COALESCE(SUM(p.pr // o.od), 0)) // 100 AS pr
+        FROM e nd CROSS JOIN nn
+        LEFT JOIN edges ed ON ed.dst = nd.vec_id
+        LEFT JOIN odeg o ON o.src = ed.src
+        LEFT JOIN {prev} p ON p.id = ed.src
+        GROUP BY nd.vec_id, nn.c
+    )""")
+        prev = f"it{i}"
+    return (
+        knn_edges + "," + ",".join(its)
+        + f"""
+    SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_e12
+    FROM {prev} ORDER BY vec_id
+    """
+    )
+
+
+@_register("graph_pagerank_knn", _pagerank_oracle())
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=_KNN_K, strategy="exact").select(
+        "src", "dst"
+    )
+    nodes = emb.select("vec_id")
+    return graph.pagerank_fixed_point(
+        edges, nodes, iters=_PR_ITERS, damping_pct=_PR_DAMP
+    ).orderBy("vec_id")
