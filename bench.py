@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vexere_lakehouse_pipeline_spark.plans import corpus, corpus_ext, star, star_ext, star_ml, star_tpch2  # noqa: E402
+from vexere_lakehouse_pipeline_spark.plans import corpus, corpus_ext, governance, star, star_ext, star_ml, star_tpch2  # noqa: E402
 from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 ALL_QUERIES = {
@@ -32,6 +32,7 @@ ALL_QUERIES = {
     **star_tpch2.QUERIES,
     **corpus.QUERIES,
     **corpus_ext.QUERIES,
+    **governance.QUERIES,
 }
 
 HEADLINE = [

@@ -92,3 +92,48 @@ def test_quant_stats_map_only_compute(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pseudonymize_pure_projection_prunes_columns(spark):
+    from vexere_lakehouse_pipeline_spark.plans import governance
+
+    plan = _plan(
+        governance.QUERIES["privacy_pseudonymize_customers"](spark, SF)
+    )
+    # masking + sha2 are JVM Columns over a pruned 2-col scan; the only
+    # exchange is the deterministic output sort
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) <= 2
+    assert _shuffles(plan) <= 1  # rangepartitioning for orderBy only
+
+
+def test_kanonymity_single_agg_shuffle(spark):
+    from vexere_lakehouse_pipeline_spark.plans import governance
+
+    plan = _plan(governance.QUERIES["privacy_kanonymity_report"](spark, SF))
+    # partial agg -> one hash exchange -> final agg (+ output sort)
+    assert _shuffles(plan) <= 2
+    assert "Join" not in plan
+
+
+def test_anomaly_window_feeds_on_day_rollup_only(spark):
+    from vexere_lakehouse_pipeline_spark.plans import governance
+
+    plan = _plan(governance.QUERIES["anomaly_daily_revenue"](spark, SF))
+    # the single-partition window is fed by the day-level rollup (tiny
+    # forever), never by raw orders; scan reads only 2 columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_iterations_stay_jvm_side(spark):
+    from vexere_lakehouse_pipeline_spark.plans import governance
+
+    df = governance.QUERIES["graph_pagerank_knn"](spark, SF)
+    plan = _plan(df)
+    # localCheckpoint truncates lineage: the FINAL plan holds only the
+    # last join-back, not 3 unrolled iterations of everything
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 0  # reads checkpointed RDDs

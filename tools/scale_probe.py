@@ -54,6 +54,14 @@ PROBES = [
     ("corpus_bm25_search", {"documents": ["doc_id"]}),
     ("corpus_pack_chunks", {"documents": ["doc_id"]}),
     ("embed_int8_quant_stats", {"embeddings": ["vec_id"]}),
+    ("anomaly_daily_revenue", {"orders": ["o_orderkey"]}),
+    ("privacy_kanonymity_report", {"customer": ["c_custkey"]}),
+    ("privacy_pseudonymize_customers", {"customer": ["c_custkey"]}),
+    ("dedup_survivor_selection", {"documents": ["doc_id"]}),
+    # graph_pagerank_knn / sim_knn_graph are NOT probed: the exact
+    # strategy is O(N²) by contract (enforced row ceiling); the scale
+    # path is knn_graph(strategy='lsh'), whose bucket self-join shape
+    # is already covered by dedup_minhash_lsh_pairs above.
 ]
 
 ALL_TABLES = list(TESTDATA_TABLES)  # single source of truth (catalog)

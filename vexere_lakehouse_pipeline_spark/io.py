@@ -12,6 +12,7 @@ only populates it when the column is present in the schema).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -80,3 +81,23 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_text_corpus(spark: SparkSession, path: str,
+                     whole_files: bool = False) -> DataFrame:
+    """Raw-text corpus ingest: the missing first step when documents
+    arrive as flat files rather than parquet.
+
+    ``whole_files=False`` (default): one row per line — the layout for
+    line-delimited corpora; at 100 TB the files split normally and
+    parallelism follows maxPartitionBytes.  ``whole_files=True``: one
+    row per FILE (``wholetext``) for document-per-file corpora; files
+    become unsplittable, so this mode is for many small documents, not
+    few giant ones.  Returns (path, text) — the source path rides along
+    via the metadata column so provenance survives into bronze.
+    """
+    df = spark.read.text(path, wholetext=whole_files)
+    return df.select(
+        F.col("_metadata.file_path").alias("path"),
+        F.col("value").alias("text"),
+    )
