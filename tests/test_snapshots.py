@@ -117,3 +117,60 @@ def test_expire_keep_last_zero_keeps_only_current(spark, tmp_path):
 
     with pytest.raises(ValueError, match="local path"):
         SnapshotTable("s3a://bucket/tbl")
+
+
+def test_snapshot_diff_insert_update_delete(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    t = SnapshotTable(str(tmp_path / "sd"))
+    v1 = t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+        )
+    )
+    v2 = t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B2"), (4, "d")], "id int, v string"
+        )
+    )
+    out = {
+        (r.id, r._change): r.v
+        for r in snapshot_diff(spark, t, v1, v2, ["id"]).collect()
+    }
+    assert out == {
+        (2, "update"): "B2",   # new content
+        (3, "delete"): "c",    # old content
+        (4, "insert"): "d",
+    }
+
+
+def test_snapshot_diff_null_key_and_schema_drift(spark, tmp_path):
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    t = SnapshotTable(str(tmp_path / "sd2"))
+    v1 = t.commit(
+        spark.createDataFrame([(None, "x"), (1, "y")], "id int, v string")
+    )
+    v2 = t.commit(
+        spark.createDataFrame([(None, "x2"), (1, "y")], "id int, v string")
+    )
+    out = {
+        (r.id, r._change): r.v
+        for r in snapshot_diff(spark, t, v1, v2, ["id"]).collect()
+    }
+    # Null keys match null-safely: one update, never insert+delete.
+    assert out == {(None, "update"): "x2"}
+
+    t2 = SnapshotTable(str(tmp_path / "sd3"))
+    w1 = t2.commit(spark.createDataFrame([(1, "a")], "id int, v string"))
+    w2 = t2.commit(spark.createDataFrame([(1,)], "id int"))
+    with pytest.raises(ValueError, match="schema drift"):
+        snapshot_diff(spark, t2, w1, w2, ["id"])

@@ -26,6 +26,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotTable:
@@ -175,3 +176,68 @@ class SnapshotTable:
             shutil.rmtree(os.path.join(self.base, f"v={v}"),
                           ignore_errors=True)
         return expired
+
+
+def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
+                  from_version: int, to_version: int,
+                  key_cols: list[str]) -> DataFrame:
+    """Row-level diff between two committed versions: the CDC feed a
+    downstream consumer replays instead of re-reading the whole table.
+
+    Returns the union of rows tagged ``_change``:
+    ``insert`` (key only in ``to``), ``delete`` (key only in ``from``,
+    row content from the old version), ``update`` (key in both, any
+    non-key column changed — emitted once with the NEW content).
+    Unchanged rows are absent, so the diff's size tracks the actual
+    churn, not the table.
+
+    Scale shape: one full-outer join on the key columns (null-safe) —
+    the same single wide shuffle a Delta/Iceberg changes() scan pays
+    when no change journal exists.  Change detection compares the
+    md5 of all non-key columns JVM-side, no Python.
+    """
+    old = table.read(spark, version=from_version)
+    new = table.read(spark, version=to_version)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema drift between versions: {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}; diff requires a shared schema"
+        )
+    val_cols = [c for c in new.columns if c not in key_cols]
+    def _sig(df: DataFrame):
+        # md5 over canonicalized non-key values; \x00 separator keeps
+        # ("ab","c") distinct from ("a","bc"); nulls tagged distinctly
+        parts = []
+        for c in val_cols:
+            parts.append(
+                F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL"))
+            )
+        return F.md5(F.concat_ws("\x00", *parts)) if parts else F.lit("")
+
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
+        F.struct(*old.columns).alias("__old_row"),
+        _sig(old).alias("__old_sig"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
+        F.struct(*new.columns).alias("__new_row"),
+        _sig(new).alias("__new_sig"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, on=cond, how="full_outer")
+    change = (
+        F.when(F.col("__old_sig").isNull(), F.lit("insert"))
+        .when(F.col("__new_sig").isNull(), F.lit("delete"))
+        .when(F.col("__old_sig") != F.col("__new_sig"), F.lit("update"))
+    )
+    picked = joined.withColumn("_change", change).filter(
+        F.col("_change").isNotNull()
+    )
+    row = F.when(F.col("_change") == "delete", F.col("__old_row")).otherwise(
+        F.col("__new_row")
+    )
+    return picked.select(row.alias("r"), "_change").select("r.*", "_change")

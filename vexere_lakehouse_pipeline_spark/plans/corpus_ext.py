@@ -391,3 +391,60 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality", "n_tokens", "cum_tokens")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label centroids by exact vector mean-pooling — the portable form of
+# what k-means' update step computes.  Per-component values are floored
+# into integer micro-units BEFORE aggregation (floor of an identical
+# double is bit-portable; ROUND/CAST of doubles is NOT — Spark
+# truncates double→long while DuckDB rounds, and ROUND(double,6)
+# half-up diverges at boundaries), so the component sums are exact
+# int64 and the mean uses the shared (2a+n) div 2n integer rounding.
+#
+# Plan shape: posexplode → ONE hash aggregation on (label, pos) —
+# cardinality |labels|×dim, tiny.  At 100 TB this is the centroid /
+# class-prototype computation over any labeled embedding corpus; the
+# explode inflates rows ×dim but partial aggregation collapses them
+# map-side before the only shuffle.
+# ---------------------------------------------------------------------------
+from vexere_lakehouse_pipeline_spark.plans.corpus import _MEAN_MICRO
+
+@_register(
+    "embed_label_centroids",
+    f"""
+    WITH ex AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    agg AS (
+        SELECT label, pos,
+               SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+               COUNT(*) AS n
+        FROM ex GROUP BY label, pos
+    )
+    SELECT label, pos,
+           {_MEAN_MICRO.format(s="s", n="n", div="//")} AS mean_val,
+           n AS n_vecs
+    FROM agg ORDER BY label, pos
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    agg = ex.groupBy("label", "pos").agg(
+        F.expr(
+            "SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "label",
+        "pos",
+        F.expr(_MEAN_MICRO.format(s="s", n="n", div="DIV")).alias("mean_val"),
+        F.col("n").alias("n_vecs"),
+    ).orderBy("label", "pos")
