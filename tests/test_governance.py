@@ -173,3 +173,25 @@ def test_pagerank_validates_damping(spark):
     nodes = spark.createDataFrame([(1,), (2,)], ["vec_id"])
     with pytest.raises(ValueError, match="damping"):
         graph.pagerank_fixed_point(edges, nodes, damping_pct=0)
+
+
+def test_editdist_verify_scores_near_dups_high(spark):
+    from vexere_lakehouse_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zet"),   # 1 char off
+            (3, "completely different content entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.edit_dist, r.sim_permille)
+        for r in dedup.editdist_verify_pairs(docs).collect()
+    }
+    assert out[(1, 2)][0] == 1
+    assert out[(1, 2)][1] >= 970
+    # threshold filter keeps only near-identical pairs
+    kept = dedup.editdist_verify_pairs(docs, max_permille_dist=50).collect()
+    assert {(r.doc_a, r.doc_b) for r in kept} == {(1, 2)}

@@ -419,3 +419,53 @@ def survivor_selection(docs: DataFrame, text_col: str = "text",
     )
     out = j.withColumn("survivor_id", F.first("doc_id").over(w))
     return out.withColumn("is_survivor", F.col("doc_id") == F.col("survivor_id"))
+
+
+def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_permille_dist: int | None = None) -> DataFrame:
+    """Character-level verification of LSH candidate pairs: Levenshtein
+    distance + an integer similarity score.
+
+    The character-exact complement of ``ngram_jaccard_pairs`` (token
+    sets ignore ordering and spacing; edit distance catches them).
+    ``sim_permille`` = 1000 − 1000·dist ÷ max(len_a, len_b), all
+    integer arithmetic — engine-portable with no float rounding.
+
+    Scale contract: edit distance is O(len²) PER PAIR, so this runs
+    strictly on LSH survivors (the same shape as the Jaccard verifier —
+    never all pairs), and the band-bucket cap bounds the pair count
+    even on degenerate corpora.
+    """
+    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    texts = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
+    )
+    j = (
+        pairs.join(
+            texts.withColumnsRenamed({"doc_id": "doc_a", "t": "t_a"}),
+            on="doc_a",
+        )
+        .join(
+            texts.withColumnsRenamed({"doc_id": "doc_b", "t": "t_b"}),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("t_a", "t_b").alias("edit_dist"),
+            F.greatest(F.length("t_a"), F.length("t_b")).alias("_mx"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            (
+                F.lit(1000)
+                - F.expr("1000 * edit_dist DIV nullif(_mx, 0)")
+            ).alias("sim_permille"),
+        )
+    )
+    if max_permille_dist is not None:
+        j = j.filter(F.col("sim_permille") >= 1000 - max_permille_dist)
+    return j

@@ -339,3 +339,118 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_fixed_point(
         edges, nodes, iters=_PR_ITERS, damping_pct=_PR_DAMP
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates (operators/dedup.py):
+# levenshtein is implemented natively AND identically (integer DP) in
+# Spark and DuckDB, so the verifier is oracle-exact; the similarity
+# score stays in integer permille (1000·dist ÷ maxlen via DIV).
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_editdist_verify",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_CTES}
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           1000 - 1000 * levenshtein(da.text, db.text)
+                  // nullif(greatest(length(da.text), length(db.text)), 0)
+             AS sim_permille
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.editdist_verify_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality score — the second-order companion of
+# text_unigram_logprob_scores (plans/corpus.py): fit bigram + unigram
+# counts over the corpus, score each doc by mean log10 p(w2|w1) =
+# log10(c(w1 w2) / c(w1)).  Same portability discipline: per-bigram
+# logprobs are 6dp decimals summed exactly; the mean is the shared
+# integer micro-unit rounding.  Docs shorter than 2 tokens contribute
+# their whole-text fallback shingle (word_shingles semantics, mirrored
+# in the oracle) — consistent on both engines by construction.
+# Scale: the bigram model is vocab²-bounded but Zipf-sparse; both
+# joins are equi-joins on the shingle/token hash, no driver state.
+# ---------------------------------------------------------------------------
+from vexere_lakehouse_pipeline_spark.functions.text import tokenize, word_shingles
+from vexere_lakehouse_pipeline_spark.plans.corpus import _MEAN_MICRO
+from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS, _duck_shingles
+
+
+@_register(
+    "text_bigram_logprob_scores",
+    f"""
+    WITH tokt AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    bi AS (SELECT doc_id, unnest({_duck_shingles(2)}) AS bg FROM tokt),
+    uni AS (SELECT doc_id, unnest(w) AS token FROM tokt),
+    cbi AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+    cuni AS (SELECT token, COUNT(*) AS c1 FROM uni GROUP BY token),
+    lp AS (
+        SELECT cbi.bg,
+               CAST(ROUND(LOG10(CAST(cbi.c2 AS DOUBLE)
+                    / CAST(cuni.c1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp
+        FROM cbi JOIN cuni
+          ON cuni.token = CASE WHEN strpos(cbi.bg, ' ') > 0
+                               THEN substr(cbi.bg, 1, strpos(cbi.bg, ' ') - 1)
+                               ELSE cbi.bg END
+    ),
+    agg AS (
+        SELECT b.doc_id,
+               CAST(SUM(lp.lp) * 1000000 AS BIGINT) AS s_micro,
+               COUNT(*) AS n_bigrams
+        FROM bi b JOIN lp ON lp.bg = b.bg GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           {_MEAN_MICRO.format(s="s_micro", n="n_bigrams", div="//")}
+             AS mean_logprob,
+           n_bigrams
+    FROM agg ORDER BY doc_id
+    """,
+)
+def text_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("bg")
+    )
+    uni = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    cbi = bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    cuni = uni.groupBy("token").agg(F.count("*").alias("c1"))
+    first_word = F.expr(
+        "CASE WHEN instr(bg, ' ') > 0"
+        " THEN substr(bg, 1, instr(bg, ' ') - 1) ELSE bg END"
+    )
+    lp = (
+        cbi.withColumn("_w1", first_word)
+        .join(cuni, F.col("_w1") == F.col("token"))
+        .select(
+            "bg",
+            F.round(
+                F.log10(F.col("c2").cast("double") / F.col("c1").cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    agg = (
+        bi.join(lp, on="bg")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(lp) * 1000000 AS BIGINT)").alias("s_micro"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        F.expr(
+            _MEAN_MICRO.format(s="s_micro", n="n_bigrams", div="DIV")
+        ).alias("mean_logprob"),
+        "n_bigrams",
+    ).orderBy("doc_id")
