@@ -82,3 +82,37 @@ def test_similarity_on_empty_queries(spark):
     )
     queries = emb.filter(F.col("vec_id") < 0)  # empty
     assert similarity.topk_bruteforce(emb, queries, k=3).count() == 0
+
+
+def test_governance_ops_on_empty(spark):
+    from vexere_lakehouse_pipeline_spark.operators import graph, privacy
+
+    docs = _empty_docs(spark)
+    assert dedup.survivor_selection(docs).count() == 0
+    assert dedup.editdist_verify_pairs(docs).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.knn_graph(emb, strategy="exact").count() == 0
+    assert similarity.knn_graph(emb, strategy="lsh").count() == 0
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([], "vec_id long")
+    assert graph.pagerank_fixed_point(edges, nodes).count() == 0
+
+    cust = spark.createDataFrame([], "seg string, nat int")
+    rep = privacy.k_anonymity_report(cust, ["seg", "nat"])
+    assert rep.count() == 0
+    assert set(rep.columns) == {"seg", "nat", "group_size", "meets_k"}
+
+
+def test_forget_and_diff_on_empty(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        forget_keys,
+        upsert,
+    )
+
+    path = str(tmp_path / "t")
+    upsert(spark.createDataFrame([(1, "a")], "id int, v string"), path, ["id"])
+    # empty erase set: no-op, zero count
+    empty_keys = spark.createDataFrame([], "id int")
+    assert forget_keys(spark, path, empty_keys, ["id"]) == 0
