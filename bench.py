@@ -96,6 +96,29 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Non-headline tracked numbers: round-2+ operators timed for
+    # round-over-round continuity WITHOUT changing the headline set
+    # (the r1-comparable total above stays 1:1).  Additive JSON key.
+    extra_names = [
+        "graph_pagerank_knn",
+        "sim_knn_graph",
+        "dedup_editdist_verify",
+        "anomaly_daily_revenue",
+        "dedup_survivor_selection",
+        "text_bigram_logprob_scores",
+        "embed_label_centroids",
+        "privacy_kanonymity_report",
+    ]
+    extra: dict[str, float] = {}
+    for name in extra_names:
+        if name not in ALL_QUERIES:
+            continue
+        spark.catalog.clearCache()
+        t0 = time.time()
+        force(ALL_QUERIES[name](spark, sf_dir))
+        extra[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -103,6 +126,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

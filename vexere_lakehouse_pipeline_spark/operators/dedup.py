@@ -423,7 +423,8 @@ def survivor_selection(docs: DataFrame, text_col: str = "text",
 
 def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
-                          max_permille_dist: int | None = None) -> DataFrame:
+                          max_permille_dist: int | None = None,
+                          band: int | None = None) -> DataFrame:
     """Character-level verification of LSH candidate pairs: Levenshtein
     distance + an integer similarity score.
 
@@ -432,39 +433,85 @@ def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
     ``sim_permille`` = 1000 − 1000·dist ÷ max(len_a, len_b), all
     integer arithmetic — engine-portable with no float rounding.
 
-    Scale contract: edit distance is O(len²) PER PAIR, so this runs
-    strictly on LSH survivors (the same shape as the Jaccard verifier —
-    never all pairs), and the band-bucket cap bounds the pair count
-    even on degenerate corpora.
+    Scale contract — edit distance is O(len²) PER PAIR, so three
+    independent bounds keep the hot loop small:
+
+    - runs strictly on LSH survivors (never all pairs), and the
+      band-bucket cap bounds the pair count even on degenerate corpora;
+    - with ``max_permille_dist`` set, a LENGTH PREFILTER drops pairs
+      before any DP work: edit_dist ≥ |len_a − len_b|, so a pair whose
+      length gap alone exceeds the threshold cannot pass — lossless;
+    - with ``band`` set, the DP runs Ukkonen-banded (Spark's
+      levenshtein threshold arg): O(len·band) instead of O(len²), with
+      distances above the band reported as -1 and dropped.  Combined
+      with ``max_permille_dist`` this stays EXACT as long as
+      ``band ≥ max_permille_dist · max_len / 1000`` (any dropped pair
+      would have failed the threshold anyway) — enforced with a
+      one-scalar length scan so a longer future corpus raises instead
+      of silently losing pairs.
     """
+    if band is not None and max_permille_dist is not None:
+        maxlen = docs.agg(
+            F.max(F.length(text_col)).alias("m")
+        ).first()["m"] or 0
+        if maxlen * max_permille_dist > band * 1000:
+            raise ValueError(
+                f"band={band} is too narrow for max_permille_dist="
+                f"{max_permille_dist} at max text length {maxlen}: pairs "
+                f"with distance in ({band}, {maxlen * max_permille_dist // 1000}] "
+                "would be silently dropped; raise band or tighten the threshold"
+            )
     pairs = lsh_candidate_pairs(docs, text_col, id_col)
     texts = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
     )
-    j = (
-        pairs.join(
-            texts.withColumnsRenamed({"doc_id": "doc_a", "t": "t_a"}),
-            on="doc_a",
+    j = pairs.join(
+        texts.withColumnsRenamed({"doc_id": "doc_a", "t": "t_a"}),
+        on="doc_a",
+    ).join(
+        texts.withColumnsRenamed({"doc_id": "doc_b", "t": "t_b"}),
+        on="doc_b",
+    )
+    if max_permille_dist is not None:
+        # |len gap| alone decides: 1000·gap > thr·maxlen ⟹ sim < cutoff
+        j = j.filter(
+            F.abs(F.length("t_a") - F.length("t_b")) * 1000
+            <= F.lit(max_permille_dist)
+            * F.greatest(F.length("t_a"), F.length("t_b"))
         )
-        .join(
-            texts.withColumnsRenamed({"doc_id": "doc_b", "t": "t_b"}),
-            on="doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("t_a", "t_b").alias("edit_dist"),
-            F.greatest(F.length("t_a"), F.length("t_b")).alias("_mx"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "edit_dist",
-            (
-                F.lit(1000)
-                - F.expr("1000 * edit_dist DIV nullif(_mx, 0)")
-            ).alias("sim_permille"),
-        )
+    # The pair set is tiny in BYTES (ids + two ~1 KB texts) but huge in
+    # CPU (O(len·band) DP per row), so AQE's size-based coalescing
+    # packs it into ONE partition and serializes the DP (measured: the
+    # whole 24k-pair set in a single task even under an explicit
+    # repartition(N) — Spark 4 AQE still coalesces it).  Materializing
+    # the repartitioned pairs with localCheckpoint pins the N-way
+    # layout — the DP stage then reads N materialized partitions and
+    # parallelizes fully (measured 23.5s -> 2s at sf0.1, 32 cores).
+    # The checkpoint is small by construction: LSH survivors + two
+    # texts per row.
+    j = j.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+    ).localCheckpoint(eager=True)
+    lev = (
+        F.levenshtein("t_a", "t_b", band)
+        if band is not None
+        else F.levenshtein("t_a", "t_b")
+    )
+    j = j.select(
+        "doc_a",
+        "doc_b",
+        lev.alias("edit_dist"),
+        F.greatest(F.length("t_a"), F.length("t_b")).alias("_mx"),
+    )
+    if band is not None:
+        j = j.filter(F.col("edit_dist") >= 0)  # -1 = beyond the band
+    j = j.select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        (
+            F.lit(1000) - F.expr("1000 * edit_dist DIV nullif(_mx, 0)")
+        ).alias("sim_permille"),
     )
     if max_permille_dist is not None:
         j = j.filter(F.col("sim_permille") >= 1000 - max_permille_dist)

@@ -406,11 +406,13 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
 
     Strategies:
 
-    - ``exact``: score all N·(N-1) pairs via a broadcast self
-      cross-join.  Inherently quadratic — enforced ceiling of
-      MAX_EXACT_KNN_ROWS rows (same contract style as
-      topk_bruteforce_arrow's query cap); right for evaluation sets and
-      per-cluster refinement, never for the full corpus.
+    - ``exact``: score all N·(N-1) pairs through the Arrow/numpy
+      matmul path (``topk_bruteforce_arrow`` with the table as its own
+      query set — the column-fold cross-join evaluates the dot product
+      as an interpreted HOF per pair and is ~10× slower).  Inherently
+      quadratic — enforced ceiling of MAX_EXACT_KNN_ROWS rows; right
+      for evaluation sets and per-cluster refinement, never for the
+      full corpus.
     - ``lsh``: sign-LSH bucket self-join — each vector is scored only
       against its bucket, one equi-join shuffle, linear in bucket
       volume.  Approximate: vectors whose true neighbors land in other
@@ -432,17 +434,15 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
                 f"knn_graph(strategy='exact') is O(N²) and capped at "
                 f"{MAX_EXACT_KNN_ROWS} rows (got {n}); use strategy='lsh'"
             )
-        a = base.select(
-            F.col("vec_id").alias("src"),
-            F.col("emb").alias("a_emb"),
-            F.col("norm").alias("a_norm"),
+        out = topk_bruteforce_arrow(
+            emb, emb, k=k, vec_col=vec_col, id_col=id_col
         )
-        b = base.select(
+        return out.select(
+            F.col("query_id").alias("src"),
             F.col("vec_id").alias("dst"),
-            F.col("emb").alias("b_emb"),
-            F.col("norm").alias("b_norm"),
+            "cos_sim",
+            F.col("rank").alias("rnk"),
         )
-        pairs = a.crossJoin(F.broadcast(b))
     else:
         bucketed = base.withColumn("bucket", sign_lsh_bucket("emb", n_bits))
         a = bucketed.select(

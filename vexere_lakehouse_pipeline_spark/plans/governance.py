@@ -345,26 +345,40 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Edit-distance verification of LSH candidates (operators/dedup.py):
 # levenshtein is implemented natively AND identically (integer DP) in
 # Spark and DuckDB, so the verifier is oracle-exact; the similarity
-# score stays in integer permille (1000·dist ÷ maxlen via DIV).
+# score stays in integer permille (1000·dist ÷ maxlen via DIV).  The
+# registered query verifies at the near-dup threshold (sim ≥ 700‰) so
+# the Spark side can run the length prefilter + Ukkonen band
+# (O(len·band) per pair, ~10× less DP work); the oracle computes the
+# full distance and applies the same threshold — identical survivors
+# by the band-correctness bound enforced in the operator.
 # ---------------------------------------------------------------------------
+_ED_MAX_PERMILLE = 300
+_ED_BAND = 200
+
 @_register(
     "dedup_editdist_verify",
     f"""
-    WITH RECURSIVE {_DUCK_SHINGLE_CTES}
-    SELECT p.doc_a, p.doc_b,
-           levenshtein(da.text, db.text) AS edit_dist,
-           1000 - 1000 * levenshtein(da.text, db.text)
-                  // nullif(greatest(length(da.text), length(db.text)), 0)
-             AS sim_permille
-    FROM pairs p
-    JOIN documents da ON da.doc_id = p.doc_a
-    JOIN documents db ON db.doc_id = p.doc_b
-    ORDER BY p.doc_a, p.doc_b
+    WITH RECURSIVE {_DUCK_SHINGLE_CTES},
+    scored AS (
+        SELECT p.doc_a, p.doc_b,
+               levenshtein(da.text, db.text) AS edit_dist,
+               1000 - 1000 * levenshtein(da.text, db.text)
+                      // nullif(greatest(length(da.text), length(db.text)), 0)
+                 AS sim_permille
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, edit_dist, sim_permille
+    FROM scored WHERE sim_permille >= {1000 - _ED_MAX_PERMILLE}
+    ORDER BY doc_a, doc_b
     """,
 )
 def dedup_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.editdist_verify_pairs(docs).orderBy("doc_a", "doc_b")
+    return dedup.editdist_verify_pairs(
+        docs, max_permille_dist=_ED_MAX_PERMILLE, band=_ED_BAND
+    ).orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
