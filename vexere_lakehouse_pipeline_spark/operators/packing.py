@@ -46,9 +46,17 @@ def ordered_prefix_sum(
     v = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
     # localCheckpoint pins row->partition assignment so the totals job
     # and the output see the same partitioning (same reasoning as
-    # surrogate_keys.assign_keys_distributed).
+    # surrogate_keys.assign_keys_distributed).  Explicit partition
+    # count: a no-N range exchange gets AQE-coalesced to one partition
+    # on small-bytes inputs, which would quietly degrade the
+    # distributed prefix sum to a single-partition window (still
+    # correct, but serial — and the multi-partition path would never
+    # run under test).
     part = (
-        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        df.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism,
+            *[F.col(c) for c in order_cols],
+        )
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_v", v)
         .localCheckpoint(eager=True)

@@ -448,3 +448,67 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MEAN_MICRO.format(s="s", n="n", div="DIV")).alias("mean_val"),
         F.col("n").alias("n_vecs"),
     ).orderBy("label", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking with overlap — the RAG / long-context
+# chunker: W-token windows advancing by stride S (overlap W−S tokens),
+# final partial window kept, sub-window docs emit one whole-doc chunk.
+# Pure Column code (transform(sequence)→explode→slice): the chunk
+# count and offsets are integer arithmetic, the text slice is engine-
+# native, so the whole query is oracle-exact.  Map-only over the scan
+# (the one exchange is the presentation sort); chunk inflation is
+# bounded by ceil(n/S) rows per doc.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+@_register(
+    "corpus_sliding_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    sized AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t
+              WHERE len(w) > 0),
+    nc AS (SELECT doc_id, w, n,
+                  CASE WHEN n <= {_CHUNK_W} THEN 1
+                       ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} + 1
+                  END AS n_chunks
+           FROM sized),
+    ex AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS chunk_idx
+           FROM nc)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           chunk_idx * {_CHUNK_S} AS chunk_start,
+           CAST(len(w[chunk_idx * {_CHUNK_S} + 1
+                      : chunk_idx * {_CHUNK_S} + {_CHUNK_W}]) AS BIGINT)
+             AS chunk_len,
+           array_to_string(w[chunk_idx * {_CHUNK_S} + 1
+                             : chunk_idx * {_CHUNK_S} + {_CHUNK_W}], ' ')
+             AS chunk_text
+    FROM ex ORDER BY doc_id, chunk_idx
+    """,
+)
+def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize("text").alias("w")).withColumn(
+        "n", F.size("w").cast("bigint")
+    ).filter(F.col("n") > 0)
+    nc = t.withColumn(
+        "n_chunks",
+        F.expr(
+            f"CASE WHEN n <= {_CHUNK_W} THEN 1 "
+            f"ELSE (n - {_CHUNK_W} + {_CHUNK_S} - 1) DIV {_CHUNK_S} + 1 END"
+        ),
+    )
+    ex = nc.select(
+        "doc_id",
+        "w",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
+    )
+    chunk = F.expr(f"slice(w, chunk_idx * {_CHUNK_S} + 1, {_CHUNK_W})")
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_S).alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -313,8 +313,12 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # sort-before-project: see silver_conform_chain
-    ordered = docs.repartitionByRange("doc_id").sortWithinPartitions("doc_id")
+    # sort-before-project + explicit partition count: see
+    # silver_conform_chain (AQE coalesces a no-N range exchange to one
+    # partition and serializes the regex-dense projection)
+    ordered = docs.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).sortWithinPartitions("doc_id")
     return ordered.select(
         "doc_id", quality_features("text").alias("q")
     ).select("doc_id", "q.*")
@@ -678,8 +682,15 @@ def silver_conform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second time (measured 13.1s -> 4.6s at sf0.1).  repartitionByRange
     # + sortWithinPartitions on the cheap frame gives the same total
     # order; the projection afterwards is narrow and order-preserving.
+    # EXPLICIT partition count: without it AQE coalesces the range
+    # exchange to ONE partition (rows are narrow, bytes small) and the
+    # 19-regex chain — the actual cost — runs single-threaded.  With N
+    # pinned the regex projection spreads across every core (the
+    # explicit-N exchange is exempt from coalescing; measured 32×
+    # parallelism, ~3× wall at sf0.1).
+    spark_ctx = li.sparkSession.sparkContext
     ordered = raw.repartitionByRange(
-        "l_orderkey", "l_linenumber"
+        spark_ctx.defaultParallelism, "l_orderkey", "l_linenumber"
     ).sortWithinPartitions("l_orderkey", "l_linenumber")
     return ordered.select(
         "l_orderkey",
