@@ -114,10 +114,15 @@ def main() -> None:
     for name in extra_names:
         if name not in ALL_QUERIES:
             continue
-        spark.catalog.clearCache()
-        t0 = time.time()
-        force(ALL_QUERIES[name](spark, sf_dir))
-        extra[name] = round(time.time() - t0, 3)
+        # same best-of-N estimator as the headline set, so the tracked
+        # numbers carry the same noise characteristics round-over-round
+        best = float("inf")
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            force(ALL_QUERIES[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        extra[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -195,3 +195,58 @@ def test_editdist_verify_scores_near_dups_high(spark):
     # threshold filter keeps only near-identical pairs
     kept = dedup.editdist_verify_pairs(docs, max_permille_dist=50).collect()
     assert {(r.doc_a, r.doc_b) for r in kept} == {(1, 2)}
+
+
+def test_editdist_prefilter_boundary_not_overpruned(spark):
+    # Boundary regression: gap=5, maxlen=35 -> floor(1000*5/35)=142, so
+    # with max_permille_dist=142 the pair PASSES (sim=858 >= 858); a
+    # prefilter using mpd*mx (4970 < 5000) would wrongly drop it.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # 35 chars
+            (2, "alpha beta gamma delta epsilon"),        # 30 chars
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.editdist_verify_pairs(docs, max_permille_dist=142).collect()
+    assert {(r.doc_a, r.doc_b, r.edit_dist, r.sim_permille) for r in out} == {
+        (1, 2, 5, 858)
+    }
+
+
+def test_snapshot_diff_reordered_columns_and_type_drift(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    t = SnapshotTable(str(tmp_path / "sdro"))
+    v1 = t.commit(spark.createDataFrame([(1, "a")], "id int, v string"))
+    # same columns, different order: must diff cleanly, not crash
+    v2 = t.commit(spark.createDataFrame([("a2", 1)], "v string, id int"))
+    out = snapshot_diff(spark, t, v1, v2, ["id"]).collect()
+    assert [(r.id, r.v, r._change) for r in out] == [(1, "a2", "update")]
+
+    t2 = SnapshotTable(str(tmp_path / "sdty"))
+    w1 = t2.commit(spark.createDataFrame([(1, "a")], "id int, v string"))
+    w2 = t2.commit(spark.createDataFrame([(1, "a")], "id string, v string"))
+    with pytest.raises(ValueError, match="types"):
+        snapshot_diff(spark, t2, w1, w2, ["id"])
+
+
+def test_snapshot_diff_null_vs_sentinel_literal(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    t = SnapshotTable(str(tmp_path / "sdnull"))
+    v1 = t.commit(
+        spark.createDataFrame([(1, "\x01NULL")], "id int, v string")
+    )
+    v2 = t.commit(
+        spark.createDataFrame([(1, None)], "id int, v string")
+    )
+    out = snapshot_diff(spark, t, v1, v2, ["id"]).collect()
+    # a real '\x01NULL' string changing to NULL IS a change
+    assert [(r.id, r._change) for r in out] == [(1, "update")]

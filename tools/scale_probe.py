@@ -58,6 +58,9 @@ PROBES = [
     ("privacy_kanonymity_report", {"customer": ["c_custkey"]}),
     ("privacy_pseudonymize_customers", {"customer": ["c_custkey"]}),
     ("dedup_survivor_selection", {"documents": ["doc_id"]}),
+    ("corpus_sliding_chunks", {"documents": ["doc_id"]}),
+    ("text_bigram_logprob_scores", {"documents": ["doc_id"]}),
+    ("events_transition_matrix", {"events": ["event_id", "user_id"]}),
     # graph_pagerank_knn / sim_knn_graph are NOT probed: the exact
     # strategy is O(N²) by contract (enforced row ceiling); the scale
     # path is knn_graph(strategy='lsh'), whose bucket self-join shape

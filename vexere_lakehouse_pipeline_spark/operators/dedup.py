@@ -454,11 +454,16 @@ def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
         maxlen = docs.agg(
             F.max(F.length(text_col)).alias("m")
         ).first()["m"] or 0
-        if maxlen * max_permille_dist > band * 1000:
+        # A pair passes the threshold iff floor(1000·d/mx) ≤ mpd, i.e.
+        # 1000·d ≤ (mpd+1)·mx − 1 — the +1 comes from the truncating
+        # DIV in sim_permille.  The band must cover that exact bound at
+        # the corpus max length or passing pairs would be -1'd away.
+        d_max = ((max_permille_dist + 1) * maxlen - 1) // 1000 if maxlen else 0
+        if d_max > band:
             raise ValueError(
                 f"band={band} is too narrow for max_permille_dist="
                 f"{max_permille_dist} at max text length {maxlen}: pairs "
-                f"with distance in ({band}, {maxlen * max_permille_dist // 1000}] "
+                f"with distance in ({band}, {d_max}] "
                 "would be silently dropped; raise band or tighten the threshold"
             )
     pairs = lsh_candidate_pairs(docs, text_col, id_col)
@@ -473,10 +478,15 @@ def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
         on="doc_b",
     )
     if max_permille_dist is not None:
-        # |len gap| alone decides: 1000·gap > thr·maxlen ⟹ sim < cutoff
+        # edit_dist ≥ |len gap|, and a pair passes iff
+        # floor(1000·d/mx) ≤ mpd ⟺ 1000·d < (mpd+1)·mx (truncating
+        # DIV).  Prune on the gap with the SAME strict bound — using
+        # mpd·mx here would be one floor-unit too strict and drop
+        # pairs the oracle keeps (e.g. gap·1000 = mpd·mx + 1 with
+        # floor still ≤ mpd).
         j = j.filter(
             F.abs(F.length("t_a") - F.length("t_b")) * 1000
-            <= F.lit(max_permille_dist)
+            < F.lit(max_permille_dist + 1)
             * F.greatest(F.length("t_a"), F.length("t_b"))
         )
     # The pair set is tiny in BYTES (ids + two ~1 KB texts) but huge in

@@ -434,7 +434,19 @@ def forget_keys(spark: SparkSession, path: str, keys_df: DataFrame,
     keys, cond = _keys_and_cond(
         keys_df.select(*merge_keys), merge_keys
     )
-    n_matched = existing.join(F.broadcast(keys), on=cond, how="left_semi").count()
+    # ONE probe pass over key + partition columns only (column-pruned
+    # scan): matched count and the touched-partition set come from the
+    # same job.  Everything after is partition-pruned — the rewrite
+    # never re-scans partitions the erase set doesn't touch.
+    probe_cols = list(partition_by) if partition_by else []
+    matched = existing.join(F.broadcast(keys), on=cond, how="left_semi")
+    if probe_cols:
+        probe = matched.groupBy(*probe_cols).count().collect()
+        n_matched = sum(r["count"] for r in probe)
+        touched_vals = [tuple(r[k] for k in probe_cols) for r in probe]
+    else:
+        n_matched = matched.count()
+        touched_vals = []
     if n_matched == 0:
         return 0
     if _HAVE_DELTA and fmt == "delta":  # stub-covered: tests/test_delta_wiring.py
@@ -447,17 +459,29 @@ def forget_keys(spark: SparkSession, path: str, keys_df: DataFrame,
             .execute()
         )
         return n_matched
-    survivors = existing.join(F.broadcast(keys), on=cond, how="left_anti")
     if partition_by:
-        touched = (
-            existing.join(F.broadcast(keys), on=cond, how="left_semi")
-            .select(*[F.col(k).alias(f"__p_{k}") for k in partition_by])
-            .distinct()
+        # Literal partition predicate (null-safe) from the collected
+        # touched set — Catalyst prunes the survivor scan to exactly
+        # the partitions being rewritten.
+        pred = None
+        for vals in touched_vals:
+            c = None
+            for k, v in zip(partition_by, vals):
+                e = F.col(k).eqNullSafe(F.lit(v))
+                c = e if c is None else (c & e)
+            pred = c if pred is None else (pred | c)
+        survivors = existing.filter(pred).join(
+            F.broadcast(keys), on=cond, how="left_anti"
         )
+        touched = spark.createDataFrame(
+            touched_vals,
+            existing.select(*partition_by).schema,
+        ).select(*[F.col(k).alias(f"__p_{k}") for k in partition_by])
         _overwrite_touched_partitions(
             spark, path, fmt, partition_by, survivors, touched
         )
     else:
+        survivors = existing.join(F.broadcast(keys), on=cond, how="left_anti")
         survivors.localCheckpoint(eager=True).write.format(fmt).mode(
             "overwrite"
         ).save(path)

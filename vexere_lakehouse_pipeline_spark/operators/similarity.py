@@ -406,13 +406,21 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
 
     Strategies:
 
-    - ``exact``: score all N·(N-1) pairs through the Arrow/numpy
-      matmul path (``topk_bruteforce_arrow`` with the table as its own
-      query set — the column-fold cross-join evaluates the dot product
-      as an interpreted HOF per pair and is ~10× slower).  Inherently
-      quadratic — enforced ceiling of MAX_EXACT_KNN_ROWS rows; right
-      for evaluation sets and per-cluster refinement, never for the
-      full corpus.
+    - ``exact``: a two-phase exact scorer.  Phase 1 prunes candidates
+      with the Arrow/numpy matmul path (``topk_bruteforce_arrow`` with
+      the table as its own query set, kept to k+MARGIN per query — the
+      column-fold cross-join evaluates the dot product as an
+      interpreted HOF per pair and is ~60× slower).  Phase 2 re-scores
+      the O(N·k) survivors with the column-fold expression, so the
+      EMITTED cos_sim is the exact expression tree the DuckDB oracle
+      computes (numpy's normalize-then-matmul + banker's rounding can
+      differ in the 6th decimal; the fold is the contract).  The
+      margin absorbs rank flips inside the ulp-noise band — Arrow vs
+      fold scores differ by at most a few ulps, so a true top-k
+      neighbor cannot sit more than MARGIN ranks down the Arrow
+      ordering.  Inherently quadratic in phase 1 — enforced ceiling of
+      MAX_EXACT_KNN_ROWS rows; right for evaluation sets and
+      per-cluster refinement, never for the full corpus.
     - ``lsh``: sign-LSH bucket self-join — each vector is scored only
       against its bucket, one equi-join shuffle, linear in bucket
       volume.  Approximate: vectors whose true neighbors land in other
@@ -422,28 +430,58 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
     """
     if strategy not in ("exact", "lsh"):
         raise ValueError(f"unknown knn_graph strategy {strategy!r}")
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("emb"),
-        l2_norm(vec_col).alias("norm"),
-    )
     if strategy == "exact":
-        n = base.count()
+        n = emb.count()
         if n > MAX_EXACT_KNN_ROWS:
             raise ValueError(
                 f"knn_graph(strategy='exact') is O(N²) and capped at "
                 f"{MAX_EXACT_KNN_ROWS} rows (got {n}); use strategy='lsh'"
             )
-        out = topk_bruteforce_arrow(
-            emb, emb, k=k, vec_col=vec_col, id_col=id_col
+        margin = 4
+        pruned = topk_bruteforce_arrow(
+            emb, emb, k=k + margin, vec_col=vec_col, id_col=id_col
+        ).select(
+            F.col("query_id").alias("src"), F.col("vec_id").alias("dst")
         )
-        return out.select(
-            F.col("query_id").alias("src"),
-            F.col("vec_id").alias("dst"),
-            "cos_sim",
-            F.col("rank").alias("rnk"),
+        sides = emb.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_e"),
+            l2_norm(vec_col).alias("_n"),
+        )
+        rescored = (
+            pruned.join(
+                sides.withColumnsRenamed(
+                    {"_id": "src", "_e": "a_emb", "_n": "a_norm"}
+                ),
+                on="src",
+            )
+            .join(
+                sides.withColumnsRenamed(
+                    {"_id": "dst", "_e": "b_emb", "_n": "b_norm"}
+                ),
+                on="dst",
+            )
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    cosine_from_norms("a_emb", "b_emb", "a_norm", "b_norm"),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim").isNotNull())
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+        return (
+            rescored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
         )
     else:
+        base = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("emb"),
+            l2_norm(vec_col).alias("norm"),
+        )
         bucketed = base.withColumn("bucket", sign_lsh_bucket("emb", n_bits))
         a = bucketed.select(
             "bucket",

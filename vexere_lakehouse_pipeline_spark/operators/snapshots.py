@@ -203,14 +203,29 @@ def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
             f"schema drift between versions: {sorted(old.columns)} vs "
             f"{sorted(new.columns)}; diff requires a shared schema"
         )
+    # Align column ORDER before comparing types: a reordered-but-equal
+    # schema must diff cleanly (the struct CASE below requires both
+    # sides field-for-field identical), and a TYPE change is drift.
+    old = old.select(*new.columns)
+    if old.dtypes != new.dtypes:
+        raise ValueError(
+            f"schema drift between versions: {old.dtypes} vs "
+            f"{new.dtypes}; diff requires identical column types"
+        )
     val_cols = [c for c in new.columns if c not in key_cols]
     def _sig(df: DataFrame):
         # md5 over canonicalized non-key values; \x00 separator keeps
-        # ("ab","c") distinct from ("a","bc"); nulls tagged distinctly
+        # ("ab","c") distinct from ("a","bc").  Nulls encode as the
+        # bare tag 'n' and values as 'v'+string — prefix-tagged so NO
+        # real string can collide with the null encoding (a plain
+        # sentinel like '\x01NULL' would equal a real '\x01NULL'
+        # value and report a NULL<->literal change as unchanged).
         parts = []
         for c in val_cols:
             parts.append(
-                F.coalesce(F.col(c).cast("string"), F.lit("\x01NULL"))
+                F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                    F.concat(F.lit("v"), F.col(c).cast("string"))
+                )
             )
         return F.md5(F.concat_ws("\x00", *parts)) if parts else F.lit("")
 

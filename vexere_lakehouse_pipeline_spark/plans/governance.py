@@ -468,3 +468,63 @@ def text_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_logprob"),
         "n_bigrams",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix — first-order Markov behavior model per
+# user stream: lag-window pairs → transition counts → integer-permille
+# conditional probability (1000·c(a→b) DIV Σc(a→·), exact on both
+# engines; no float division anywhere).  One window shuffle on user_id
+# + one count aggregation; the matrix is |event_types|² — tiny forever.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs_t AS (
+        SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_from FROM pairs_t GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(1000 * p.n // t.n_from AS BIGINT) AS prob_permille
+    FROM pairs_t p JOIN tot t ON t.from_type = p.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    pairs_t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs_t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs_t.join(tot, on="from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("CAST(1000 * n DIV n_from AS BIGINT)").alias(
+                "prob_permille"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
