@@ -250,3 +250,22 @@ def test_snapshot_diff_null_vs_sentinel_literal(spark, tmp_path):
     out = snapshot_diff(spark, t, v1, v2, ["id"]).collect()
     # a real '\x01NULL' string changing to NULL IS a change
     assert [(r.id, r._change) for r in out] == [(1, "update")]
+
+
+def test_weighted_pagerank_weights_steer_mass(spark):
+    from vexere_lakehouse_pipeline_spark.operators import graph
+
+    # Node 0 links to 1 (weight 999) and 2 (weight 1): node 1 must end
+    # far above node 2; unweighted PageRank would tie them.
+    edges = spark.createDataFrame(
+        [(0, 1, 999), (0, 2, 1), (1, 0, 1), (2, 0, 1)], ["src", "dst", "w"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(3)], ["vec_id"])
+    pr = {
+        r.vec_id: r.pr_e12
+        for r in graph.pagerank_weighted_fixed_point(
+            edges, nodes, iters=3
+        ).collect()
+    }
+    assert pr[1] > 5 * pr[2]
+    assert sum(pr.values()) <= graph.PR_SCALE

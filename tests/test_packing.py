@@ -139,3 +139,21 @@ def test_quant_stats_null_and_zero_vectors(spark):
     assert rows[2]["mse"] is None and rows[2]["l2_norm"] is None
     assert rows[3]["mse"] is None  # zero vector: no valid scale
     assert rows[3]["l2_norm"] == 0.0
+
+
+def test_prefix_sum_rejects_null_keys_and_reserved_columns(spark):
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.packing import (
+        ordered_prefix_sum,
+    )
+
+    with_null = spark.createDataFrame(
+        [(None, 5), (1, 3)], "k int, v int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ordered_prefix_sum(with_null, "k", "v")
+
+    reserved = spark.createDataFrame([(1, 2, 3)], "k int, v int, _pid int")
+    with pytest.raises(ValueError, match="reserve"):
+        ordered_prefix_sum(reserved, "k", "v")

@@ -191,3 +191,52 @@ def test_bmp_decode_through_mapinpandas(spark):
     assert f2[:3] == [2.0, 1.0, 2.0]
     assert f2[3:6] == [100.0, 50.0, 25.0]
     assert feats[1]["n_bytes"] == len(solid)
+
+
+def test_bmp_decode_contract_edges():
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        bmp_decode,
+        encode_bmp,
+    )
+
+    # empty payload (the NULL substitution) = degenerate row, no raise
+    assert bmp_decode(b"") == [0.0] * 8
+    # zero-area and truncated payloads raise ValueError, never
+    # ZeroDivisionError / unpack errors
+    good = encode_bmp(2, 2, [(255, 0, 0)] * 4)
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_decode(good[:-3])
+    import struct
+
+    zero_w = bytearray(good)
+    struct.pack_into("<i", zero_w, 18, 0)
+    with pytest.raises(ValueError, match="degenerate"):
+        bmp_decode(bytes(zero_w))
+
+
+def test_extract_features_bmp_decode_with_null_payload(spark):
+    from pyspark.sql import types as T
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        bmp_decode,
+        encode_bmp,
+        extract_features,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    rows = [
+        (1, encode_bmp(2, 1, [(10, 20, 30), (30, 20, 10)])),
+        (2, None),  # must yield a degenerate row, not abort the job
+    ]
+    media = spark.createDataFrame(rows, schema)
+    out = {r.media_id: r for r in extract_features(media, decode_fn=bmp_decode).collect()}
+    assert len(out) == 2
+    assert out[1].feature[0] == 2.0  # width
+    assert out[2].feature == [0.0] * 8

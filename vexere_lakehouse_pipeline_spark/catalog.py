@@ -51,8 +51,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Micros-precision testdata timestamps carry no isAdjustedToUTC flag;
     # without this conf Spark 4 infers TIMESTAMP_NTZ, which breaks
     # unix_micros()/tz functions and diverges from the DuckDB oracle.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # SCOPED set-and-restore: parquet schema inference happens eagerly
+    # inside .parquet(), so the conf only needs to hold for this call —
+    # leaving it flipped would silently retype the CALLER's own
+    # unrelated parquet reads for the rest of the session.
+    _ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    _ntz_prev = spark.conf.get(_ntz_key, None)
+    spark.conf.set(_ntz_key, "false")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    finally:
+        if _ntz_prev is None:
+            spark.conf.unset(_ntz_key)
+        else:
+            spark.conf.set(_ntz_key, _ntz_prev)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # parquet TIMESTAMP(NANOS) read as long nanos (nanosAsLong) —
         # integer-divide to micros (exact; double division would lose

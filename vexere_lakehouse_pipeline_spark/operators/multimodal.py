@@ -70,9 +70,18 @@ def bmp_decode(payload: bytes) -> list[float]:
 
     Features: [width, height, n_pixels, mean_r, mean_g, mean_b,
     min_luma, max_luma].
+
+    Contract parity with :func:`fake_decode`: an EMPTY payload (the
+    substitution ``extract_features`` makes for NULL payloads) returns
+    a degenerate all-zero feature row rather than raising — one null
+    row must never abort a 100 TB job.  Malformed non-empty payloads
+    still raise ValueError (truncated pixel data and zero-area images
+    included), which the caller routes to quarantine.
     """
     import struct
 
+    if not payload:
+        return [0.0] * 8
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (pix_off,) = struct.unpack_from("<I", payload, 10)
@@ -83,7 +92,14 @@ def bmp_decode(payload: bytes) -> list[float]:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     bottom_up = height > 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"not a BMP payload: degenerate {width}x{height}")
     row_stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    if len(payload) < pix_off + height * row_stride:
+        raise ValueError(
+            f"not a BMP payload: truncated pixel data "
+            f"(need {pix_off + height * row_stride} bytes, have {len(payload)})"
+        )
     sums = [0, 0, 0]
     min_l, max_l = 255.0, 0.0
     for row in range(height):

@@ -43,6 +43,12 @@ def ordered_prefix_sum(
     PRECEDING)``.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    clash = {"_pid", "_v"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"ordered_prefix_sum reserves column names {sorted(clash)}; "
+            "rename them on the input first"
+        )
     v = F.coalesce(F.col(value_col).cast("long"), F.lit(0))
     # localCheckpoint pins row->partition assignment so the totals job
     # and the output see the same partitioning (same reasoning as
@@ -68,25 +74,50 @@ def ordered_prefix_sum(
     # and the window use.
     stats = (
         part.groupBy("_pid")
-        .agg(F.min(F.struct(*order_cols)).alias("lo"), F.sum("_v").alias("tot"))
+        .agg(
+            F.min(F.struct(*order_cols)).alias("lo"),
+            F.sum("_v").alias("tot"),
+            F.sum(
+                sum(
+                    F.col(c).isNull().cast("long") for c in order_cols
+                )
+            ).alias("nulls"),
+        )
         .collect()
     )
-    if not stats:  # empty input: no offsets to map (create_map needs args)
+    if not stats:  # empty input: no offsets to assign
         return part.withColumn(out_col, F.lit(0).cast("long")).drop("_pid", "_v")
+    if any(r["nulls"] for r in stats):
+        # A null order key has no defined place in the total order (and
+        # would crash the driver-side range sort below with an opaque
+        # TypeError) — refuse loudly instead.
+        raise ValueError(
+            "ordered_prefix_sum: order column(s) contain NULLs; the total "
+            "order requires non-null unique keys — filter or coalesce first"
+        )
     offsets: dict[int, int] = {}
     acc = 0
     for r in sorted(stats, key=lambda r: tuple(r["lo"])):
         offsets[r["_pid"]] = acc
         acc += r["tot"]
-    offset_col: Column = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # O(1) per-row offset lookup: range-partitioner pids are dense
+    # 0..P-1, so an array literal indexed by _pid replaces the
+    # create_map literal whose GetMapValue is a per-row LINEAR scan —
+    # at thousands of shuffle partitions that scan would tax every row
+    # of the corpus.
+    offset_arr: Column = F.array(
+        *[F.lit(offsets.get(i, 0)) for i in range(max(offsets) + 1)]
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     cum_incl = F.sum("_v").over(w)  # inclusive within-partition sum
     return (
         part.withColumn(
             out_col,
-            (offset_col[F.col("_pid")] + cum_incl - F.col("_v")).cast("long"),
+            (
+                F.element_at(offset_arr, F.col("_pid") + 1)
+                + cum_incl
+                - F.col("_v")
+            ).cast("long"),
         )
         .drop("_pid", "_v")
     )

@@ -39,15 +39,25 @@ def assign_keys_distributed(df: DataFrame, key_col: str, base: int = 0) -> DataF
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_col = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    if not offsets:  # empty input: no rows to key
+        return with_pid.withColumn(key_col, F.lit(base).cast("long")).drop(
+            "_pid"
+        )
+    # Array-literal + element_at is O(1) per row; a create_map literal
+    # is a per-row LINEAR scan (GetMapValue over ArrayBasedMapData) —
+    # measurable tax at thousands of partitions.  pids are dense
+    # 0..P-1; gaps (empty partitions) hold 0 and are never read.
+    offset_arr = F.array(
+        *[F.lit(offsets.get(i, 0)) for i in range(max(offsets) + 1)]
     )
     w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
     return (
         with_pid.withColumn("_local", F.row_number().over(w))
         .withColumn(
             key_col,
-            (offset_col[F.col("_pid")] + F.col("_local")).cast("long"),
+            (
+                F.element_at(offset_arr, F.col("_pid") + 1) + F.col("_local")
+            ).cast("long"),
         )
         .drop("_pid", "_local")
     )

@@ -340,11 +340,6 @@ def embed_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BUDGET_NUM, _BUDGET_DEN = 2, 5  # keep while cum_tokens/total <= 2/5
 
-_DUCK_QUALITY = (
-    f"ROUND({{stop}} * 1.0 / nullif(len(w), 0), 4)"
-)
-
-
 @_register(
     "corpus_budget_selection",
     f"""
@@ -374,12 +369,19 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
         quality_features("text")["stopword_ratio"].alias("quality"),
     ).filter(F.col("quality").isNotNull())
-    total = scored.agg(F.sum("n_tokens").alias("total_tokens"))
     ranked = ordered_prefix_sum(
         scored.withColumn("neg_q", -F.col("quality")),
         ["neg_q", "doc_id"],
         "n_tokens",
         out_col="cum_before",
+    )
+    # Grand total from the prefix-sum OUTPUT (checkpoint-backed), not a
+    # second pass over the raw scan: re-aggregating `scored` would
+    # re-run tokenize + the quality regexes over the whole corpus —
+    # the most expensive map work in the query — a second time.  The
+    # prefix sum is monotone, so max(cum_before + n) IS the total.
+    total = ranked.agg(
+        F.max(F.col("cum_before") + F.col("n_tokens")).alias("total_tokens")
     )
     return (
         ranked.join(F.broadcast(total))

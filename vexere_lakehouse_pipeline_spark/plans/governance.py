@@ -528,3 +528,74 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edge-weighted PageRank over the k-NN graph: cosine affinity quantized
+# to a POSITIVE integer weight w = floor((cos+1)·500)+1 ∈ [1, 1001]
+# (floor of an identical double is bit-portable; the +1 shift keeps
+# anti-correlated neighbors at positive weight).  Same unrolled-CTE
+# oracle discipline as the unweighted query — the operator is pure
+# int64, so the oracle is exact.
+# ---------------------------------------------------------------------------
+_PRW_WEIGHT = "CAST(FLOOR((cos_sim + 1) * 500) AS BIGINT) + 1"
+
+
+def _pagerank_weighted_oracle() -> str:
+    head = f"""
+    WITH e AS ({_DUCK_EMB}),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rnk
+        FROM scored
+    ),
+    edges AS (SELECT src, dst, {_PRW_WEIGHT} AS w
+              FROM ranked WHERE rnk <= {_KNN_K}),
+    wsum AS (SELECT src, SUM(w) AS wsum FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS c FROM e),
+    pr0 AS (SELECT e.vec_id AS id, 1000000000000 // nn.c AS pr
+            FROM e CROSS JOIN nn)"""
+    its = []
+    prev = "pr0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+    it{i} AS (
+        SELECT nd.vec_id AS id,
+               ((100 - {_PR_DAMP}) * 1000000000000 // 100) // nn.c
+               + ({_PR_DAMP} * COALESCE(SUM((p.pr * ed.w) // ws.wsum), 0)) // 100
+                 AS pr
+        FROM e nd CROSS JOIN nn
+        LEFT JOIN edges ed ON ed.dst = nd.vec_id
+        LEFT JOIN wsum ws ON ws.src = ed.src
+        LEFT JOIN {prev} p ON p.id = ed.src
+        GROUP BY nd.vec_id, nn.c
+    )""")
+        prev = f"it{i}"
+    return (
+        head + "," + ",".join(its)
+        + f"""
+    SELECT id AS vec_id, CAST(pr AS BIGINT) AS pr_e12
+    FROM {prev} ORDER BY vec_id
+    """
+    )
+
+
+@_register("graph_pagerank_weighted", _pagerank_weighted_oracle())
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=_KNN_K, strategy="exact").select(
+        "src",
+        "dst",
+        F.expr(_PRW_WEIGHT).alias("w"),
+    )
+    nodes = emb.select("vec_id")
+    return graph.pagerank_weighted_fixed_point(
+        edges, nodes, weight_col="w", iters=_PR_ITERS, damping_pct=_PR_DAMP
+    ).orderBy("vec_id")
