@@ -269,3 +269,27 @@ def test_weighted_pagerank_weights_steer_mass(spark):
     }
     assert pr[1] > 5 * pr[2]
     assert sum(pr.values()) <= graph.PR_SCALE
+
+
+def test_incremental_pairs_only_cross_side(spark):
+    from vexere_lakehouse_pipeline_spark.operators import dedup
+
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # near-dup of batch
+            (2, "alpha beta gamma delta epsilon zet"),    # near-dup of both
+            (3, "completely different words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_new, r.doc_old)
+        for r in dedup.incremental_candidate_pairs(batch, corpus).collect()
+    }
+    # all pairs are new x old; the identical corpus doc is found
+    assert (10, 1) in out
+    assert all(n == 10 for n, _ in out)
+    assert (10, 3) not in out

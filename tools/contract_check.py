@@ -50,7 +50,10 @@ def main() -> int:
 
     # oracle SQL should reference only known tables (catches typos that
     # would fail in the driver's DuckDB harness, not ours)
-    ident = re.compile(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", re.I)
+    # \b guard: without it, column names CONTAINING the keyword (e.g.
+    # `n_from AS total`) match as "FROM <next-token>" and flag phantom
+    # relations ('AS', aliases, ...).
+    ident = re.compile(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", re.I)
     # `x IS [NOT] DISTINCT FROM y` is a comparison operator, not a
     # relation reference — strip the phrase before scanning.
     distinct_from = re.compile(r"IS\s+(?:NOT\s+)?DISTINCT\s+FROM", re.I)

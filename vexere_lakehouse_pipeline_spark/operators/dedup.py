@@ -526,3 +526,64 @@ def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
     if max_permille_dist is not None:
         j = j.filter(F.col("sim_permille") >= 1000 - max_permille_dist)
     return j
+
+
+def incremental_candidate_pairs(batch: DataFrame, corpus: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                max_bucket_size: int | None = MAX_BUCKET_SIZE
+                                ) -> DataFrame:
+    """Near-dup candidates between a NEW batch and the EXISTING corpus
+    — the per-ingest dedup gate when a corpus grows incrementally
+    (only new×old pairs; new×new dedup is ``lsh_candidate_pairs`` on
+    the batch, old×old was handled when those docs arrived).
+
+    Returns (doc_new, doc_old) candidate pairs via the shared MinHash
+    band keys.  The band-bucket cap is computed over batch ∪ corpus so
+    the semantics match the self-join operator exactly (a bucket that
+    would explode combined is dropped whole).
+
+    Scale shape: in production the corpus side's band keys are a
+    MATERIALIZED table maintained across ingests (one row per doc per
+    band — metadata-scale), so each batch pays banding for ITS OWN
+    docs plus one equi-join against the stored bands; this builder
+    recomputes both sides from text because the hot-bucket cap needs
+    the combined bucket census either way, and that census is one
+    map-side-partial count.
+    """
+    tagged = batch.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"),
+        F.lit(True).alias("_new"),
+    ).unionByName(
+        corpus.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"),
+            F.lit(False).alias("_new"),
+        )
+    )
+    sh = tagged.select(
+        "doc_id", F.explode(word_shingles("_t", SHINGLE_N)).alias("shingle")
+    )
+    bands = minhash_band_keys(sh).localCheckpoint(eager=True)
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .drop("_n")
+        )
+        bands = bands.join(
+            F.broadcast(hot), on=["band", "band_key"], how="left_anti"
+        )
+    sides = tagged.select("doc_id", "_new")
+    b2 = bands.join(sides, on="doc_id")
+    new_side = b2.filter(F.col("_new")).select(
+        F.col("doc_id").alias("doc_new"), "band", "band_key"
+    )
+    old_side = b2.filter(~F.col("_new")).select(
+        F.col("doc_id").alias("doc_old"), "band", "band_key"
+    )
+    return (
+        new_side.join(old_side, on=["band", "band_key"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )

@@ -599,3 +599,110 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_weighted_fixed_point(
         edges, nodes, weight_col="w", iters=_PR_ITERS, damping_pct=_PR_DAMP
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus distribution drift (PSI) between two sources — the gate run
+# when a new crawl lands: bucket a quality feature, compare the two
+# distributions with the population-stability index
+#   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b).
+# Portability: per-bucket contributions are computed from exact integer
+# counts via the SAME double expression tree on both engines, rounded
+# to 6dp decimals, then summed exactly (TF-IDF discipline); Laplace
+# +1 smoothing keeps empty buckets finite.  Two map-side-partial
+# aggregations (one per side is fused into one grouped pass on
+# (bucket, side)); the bucket table is tiny forever.
+# ---------------------------------------------------------------------------
+_PSI_BUCKETS = 10
+_DRIFT_A, _DRIFT_B = "src0", "src1"
+
+@_register(
+    "quality_drift_psi",
+    f"""
+    WITH scored AS (
+        SELECT source,
+               CAST(least(floor(length(text) / 60.0), {_PSI_BUCKETS - 1})
+                    AS BIGINT) AS bucket
+        FROM documents WHERE source IN ('{_DRIFT_A}', '{_DRIFT_B}')
+    ),
+    counts AS (
+        SELECT bucket,
+               SUM(CASE WHEN source = '{_DRIFT_A}' THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN source = '{_DRIFT_B}' THEN 1 ELSE 0 END) AS n_b
+        FROM scored GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts),
+    contrib AS (
+        SELECT c.bucket, c.n_a, c.n_b,
+               CAST(ROUND(
+                   (CAST(c.n_a + 1 AS DOUBLE) / CAST(t.t_a + {_PSI_BUCKETS} AS DOUBLE)
+                    - CAST(c.n_b + 1 AS DOUBLE) / CAST(t.t_b + {_PSI_BUCKETS} AS DOUBLE))
+                   * ln((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.t_a + {_PSI_BUCKETS} AS DOUBLE))
+                        / (CAST(c.n_b + 1 AS DOUBLE) / CAST(t.t_b + {_PSI_BUCKETS} AS DOUBLE))),
+                   6) AS DECIMAL(18,6)) AS psi_term
+        FROM counts c CROSS JOIN tot t
+    )
+    SELECT bucket, n_a, n_b, psi_term FROM contrib ORDER BY bucket
+    """,
+)
+def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.filter(
+        F.col("source").isin(_DRIFT_A, _DRIFT_B)
+    ).select(
+        "source",
+        F.least(
+            F.floor(F.length("text") / 60.0), F.lit(_PSI_BUCKETS - 1)
+        ).cast("bigint").alias("bucket"),
+    )
+    counts = scored.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == _DRIFT_A, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("source") == _DRIFT_B, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    pa = f"(CAST(n_a + 1 AS DOUBLE) / CAST(t_a + {_PSI_BUCKETS} AS DOUBLE))"
+    pb = f"(CAST(n_b + 1 AS DOUBLE) / CAST(t_b + {_PSI_BUCKETS} AS DOUBLE))"
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST(ROUND(({pa} - {pb}) * ln({pa} / {pb}), 6)"
+                " AS DECIMAL(18,6))"
+            ).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup — new batch (source='src0') vs the existing
+# corpus (every other source).  The oracle reuses the shared band CTE
+# (cap over the union, like the operator) and keeps only cross-side
+# pairs, oriented new→old.
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_incremental_new_vs_corpus",
+    f"""
+    WITH {_DUCK_SHINGLE_CTES},
+    src AS (SELECT doc_id, source = 'src0' AS is_new FROM documents)
+    SELECT CASE WHEN sa.is_new THEN p.doc_a ELSE p.doc_b END AS doc_new,
+           CASE WHEN sa.is_new THEN p.doc_b ELSE p.doc_a END AS doc_old
+    FROM pairs p
+    JOIN src sa ON sa.doc_id = p.doc_a
+    JOIN src sb ON sb.doc_id = p.doc_b
+    WHERE sa.is_new <> sb.is_new
+    ORDER BY doc_new, doc_old
+    """,
+)
+def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return dedup.incremental_candidate_pairs(batch, corpus).orderBy(
+        "doc_new", "doc_old"
+    )
