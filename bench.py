@@ -81,8 +81,10 @@ def main() -> None:
     # Best-of-N per query (N=2 default): the min over repetitions is
     # the standard noise-robust estimator of steady-state latency.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    timings: dict[str, float] = {}
-    for name in names:
+
+    def time_query(name: str) -> float:
+        """Best-of-reps wall time — ONE estimator for headline and
+        extra sets so the numbers stay comparable."""
         best = float("inf")
         for _ in range(reps):
             # Drop cached data between reps: operators that persist()
@@ -93,7 +95,11 @@ def main() -> None:
             t0 = time.time()
             force(ALL_QUERIES[name](spark, sf_dir))
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = time_query(name)
 
     total = round(sum(timings.values()), 3)
 
@@ -110,19 +116,9 @@ def main() -> None:
         "embed_label_centroids",
         "privacy_kanonymity_report",
     ]
-    extra: dict[str, float] = {}
-    for name in extra_names:
-        if name not in ALL_QUERIES:
-            continue
-        # same best-of-N estimator as the headline set, so the tracked
-        # numbers carry the same noise characteristics round-over-round
-        best = float("inf")
-        for _ in range(reps):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            force(ALL_QUERIES[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        extra[name] = round(best, 3)
+    extra: dict[str, float] = {
+        name: time_query(name) for name in extra_names if name in ALL_QUERIES
+    }
 
     print(
         json.dumps(

@@ -293,3 +293,71 @@ def test_incremental_pairs_only_cross_side(spark):
     assert (10, 1) in out
     assert all(n == 10 for n, _ in out)
     assert (10, 3) not in out
+
+
+def test_incremental_pairs_reingested_id_keeps_separate_signatures(spark):
+    from vexere_lakehouse_pipeline_spark.operators import dedup
+
+    # Same doc_id on both sides with DIFFERENT texts: each side must
+    # keep its own minhash signature (not a merged corrupted one), and
+    # (new=42, old=42) appears only if the two VERSIONS near-dup.
+    batch = spark.createDataFrame(
+        [(42, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (42, "totally different stored version content here"),
+            (7, "alpha beta gamma delta epsilon zeta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_new, r.doc_old)
+        for r in dedup.incremental_candidate_pairs(batch, corpus).collect()
+    }
+    assert (42, 7) in out       # the real near-dup
+    assert (42, 42) not in out  # unrelated versions must NOT pair
+
+    # And when the re-ingested version IS near its stored version,
+    # the (42, 42) pair is the correct, meaningful output.
+    corpus2 = spark.createDataFrame(
+        [(42, "alpha beta gamma delta epsilon zet")], ["doc_id", "text"]
+    )
+    out2 = {
+        (r.doc_new, r.doc_old)
+        for r in dedup.incremental_candidate_pairs(batch, corpus2).collect()
+    }
+    assert out2 == {(42, 42)}
+
+
+def test_weighted_pagerank_rejects_bad_weights(spark):
+    from vexere_lakehouse_pipeline_spark.operators import graph
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["vec_id"])
+    for bad in [0, -5]:
+        edges = spark.createDataFrame([(1, 2, bad)], ["src", "dst", "w"])
+        with pytest.raises(ValueError, match="weights"):
+            graph.pagerank_weighted_fixed_point(edges, nodes)
+    edges = spark.createDataFrame(
+        [(1, 2, None)], "src long, dst long, w long"
+    )
+    with pytest.raises(ValueError, match="weights"):
+        graph.pagerank_weighted_fixed_point(edges, nodes)
+
+
+def test_snapshot_diff_separator_injection(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+        snapshot_diff,
+    )
+
+    t = SnapshotTable(str(tmp_path / "sdsep"))
+    v1 = t.commit(
+        spark.createDataFrame([(1, "a", "a\x00vb")], "id int, c1 string, c2 string")
+    )
+    v2 = t.commit(
+        spark.createDataFrame([(1, "a\x00va", "b")], "id int, c1 string, c2 string")
+    )
+    out = snapshot_diff(spark, t, v1, v2, ["id"]).collect()
+    # boundary-shifting values must still register as an update
+    assert [(r.id, r._change) for r in out] == [(1, "update")]

@@ -114,6 +114,25 @@ def minhash_band_keys(sh: DataFrame, n_bands: int = N_BANDS,
     ).select("doc_id", "bk.band", "bk.band_key")
 
 
+def _drop_hot_buckets(bands: DataFrame,
+                      max_bucket_size: int | None) -> DataFrame:
+    """Drop (band, band_key) buckets above the size cap — shared by the
+    self-join and incremental pair builders so the cap semantics can't
+    drift between them (see MAX_BUCKET_SIZE).  The hot-bucket list is
+    tiny and broadcast; the census is one map-side-partial count."""
+    if max_bucket_size is None:
+        return bands
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .drop("_n")
+    )
+    return bands.join(
+        F.broadcast(hot), on=["band", "band_key"], how="left_anti"
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         max_bucket_size: int | None = MAX_BUCKET_SIZE
@@ -137,17 +156,9 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     # localCheckpoint: tiny (n_bands rows/doc) and read twice by the
     # self-join — materialize once AND avoid the unbounded cache-manager
     # entry a bare persist() would leak (blocks free with the DataFrame).
-    bands = minhash_band_keys(sh).localCheckpoint(eager=True)
-    if max_bucket_size is not None:
-        hot = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .drop("_n")
-        )
-        bands = bands.join(
-            F.broadcast(hot), on=["band", "band_key"], how="left_anti"
-        )
+    bands = _drop_hot_buckets(
+        minhash_band_keys(sh).localCheckpoint(eager=True), max_bucket_size
+    )
     a = bands.withColumnsRenamed({"doc_id": "doc_a"})
     b = bands.withColumnsRenamed({"doc_id": "doc_b"})
     return (
@@ -551,36 +562,40 @@ def incremental_candidate_pairs(batch: DataFrame, corpus: DataFrame,
     the combined bucket census either way, and that census is one
     map-side-partial count.
     """
+    # Side-tagged internal identity: a doc_id present on BOTH sides
+    # (re-ingest of a revised document — the core incremental case)
+    # must keep two SEPARATE minhash signatures.  Banding on the bare
+    # doc_id would merge both versions' shingles into one corrupted
+    # signature and self-pair the id; the "n:"/"o:" prefix keeps the
+    # rows distinct end-to-end, and (new=42, old=42) then correctly
+    # means "the new version of 42 near-dups its stored version".
     tagged = batch.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"),
+        F.concat(F.lit("n:"), F.col(id_col).cast("string")).alias("_uid"),
+        F.col(id_col).alias("_orig"),
+        F.col(text_col).alias("_t"),
         F.lit(True).alias("_new"),
     ).unionByName(
         corpus.select(
-            F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"),
+            F.concat(F.lit("o:"), F.col(id_col).cast("string")).alias("_uid"),
+            F.col(id_col).alias("_orig"),
+            F.col(text_col).alias("_t"),
             F.lit(False).alias("_new"),
         )
     )
     sh = tagged.select(
-        "doc_id", F.explode(word_shingles("_t", SHINGLE_N)).alias("shingle")
+        F.col("_uid").alias("doc_id"),
+        F.explode(word_shingles("_t", SHINGLE_N)).alias("shingle"),
     )
-    bands = minhash_band_keys(sh).localCheckpoint(eager=True)
-    if max_bucket_size is not None:
-        hot = (
-            bands.groupBy("band", "band_key")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .drop("_n")
-        )
-        bands = bands.join(
-            F.broadcast(hot), on=["band", "band_key"], how="left_anti"
-        )
-    sides = tagged.select("doc_id", "_new")
+    bands = _drop_hot_buckets(
+        minhash_band_keys(sh).localCheckpoint(eager=True), max_bucket_size
+    )
+    sides = tagged.select(F.col("_uid").alias("doc_id"), "_orig", "_new")
     b2 = bands.join(sides, on="doc_id")
     new_side = b2.filter(F.col("_new")).select(
-        F.col("doc_id").alias("doc_new"), "band", "band_key"
+        F.col("_orig").alias("doc_new"), "band", "band_key"
     )
     old_side = b2.filter(~F.col("_new")).select(
-        F.col("doc_id").alias("doc_old"), "band", "band_key"
+        F.col("_orig").alias("doc_old"), "band", "band_key"
     )
     return (
         new_side.join(old_side, on=["band", "band_key"])

@@ -118,6 +118,24 @@ def pagerank_weighted_fixed_point(edges: DataFrame, nodes: DataFrame,
         F.col(dst_col).alias("_dst"),
         F.col(weight_col).cast("long").alias("_w"),
     )
+    # Weight contract enforced, not assumed: a null/zero/negative
+    # weight silently nulls (pr·w) DIV wsum and DROPS that node's
+    # outbound mass; w > 2^63/PR_SCALE overflows pr·w.  One tiny
+    # aggregate over the (node-scale) edge list.
+    wchk = e.agg(
+        F.min("_w").alias("lo"),
+        F.max("_w").alias("hi"),
+        F.sum(F.col("_w").isNull().cast("long")).alias("nulls"),
+    ).first()
+    max_w = (2**63 - 1) // PR_SCALE
+    if wchk["nulls"] or (
+        wchk["lo"] is not None and (wchk["lo"] <= 0 or wchk["hi"] > max_w)
+    ):
+        raise ValueError(
+            "pagerank_weighted_fixed_point requires integer weights in "
+            f"[1, {max_w}]; got min={wchk['lo']} max={wchk['hi']} "
+            f"nulls={wchk['nulls']}"
+        )
     wsum = e.groupBy("_src").agg(F.sum("_w").alias("_wsum"))
     e_w = e.join(wsum, on="_src").localCheckpoint(eager=True)
     pr = nodes.select(

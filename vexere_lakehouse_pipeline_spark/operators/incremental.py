@@ -441,9 +441,14 @@ def forget_keys(spark: SparkSession, path: str, keys_df: DataFrame,
     probe_cols = list(partition_by) if partition_by else []
     matched = existing.join(F.broadcast(keys), on=cond, how="left_semi")
     if probe_cols:
-        probe = matched.groupBy(*probe_cols).count().collect()
-        n_matched = sum(r["count"] for r in probe)
-        touched_vals = [tuple(r[k] for k in probe_cols) for r in probe]
+        # positional access for the count: a partition column literally
+        # named "count" would otherwise shadow the aggregate in Row
+        # name lookup and corrupt the audit count (or skip the erase).
+        probe = matched.groupBy(*probe_cols).agg(
+            F.count("*").alias("__fk_cnt")
+        ).collect()
+        n_matched = sum(r[len(probe_cols)] for r in probe)
+        touched_vals = [tuple(r[i] for i in range(len(probe_cols))) for r in probe]
     else:
         n_matched = matched.count()
         touched_vals = []

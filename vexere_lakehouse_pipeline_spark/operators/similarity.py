@@ -437,7 +437,15 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
                 f"knn_graph(strategy='exact') is O(N²) and capped at "
                 f"{MAX_EXACT_KNN_ROWS} rows (got {n}); use strategy='lsh'"
             )
-        margin = 4
+        # Margin bounds how far a true top-k neighbor can sit down the
+        # Arrow ordering when Arrow-rounded and fold-rounded scores
+        # disagree.  Disagreement needs a raw score within ~ulps of a
+        # 0.5e-6 boundary AND different accumulation error between the
+        # two paths; 16 slots of headroom covers any plausible pile-up
+        # at one boundary (exact TIES are harmless — both paths order
+        # ties identically by id).  Phase-2 cost is O(N·(k+margin))
+        # folds — raising the margin is cheap insurance.
+        margin = 16
         pruned = topk_bruteforce_arrow(
             emb, emb, k=k + margin, vec_col=vec_col, id_col=id_col
         ).select(

@@ -214,20 +214,21 @@ def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
         )
     val_cols = [c for c in new.columns if c not in key_cols]
     def _sig(df: DataFrame):
-        # md5 over canonicalized non-key values; \x00 separator keeps
-        # ("ab","c") distinct from ("a","bc").  Nulls encode as the
-        # bare tag 'n' and values as 'v'+string — prefix-tagged so NO
-        # real string can collide with the null encoding (a plain
-        # sentinel like '\x01NULL' would equal a real '\x01NULL'
-        # value and report a NULL<->literal change as unchanged).
+        # Per-column md5 FIRST, then md5 of the fixed-width digest
+        # concatenation: each token is exactly 32 hex chars, so no
+        # value content can shift column boundaries (a raw-value
+        # separator scheme is forgeable by values containing the
+        # separator).  Nulls encode as the bare tag 'n' and values as
+        # md5('v'+string) — prefix-tagged so no real string collides
+        # with the null encoding.
         parts = []
         for c in val_cols:
             parts.append(
                 F.when(F.col(c).isNull(), F.lit("n")).otherwise(
-                    F.concat(F.lit("v"), F.col(c).cast("string"))
+                    F.md5(F.concat(F.lit("v"), F.col(c).cast("string")))
                 )
             )
-        return F.md5(F.concat_ws("\x00", *parts)) if parts else F.lit("")
+        return F.md5(F.concat_ws("", *parts)) if parts else F.lit("")
 
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in key_cols],

@@ -689,7 +689,7 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_new_vs_corpus",
     f"""
     WITH {_DUCK_SHINGLE_CTES},
-    src AS (SELECT doc_id, source = 'src0' AS is_new FROM documents)
+    src AS (SELECT doc_id, COALESCE(source, '') = 'src0' AS is_new FROM documents)
     SELECT CASE WHEN sa.is_new THEN p.doc_a ELSE p.doc_b END AS doc_new,
            CASE WHEN sa.is_new THEN p.doc_b ELSE p.doc_a END AS doc_old
     FROM pairs p
@@ -701,8 +701,11 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    batch = docs.filter(F.col("source") == "src0")
-    corpus = docs.filter(F.col("source") != "src0")
+    # null-safe split: a NULL source is corpus, not dropped — keeps the
+    # band-bucket census (and emitted pairs) aligned with the oracle,
+    # which buckets over ALL documents.
+    batch = docs.filter(F.col("source").eqNullSafe("src0"))
+    corpus = docs.filter(~F.col("source").eqNullSafe("src0"))
     return dedup.incremental_candidate_pairs(batch, corpus).orderBy(
         "doc_new", "doc_old"
     )
