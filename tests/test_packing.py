@@ -157,3 +157,47 @@ def test_prefix_sum_rejects_null_keys_and_reserved_columns(spark):
     reserved = spark.createDataFrame([(1, 2, 3)], "k int, v int, _pid int")
     with pytest.raises(ValueError, match="reserve"):
         ordered_prefix_sum(reserved, "k", "v")
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.packing import (
+        distributed_ntile,
+    )
+
+    # 103 rows, k=4 -> uneven buckets (3 of 26, 1 of 25): must match
+    # the window ntile row for row.
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 103) for i in range(103)], ["id", "v"]
+    )
+    want = {
+        r.id: r.b
+        for r in df.select(
+            "id", F.ntile(4).over(Window.orderBy("v", "id")).alias("b")
+        ).collect()
+    }
+    got = {
+        r.id: r.bucket
+        for r in distributed_ntile(df, ["v", "id"], 4).collect()
+    }
+    assert got == want
+
+    # fewer rows than buckets: every row its own bucket by rank
+    tiny = spark.createDataFrame([(1,), (2,)], ["id"])
+    got2 = {
+        r.id: r.bucket for r in distributed_ntile(tiny, "id", 5).collect()
+    }
+    want2 = {
+        r.id: r.b
+        for r in tiny.select(
+            "id", F.ntile(5).over(Window.orderBy("id")).alias("b")
+        ).collect()
+    }
+    assert got2 == want2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        distributed_ntile(df, "id", 0)

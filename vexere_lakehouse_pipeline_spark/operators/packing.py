@@ -152,3 +152,61 @@ def pack_concat_chunks(
             "n_chunks", (F.col("end_chunk") - F.col("start_chunk") + 1).cast("long")
         )
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_col: str | list[str],
+    n_buckets: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact NTILE(n) without a single-partition window.
+
+    A bare ``ntile(n).over(Window.orderBy(...))`` moves the WHOLE
+    input through one task; this computes the identical bucket ids
+    from the distributed rank (``ordered_prefix_sum`` of 1s) and
+    SQL-standard ntile arithmetic in pure integers: with n rows and
+    k buckets, the first n mod k buckets hold ceil(n/k) rows, the
+    rest floor(n/k) — so
+
+        big   = n DIV k + 1,  r = n MOD k
+        bucket(rank) = (rank-1) DIV big + 1              if rank <= r·big
+                       r + (rank - r·big - 1) DIV (n DIV k) + 1  otherwise
+
+    ``order_col`` must be a non-null unique total order (same contract
+    as ordered_prefix_sum).  One range shuffle + a metadata collect;
+    the row count rides in from the same partition stats, so no extra
+    pass.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    ranked = ordered_prefix_sum(
+        df.withColumn("__one", F.lit(1)), order_col, "__one", out_col="__rk0"
+    )
+    # total rows: max exclusive-prefix + 1 (monotone) — computed on the
+    # checkpoint-backed prefix output, not the raw input
+    n = ranked.agg(F.max("__rk0").alias("m")).first()["m"]
+    n = int(n) + 1 if n is not None else 0
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    big = n // n_buckets + 1
+    small = n // n_buckets
+    r = n % n_buckets
+    rank = F.col("__rk0") + 1
+    if small == 0:
+        # fewer rows than buckets: every row its own bucket (= rank)
+        bucket = rank
+    elif r == 0:
+        bucket = F.expr(f"CAST((__rk0) DIV {small} AS INT) + 1")
+    else:
+        bucket = F.when(
+            rank <= r * big,
+            F.expr(f"CAST((__rk0) DIV {big} AS INT) + 1"),
+        ).otherwise(
+            F.expr(
+                f"CAST({r} + ((__rk0 - {r * big}) DIV {small}) + 1 AS INT)"
+            )
+        )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "__one", "__rk0"
+    )

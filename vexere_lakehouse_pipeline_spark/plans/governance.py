@@ -709,3 +709,144 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
     return dedup.incremental_candidate_pairs(batch, corpus).orderBy(
         "doc_new", "doc_old"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles WITHOUT a sketch: rank every row in its
+# group (one window shuffle on the group key), pick the rows whose
+# rank equals ceil(q·n) — the nearest-rank definition, pure integer
+# arithmetic, so unlike approx_percentile/reservoir sketches this is
+# bit-portable and oracle-exact.  Right whenever per-group cardinality
+# fits a partition (group-level quantiles over sources/languages/
+# shards); the sketch path remains the whole-table answer.
+# ---------------------------------------------------------------------------
+_QUANTS = (25, 50, 75, 90)
+
+@_register(
+    "corpus_length_percentiles",
+    f"""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    marks AS (
+        SELECT r.source, q.q, r.n_chars
+        FROM ranked r
+        JOIN (SELECT unnest(ARRAY{list(_QUANTS)}) AS q) q
+          ON r.rnk = CAST((q.q * r.n + 99) // 100 AS BIGINT)
+    )
+    SELECT source, q AS percentile, n_chars AS value
+    FROM marks ORDER BY source, percentile
+    """,
+)
+def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QUANTS])).alias("q")
+    )
+    return (
+        ranked.join(
+            F.broadcast(qs),
+            F.col("rnk") == F.expr("CAST((q * n + 99) DIV 100 AS BIGINT)"),
+        )
+        .select(
+            "source", F.col("q").alias("percentile"), F.col("n_chars").alias("value")
+        )
+        .orderBy("source", "percentile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — recency (days since last order),
+# frequency (order count), monetary (decimal revenue), each cut into
+# quartiles over a deterministic total order (metric + custkey
+# tiebreak, so ties split identically on both engines).  The quartiles
+# come from operators/packing.distributed_ntile — exact NTILE(4)
+# semantics WITHOUT the single-partition window a bare
+# ntile().over(orderBy) plans (the rollup is customer-cardinality:
+# ~1e8 rows at real scale, too big for one task).  One aggregation on
+# custkey + three distributed rank passes.
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_rfm_segments",
+    """
+    WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)), maxd.d0)
+                 AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders CROSS JOIN maxd
+        GROUP BY o_custkey, maxd.d0
+    )
+    SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+           NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+    FROM per_cust ORDER BY custkey
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("d0")
+    )
+    per_cust = (
+        orders.join(F.broadcast(maxd))
+        .groupBy("o_custkey", "d0")
+        .agg(
+            F.datediff(F.col("d0"), F.max(F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+    )
+    from vexere_lakehouse_pipeline_spark.operators.packing import (
+        distributed_ntile,
+    )
+
+    base = per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+    )
+    # descending metrics: negate for the ascending prefix-sum order
+    cut = distributed_ntile(
+        base, ["recency_days", "custkey"], 4, out_col="r_quartile"
+    )
+    cut = distributed_ntile(
+        cut.withColumn("_nf", -F.col("frequency")),
+        ["_nf", "custkey"],
+        4,
+        out_col="f_quartile",
+    ).drop("_nf")
+    cut = distributed_ntile(
+        cut.withColumn("_nm", -F.col("monetary")),
+        ["_nm", "custkey"],
+        4,
+        out_col="m_quartile",
+    ).drop("_nm")
+    return cut.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
+    ).orderBy("custkey")
