@@ -61,6 +61,9 @@ PROBES = [
     ("corpus_sliding_chunks", {"documents": ["doc_id"]}),
     ("text_bigram_logprob_scores", {"documents": ["doc_id"]}),
     ("events_transition_matrix", {"events": ["event_id", "user_id"]}),
+    ("customer_rfm_segments", {"orders": ["o_orderkey", "o_custkey"]}),
+    ("corpus_length_percentiles", {"documents": ["doc_id"]}),
+    ("quality_drift_psi", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph are NOT probed: the exact
     # strategy is O(N²) by contract (enforced row ceiling); the scale
     # path is knn_graph(strategy='lsh'), whose bucket self-join shape
