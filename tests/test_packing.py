@@ -201,3 +201,33 @@ def test_distributed_ntile_matches_window_ntile(spark):
 
     with pytest.raises(ValueError, match="positive"):
         distributed_ntile(df, "id", 0)
+
+
+def test_distributed_ntile_even_split_and_guards(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.packing import (
+        distributed_ntile,
+    )
+
+    # 100 rows / 4 buckets: the r == 0 (evenly divisible) branch.
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    want = {
+        r.id: r.b
+        for r in df.select(
+            "id", F.ntile(4).over(Window.orderBy("id")).alias("b")
+        ).collect()
+    }
+    got = {r.id: r.bucket for r in distributed_ntile(df, "id", 4).collect()}
+    assert got == want
+
+    # empty input: schema-correct, no crash
+    empty = spark.createDataFrame([], "id int")
+    assert distributed_ntile(empty, "id", 4).count() == 0
+
+    import pytest
+
+    clash = spark.createDataFrame([(1, 2)], ["id", "bucket"])
+    with pytest.raises(ValueError, match="reserve"):
+        distributed_ntile(clash, "id", 4)

@@ -29,7 +29,22 @@ def ordered_prefix_sum(
     value_col: str,
     out_col: str = "start_offset",
 ) -> DataFrame:
-    """Exclusive prefix sum of ``value_col`` under ORDER BY ``order_col``.
+    """Exclusive prefix sum — see :func:`ordered_prefix_sum_with_total`
+    (this is the same computation, discarding the grand total)."""
+    out, _ = ordered_prefix_sum_with_total(df, order_col, value_col, out_col)
+    return out
+
+
+def ordered_prefix_sum_with_total(
+    df: DataFrame,
+    order_col: str | list[str],
+    value_col: str,
+    out_col: str = "start_offset",
+) -> tuple[DataFrame, int]:
+    """Exclusive prefix sum of ``value_col`` under ORDER BY ``order_col``,
+    plus the GRAND TOTAL as a driver int (free: the per-partition stats
+    collected for the offsets already sum to it — callers needing the
+    total must not pay a second full-scan aggregate).
 
     ``order_col`` is one column name or a list (lexicographic ascending
     order); the combination must be globally unique (e.g. a quality
@@ -86,7 +101,10 @@ def ordered_prefix_sum(
         .collect()
     )
     if not stats:  # empty input: no offsets to assign
-        return part.withColumn(out_col, F.lit(0).cast("long")).drop("_pid", "_v")
+        empty = part.withColumn(out_col, F.lit(0).cast("long")).drop(
+            "_pid", "_v"
+        )
+        return empty, 0
     if any(r["nulls"] for r in stats):
         # A null order key has no defined place in the total order (and
         # would crash the driver-side range sort below with an opaque
@@ -110,7 +128,7 @@ def ordered_prefix_sum(
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     cum_incl = F.sum("_v").over(w)  # inclusive within-partition sum
-    return (
+    out = (
         part.withColumn(
             out_col,
             (
@@ -121,6 +139,7 @@ def ordered_prefix_sum(
         )
         .drop("_pid", "_v")
     )
+    return out, acc
 
 
 def pack_concat_chunks(
@@ -180,13 +199,17 @@ def distributed_ntile(
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    ranked = ordered_prefix_sum(
+    clash = {"__one", "__rk0", out_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"distributed_ntile reserves column names {sorted(clash)}; "
+            "rename them on the input (or pick a different out_col) first"
+        )
+    # The grand total of the 1s IS the row count — it rides out of the
+    # prefix sum's per-partition driver stats, so no extra scan job.
+    ranked, n = ordered_prefix_sum_with_total(
         df.withColumn("__one", F.lit(1)), order_col, "__one", out_col="__rk0"
     )
-    # total rows: max exclusive-prefix + 1 (monotone) — computed on the
-    # checkpoint-backed prefix output, not the raw input
-    n = ranked.agg(F.max("__rk0").alias("m")).first()["m"]
-    n = int(n) + 1 if n is not None else 0
     if n == 0:
         return df.withColumn(out_col, F.lit(None).cast("int"))
     big = n // n_buckets + 1

@@ -31,6 +31,7 @@ from vexere_lakehouse_pipeline_spark.functions.text import (
 from vexere_lakehouse_pipeline_spark.functions.vectors import dot_product
 from vexere_lakehouse_pipeline_spark.operators.packing import (
     ordered_prefix_sum,
+    ordered_prefix_sum_with_total,
     pack_concat_chunks,
 )
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
@@ -369,22 +370,18 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
         quality_features("text")["stopword_ratio"].alias("quality"),
     ).filter(F.col("quality").isNotNull())
-    ranked = ordered_prefix_sum(
+    # Grand total rides out of the prefix sum's driver-side partition
+    # stats — no second pass over the raw scan (re-aggregating `scored`
+    # would re-run tokenize + the quality regexes over the whole
+    # corpus, the most expensive map work in the query).
+    ranked, total_tokens = ordered_prefix_sum_with_total(
         scored.withColumn("neg_q", -F.col("quality")),
         ["neg_q", "doc_id"],
         "n_tokens",
         out_col="cum_before",
     )
-    # Grand total from the prefix-sum OUTPUT (checkpoint-backed), not a
-    # second pass over the raw scan: re-aggregating `scored` would
-    # re-run tokenize + the quality regexes over the whole corpus —
-    # the most expensive map work in the query — a second time.  The
-    # prefix sum is monotone, so max(cum_before + n) IS the total.
-    total = ranked.agg(
-        F.max(F.col("cum_before") + F.col("n_tokens")).alias("total_tokens")
-    )
     return (
-        ranked.join(F.broadcast(total))
+        ranked.withColumn("total_tokens", F.lit(total_tokens))
         .withColumn("cum_tokens", F.col("cum_before") + F.col("n_tokens"))
         .filter(
             F.col("cum_tokens") * _BUDGET_DEN

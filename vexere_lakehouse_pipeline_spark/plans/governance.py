@@ -751,9 +751,7 @@ def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rnk"),
         F.count("*").over(Window.partitionBy("source")).alias("n"),
     )
-    qs = spark.range(1).select(
-        F.explode(F.array(*[F.lit(q) for q in _QUANTS])).alias("q")
-    )
+    qs = spark.createDataFrame([(q,) for q in _QUANTS], "q int")
     return (
         ranked.join(
             F.broadcast(qs),
