@@ -158,3 +158,37 @@ def test_profile_handles_all_null_and_empty(spark):
     empty = df.filter("a < 0")
     out = quality.profile(empty, ["a"]).first()
     assert out["n_rows"] == 0 and out["min_value"] is None
+
+
+def test_schema_diff_and_enforce(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from vexere_lakehouse_pipeline_spark.operators.quality import (
+        QualityError,
+        enforce_schema,
+        schema_diff,
+    )
+
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    ok = spark.createDataFrame([(1, "a", 2.0)], "id long, v string, extra double")
+    d = schema_diff(contract, ok.schema)
+    assert d == {"missing": [], "added": [], "retyped": []}
+    assert enforce_schema(ok, contract) is ok
+    # additive column flagged when evolution is disallowed
+    d2 = schema_diff(contract, ok.schema, allow_added=False)
+    assert d2["added"] == ["extra"]
+    with pytest.raises(QualityError, match="added"):
+        enforce_schema(ok, contract, allow_added=False)
+    # retyped + missing always violate
+    bad = spark.createDataFrame([("x",)], "id string")
+    d3 = schema_diff(contract, bad.schema)
+    assert d3["missing"] == ["v"]
+    assert d3["retyped"] == ["id: bigint -> string"]
+    with pytest.raises(QualityError, match="retyped"):
+        enforce_schema(bad, contract)

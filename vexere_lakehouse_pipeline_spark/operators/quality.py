@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class QualityError(AssertionError):
@@ -139,3 +140,37 @@ def profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
         "column string, n_rows long, n_null long, n_distinct long, "
         "min_value double, max_value double",
     )
+
+
+def schema_diff(contract: T.StructType, actual: T.StructType,
+                allow_added: bool = True) -> dict[str, list[str]]:
+    """Contract-vs-actual schema comparison — the check a zone boundary
+    runs before accepting a producer's output.
+
+    Returns {"missing": [...], "added": [...], "retyped": [...]} where
+    retyped entries read "col: contract_type -> actual_type".  Pure
+    metadata — no Spark job.  ``allow_added`` mirrors additive schema
+    evolution (mergeSchema tolerates it); missing or retyped columns
+    are always violations.
+    """
+    c = {f.name: f.dataType.simpleString() for f in contract.fields}
+    a = {f.name: f.dataType.simpleString() for f in actual.fields}
+    return {
+        "missing": sorted(set(c) - set(a)),
+        "added": [] if allow_added else sorted(set(a) - set(c)),
+        "retyped": sorted(
+            f"{k}: {c[k]} -> {a[k]}" for k in set(c) & set(a) if c[k] != a[k]
+        ),
+    }
+
+
+def enforce_schema(df: DataFrame, contract: T.StructType,
+                   allow_added: bool = True) -> DataFrame:
+    """Raise :class:`QualityError` when ``df`` violates ``contract``
+    (see :func:`schema_diff`); returns ``df`` unchanged when clean so
+    it composes into write pipelines as a pass-through gate."""
+    d = schema_diff(contract, df.schema, allow_added=allow_added)
+    problems = [f"{k}={v}" for k, v in d.items() if v]
+    if problems:
+        raise QualityError(f"schema contract violation: {'; '.join(problems)}")
+    return df
