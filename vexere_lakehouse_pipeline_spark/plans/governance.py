@@ -848,3 +848,39 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_quartile",
         "m_quartile",
     ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# l-diversity — k-anonymity's complement: a quasi-identifier group
+# whose SENSITIVE attribute takes too few distinct values leaks it
+# even at k >= threshold (everyone in the group shares the secret).
+# Sensitive attribute here: the account-balance band.  One aggregation
+# with a count-distinct (partial dedup map-side); matrix-sized output.
+# ---------------------------------------------------------------------------
+_L_THRESHOLD = 2
+
+@_register(
+    "privacy_ldiversity_report",
+    f"""
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT)) AS l_distinct,
+           COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000) AS BIGINT))
+             >= {_L_THRESHOLD} AS meets_l
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+)
+def privacy_ldiversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    return (
+        cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct(sens).alias("l_distinct"),
+            (F.countDistinct(sens) >= _L_THRESHOLD).alias("meets_l"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
