@@ -884,3 +884,57 @@ def privacy_ldiversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# NATIVE session windows (F.session_window) — the built-in dynamic-gap
+# sessionizer, complementing the manual lag/islands implementation
+# (events_sessionization, plans/star_ml.py) that predates it.  Works
+# identically in batch and Structured Streaming, which is why the
+# operator matters: one definition serves both.  Semantics note the
+# oracle mirrors: session_window MERGES an event iff gap < 30min
+# (STRICT), so the islands CTE breaks on >= — one boundary unit
+# different from the manual query's > break.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_session_windows_native",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ),
+    sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
