@@ -240,3 +240,57 @@ def test_extract_features_bmp_decode_with_null_payload(spark):
     assert len(out) == 2
     assert out[1].feature[0] == 2.0  # width
     assert out[2].feature == [0.0] * 8
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """The point of F.session_window: ONE definition for batch and
+    streaming.  Run the same session aggregation as a stream
+    (availableNow over the parquet) and as a batch query; every
+    watermark-closed streamed session must match the batch session
+    row exactly."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.write.parquet(src)
+    events = spark.read.parquet(src)
+
+    def sessions(df):
+        return (
+            df.groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("sw")
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = sessions(stream.withWatermark("ts", "1 hour"))
+    (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    streamed = spark.read.parquet(out)
+    closed = streamed.count()
+    assert closed > 0
+    batch = sessions(events)
+    joined = streamed.join(
+        batch.withColumnRenamed("n_events", "n_batch"),
+        on=["user_id", "session_start", "session_end"],
+        how="inner",
+    ).filter(F.col("n_events") == F.col("n_batch"))
+    assert joined.count() == closed  # every closed session matches batch
