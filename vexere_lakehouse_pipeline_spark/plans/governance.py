@@ -938,3 +938,82 @@ def events_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END corpus construction — the whole dedup-and-select pipeline
+# as ONE verified plan: near-dup clustering → keep-best survivor per
+# cluster → quality-ranked char-budget selection (top 60% of surviving
+# chars).  Every stage is an already-verified operator (survivor
+# selection, distributed prefix sum); this query pins their
+# COMPOSITION, the thing an integration bug would break while each
+# piece stays green.  Budget threshold is exact integer arithmetic
+# (cum·5 ≤ total·3); the total rides out of the prefix-sum stats.
+# ---------------------------------------------------------------------------
+_FINAL_NUM, _FINAL_DEN = 3, 5  # keep while cum_chars/total <= 3/5
+
+@_register(
+    "corpus_final_training_set",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_CTES},
+    undirected AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN undirected e ON e.u = r.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u),
+    full_t AS (
+        SELECT d.doc_id,
+               COALESCE(c.component_id, d.doc_id) AS component_id,
+               d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    surv AS (
+        SELECT doc_id, component_id, n_chars FROM (
+            SELECT *, FIRST_VALUE(doc_id) OVER (
+                PARTITION BY component_id ORDER BY n_chars DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+            ) AS sid FROM full_t
+        ) WHERE doc_id = sid
+    ),
+    o AS (
+        SELECT doc_id, component_id, n_chars,
+               COALESCE(SUM(n_chars) OVER (
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + n_chars AS cum_chars
+        FROM surv
+    ),
+    tot AS (SELECT SUM(n_chars) AS t FROM surv)
+    SELECT doc_id, component_id, n_chars, cum_chars
+    FROM o, tot WHERE cum_chars * {_FINAL_DEN} <= t * {_FINAL_NUM}
+    ORDER BY doc_id
+    """,
+)
+def corpus_final_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.packing import (
+        ordered_prefix_sum_with_total,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        dedup.survivor_selection(docs, quality_col="n_chars")
+        .filter(F.col("is_survivor"))
+        .select("doc_id", "component_id", F.col("quality").alias("n_chars"))
+    )
+    ranked, total = ordered_prefix_sum_with_total(
+        surv.withColumn("_negc", -F.col("n_chars")),
+        ["_negc", "doc_id"],
+        "n_chars",
+        out_col="cum_before",
+    )
+    return (
+        ranked.withColumn("cum_chars", F.col("cum_before") + F.col("n_chars"))
+        .filter(F.col("cum_chars") * _FINAL_DEN <= F.lit(total) * _FINAL_NUM)
+        .select("doc_id", "component_id", "n_chars", "cum_chars")
+        .orderBy("doc_id")
+    )
