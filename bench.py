@@ -115,6 +115,8 @@ def main() -> None:
         "text_bigram_logprob_scores",
         "embed_label_centroids",
         "privacy_kanonymity_report",
+        "corpus_final_training_set",
+        "events_session_windows_native",
     ]
     extra: dict[str, float] = {
         name: time_query(name) for name in extra_names if name in ALL_QUERIES

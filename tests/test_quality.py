@@ -178,11 +178,11 @@ def test_schema_diff_and_enforce(spark):
     )
     ok = spark.createDataFrame([(1, "a", 2.0)], "id long, v string, extra double")
     d = schema_diff(contract, ok.schema)
-    assert d == {"missing": [], "added": [], "retyped": []}
+    # measurement always reports the drift; POLICY decides in enforce
+    assert d == {
+        "missing": [], "added": ["extra"], "retyped": [], "nullability": [],
+    }
     assert enforce_schema(ok, contract) is ok
-    # additive column flagged when evolution is disallowed
-    d2 = schema_diff(contract, ok.schema, allow_added=False)
-    assert d2["added"] == ["extra"]
     with pytest.raises(QualityError, match="added"):
         enforce_schema(ok, contract, allow_added=False)
     # retyped + missing always violate
@@ -192,3 +192,25 @@ def test_schema_diff_and_enforce(spark):
     assert d3["retyped"] == ["id: bigint -> string"]
     with pytest.raises(QualityError, match="retyped"):
         enforce_schema(bad, contract)
+
+
+def test_schema_diff_flags_nullability_loosening(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from vexere_lakehouse_pipeline_spark.operators.quality import (
+        QualityError,
+        enforce_schema,
+        schema_diff,
+    )
+
+    contract = T.StructType([T.StructField("id", T.LongType(), nullable=False)])
+    loose = T.StructType([T.StructField("id", T.LongType(), nullable=True)])
+    assert schema_diff(contract, loose)["nullability"] == [
+        "id: non-nullable -> nullable"
+    ]
+    # the stricter direction is fine
+    assert schema_diff(loose, contract)["nullability"] == []
+    df = spark.createDataFrame([(1,)], "id long")  # nullable by default
+    with pytest.raises(QualityError, match="nullability"):
+        enforce_schema(df, contract)

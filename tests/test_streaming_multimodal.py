@@ -259,23 +259,13 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     events.write.parquet(src)
     events = spark.read.parquet(src)
 
-    def sessions(df):
-        return (
-            df.groupBy(
-                "user_id", F.session_window("ts", "30 minutes").alias("sw")
-            )
-            .agg(F.count("*").alias("n_events"))
-            .select(
-                "user_id",
-                F.col("sw.start").alias("session_start"),
-                F.col("sw.end").alias("session_end"),
-                "n_events",
-            )
-        )
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        session_window_counts,
+    )
 
     stream = spark.readStream.schema(events.schema).parquet(src)
-    agg = sessions(stream.withWatermark("ts", "1 hour"))
-    (
+    agg = session_window_counts(stream.withWatermark("ts", "1 hour"))
+    finished = (
         agg.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -284,10 +274,11 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
         .start()
         .awaitTermination(120)
     )
+    assert finished  # timeout would leave the query running + partial output
     streamed = spark.read.parquet(out)
     closed = streamed.count()
     assert closed > 0
-    batch = sessions(events)
+    batch = session_window_counts(events)
     joined = streamed.join(
         batch.withColumnRenamed("n_events", "n_batch"),
         on=["user_id", "session_start", "session_end"],

@@ -142,24 +142,34 @@ def profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
     )
 
 
-def schema_diff(contract: T.StructType, actual: T.StructType,
-                allow_added: bool = True) -> dict[str, list[str]]:
+def schema_diff(contract: T.StructType,
+                actual: T.StructType) -> dict[str, list[str]]:
     """Contract-vs-actual schema comparison — the check a zone boundary
     runs before accepting a producer's output.
 
-    Returns {"missing": [...], "added": [...], "retyped": [...]} where
-    retyped entries read "col: contract_type -> actual_type".  Pure
-    metadata — no Spark job.  ``allow_added`` mirrors additive schema
-    evolution (mergeSchema tolerates it); missing or retyped columns
-    are always violations.
+    MEASUREMENT only (policy lives in :func:`enforce_schema`): always
+    reports every difference.  Returns {"missing", "added", "retyped",
+    "nullability"} where retyped entries read
+    "col: contract_type -> actual_type" and nullability lists columns
+    the contract requires NON-NULL but the producer now allows null
+    (the loosening direction — an actual column STRICTER than the
+    contract is fine).  Pure metadata — no Spark job.
     """
     c = {f.name: f.dataType.simpleString() for f in contract.fields}
     a = {f.name: f.dataType.simpleString() for f in actual.fields}
+    c_null = {f.name: f.nullable for f in contract.fields}
+    a_null = {f.name: f.nullable for f in actual.fields}
+    both = set(c) & set(a)
     return {
         "missing": sorted(set(c) - set(a)),
-        "added": [] if allow_added else sorted(set(a) - set(c)),
+        "added": sorted(set(a) - set(c)),
         "retyped": sorted(
-            f"{k}: {c[k]} -> {a[k]}" for k in set(c) & set(a) if c[k] != a[k]
+            f"{k}: {c[k]} -> {a[k]}" for k in both if c[k] != a[k]
+        ),
+        "nullability": sorted(
+            f"{k}: non-nullable -> nullable"
+            for k in both
+            if not c_null[k] and a_null[k]
         ),
     }
 
@@ -168,8 +178,13 @@ def enforce_schema(df: DataFrame, contract: T.StructType,
                    allow_added: bool = True) -> DataFrame:
     """Raise :class:`QualityError` when ``df`` violates ``contract``
     (see :func:`schema_diff`); returns ``df`` unchanged when clean so
-    it composes into write pipelines as a pass-through gate."""
-    d = schema_diff(contract, df.schema, allow_added=allow_added)
+    it composes into write pipelines as a pass-through gate.
+    ``allow_added`` mirrors additive schema evolution (mergeSchema
+    tolerates it); missing, retyped, and nullability-loosened columns
+    are always violations."""
+    d = schema_diff(contract, df.schema)
+    if allow_added:
+        d["added"] = []
     problems = [f"{k}={v}" for k, v in d.items() if v]
     if problems:
         raise QualityError(f"schema contract violation: {'; '.join(problems)}")

@@ -359,7 +359,7 @@ _BUDGET_NUM, _BUDGET_DEN = 2, 5  # keep while cum_tokens/total <= 2/5
     tot AS (SELECT SUM(n_tokens) AS total_tokens FROM f)
     SELECT doc_id, quality, n_tokens, cum_tokens
     FROM o, tot
-    WHERE cum_tokens * {_BUDGET_DEN} <= total_tokens * {_BUDGET_NUM}
+    WHERE (cum_tokens - n_tokens) * {_BUDGET_DEN} < total_tokens * {_BUDGET_NUM}
     ORDER BY doc_id
     """,
 )
@@ -383,9 +383,13 @@ def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.withColumn("total_tokens", F.lit(total_tokens))
         .withColumn("cum_tokens", F.col("cum_before") + F.col("n_tokens"))
+        # greedy take-while on the EXCLUSIVE prefix (see
+        # corpus_final_training_set): the top-quality doc is always
+        # kept; the inclusive rule emits an empty set whenever one doc
+        # alone exceeds the budget.
         .filter(
-            F.col("cum_tokens") * _BUDGET_DEN
-            <= F.col("total_tokens") * _BUDGET_NUM
+            (F.col("cum_tokens") - F.col("n_tokens")) * _BUDGET_DEN
+            < F.col("total_tokens") * _BUDGET_NUM
         )
         .select("doc_id", "quality", "n_tokens", "cum_tokens")
         .orderBy("doc_id")

@@ -924,20 +924,12 @@ def privacy_ldiversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            "user_id", F.session_window("ts", "30 minutes").alias("sw")
-        )
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
-            "n_events",
-        )
-        .orderBy("user_id", "session_start")
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        session_window_counts,
     )
+
+    events = load_table(spark, sf_dir, "events")
+    return session_window_counts(events).orderBy("user_id", "session_start")
 
 
 # ---------------------------------------------------------------------------
@@ -950,7 +942,7 @@ def events_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame
 # piece stays green.  Budget threshold is exact integer arithmetic
 # (cum·5 ≤ total·3); the total rides out of the prefix-sum stats.
 # ---------------------------------------------------------------------------
-_FINAL_NUM, _FINAL_DEN = 3, 5  # keep while cum_chars/total <= 3/5
+_FINAL_NUM, _FINAL_DEN = 3, 5  # greedy: enter while spent/total < 3/5
 
 @_register(
     "corpus_final_training_set",
@@ -990,7 +982,7 @@ _FINAL_NUM, _FINAL_DEN = 3, 5  # keep while cum_chars/total <= 3/5
     ),
     tot AS (SELECT SUM(n_chars) AS t FROM surv)
     SELECT doc_id, component_id, n_chars, cum_chars
-    FROM o, tot WHERE cum_chars * {_FINAL_DEN} <= t * {_FINAL_NUM}
+    FROM o, tot WHERE (cum_chars - n_chars) * {_FINAL_DEN} < t * {_FINAL_NUM}
     ORDER BY doc_id
     """,
 )
@@ -1013,7 +1005,14 @@ def corpus_final_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.withColumn("cum_chars", F.col("cum_before") + F.col("n_chars"))
-        .filter(F.col("cum_chars") * _FINAL_DEN <= F.lit(total) * _FINAL_NUM)
+        # greedy take-while on the EXCLUSIVE prefix: a row enters while
+        # the budget is not yet exhausted, so the top-ranked doc is kept
+        # even if it alone exceeds the budget (the inclusive rule would
+        # silently emit an EMPTY training set on skewed corpora).
+        .filter(
+            (F.col("cum_chars") - F.col("n_chars")) * _FINAL_DEN
+            < F.lit(total) * _FINAL_NUM
+        )
         .select("doc_id", "component_id", "n_chars", "cum_chars")
         .orderBy("doc_id")
     )

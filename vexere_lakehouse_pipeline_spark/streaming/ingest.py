@@ -200,3 +200,23 @@ def run_stream_with_quarantine(stream_df: DataFrame, expectations,
         .start()
     )
     q.awaitTermination()  # no timeout: wait for the full backlog
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session aggregation via the NATIVE ``F.session_window``
+    — the one definition that serves batch and Structured Streaming
+    identically (pass a static frame or a stream; for streams add a
+    watermark before calling).  Returns (user_id, session_start,
+    session_end, n_events); session_end = last event + gap (strict
+    merge: an event exactly at the gap boundary starts a new session).
+    """
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
