@@ -1016,3 +1016,57 @@ def corpus_final_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "component_id", "n_chars", "cum_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU — daily and trailing-7-day distinct active users.  Rolling
+# DISTINCT cannot ride a window frame (count distinct isn't
+# decomposable), so the exact form is the standard day-grid join:
+# dedup to (day, user) once [day-cardinality × users rows], join the
+# tiny day grid to its trailing week, count distinct per anchor day.
+# Day cardinality is bounded (~thousands forever), so the join fan-out
+# is 7× the deduped daily-actives table — exact and scale-stable where
+# a sketch (HLL) would be approximate.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_dau_wau",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+        FROM days d
+        JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau
+    FROM dau JOIN wau ON wau.day = dau.day
+    ORDER BY dau.day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            du.alias("u"),
+            F.col("u.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, on="day")
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )
