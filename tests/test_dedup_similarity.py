@@ -206,3 +206,43 @@ def test_arrow_topk_refuses_oversized_query_set(spark, monkeypatch):
     # under the cap the path still works
     out = similarity.topk_bruteforce_arrow(emb, emb.limit(5), k=3)
     assert out.count() == 15
+
+
+def test_simhash_near_pairs_banding(spark):
+    # exact dup pair -> hamming 0, must be emitted; unrelated doc sits
+    # far in hamming space and must not pair with either copy
+    base = "spark sql catalyst tungsten shuffle partition broadcast join " * 6
+    other = "völlig andere wörter über etwas ganz anderes hier jetzt " * 6
+    docs = _docs(spark, [base, base, other])
+    rows = dedup.simhash_near_pairs(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_sig(docs, bits=dedup.SIMHASH_BITS).collect()
+    }
+    assert bin(sigs[0] ^ sigs[2]).count("1") > 3  # exclusion is correct
+
+
+def test_simhash_near_pairs_exact_recall_vs_bruteforce(spark):
+    # pigeonhole guarantee: banding misses NO pair with hamming <= 3
+    import itertools
+
+    texts = [f"w{i} common words shared by all docs here " * 3 for i in range(8)]
+    texts += [texts[0] + "tail", texts[3] + "tail"]
+    docs = _docs(spark, texts)
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_sig(docs, bits=dedup.SIMHASH_BITS).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_pairs(docs).collect()
+    }
+    assert got == want

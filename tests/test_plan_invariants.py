@@ -137,3 +137,43 @@ def test_pagerank_iterations_stay_jvm_side(spark):
     # last join-back, not 3 unrolled iterations of everything
     assert "BatchEvalPython" not in plan
     assert plan.count("FileScan parquet") == 0  # reads checkpointed RDDs
+
+
+def test_simhash_near_pairs_plan_shape(spark):
+    from vexere_lakehouse_pipeline_spark.plans import star_ml
+
+    plan = _plan(star_ml.QUERIES["dedup_simhash_near_pairs"](spark, SF))
+    # banded equi-join on (band, band_val), never a cartesian; all bit
+    # math stays JVM-side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crossdoc_ngram_dup_no_python_no_cartesian(spark):
+    from vexere_lakehouse_pipeline_spark.plans import corpus_ext
+
+    plan = _plan(corpus_ext.QUERIES["corpus_crossdoc_ngram_dup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multires_rollup_single_pass(spark):
+    from vexere_lakehouse_pipeline_spark.plans import star_ext
+
+    plan = _plan(star_ext.QUERIES["events_multires_rollup"](spark, SF))
+    # ONE scan expands to all rollup grains (the point of the operator:
+    # minute/hour/day/total from a single pass, not three scans)
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_weighted_sample_is_map_side_filter(spark):
+    from vexere_lakehouse_pipeline_spark.plans import corpus
+
+    plan = _plan(corpus.QUERIES["corpus_weighted_sample"](spark, SF))
+    # the only join is the broadcast 1-row max scalar; the keep
+    # decision itself is a map-side filter with no extra exchange
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -119,3 +119,33 @@ def test_weighted_mixture_rejects_empty_config(spark):
     docs = _docs(spark)
     with pytest.raises(ValueError, match="no source contributes"):
         sampling.weighted_mixture({"x": (docs, 0.0)}, key="doc_id")
+
+
+def test_weighted_hash_sample_proportional_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators import sampling
+
+    # 20k rows, weight 1 vs weight 10: keep rate must scale ~10x
+    df = spark.range(20000).withColumn(
+        "w", F.when(F.col("id") % 2 == 0, 1).otherwise(10)
+    )
+    kept = sampling.weighted_hash_sample(
+        df, key="id", weight="w", max_weight=10, rate_num=1, rate_den=2
+    )
+    rates = {
+        r["w"]: r["n"]
+        for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    # expected: w=10 -> 50% of 10k = 5000; w=1 -> 5% of 10k = 500
+    assert abs(rates[10] - 5000) < 300
+    assert abs(rates[1] - 500) < 100
+    # deterministic: same call keeps the identical id set
+    ids1 = {r["id"] for r in kept.collect()}
+    ids2 = {
+        r["id"]
+        for r in sampling.weighted_hash_sample(
+            df, key="id", weight="w", max_weight=10, rate_num=1, rate_den=2
+        ).collect()
+    }
+    assert ids1 == ids2

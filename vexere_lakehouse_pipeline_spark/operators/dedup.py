@@ -229,11 +229,12 @@ def simhash_bit_contrib_sql(i: int, hash_col: str = "h") -> str:
     )
 
 
-def simhash16(docs: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash per document: tokens (all occurrences) vote ±1 on
-    each bit of md5(token); bit set iff the sum is positive.
-    Returns (doc_id, simhash)."""
+def simhash_sig(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """``bits``-wide SimHash per document: tokens (all occurrences) vote
+    ±1 on each bit of md5(token); bit set iff the sum is positive.
+    ``bits`` ≤ 64 (md5 supplies 128; the nibble template indexes the
+    first bits/4 hex chars).  Returns (doc_id, simhash)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(text_col)).alias("token"),
@@ -241,14 +242,90 @@ def simhash16(docs: DataFrame, text_col: str = "text",
     sums = toks.groupBy("doc_id").agg(
         *[
             F.expr(f"sum({simhash_bit_contrib_sql(i)})").alias(f"s{i}")
-            for i in range(16)
+            for i in range(bits)
         ]
     )
     combine = " + ".join(
-        f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(16)
+        f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits)
     )
     return sums.select(
         "doc_id", F.expr(f"CAST({combine} AS BIGINT)").alias("simhash")
+    )
+
+
+def simhash16(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash (the original oracle-pinned width)."""
+    return simhash_sig(docs, text_col, id_col, bits=16)
+
+
+SIMHASH_BITS = 32  # near-pair signature width: 8-bit bands spread buckets
+SIMHASH_BANDS = 4
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Hamming-space near-dup pairs over SimHash signatures — the
+    Google-style complement to MinHash/Jaccard (Charikar 2002 / the
+    Manku-Jain-Sarma WWW'07 banding trick, both public papers).
+
+    Banding: the 32-bit signature splits into ``SIMHASH_BANDS`` 8-bit
+    bands; candidates are doc pairs sharing ANY band value (equi-join
+    per band).  By pigeonhole, two signatures with hamming distance
+    ≤ SIMHASH_BANDS - 1 agree on at least one whole band, so recall is
+    EXACT for ``max_hamming`` ≤ 3 — no pair is missed.  Verification is
+    ``bit_count(xor)`` on the joined signatures, pure integer ops.
+
+    Scale shape: one row per doc per band into the equi-join (never
+    O(N²) over the corpus), verification touches candidates only.  At
+    100 TB widen further (64-bit, 4×16-bit bands) so band values
+    spread; the md5-nibble bit template generalizes unchanged.  Same
+    hot-bucket caveat as LSH: boilerplate corpora need the
+    MAX_BUCKET_SIZE cap pattern applied to (band, value) buckets
+    before the self-join.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    sigs = simhash_sig(docs, text_col, id_col, bits=SIMHASH_BITS)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_width)
+                        .bitwiseAND(F.lit(2 ** band_width - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.band_val")
+    a = bands.select(
+        "band", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = bands.select(
+        "band", "band_val",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+    )
+    return (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

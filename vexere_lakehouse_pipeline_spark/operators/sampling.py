@@ -124,3 +124,31 @@ def weighted_mixture(sources: dict[str, tuple[DataFrame, float]],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_hash_sample(df: DataFrame, key: Column | str,
+                         weight: Column | str,
+                         max_weight: Column | int,
+                         rate_num: int = 1, rate_den: int = 1,
+                         salt: str = "wsample") -> DataFrame:
+    """Weight-proportional deterministic Bernoulli sampling.
+
+    P(keep) = (rate_num/rate_den) · weight / max_weight, decided by a
+    pure-integer comparison so the kept set is bit-reproducible across
+    engines, retries, and repartitioning (no RNG state, no floats):
+
+        bucket · rate_den · max_weight  <  BUCKETS · rate_num · weight
+
+    The classic use is length-proportional document sampling (longer
+    docs carry more tokens, so uniform-by-doc sampling under-weights
+    them).  ``max_weight`` is the corpus max — pass an int or a Column
+    from a broadcast 1-row aggregate (a cross-joined scalar, never a
+    driver collect).  Map-side filter: zero shuffle at any scale.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    mw = F.lit(max_weight) if isinstance(max_weight, int) else max_weight
+    bucket = hash_bucket(key, salt)
+    return df.filter(
+        bucket.cast("bigint") * F.lit(rate_den) * mw
+        < F.lit(BUCKETS * rate_num) * w
+    )

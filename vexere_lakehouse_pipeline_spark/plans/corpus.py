@@ -368,3 +368,45 @@ def corpus_examples_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "rnk")
         .orderBy("lang", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (length-proportional) sampling — P(keep) = 0.5 · n_chars /
+# max(n_chars).  Uniform doc sampling under-represents long documents'
+# tokens; weighting by length makes the expected TOKEN retention
+# uniform.  The keep decision is the pure-integer comparison in
+# operators/sampling.py:weighted_hash_sample — md5 bucket vs scaled
+# weight — so both engines keep bit-identical rows.  The corpus max
+# rides a broadcast cross join (1-row aggregate), never the driver.
+# ---------------------------------------------------------------------------
+_WS_NUM, _WS_DEN = 1, 2
+
+@_register(
+    "corpus_weighted_sample",
+    f"""
+    WITH mx AS (SELECT MAX(n_chars) AS max_chars FROM documents)
+    SELECT doc_id, n_chars,
+           {sampling.hash_bucket_sql('doc_id', 'wsample')} AS w_bucket
+    FROM documents, mx
+    WHERE CAST({sampling.hash_bucket_sql('doc_id', 'wsample')} AS BIGINT)
+          * {_WS_DEN} * mx.max_chars
+          < {sampling.BUCKETS} * {_WS_NUM} * n_chars
+    ORDER BY doc_id
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    kept = sampling.weighted_hash_sample(
+        docs.join(F.broadcast(mx)),
+        key="doc_id",
+        weight="n_chars",
+        max_weight=F.col("max_chars"),
+        rate_num=_WS_NUM,
+        rate_den=_WS_DEN,
+    )
+    return kept.select(
+        "doc_id",
+        "n_chars",
+        sampling.hash_bucket("doc_id", "wsample").alias("w_bucket"),
+    ).orderBy("doc_id")

@@ -27,6 +27,7 @@ from vexere_lakehouse_pipeline_spark.functions.text import (
     quality_features,
     stopword_hits_sql,
     tokenize,
+    word_shingles,
 )
 from vexere_lakehouse_pipeline_spark.functions.vectors import dot_product
 from vexere_lakehouse_pipeline_spark.operators.packing import (
@@ -35,7 +36,7 @@ from vexere_lakehouse_pipeline_spark.operators.packing import (
     pack_concat_chunks,
 )
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
-from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS
+from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS, _duck_shingles
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -515,3 +516,70 @@ def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("chunk_len"),
         F.array_join(chunk, " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-gram fraction — the Gopher-style
+# "duplicate n-gram" boilerplate signal computed ACROSS the corpus
+# (within-doc repetition lives in corpus_repetition_scores): for each
+# document, what fraction of its distinct word 5-grams also occurs in
+# at least one OTHER document.  Docs full of shared boilerplate
+# (headers, templates, near-dups that survived hashing) score high and
+# get filtered before training.
+#
+# Plan shape (shuffles annotated): explode shingles -> md5 to a short
+# fixed-width key -> DISTINCT (doc, h) [1: hash on (doc_id, h)] ->
+# shingle doc-frequency [2: hash on h, vocab-sized, partial agg
+# map-side] -> join back on h [3] -> per-doc agg [4].  The frequency
+# table stays distributed (a web corpus' shingle vocabulary is far
+# beyond broadcast range); everything is integer arithmetic so the
+# oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+_XDOC_N = 5
+
+@_register(
+    "corpus_crossdoc_ngram_dup",
+    f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    shr AS (SELECT doc_id, unnest({_duck_shingles(_XDOC_N)}) AS shingle FROM tok),
+    sh AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM shr),
+    dfreq AS (SELECT h, COUNT(*) AS n_docs FROM sh GROUP BY h)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN dfreq.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           CAST((1000 * SUM(CASE WHEN dfreq.n_docs >= 2 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS dup_permille
+    FROM sh JOIN dfreq USING (h)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+)
+def corpus_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc count + permille of word 5-grams shared with any other
+    document (inter-document boilerplate screen; cf. the within-doc
+    repetition scorer).  NULL/empty texts have no shingles and drop
+    out, matching the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles("text", _XDOC_N)).alias("shingle"),
+        )
+        .select("doc_id", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return (
+        sh.join(dfreq, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_shared"),
+        )
+        .withColumn(
+            "dup_permille", F.expr("(1000 * n_shared) DIV n_shingles")
+        )
+        .orderBy("doc_id")
+    )

@@ -806,3 +806,66 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution time rollup — the hypertable "continuous aggregate"
+# shape: ONE pass over the events fact produces minute, hour, day, and
+# grand-total aggregates via ROLLUP on the truncation hierarchy
+# (date_trunc is functionally dependent minute -> hour -> day, so the
+# rollup lattice is exactly the resolution ladder).  At 100 TB this
+# replaces three separate scans with one; Spark expands the rollup
+# into partial aggregates BEFORE the exchange, so the shuffle carries
+# pre-combined rows per (grain, bucket), not raw events.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_multires_rollup",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           date_trunc('hour', ts) AS hr,
+           date_trunc('minute', ts) AS mi,
+           CASE WHEN CAST(ts AS DATE) IS NULL THEN 'total'
+                WHEN date_trunc('hour', ts) IS NULL THEN 'day'
+                WHEN date_trunc('minute', ts) IS NULL THEN 'hour'
+                ELSE 'minute' END AS grain,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY ROLLUP (CAST(ts AS DATE), date_trunc('hour', ts),
+                     date_trunc('minute', ts))
+    ORDER BY day NULLS FIRST, hr NULLS FIRST, mi NULLS FIRST
+    """,
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    g = events.select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.date_trunc("minute", "ts").alias("mi"),
+        "value",
+    )
+    return (
+        g.rollup("day", "hr", "mi")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        # grain labels come from the rollup's NULLed-out columns (ts is
+        # never null in events, so NULL here means "aggregated away").
+        .withColumn(
+            "grain",
+            F.when(F.col("day").isNull(), "total")
+            .when(F.col("hr").isNull(), "day")
+            .when(F.col("mi").isNull(), "hour")
+            .otherwise("minute"),
+        )
+        .select("day", "hr", "mi", "grain", "n_events", "total_value")
+        .orderBy(
+            F.col("day").asc_nulls_first(),
+            F.col("hr").asc_nulls_first(),
+            F.col("mi").asc_nulls_first(),
+        )
+    )

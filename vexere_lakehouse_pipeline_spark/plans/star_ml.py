@@ -190,6 +190,56 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: SimHash banded hamming near-pairs (Manku-Jain-Sarma WWW'07
+# banding; exact recall for hamming <= SIMHASH_BANDS - 1 by pigeonhole).
+# ---------------------------------------------------------------------------
+_SIMHASH_BAND_W = dedup.SIMHASH_BITS // dedup.SIMHASH_BANDS
+# 32-bit signature fragments for the near-pair query (the signatures
+# query above stays at the oracle-pinned 16-bit width).
+_SIMHASH_NP_SUMS = ", ".join(
+    f"sum({dedup.simhash_bit_contrib_sql(i)}) AS s{i}"
+    for i in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_NP_COMBINE = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END"
+    for i in range(dedup.SIMHASH_BITS)
+)
+
+
+@_register(
+    "dedup_simhash_near_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    hs AS (SELECT doc_id, md5(token) AS h FROM tok),
+    sums AS (SELECT doc_id, {_SIMHASH_NP_SUMS} FROM hs GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_NP_COMBINE} AS BIGINT) AS simhash FROM sums),
+    bands AS (
+        SELECT doc_id, simhash, b,
+               (simhash >> CAST({_SIMHASH_BAND_W} * b AS INTEGER))
+                 & {2 ** _SIMHASH_BAND_W - 1} AS band_val
+        FROM sig, (SELECT unnest(range(0, {dedup.SIMHASH_BANDS})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                        c.doc_id AS doc_b, c.simhash AS sim_b
+        FROM bands a JOIN bands c
+          ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup doc pairs within hamming distance 3 in SimHash space —
+    the bitwise complement of the MinHash/Jaccard path (same banding
+    idea, different similarity geometry).  See
+    operators/dedup.py:simhash_near_pairs for the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
 # Dedup: embedding-cosine near-dup (blocked by label)
 # ---------------------------------------------------------------------------
 _DUCK_EMB = (
