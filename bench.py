@@ -117,6 +117,13 @@ def main() -> None:
         "privacy_kanonymity_report",
         "corpus_final_training_set",
         "events_session_windows_native",
+        "dedup_simhash_near_pairs",
+        "corpus_crossdoc_ngram_dup",
+        "events_multires_rollup",
+        "corpus_weighted_sample",
+        "corpus_split_leakage",
+        "corpus_oov_rate",
+        "scd2_point_in_time_join",
     ]
     extra: dict[str, float] = {
         name: time_query(name) for name in extra_names if name in ALL_QUERIES

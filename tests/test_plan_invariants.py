@@ -177,3 +177,14 @@ def test_weighted_sample_is_map_side_filter(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_oov_vocab_is_topk_heap_and_broadcast(spark):
+    from vexere_lakehouse_pipeline_spark.plans import corpus
+
+    plan = _plan(corpus.QUERIES["corpus_oov_rate"](spark, SF))
+    # derived vocab: per-partition top-K heaps, then broadcast to the
+    # coverage join — never a global sort or a shuffled join on token
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

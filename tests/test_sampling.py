@@ -149,3 +149,29 @@ def test_weighted_hash_sample_proportional_and_deterministic(spark):
         ).collect()
     }
     assert ids1 == ids2
+
+
+def test_split_leakage_flags_cross_split_neardups(spark):
+    from vexere_lakehouse_pipeline_spark.plans.corpus import QUERIES
+
+    out = QUERIES["corpus_split_leakage"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    # every emitted pair must genuinely cross splits at >= the threshold
+    for r in rows:
+        assert r["split_a"] != r["split_b"]
+        assert r["jaccard"] >= 0.5
+
+
+def test_oov_rate_bounds_and_vocab_coverage(spark):
+    from vexere_lakehouse_pipeline_spark.plans.corpus import QUERIES
+
+    out = QUERIES["corpus_oov_rate"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0 <= r["oov_permille"] <= 1000
+    # with a tiny shared vocab, top-20 must cover a nontrivial share:
+    # the corpus-wide OOV occurrence share is strictly below 100%
+    tot = sum(r["n_tokens"] for r in out)
+    oov = sum(r["n_oov"] for r in out)
+    assert oov < tot

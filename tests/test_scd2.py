@@ -169,3 +169,72 @@ def test_scd2_merge_ignores_out_of_order_update(spark):
     assert len(out) == 1
     r = out[0]
     assert r.attr == "new" and r.is_current and r.valid_to is None
+
+
+def test_point_in_time_join_interval_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.joins import asof_join
+    from vexere_lakehouse_pipeline_spark.operators.scd2 import scd2_from_changelog
+
+    # changelog: user 1 is A at t=10, B at t=20; user 2 never appears
+    changes = spark.createDataFrame(
+        [(1, 1, 10, "A"), (1, 2, 20, "B")],
+        "user_id long, event_id long, ts long, state string",
+    )
+    hist = scd2_from_changelog(
+        changes, ["user_id"], "ts", ["state"],
+        tiebreak_col="event_id", keep_tiebreak=True,
+    )
+    dim = hist.select(
+        "user_id", "valid_from", "event_id",
+        F.col("state").alias("state_type"),
+    )
+    # facts: before first version (t=5) -> null; inside v1 (t=15) -> A;
+    # exactly at v2 open (t=20) -> B; after (t=99) -> B; unknown user -> null
+    facts = spark.createDataFrame(
+        [(1, 101, 5), (1, 102, 15), (1, 103, 20), (1, 104, 99), (2, 105, 50)],
+        "user_id long, event_id long, ts long",
+    )
+    out = {
+        r["event_id"]: r["state_type"]
+        for r in asof_join(
+            facts, dim, on="user_id", left_ts="ts", right_ts="valid_from",
+            right_payload=["state_type"], tiebreak="event_id",
+        ).collect()
+    }
+    assert out == {101: None, 102: "A", 103: "B", 104: "B", 105: None}
+
+
+def test_point_in_time_join_tiebreak_on_equal_valid_from(spark):
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.joins import asof_join
+    from vexere_lakehouse_pipeline_spark.operators.scd2 import scd2_from_changelog
+
+    # two versions open at the SAME ts (tiebreak by event_id): the
+    # higher event_id wins, matching interval semantics where the
+    # earlier version's interval [t, t) is empty
+    changes = spark.createDataFrame(
+        [(1, 1, 10, "A"), (1, 2, 10, "B")],
+        "user_id long, event_id long, ts long, state string",
+    )
+    hist = scd2_from_changelog(
+        changes, ["user_id"], "ts", ["state"],
+        tiebreak_col="event_id", keep_tiebreak=True,
+    )
+    dim = hist.select(
+        "user_id", "valid_from", "event_id",
+        F.col("state").alias("state_type"),
+    )
+    facts = spark.createDataFrame(
+        [(1, 101, 10), (1, 102, 50)], "user_id long, event_id long, ts long"
+    )
+    out = {
+        r["event_id"]: r["state_type"]
+        for r in asof_join(
+            facts, dim, on="user_id", left_ts="ts", right_ts="valid_from",
+            right_payload=["state_type"], tiebreak="event_id",
+        ).collect()
+    }
+    assert out == {101: "B", 102: "B"}

@@ -64,6 +64,12 @@ PROBES = [
     ("customer_rfm_segments", {"orders": ["o_orderkey", "o_custkey"]}),
     ("corpus_length_percentiles", {"documents": ["doc_id"]}),
     ("quality_drift_psi", {"documents": ["doc_id"]}),
+    ("dedup_simhash_near_pairs", {"documents": ["doc_id"]}),
+    ("corpus_crossdoc_ngram_dup", {"documents": ["doc_id"]}),
+    ("events_multires_rollup", {"events": ["event_id", "user_id"]}),
+    ("corpus_weighted_sample", {"documents": ["doc_id"]}),
+    ("corpus_oov_rate", {"documents": ["doc_id"]}),
+    ("scd2_point_in_time_join", {"events": ["event_id", "user_id"]}),
     # graph_pagerank_knn / sim_knn_graph are NOT probed: the exact
     # strategy is O(N²) by contract (enforced row ceiling); the scale
     # path is knn_graph(strategy='lsh'), whose bucket self-join shape

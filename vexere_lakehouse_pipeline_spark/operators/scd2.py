@@ -33,13 +33,17 @@ def scd2_from_changelog(
     ts_col: str,
     attr_cols: list[str],
     tiebreak_col: str | None = None,
+    keep_tiebreak: bool = False,
 ) -> DataFrame:
     """Changelog → SCD2 history.
 
     Returns one row per version: key cols, attr cols, ``valid_from``,
     ``valid_to`` (null while current), ``is_current``.  Consecutive
     changelog rows whose tracked attributes are unchanged do not open
-    a new version.
+    a new version.  With ``keep_tiebreak`` the opening row's tiebreak
+    value is kept in the output — downstream point-in-time lookups
+    need it as a deterministic total order when two versions of one
+    key share a ``valid_from`` timestamp.
     """
     order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -68,6 +72,7 @@ def scd2_from_changelog(
         *attr_cols,
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
+        *([tiebreak_col] if (keep_tiebreak and tiebreak_col) else []),
     ).withColumn("is_current", F.col("valid_to").isNull())
     return out
 

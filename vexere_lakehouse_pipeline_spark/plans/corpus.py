@@ -26,9 +26,13 @@ from vexere_lakehouse_pipeline_spark.functions.text import (
     tokenize,
     whitespace_token_count,
 )
-from vexere_lakehouse_pipeline_spark.operators import sampling
+from vexere_lakehouse_pipeline_spark.operators import dedup, sampling
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
-from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS, _duck_shingles
+from vexere_lakehouse_pipeline_spark.plans.star_ml import (
+    _DUCK_SHINGLE_CTES,
+    _DUCK_TOKENS,
+    _duck_shingles,
+)
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -410,3 +414,130 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         sampling.hash_bucket("doc_id", "wsample").alias("w_bucket"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage check — verified near-duplicate pairs whose
+# members landed in DIFFERENT train/valid/test splits.  Hash-splitting
+# assigns near-dups independently, so without this gate a test doc's
+# near-copy can sit in train and silently inflate eval numbers.  The
+# operator composes the LSH candidate pipeline (banded minhash, bucket
+# cap) + exact Jaccard verification + the same split assignment used
+# by corpus_split_counts; everything downstream of the pair table
+# joins only LSH survivors, so the leakage check costs no more than
+# dedup itself at any scale.
+# ---------------------------------------------------------------------------
+_LEAK_MIN_J = 0.5
+
+@_register(
+    "corpus_split_leakage",
+    f"""
+    WITH {_DUCK_SHINGLE_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY p.doc_a, p.doc_b
+    ),
+    jac AS (
+        SELECT p.doc_a, p.doc_b,
+               ROUND(COALESCE(i.n_inter, 0) * 1.0
+                     / (x.n + y.n - COALESCE(i.n_inter, 0)), 4) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes x ON x.doc_id = p.doc_a
+        JOIN sizes y ON y.doc_id = p.doc_b
+    ),
+    assigned AS (
+        SELECT doc_id,
+               CASE WHEN {sampling.hash_bucket_sql('doc_id', 'split')} < {_TRAIN_BOUND}
+                    THEN 'train'
+                    WHEN {sampling.hash_bucket_sql('doc_id', 'split')} < {_VALID_BOUND}
+                    THEN 'valid' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT j.doc_a, sa.split AS split_a, j.doc_b, sb.split AS split_b,
+           j.jaccard
+    FROM jac j
+    JOIN assigned sa ON sa.doc_id = j.doc_a
+    JOIN assigned sb ON sb.doc_id = j.doc_b
+    WHERE j.jaccard >= {_LEAK_MIN_J} AND sa.split <> sb.split
+    ORDER BY j.doc_a, j.doc_b
+    """,
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard=_LEAK_MIN_J)
+    splits = docs.select(
+        "doc_id", sampling.split_column("doc_id", _SPLIT_WEIGHTS).alias("split")
+    )
+    return (
+        pairs.join(
+            splits.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"}),
+            on="doc_a",
+        )
+        .join(
+            splits.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}),
+            on="doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate — share of each document's token OCCURRENCES
+# not covered by the corpus' top-K vocabulary (the tokenizer-coverage
+# screen run before committing to a vocab size).  The vocab is derived
+# in the same job (global counts -> rank window) and is K rows, so the
+# coverage join broadcasts; integer permille keeps the oracle exact.
+# ---------------------------------------------------------------------------
+_OOV_K = 20
+
+@_register(
+    "corpus_oov_rate",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    ranked AS (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+        FROM counts
+    ),
+    vocab AS (SELECT token FROM ranked WHERE rnk <= {_OOV_K})
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST((1000 * SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS oov_permille
+    FROM tok t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    # top-K via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps + driver merge of K rows), NOT a global row_number window,
+    # which would single-partition the whole vocab-sized count table.
+    vocab = (
+        counts.orderBy(F.desc("n"), "token")
+        .limit(_OOV_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), on="token", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .withColumn("oov_permille", F.expr("(1000 * n_oov) DIV n_tokens"))
+        .orderBy("doc_id")
+    )

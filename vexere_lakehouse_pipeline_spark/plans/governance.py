@@ -1070,3 +1070,88 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "dau", "wau")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time lookup — the temporal-warehouse join: each fact
+# row (purchases) picks up the dimension version (the user's last
+# non-purchase activity state) valid AT the fact's timestamp.  Runs as
+# a backward as-of join (operators/joins.asof_join: union + one
+# partitioned window, ONE shuffle, no inequality-join pair blowup) —
+# equivalent to interval containment because SCD2 intervals are
+# contiguous per key; the oracle verifies via the interval form.
+# Facts before a user's first version keep null state (left join).
+# ---------------------------------------------------------------------------
+@_register(
+    "scd2_point_in_time_join",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    opens AS (
+        SELECT user_id, event_id, ts AS valid_from, event_type
+        FROM ordered
+        WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+    ),
+    dim AS (
+        SELECT user_id, event_type AS state_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY valid_from, event_id) AS valid_to
+        FROM opens
+    ),
+    facts AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE)
+                   AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.user_id, f.event_id, f.ts, f.purchase_value,
+           d.state_type, epoch_us(d.valid_from) AS state_since_us
+    FROM facts f
+    LEFT JOIN dim d ON d.user_id = f.user_id
+         AND d.valid_from <= f.ts
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    ORDER BY f.user_id, f.event_id
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.joins import asof_join
+    from vexere_lakehouse_pipeline_spark.operators.scd2 import scd2_from_changelog
+
+    events = load_table(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        events.filter(F.col("event_type") != "purchase"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+        keep_tiebreak=True,
+    )
+    dim = hist.select(
+        "user_id",
+        "valid_from",
+        "event_id",
+        F.col("event_type").alias("state_type"),
+        F.unix_micros("valid_from").alias("state_since_us"),
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value").cast("decimal(18,2)"), 2)
+        .cast("double")
+        .alias("purchase_value"),
+    )
+    return asof_join(
+        facts,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_payload=["state_type", "state_since_us"],
+        tiebreak="event_id",
+    ).orderBy("user_id", "event_id")
