@@ -246,3 +246,18 @@ def test_simhash_near_pairs_exact_recall_vs_bruteforce(spark):
         for r in dedup.simhash_near_pairs(docs).collect()
     }
     assert got == want
+
+
+def test_simhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    # 300 identical docs: uncapped banding would emit C(300,2) pairs
+    # per band; with the cap they are dropped (exact-dup territory)
+    texts = ["identical boilerplate body repeated everywhere " * 4] * 300
+    texts += [f"unique doc {i} with its own words entirely " * 3 for i in range(5)]
+    docs = _docs(spark, texts)
+    capped = dedup.simhash_near_pairs(docs, max_bucket_size=50)
+    got = capped.collect()
+    # no pair may involve two boilerplate docs (ids 0..299)
+    assert all(not (r["doc_a"] < 300 and r["doc_b"] < 300) for r in got)
+    # uncapped emits the quadratic set — the cap is what bounds it
+    uncapped_n = dedup.simhash_near_pairs(docs, max_bucket_size=None).count()
+    assert uncapped_n >= 300 * 299 // 2

@@ -265,7 +265,9 @@ SIMHASH_BANDS = 4
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket_size: int | None = MAX_BUCKET_SIZE
+                       ) -> DataFrame:
     """Hamming-space near-dup pairs over SimHash signatures — the
     Google-style complement to MinHash/Jaccard (Charikar 2002 / the
     Manku-Jain-Sarma WWW'07 banding trick, both public papers).
@@ -281,9 +283,11 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     O(N²) over the corpus), verification touches candidates only.  At
     100 TB widen further (64-bit, 4×16-bit bands) so band values
     spread; the md5-nibble bit template generalizes unchanged.  Same
-    hot-bucket caveat as LSH: boilerplate corpora need the
-    MAX_BUCKET_SIZE cap pattern applied to (band, value) buckets
-    before the self-join.
+    hot-bucket handling as LSH: (band, value) buckets above
+    ``max_bucket_size`` are dropped before the self-join (boilerplate
+    corpora pile exact/near-exact copies into one bucket; those are
+    exact_duplicate_groups territory), trading bounded work for recall
+    only inside degenerate buckets.
 
     Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     """
@@ -299,23 +303,26 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                         F.lit(b).alias("band"),
                         F.shiftright("simhash", b * band_width)
                         .bitwiseAND(F.lit(2 ** band_width - 1))
-                        .alias("band_val"),
+                        .alias("band_key"),
                     )
                     for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "simhash", "bv.band", "bv.band_val")
+    ).select("doc_id", "simhash", "bv.band", "bv.band_key")
+    bands = _drop_hot_buckets(
+        bands.localCheckpoint(eager=True), max_bucket_size
+    )
     a = bands.select(
-        "band", "band_val",
+        "band", "band_key",
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
     )
     b = bands.select(
-        "band", "band_val",
+        "band", "band_key",
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
     )
     return (
-        a.join(b, on=["band", "band_val"])
+        a.join(b, on=["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",

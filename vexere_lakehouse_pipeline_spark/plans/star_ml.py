@@ -219,10 +219,14 @@ _SIMHASH_NP_COMBINE = " + ".join(
                  & {2 ** _SIMHASH_BAND_W - 1} AS band_val
         FROM sig, (SELECT unnest(range(0, {dedup.SIMHASH_BANDS})) AS b)
     ),
+    sbsz AS (SELECT b, band_val, COUNT(*) AS bn FROM bands GROUP BY b, band_val),
+    sbok AS (SELECT bands.* FROM bands
+             JOIN sbsz ON sbsz.b = bands.b AND sbsz.band_val = bands.band_val
+             WHERE sbsz.bn <= {dedup.MAX_BUCKET_SIZE}),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
                         c.doc_id AS doc_b, c.simhash AS sim_b
-        FROM bands a JOIN bands c
+        FROM sbok a JOIN sbok c
           ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
     )
     SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
