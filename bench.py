@@ -124,6 +124,8 @@ def main() -> None:
         "corpus_split_leakage",
         "corpus_oov_rate",
         "scd2_point_in_time_join",
+        "dedup_containment_pairs",
+        "corpus_nucleus_vocab",
     ]
     extra: dict[str, float] = {
         name: time_query(name) for name in extra_names if name in ALL_QUERIES

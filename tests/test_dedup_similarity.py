@@ -261,3 +261,44 @@ def test_simhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
     # uncapped emits the quadratic set — the cap is what bounds it
     uncapped_n = dedup.simhash_near_pairs(docs, max_bucket_size=None).count()
     assert uncapped_n >= 300 * 299 // 2
+
+
+def test_containment_detects_excerpt(spark):
+    long_doc = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "wholly different words live here today tomorrow yesterday"
+    docs = _docs(spark, [long_doc, excerpt, other])
+    got = {
+        (r["doc_sub"], r["doc_super"]): r["containment"]
+        for r in dedup.containment_pairs(docs, min_containment=0.9).collect()
+    }
+    # the excerpt is fully contained in the long doc; reverse is not
+    assert got.get((1, 0)) == 1.0
+    assert (0, 1) not in got
+    assert all(0 not in p or 2 not in p for p in got)
+
+
+def test_nucleus_vocab_greedy_coverage(spark):
+    from vexere_lakehouse_pipeline_spark.plans.corpus_ext import QUERIES
+
+    out = QUERIES["corpus_nucleus_vocab"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "nucleus must keep at least the top token"
+    import duckdb
+
+    total = duckdb.connect().execute(
+        "SELECT SUM(len(list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> ''))) FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    kept = sum(r["n"] for r in rows)
+    # greedy exclusive-prefix rule: every kept token entered while
+    # coverage was still below the 95% target
+    for r in rows:
+        assert 20 * r["cum_before"] < 19 * total
+    # coverage: kept set reaches the target unless it IS the whole
+    # occurrence mass (tiny vocab)
+    assert 20 * kept >= 19 * total or kept == total
+    # minimality: dropping the last kept token falls below the target
+    assert 20 * (kept - rows[-1]["n"]) < 19 * total

@@ -70,6 +70,8 @@ PROBES = [
     ("corpus_weighted_sample", {"documents": ["doc_id"]}),
     ("corpus_oov_rate", {"documents": ["doc_id"]}),
     ("scd2_point_in_time_join", {"events": ["event_id", "user_id"]}),
+    ("dedup_containment_pairs", {"documents": ["doc_id"]}),
+    ("corpus_nucleus_vocab", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph are NOT probed: the exact
     # strategy is O(N²) by contract (enforced row ceiling); the scale
     # path is knn_graph(strategy='lsh'), whose bucket self-join shape

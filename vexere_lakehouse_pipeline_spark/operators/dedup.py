@@ -211,6 +211,58 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_containment: float = 0.9) -> DataFrame:
+    """Asymmetric shingle containment over LSH candidate pairs:
+    containment(sub → super) = |S_sub ∩ S_super| / |S_sub|.
+
+    Jaccard misses excerpt relationships (a paragraph quoted inside a
+    long page scores low symmetric similarity but containment ≈ 1) —
+    this is the standard excerpt/quotation dedup signal alongside
+    Jaccard.  One row PER DIRECTION meeting the threshold, so a doc
+    fully contained in another is flagged even when the reverse isn't.
+
+    Same scale contract as ngram_jaccard_pairs: all joins touch only
+    LSH survivors (band-bucket-capped), never the quadratic pair space.
+    Returns (doc_sub, doc_super, containment) rounded to 4dp.
+    """
+    sh = shingle_sets(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    inter = (
+        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a"}), on="doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b"}), on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    base = (
+        pairs.join(inter, on=["doc_a", "doc_b"], how="left")
+        .na.fill({"n_inter": 0})
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "n_a"}),
+            on="doc_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "n_b"}),
+            on="doc_b",
+        )
+    )
+    a_in_b = base.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        F.round(F.col("n_inter") / F.col("n_a"), 4).alias("containment"),
+    )
+    b_in_a = base.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        F.round(F.col("n_inter") / F.col("n_b"), 4).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(
+        F.col("containment") >= min_containment
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 # 16-bit simhash built from portable primitives only (md5 + instr + substr
 # + arithmetic), so the DuckDB oracle can reproduce it bit-for-bit.  The
@@ -259,7 +311,16 @@ def simhash16(docs: DataFrame, text_col: str = "text",
     return simhash_sig(docs, text_col, id_col, bits=16)
 
 
-SIMHASH_BITS = 32  # near-pair signature width: 8-bit bands spread buckets
+# Near-pair signature width.  Band-bucket count per band is
+# 2^(bits/bands); candidate pairs from RANDOM band collisions grow as
+# N² / 2^(bits/bands), so the band width must be large enough that
+# random collisions are negligible at the target corpus size — the 16x
+# scale probe showed 8-bit bands (256 buckets) going superlinear
+# (exponent 1.34) from exactly this term.  60 bits / 4 bands = 15-bit
+# bands (32768 buckets); 64 would overflow BIGINT's sign bit in the
+# 2^63 combine term.  Pigeonhole recall for hamming <= bands-1 is
+# width-independent.
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 
 
@@ -272,17 +333,18 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     Google-style complement to MinHash/Jaccard (Charikar 2002 / the
     Manku-Jain-Sarma WWW'07 banding trick, both public papers).
 
-    Banding: the 32-bit signature splits into ``SIMHASH_BANDS`` 8-bit
-    bands; candidates are doc pairs sharing ANY band value (equi-join
+    Banding: the ``SIMHASH_BITS`` signature splits into
+    ``SIMHASH_BANDS`` equal bands; candidates are doc pairs sharing ANY band value (equi-join
     per band).  By pigeonhole, two signatures with hamming distance
     ≤ SIMHASH_BANDS - 1 agree on at least one whole band, so recall is
     EXACT for ``max_hamming`` ≤ 3 — no pair is missed.  Verification is
     ``bit_count(xor)`` on the joined signatures, pure integer ops.
 
     Scale shape: one row per doc per band into the equi-join (never
-    O(N²) over the corpus), verification touches candidates only.  At
-    100 TB widen further (64-bit, 4×16-bit bands) so band values
-    spread; the md5-nibble bit template generalizes unchanged.  Same
+    O(N²) over the corpus), verification touches candidates only; see
+    SIMHASH_BITS for why band width must grow with corpus size (random
+    band collisions are the quadratic term — measured superlinear at
+    8-bit bands, linear at 15-bit).  Same
     hot-bucket handling as LSH: (band, value) buckets above
     ``max_bucket_size`` are dropped before the self-join (boilerplate
     corpora pile exact/near-exact copies into one bucket; those are

@@ -583,3 +583,54 @@ def corpus_crossdoc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) vocabulary — the smallest frequency-ranked token set
+# covering >= 95% of all token occurrences (the vocabulary-truncation
+# decision a tokenizer build makes).  Greedy take-while on the
+# EXCLUSIVE prefix sum: a token enters while coverage is still below
+# the target, so the top token is always kept.  Uses the distributed
+# prefix-sum operator (range shuffle + metadata-only driver stats —
+# no single-partition window over the vocab table); the keep decision
+# is the pure-integer comparison 20·cum_before < 19·total.
+# ---------------------------------------------------------------------------
+_NUC_NUM, _NUC_DEN = 19, 20  # p = 0.95
+
+@_register(
+    "corpus_nucleus_vocab",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    pre AS (
+        SELECT token, n,
+               CAST(COALESCE(SUM(n) OVER (
+                   ORDER BY n DESC, token
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM counts
+    )
+    SELECT token, n, cum_before
+    FROM pre, tot
+    WHERE {_NUC_DEN} * cum_before < {_NUC_NUM} * tot.total
+    ORDER BY cum_before
+    """,
+)
+def corpus_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokenize("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    ranked, total = ordered_prefix_sum_with_total(
+        counts.withColumn("_negn", -F.col("n")),
+        ["_negn", "token"],
+        "n",
+        out_col="cum_before",
+    )
+    return (
+        ranked.filter(
+            F.col("cum_before") * _NUC_DEN < F.lit(total * _NUC_NUM)
+        )
+        .select("token", "n", "cum_before")
+        .orderBy("cum_before")
+    )

@@ -190,11 +190,59 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: asymmetric containment (excerpt detection) on LSH survivors
+# ---------------------------------------------------------------------------
+_CONTAIN_MIN = 0.9
+
+
+@_register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_DUCK_SHINGLE_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY p.doc_a, p.doc_b
+    ),
+    base AS (
+        SELECT p.doc_a, p.doc_b, COALESCE(i.n_inter, 0) AS n_inter,
+               x.n AS n_a, y.n AS n_b
+        FROM pairs p
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        JOIN sizes x ON x.doc_id = p.doc_a
+        JOIN sizes y ON y.doc_id = p.doc_b
+    ),
+    dirs AS (
+        SELECT doc_a AS doc_sub, doc_b AS doc_super,
+               ROUND(n_inter * 1.0 / n_a, 4) AS containment FROM base
+        UNION ALL
+        SELECT doc_b AS doc_sub, doc_a AS doc_super,
+               ROUND(n_inter * 1.0 / n_b, 4) AS containment FROM base
+    )
+    SELECT doc_sub, doc_super, containment FROM dirs
+    WHERE containment >= {_CONTAIN_MIN}
+    ORDER BY doc_sub, doc_super
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quotation detection: docs whose shingle set is ≥90%
+    contained in another candidate's — the asymmetric complement of
+    Jaccard (operators/dedup.py:containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, min_containment=_CONTAIN_MIN).orderBy(
+        "doc_sub", "doc_super"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup: SimHash banded hamming near-pairs (Manku-Jain-Sarma WWW'07
 # banding; exact recall for hamming <= SIMHASH_BANDS - 1 by pigeonhole).
 # ---------------------------------------------------------------------------
 _SIMHASH_BAND_W = dedup.SIMHASH_BITS // dedup.SIMHASH_BANDS
-# 32-bit signature fragments for the near-pair query (the signatures
+# Wide signature fragments for the near-pair query (the signatures
 # query above stays at the oracle-pinned 16-bit width).
 _SIMHASH_NP_SUMS = ", ".join(
     f"sum({dedup.simhash_bit_contrib_sql(i)}) AS s{i}"
