@@ -279,6 +279,31 @@ def test_containment_detects_excerpt(spark):
     assert all(0 not in p or 2 not in p for p in got)
 
 
+def test_containment_finds_small_excerpt_jaccard_lsh_misses(spark):
+    """The operator's reason to exist: a small quote inside a much
+    longer page has containment 1.0 but Jaccard far below the LSH
+    banding threshold — the probe join must surface it even though
+    lsh_candidate_pairs does not."""
+    words = [f"w{i}" for i in range(400)]
+    page = " ".join(words)                      # 399 bigrams
+    quote = " ".join(words[100:120])            # 19 bigrams, all in page
+    docs = _docs(spark, [page, quote])
+    got = {
+        (r["doc_sub"], r["doc_super"]): r["containment"]
+        for r in dedup.containment_pairs(docs, min_containment=0.9).collect()
+    }
+    assert got.get((1, 0)) == 1.0               # quote ⊂ page, found
+    assert (0, 1) not in got                    # page ⊄ quote
+    # negative control: Jaccard ~ 19/399 ≈ 0.05 — the symmetric LSH
+    # candidate generator does NOT emit this pair (if it ever starts
+    # to, the probe join is redundant and this test should be revisited)
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    assert (0, 1) not in lsh
+
+
 def test_nucleus_vocab_greedy_coverage(spark):
     from vexere_lakehouse_pipeline_spark.plans.corpus_ext import QUERIES
 

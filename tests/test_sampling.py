@@ -152,14 +152,40 @@ def test_weighted_hash_sample_proportional_and_deterministic(spark):
 
 
 def test_split_leakage_flags_cross_split_neardups(spark):
-    from vexere_lakehouse_pipeline_spark.plans.corpus import QUERIES
+    """Crafted (non-vacuous) leakage: doc_ids hash-probed to known
+    splits (md5 'split:<id>' buckets: 0->train, 10->test, 91->valid),
+    with identical texts planted across splits."""
+    from vexere_lakehouse_pipeline_spark.plans.corpus import split_leakage
 
-    out = QUERIES["corpus_split_leakage"](spark, "/root/testdata/sf0.001")
-    rows = out.collect()
-    # every emitted pair must genuinely cross splits at >= the threshold
+    dup = "the quick brown fox jumps over the lazy dog again today now"
+    other = "wholly unrelated content lives in this document entirely alone"
+    docs = spark.createDataFrame(
+        [(0, dup), (10, dup), (91, other), (1, other + " extra")],
+        "doc_id long, text string",
+    )
+    rows = split_leakage(docs).collect()
+    got = {(r["doc_a"], r["doc_b"]): (r["split_a"], r["split_b"]) for r in rows}
+    # the planted train/test duplicate MUST be flagged
+    assert got.get((0, 10)) == ("train", "test")
+    # every emitted pair crosses splits at >= the threshold
     for r in rows:
         assert r["split_a"] != r["split_b"]
         assert r["jaccard"] >= 0.5
+    # near-dups 91/1 cross valid/train: flagged iff above threshold;
+    # the unrelated pair (0, 91) must NOT appear
+    assert (0, 91) not in got and (10, 91) not in got
+
+
+def test_split_leakage_ignores_same_split_duplicates(spark):
+    from vexere_lakehouse_pipeline_spark.plans.corpus import split_leakage
+
+    dup = "identical text sits in two train documents safely here now"
+    # 0, 1, 2 all hash to train -> duplicates within one split are NOT
+    # leakage and must not be flagged
+    docs = spark.createDataFrame(
+        [(0, dup), (1, dup), (2, dup)], "doc_id long, text string"
+    )
+    assert split_leakage(docs).count() == 0
 
 
 def test_oov_rate_bounds_and_vocab_coverage(spark):

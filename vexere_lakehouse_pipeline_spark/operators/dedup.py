@@ -169,17 +169,12 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id",
-                        min_jaccard: float = 0.0) -> DataFrame:
-    """Exact n-gram Jaccard over LSH candidate pairs.
-
-    Jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed with joins/group-bys on
-    the candidate set only (LSH prunes the quadratic blowup).  Returns
-    (doc_a, doc_b, jaccard) rounded to 4dp.
-    """
-    sh = shingle_sets(docs, text_col, id_col)
-    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+def overlap_counts(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact set-overlap verification shared by Jaccard and containment:
+    for (doc_a, doc_b) candidate pairs over distinct (doc_id, shingle)
+    sets, attach n_inter / n_a / n_b.  All joins touch candidates only
+    — the candidate generator (LSH banding, probe join) has already
+    pruned the quadratic pair space."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     inter = (
         pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a"}), on="doc_a")
@@ -198,6 +193,22 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
             sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "n_b"}),
             on="doc_b",
         )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_jaccard: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidate pairs.
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed with joins/group-bys on
+    the candidate set only (LSH prunes the quadratic blowup).  Returns
+    (doc_a, doc_b, jaccard) rounded to 4dp.
+    """
+    sh = shingle_sets(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    return (
+        overlap_counts(pairs, sh)
         .select(
             "doc_a",
             "doc_b",
@@ -211,55 +222,72 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+CONTAIN_PROBES = 3
+
+
 def containment_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
-                      min_containment: float = 0.9) -> DataFrame:
-    """Asymmetric shingle containment over LSH candidate pairs:
+                      min_containment: float = 0.9,
+                      n_probes: int = CONTAIN_PROBES,
+                      max_posting: int | None = MAX_BUCKET_SIZE) -> DataFrame:
+    """Asymmetric shingle containment — excerpt/quotation detection:
     containment(sub → super) = |S_sub ∩ S_super| / |S_sub|.
 
-    Jaccard misses excerpt relationships (a paragraph quoted inside a
-    long page scores low symmetric similarity but containment ≈ 1) —
-    this is the standard excerpt/quotation dedup signal alongside
-    Jaccard.  One row PER DIRECTION meeting the threshold, so a doc
-    fully contained in another is flagged even when the reverse isn't.
+    Jaccard-tuned LSH CANNOT generate these candidates: a 50-shingle
+    quote inside a 1000-shingle page has containment 1.0 but Jaccard
+    ~0.05, far below the banding threshold.  Candidates here come from
+    a bottom-``n_probes`` sketch of the SUB side instead: each doc's
+    ``n_probes`` smallest shingle hashes are probes, joined against
+    every doc containing that shingle (the posting list).  A probe is
+    a hash-uniform random member of S_sub, so a pair with containment
+    c is surfaced with probability ≥ 1 − (1−c)^n_probes (≈ 99.9% at
+    c = 0.9, m = 3; EXACT for full containment) — recall is governed
+    by c itself, not by the size ratio that defeats Jaccard banding.
 
-    Same scale contract as ngram_jaccard_pairs: all joins touch only
-    LSH survivors (band-bucket-capped), never the quadratic pair space.
-    Returns (doc_sub, doc_super, containment) rounded to 4dp.
+    Scale shape: probes are n_probes rows/doc; posting lists join on a
+    fixed-width md5 key; lists longer than ``max_posting`` are dropped
+    (corpus-common shingles — useless as evidence, quadratic as join
+    keys; same hot-key policy as MAX_BUCKET_SIZE).  Verification runs
+    on candidates only (overlap_counts).  Output one row per surfaced
+    DIRECTION: (doc_sub, doc_super, containment) rounded to 4dp.
     """
+    from pyspark.sql import Window
+
     sh = shingle_sets(docs, text_col, id_col)
-    pairs = lsh_candidate_pairs(docs, text_col, id_col)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    inter = (
-        pairs.join(sh.withColumnsRenamed({"doc_id": "doc_a"}), on="doc_a")
-        .join(sh.withColumnsRenamed({"doc_id": "doc_b"}), on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    hh = sh.select("doc_id", F.md5("shingle").alias("shingle"))
+    # bottom-m sketch: each doc's m smallest distinct shingle hashes
+    w = Window.partitionBy("doc_id").orderBy("shingle")
+    probes = (
+        hh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probes)
+        .select(F.col("doc_id").alias("doc_sub"), "shingle")
     )
-    base = (
-        pairs.join(inter, on=["doc_a", "doc_b"], how="left")
-        .na.fill({"n_inter": 0})
-        .join(
-            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "n_a"}),
-            on="doc_a",
+    postings = hh.select(F.col("doc_id").alias("doc_super"), "shingle")
+    if max_posting is not None:
+        hot = (
+            postings.groupBy("shingle")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_posting)
+            .drop("_n")
         )
-        .join(
-            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_shingles": "n_b"}),
-            on="doc_b",
+        postings = postings.join(F.broadcast(hot), on="shingle", how="left_anti")
+    cand = (
+        probes.join(postings, on="shingle")
+        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .select("doc_sub", "doc_super")
+        .distinct()
+    )
+    base = overlap_counts(
+        cand.withColumnsRenamed({"doc_sub": "doc_a", "doc_super": "doc_b"}),
+        hh,
+    )
+    return (
+        base.select(
+            F.col("doc_a").alias("doc_sub"),
+            F.col("doc_b").alias("doc_super"),
+            F.round(F.col("n_inter") / F.col("n_a"), 4).alias("containment"),
         )
-    )
-    a_in_b = base.select(
-        F.col("doc_a").alias("doc_sub"),
-        F.col("doc_b").alias("doc_super"),
-        F.round(F.col("n_inter") / F.col("n_a"), 4).alias("containment"),
-    )
-    b_in_a = base.select(
-        F.col("doc_b").alias("doc_sub"),
-        F.col("doc_a").alias("doc_super"),
-        F.round(F.col("n_inter") / F.col("n_b"), 4).alias("containment"),
-    )
-    return a_in_b.unionByName(b_in_a).filter(
-        F.col("containment") >= min_containment
+        .filter(F.col("containment") >= min_containment)
     )
 
 
@@ -285,8 +313,11 @@ def simhash_sig(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """``bits``-wide SimHash per document: tokens (all occurrences) vote
     ±1 on each bit of md5(token); bit set iff the sum is positive.
-    ``bits`` ≤ 64 (md5 supplies 128; the nibble template indexes the
-    first bits/4 hex chars).  Returns (doc_id, simhash)."""
+    ``bits`` ≤ 63 — the combine term for bit 63 would be 2^63, past
+    BIGINT's maximum (md5 itself supplies 128 bits; the nibble template
+    indexes the first bits/4 hex chars).  Returns (doc_id, simhash)."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(text_col)).alias("token"),

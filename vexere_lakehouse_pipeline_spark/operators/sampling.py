@@ -148,7 +148,10 @@ def weighted_hash_sample(df: DataFrame, key: Column | str,
     w = F.col(weight) if isinstance(weight, str) else weight
     mw = F.lit(max_weight) if isinstance(max_weight, int) else max_weight
     bucket = hash_bucket(key, salt)
+    # Both products in bigint: with an int32 weight column, 65536 *
+    # weight wraps negative past weight=32767 under non-ANSI semantics
+    # and would silently drop exactly the heaviest rows.
     return df.filter(
-        bucket.cast("bigint") * F.lit(rate_den) * mw
-        < F.lit(BUCKETS * rate_num) * w
+        bucket.cast("bigint") * F.lit(rate_den) * mw.cast("bigint")
+        < F.lit(BUCKETS * rate_num) * w.cast("bigint")
     )

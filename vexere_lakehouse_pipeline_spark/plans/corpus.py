@@ -429,6 +429,31 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _LEAK_MIN_J = 0.5
 
+def split_leakage(docs: DataFrame,
+                  min_jaccard: float = _LEAK_MIN_J) -> DataFrame:
+    """The leakage composition on an arbitrary docs DataFrame (unit
+    tests craft cross-split near-dups directly; the registered query
+    below binds it to the sf_dir documents table)."""
+    pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard=min_jaccard)
+    splits = docs.select(
+        "doc_id", sampling.split_column("doc_id", _SPLIT_WEIGHTS).alias("split")
+    )
+    return (
+        pairs.join(
+            splits.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"}),
+            on="doc_a",
+        )
+        .join(
+            splits.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}),
+            on="doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+
 @_register(
     "corpus_split_leakage",
     f"""
@@ -468,24 +493,7 @@ _LEAK_MIN_J = 0.5
     """,
 )
 def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard=_LEAK_MIN_J)
-    splits = docs.select(
-        "doc_id", sampling.split_column("doc_id", _SPLIT_WEIGHTS).alias("split")
-    )
-    return (
-        pairs.join(
-            splits.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"}),
-            on="doc_a",
-        )
-        .join(
-            splits.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}),
-            on="doc_b",
-        )
-        .filter(F.col("split_a") != F.col("split_b"))
-        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
+    return split_leakage(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

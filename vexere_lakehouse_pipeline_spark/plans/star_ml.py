@@ -198,39 +198,43 @@ _CONTAIN_MIN = 0.9
 @_register(
     "dedup_containment_pairs",
     f"""
-    WITH {_DUCK_SHINGLE_CTES},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    shd AS (SELECT DISTINCT doc_id, unnest({_duck_shingles(dedup.SHINGLE_N)}) AS shingle
+            FROM tok),
+    hh AS (SELECT doc_id, md5(shingle) AS h FROM shd),
+    rk AS (SELECT doc_id, h,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+           FROM hh),
+    probes AS (SELECT doc_id AS doc_sub, h FROM rk
+               WHERE rn <= {dedup.CONTAIN_PROBES}),
+    pc AS (SELECT h, COUNT(*) AS pn FROM hh GROUP BY h),
+    post AS (SELECT hh.doc_id AS doc_super, hh.h FROM hh
+             JOIN pc USING (h) WHERE pc.pn <= {dedup.MAX_BUCKET_SIZE}),
+    cand AS (SELECT DISTINCT doc_sub, doc_super
+             FROM probes JOIN post USING (h)
+             WHERE doc_sub <> doc_super),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id),
     inter AS (
-        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
-        FROM pairs p
-        JOIN sh a ON a.doc_id = p.doc_a
-        JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
-        GROUP BY p.doc_a, p.doc_b
-    ),
-    base AS (
-        SELECT p.doc_a, p.doc_b, COALESCE(i.n_inter, 0) AS n_inter,
-               x.n AS n_a, y.n AS n_b
-        FROM pairs p
-        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-        JOIN sizes x ON x.doc_id = p.doc_a
-        JOIN sizes y ON y.doc_id = p.doc_b
-    ),
-    dirs AS (
-        SELECT doc_a AS doc_sub, doc_b AS doc_super,
-               ROUND(n_inter * 1.0 / n_a, 4) AS containment FROM base
-        UNION ALL
-        SELECT doc_b AS doc_sub, doc_a AS doc_super,
-               ROUND(n_inter * 1.0 / n_b, 4) AS containment FROM base
+        SELECT c.doc_sub, c.doc_super, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN hh a ON a.doc_id = c.doc_sub
+        JOIN hh b ON b.doc_id = c.doc_super AND b.h = a.h
+        GROUP BY c.doc_sub, c.doc_super
     )
-    SELECT doc_sub, doc_super, containment FROM dirs
-    WHERE containment >= {_CONTAIN_MIN}
-    ORDER BY doc_sub, doc_super
+    SELECT c.doc_sub, c.doc_super,
+           ROUND(COALESCE(i.n_inter, 0) * 1.0 / s.n, 4) AS containment
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_sub = c.doc_sub AND i.doc_super = c.doc_super
+    JOIN sizes s ON s.doc_id = c.doc_sub
+    WHERE ROUND(COALESCE(i.n_inter, 0) * 1.0 / s.n, 4) >= {_CONTAIN_MIN}
+    ORDER BY c.doc_sub, c.doc_super
     """,
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Excerpt/quotation detection: docs whose shingle set is ≥90%
-    contained in another candidate's — the asymmetric complement of
-    Jaccard (operators/dedup.py:containment_pairs)."""
+    contained in another doc's.  Candidates come from a bottom-m
+    sketch probe join, NOT Jaccard LSH — see
+    operators/dedup.py:containment_pairs for the recall argument."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(docs, min_containment=_CONTAIN_MIN).orderBy(
         "doc_sub", "doc_super"
