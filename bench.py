@@ -126,6 +126,8 @@ def main() -> None:
         "scd2_point_in_time_join",
         "dedup_containment_pairs",
         "corpus_nucleus_vocab",
+        "er_customer_matches",
+        "events_decayed_user_value",
     ]
     extra: dict[str, float] = {
         name: time_query(name) for name in extra_names if name in ALL_QUERIES

@@ -361,3 +361,45 @@ def test_snapshot_diff_separator_injection(spark, tmp_path):
     out = snapshot_diff(spark, t, v1, v2, ["id"]).collect()
     # boundary-shifting values must still register as an update
     assert [(r.id, r._change) for r in out] == [(1, "update")]
+
+
+def test_er_matches_respect_block_and_distance(spark):
+    from vexere_lakehouse_pipeline_spark.plans.governance import QUERIES
+
+    rows = QUERIES["er_customer_matches"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["name_dist"] <= 2
+        assert r["cust_a"] < r["cust_b"]
+
+
+def test_decayed_value_weights_recent_purchases_higher(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.plans import governance
+
+    # same value, different ages: decayed contribution must fall with
+    # age; a purchase past the horizon contributes 0
+    base = datetime.datetime(2024, 6, 1)
+    rows = [
+        (1, base, 1, "purchase", 100.0, None),                      # age 0
+        (2, base - datetime.timedelta(weeks=4), 2, "purchase", 100.0, None),
+        (3, base - datetime.timedelta(weeks=80), 3, "purchase", 100.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import os, tempfile
+
+    d = tempfile.mkdtemp()
+    events.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r["user_id"]: r["decayed_value"]
+        for r in governance.QUERIES["events_decayed_user_value"](spark, d).collect()
+    }
+    assert out[1] == 100.0          # age 0 -> factor 1.0
+    assert out[2] == 50.0           # one half-life -> 0.5
+    assert out[3] == 0.0            # past the 52-week horizon

@@ -72,6 +72,8 @@ PROBES = [
     ("scd2_point_in_time_join", {"events": ["event_id", "user_id"]}),
     ("dedup_containment_pairs", {"documents": ["doc_id"]}),
     ("corpus_nucleus_vocab", {"documents": ["doc_id"]}),
+    ("er_customer_matches", {"customer": ["c_custkey"]}),
+    ("events_decayed_user_value", {"events": ["event_id", "user_id"]}),
     # graph_pagerank_knn / sim_knn_graph are NOT probed: the exact
     # strategy is O(N²) by contract (enforced row ceiling); the scale
     # path is knn_graph(strategy='lsh'), whose bucket self-join shape

@@ -1155,3 +1155,136 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["state_type", "state_since_us"],
         tiebreak="event_id",
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (record linkage) — blocking + bounded pairwise
+# verify over STRUCTURED records (the customer dim), the tabular twin
+# of document dedup: block on (nation, segment), verify candidate
+# pairs with banded Levenshtein on the name.  Blocks above the size
+# cap are dropped before the self-join (blocking keys must bound block
+# size — at 100 TB use finer keys: phone prefixes, sorted-neighborhood
+# windows; the cap turns a bad key choice into missing candidates
+# instead of a quadratic stage).  All-integer output.
+# ---------------------------------------------------------------------------
+_ER_MAX_DIST = 2
+_ER_MAX_BLOCK = 1000
+
+@_register(
+    "er_customer_matches",
+    f"""
+    WITH b AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS bn
+        FROM customer
+    ),
+    ok AS (SELECT * FROM b WHERE bn <= {_ER_MAX_BLOCK})
+    SELECT a.c_custkey AS cust_a, c.c_custkey AS cust_b,
+           CAST(levenshtein(a.c_name, c.c_name) AS BIGINT) AS name_dist
+    FROM ok a JOIN ok c
+      ON a.c_nationkey = c.c_nationkey
+     AND a.c_mktsegment = c.c_mktsegment
+     AND a.c_custkey < c.c_custkey
+    WHERE levenshtein(a.c_name, c.c_name) <= {_ER_MAX_DIST}
+    ORDER BY cust_a, cust_b
+    """,
+)
+def er_customer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    counted = cust.withColumn(
+        "bn",
+        F.count("*").over(
+            Window.partitionBy("c_nationkey", "c_mktsegment")
+        ),
+    ).filter(F.col("bn") <= _ER_MAX_BLOCK)
+    a = counted.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    b = counted.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    return (
+        a.join(b, on=["c_nationkey", "c_mktsegment"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        # banded Levenshtein: O(len·threshold) per pair, -1 above the
+        # band — strictly cheaper than the full DP at scale
+        .withColumn(
+            "name_dist",
+            F.levenshtein("name_a", "name_b", _ER_MAX_DIST).cast("bigint"),
+        )
+        .filter((F.col("name_dist") >= 0) & (F.col("name_dist") <= _ER_MAX_DIST))
+        .select("cust_a", "cust_b", "name_dist")
+        .orderBy("cust_a", "cust_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed user value — recency-weighted LTV: each purchase
+# contributes value · 0.5^(age_weeks/4) (4-week half-life).  Neither
+# engine's pow() is guaranteed correctly rounded, so the decay factors
+# are precomputed ONCE in Python below and interpolated into BOTH
+# engines' expressions as literal CASE arms (the repo's shared-
+# fragment pattern); per-term products round to 6dp and sum as
+# DECIMAL(18,6), making the aggregate order-independent and
+# bit-portable.  Age anchors on the corpus max timestamp via a 1-row
+# broadcast aggregate, never the driver.
+# ---------------------------------------------------------------------------
+_DECAY_HALF_LIFE_WEEKS = 4
+_DECAY_HORIZON_WEEKS = 52
+
+def _decay_case_sql(week_expr: str) -> str:
+    """CASE over integer age-in-weeks -> literal decay factor, shared
+    verbatim by Spark (F.expr) and DuckDB."""
+    arms = " ".join(
+        f"WHEN {w} THEN {0.5 ** (w / _DECAY_HALF_LIFE_WEEKS):.6f}"
+        for w in range(_DECAY_HORIZON_WEEKS)
+    )
+    return f"CASE {week_expr} {arms} ELSE 0.0 END"
+
+
+@_register(
+    "events_decayed_user_value",
+    f"""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+    p AS (
+        SELECT user_id, value,
+               CAST(date_diff('day', CAST(ts AS DATE), mx.max_day) // 7
+                    AS INTEGER) AS age_w
+        FROM events, mx WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(ROUND(value * {{decay}}, 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS decayed_value
+    FROM p GROUP BY user_id ORDER BY user_id
+    """.replace("{decay}", _decay_case_sql("age_w")),
+)
+def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.to_date("ts")).alias("max_day"))
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(mx))
+        .withColumn(
+            "age_w",
+            (F.datediff(F.col("max_day"), F.to_date("ts")) / 7)
+            .cast("int"),
+        )
+    )
+    decayed = F.expr(
+        f"CAST(ROUND(value * {_decay_case_sql('age_w')}, 6) AS DECIMAL(18,6))"
+    )
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(decayed).cast("double").alias("decayed_value"),
+        )
+        .orderBy("user_id")
+    )
