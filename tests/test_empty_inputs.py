@@ -116,3 +116,24 @@ def test_forget_and_diff_on_empty(spark, tmp_path):
     # empty erase set: no-op, zero count
     empty_keys = spark.createDataFrame([], "id int")
     assert forget_keys(spark, path, empty_keys, ["id"]) == 0
+
+
+def test_new_dedup_and_sampling_ops_on_empty(spark):
+    docs = _empty_docs(spark)
+    assert dedup.simhash_near_pairs(docs).count() == 0
+    assert dedup.containment_pairs(docs).count() == 0
+    assert dedup.overlap_counts(
+        spark.createDataFrame([], "doc_a long, doc_b long"),
+        spark.createDataFrame([], "doc_id long, shingle string"),
+    ).count() == 0
+    kept = sampling.weighted_hash_sample(
+        docs, key="doc_id", weight="n_chars", max_weight=100
+    )
+    assert kept.count() == 0
+
+
+def test_split_leakage_and_nucleus_on_empty(spark):
+    from vexere_lakehouse_pipeline_spark.plans.corpus import split_leakage
+
+    docs = _empty_docs(spark)
+    assert split_leakage(docs).count() == 0
