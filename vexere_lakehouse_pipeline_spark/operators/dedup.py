@@ -223,12 +223,21 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 
 CONTAIN_PROBES = 3
+# Containment shingles MUST be long n-grams (5 words), not the bigrams
+# LSH uses: a probe is a doc's MINIMUM shingle hash, and with short
+# shingles that minimum is a corpus-common n-gram whose posting list
+# scales with the corpus — the probe join then degenerates toward
+# quadratic (measured: exponent 1.57 at n=2 on the 16x probe).  At
+# n=5 the shingle space is vast, posting lists hold genuine overlaps
+# only, and the join is linear in true-duplicate mass.
+CONTAIN_SHINGLE_N = 5
 
 
 def containment_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       min_containment: float = 0.9,
                       n_probes: int = CONTAIN_PROBES,
+                      shingle_n: int = CONTAIN_SHINGLE_N,
                       max_posting: int | None = MAX_BUCKET_SIZE) -> DataFrame:
     """Asymmetric shingle containment — excerpt/quotation detection:
     containment(sub → super) = |S_sub ∩ S_super| / |S_sub|.
@@ -253,7 +262,7 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    sh = shingle_sets(docs, text_col, id_col)
+    sh = shingle_sets(docs, text_col, id_col, n=shingle_n)
     hh = sh.select("doc_id", F.md5("shingle").alias("shingle"))
     # bottom-m sketch: each doc's m smallest distinct shingle hashes
     w = Window.partitionBy("doc_id").orderBy("shingle")

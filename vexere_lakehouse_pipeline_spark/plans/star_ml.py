@@ -199,7 +199,7 @@ _CONTAIN_MIN = 0.9
     "dedup_containment_pairs",
     f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
-    shd AS (SELECT DISTINCT doc_id, unnest({_duck_shingles(dedup.SHINGLE_N)}) AS shingle
+    shd AS (SELECT DISTINCT doc_id, unnest({_duck_shingles(dedup.CONTAIN_SHINGLE_N)}) AS shingle
             FROM tok),
     hh AS (SELECT doc_id, md5(shingle) AS h FROM shd),
     rk AS (SELECT doc_id, h,
