@@ -154,3 +154,63 @@ def test_null_embedding_gets_null_lsh_bucket(spark):
     ).select("id", sign_lsh_bucket("embedding", 2).alias("b"))
     got = {r.id: r.b for r in df.collect()}
     assert got[1] == "10" and got[2] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000_000), st.integers(1, 100_000)),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_sample_monotone_in_weight(spark, rows):
+    """Raising ONLY the weight can never evict a kept row: the keep
+    predicate bucket·den·maxw < B·num·w is monotone in w (with maxw
+    held fixed).  Also: weight == maxw at rate 1/1 keeps every row."""
+    from vexere_lakehouse_pipeline_spark.operators import sampling
+
+    maxw = max(w for _, w in rows)
+    df = spark.createDataFrame(rows, "id long, w long")
+    kept_lo = {
+        r["id"]
+        for r in sampling.weighted_hash_sample(
+            df, "id", "w", maxw, rate_num=1, rate_den=2
+        ).collect()
+    }
+    bumped = df.withColumn(
+        "w", F.least(F.col("w") * 2, F.lit(maxw).cast("long"))
+    )
+    kept_hi = {
+        r["id"]
+        for r in sampling.weighted_hash_sample(
+            bumped, "id", "w", maxw, rate_num=1, rate_den=2
+        ).collect()
+    }
+    assert kept_lo <= kept_hi
+    full = spark.createDataFrame([(i, maxw) for i, _ in rows], "id long, w long")
+    assert sampling.weighted_hash_sample(
+        full, "id", "w", maxw, rate_num=1, rate_den=1
+    ).count() == len(rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_simhash_width_bound_and_determinism(spark, texts):
+    """Signatures fit the declared width and are input-deterministic."""
+    from vexere_lakehouse_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sig1 = {r["doc_id"]: r["simhash"] for r in dedup.simhash_sig(docs, bits=20).collect()}
+    sig2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash_sig(docs, bits=20).collect()}
+    assert sig1 == sig2
+    assert all(0 <= s < 2 ** 20 for s in sig1.values())
