@@ -32,6 +32,8 @@ from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 
+NOTE_ER = """Note on `er_customer_matches`: the replica corpus reuses the SAME customer names, so 16x growth pushes every (nation, segment) block past the _ER_MAX_BLOCK cap and the 16x run drops all blocks (hence the sub-1x time). That is the cap's documented degenerate-input behavior, not a speedup: real corpus growth requires refining the blocking key (phone prefix, sorted neighborhood) so block size stays bounded — the cap turns a stale key choice into missing candidates instead of a quadratic join."""
+
 # (query, replicated tables, key columns remapped per replica)
 PROBES = [
     ("tpch_q1_pricing_summary", {"lineitem": ["l_orderkey"]}),
@@ -199,7 +201,7 @@ def main() -> None:
     shutil.rmtree(sk1, ignore_errors=True)
     shutil.rmtree(skk, ignore_errors=True)
 
-    lines.append("")
+    lines.append(NOTE_ER)
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE.md"), "w") as f:
         f.write("\n".join(lines))
