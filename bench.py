@@ -128,6 +128,9 @@ def main() -> None:
         "corpus_nucleus_vocab",
         "er_customer_matches",
         "events_decayed_user_value",
+        "corpus_above_median_quality",
+        "corpus_zipf_fit",
+        "events_ab_conversion_ztest",
     ]
     extra: dict[str, float] = {
         name: time_query(name) for name in extra_names if name in ALL_QUERIES

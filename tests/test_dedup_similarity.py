@@ -327,3 +327,17 @@ def test_nucleus_vocab_greedy_coverage(spark):
     assert 20 * kept >= 19 * total or kept == total
     # minimality: dropping the last kept token falls below the target
     assert 20 * (kept - rows[-1]["n"]) < 19 * total
+
+
+def test_zipf_slope_negative_and_median_filter_strict(spark):
+    from vexere_lakehouse_pipeline_spark.plans import corpus_ext
+
+    z = corpus_ext.QUERIES["corpus_zipf_fit"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert z["slope"] < 0  # frequency falls with rank, always
+
+    kept = corpus_ext.QUERIES["corpus_above_median_quality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert kept
+    for r in kept:
+        assert r["n_chars"] > r["lang_median"]

@@ -403,3 +403,32 @@ def test_decayed_value_weights_recent_purchases_higher(spark):
     assert out[1] == 100.0          # age 0 -> factor 1.0
     assert out[2] == 50.0           # one half-life -> 0.5
     assert out[3] == 0.0            # past the 52-week horizon
+
+
+def test_ab_ztest_matches_hand_computation(spark):
+    import datetime
+    import math
+    import tempfile
+
+    from vexere_lakehouse_pipeline_spark.plans import governance
+
+    # variant 0 = even user ids: users 0,2,4 (2 convert); variant 1 =
+    # users 1,3 (1 converts)
+    t = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, conv in [(0, 1), (2, 1), (4, 0), (1, 1), (3, 0)]:
+        rows.append((eid, t, uid, "view", 1.0, None)); eid += 1
+        if conv:
+            rows.append((eid, t, uid, "purchase", 5.0, None)); eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = tempfile.mkdtemp()
+    events.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = governance.QUERIES["events_ab_conversion_ztest"](spark, d).collect()[0]
+    assert (r["n_a"], r["n_b"], r["x_a"], r["x_b"]) == (3, 2, 2, 1)
+    p = 3 / 5
+    z = (2 / 3 - 1 / 2) / math.sqrt(p * (1 - p) * (1 / 3 + 1 / 2))
+    assert abs(r["z_score"] - round(z, 6)) < 1e-9

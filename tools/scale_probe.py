@@ -76,6 +76,8 @@ PROBES = [
     ("corpus_nucleus_vocab", {"documents": ["doc_id"]}),
     ("er_customer_matches", {"customer": ["c_custkey"]}),
     ("events_decayed_user_value", {"events": ["event_id", "user_id"]}),
+    ("corpus_zipf_fit", {"documents": ["doc_id"]}),
+    ("events_ab_conversion_ztest", {"events": ["event_id", "user_id"]}),
     # graph_pagerank_knn / sim_knn_graph are NOT probed: the exact
     # strategy is O(N²) by contract (enforced row ceiling); the scale
     # path is knn_graph(strategy='lsh'), whose bucket self-join shape

@@ -634,3 +634,139 @@ def corpus_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "n", "cum_before")
         .orderBy("cum_before")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language above-median quality filter — the standard "keep the
+# top half per stratum" corpus cut, with the median computed EXACTLY
+# (nearest-rank, deterministic tiebreak) rather than via a sketch, so
+# the kept set is bit-reproducible.  The per-language median table is
+# language-cardinality (tiny) and broadcasts into a map-side filter.
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_above_median_quality",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ),
+    med AS (
+        SELECT lang, n_chars AS lang_median FROM ranked
+        WHERE rnk = (50 * n + 99) // 100
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, med.lang_median
+    FROM documents d JOIN med ON med.lang = d.lang
+    WHERE d.n_chars > med.lang_median
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_above_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    med = (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.row_number().over(w).alias("rnk"),
+            F.count("*").over(Window.partitionBy("lang")).alias("n"),
+        )
+        .filter(F.col("rnk") == F.expr("(50 * n + 99) DIV 100"))
+        .select("lang", F.col("n_chars").alias("lang_median"))
+    )
+    return (
+        docs.join(F.broadcast(med), on="lang")
+        .filter(F.col("n_chars") > F.col("lang_median"))
+        .select("doc_id", "lang", "n_chars", "lang_median")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit — closed-form OLS of ln(count) against ln(rank) over
+# the token frequency table (natural-language corpora fit slope ≈ −1;
+# a corpus whose slope drifts far off is machine junk or template
+# spam).  Rank comes from the distributed prefix sum (no global
+# window); each OLS term is rounded to 6dp and summed as
+# DECIMAL(28,6), so Σx, Σy, Σxy, Σx² are exact and order-independent
+# and the closed-form division is bit-identical on both engines.
+# ln() on equal double inputs is bit-equal across engines (same
+# contract the TF-IDF/BM25 oracles rely on).
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_zipf_fit",
+    f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+        FROM counts
+    ),
+    terms AS (
+        SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(28,6)) AS x,
+               CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6)) AS y,
+               CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * ln(CAST(n AS DOUBLE)), 6)
+                    AS DECIMAL(28,6)) AS xy,
+               CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 6)
+                    AS DECIMAL(28,6)) AS xx
+        FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(ROUND((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                      / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)),
+                      6) AS DOUBLE) AS slope,
+           CAST(ROUND((CAST(SUM(y) AS DOUBLE)
+                       - ((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
+                           - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                          / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)))
+                         * CAST(SUM(x) AS DOUBLE)) / COUNT(*),
+                      6) AS DOUBLE) AS intercept
+    FROM terms
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokenize("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    ranked = ordered_prefix_sum(
+        counts.withColumn("_negn", -F.col("n")).withColumn("_one", F.lit(1)),
+        ["_negn", "token"],
+        "_one",
+        out_col="rnk0",
+    ).withColumn("rnk", F.col("rnk0") + 1)
+    terms = ranked.select(
+        F.expr("CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(28,6))").alias("x"),
+        F.expr("CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6))").alias("y"),
+        F.expr(
+            "CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * ln(CAST(n AS DOUBLE)), 6)"
+            " AS DECIMAL(28,6))"
+        ).alias("xy"),
+        F.expr(
+            "CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)), 6)"
+            " AS DECIMAL(28,6))"
+        ).alias("xx"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    slope = (
+        "(cnt * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (cnt * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return agg.select(
+        F.col("cnt").alias("n_tokens"),
+        F.expr(f"CAST(ROUND({slope}, 6) AS DOUBLE)").alias("slope"),
+        F.expr(
+            f"CAST(ROUND((CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+            " / cnt, 6) AS DOUBLE)"
+        ).alias("intercept"),
+    )

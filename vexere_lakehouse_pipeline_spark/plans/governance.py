@@ -1288,3 +1288,82 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion z-test — two-proportion inference in one pass: users
+# split into variants by the deterministic user_id parity (stand-in
+# for an assignment column), conversion = reached 'purchase'.  The
+# statistic is closed-form over four integer counts, so every float
+# op is an exact division or a correctly-rounded sqrt — bit-identical
+# across engines with NO decimal scaffolding.  Shape: one distinct
+# per (user, converted) [shuffle on user], one tiny final aggregate.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_ab_conversion_ztest",
+    """
+    WITH per_unit AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    agg AS (
+        SELECT
+            CAST(COUNT(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+            CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+            CAST(SUM(conv) FILTER (WHERE variant = 0) AS BIGINT) AS x_a,
+            CAST(SUM(conv) FILTER (WHERE variant = 1) AS BIGINT) AS x_b
+        FROM per_unit
+    )
+    SELECT n_a, n_b, x_a, x_b,
+           CAST(ROUND(CAST(x_a AS DOUBLE) / NULLIF(n_a, 0), 6) AS DOUBLE) AS p_a,
+           CAST(ROUND(CAST(x_b AS DOUBLE) / NULLIF(n_b, 0), 6) AS DOUBLE) AS p_b,
+           CAST(ROUND(
+               (CAST(x_a AS DOUBLE) / NULLIF(n_a, 0)
+                - CAST(x_b AS DOUBLE) / NULLIF(n_b, 0))
+               / NULLIF(sqrt((CAST(x_a + x_b AS DOUBLE) / NULLIF(n_a + n_b, 0))
+                      * (1 - CAST(x_a + x_b AS DOUBLE) / NULLIF(n_a + n_b, 0))
+                      * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0),
+               6) AS DOUBLE) AS z_score
+    FROM agg
+    """,
+)
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit = active user-day (a user-day with any event); conversion =
+    that unit saw a purchase.  All divisions are NULLIF-guarded so the
+    degenerate pools (empty variant, p in {0, 1}) yield NULL instead of
+    an ANSI divide-by-zero — the query must run under a vanilla Spark 4
+    session where ANSI mode is the default."""
+    events = load_table(spark, sf_dir, "events")
+    per_unit = (
+        events.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    agg = per_unit.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv"))).alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv"))).alias("x_b"),
+    )
+    z = (
+        "(CAST(x_a AS DOUBLE) / NULLIF(n_a, 0)"
+        " - CAST(x_b AS DOUBLE) / NULLIF(n_b, 0))"
+        " / NULLIF(sqrt((CAST(x_a + x_b AS DOUBLE) / NULLIF(n_a + n_b, 0))"
+        " * (1 - CAST(x_a + x_b AS DOUBLE) / NULLIF(n_a + n_b, 0))"
+        " * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0)"
+    )
+    return agg.select(
+        "n_a", "n_b", "x_a", "x_b",
+        F.expr(
+            "CAST(ROUND(CAST(x_a AS DOUBLE) / NULLIF(n_a, 0), 6) AS DOUBLE)"
+        ).alias("p_a"),
+        F.expr(
+            "CAST(ROUND(CAST(x_b AS DOUBLE) / NULLIF(n_b, 0), 6) AS DOUBLE)"
+        ).alias("p_b"),
+        F.expr(f"CAST(ROUND({z}, 6) AS DOUBLE)").alias("z_score"),
+    )
