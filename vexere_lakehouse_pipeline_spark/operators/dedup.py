@@ -115,22 +115,24 @@ def minhash_band_keys(sh: DataFrame, n_bands: int = N_BANDS,
 
 
 def _drop_hot_buckets(bands: DataFrame,
-                      max_bucket_size: int | None) -> DataFrame:
-    """Drop (band, band_key) buckets above the size cap — shared by the
-    self-join and incremental pair builders so the cap semantics can't
-    drift between them (see MAX_BUCKET_SIZE).  The hot-bucket list is
-    tiny and broadcast; the census is one map-side-partial count."""
+                      max_bucket_size: int | None,
+                      keys: tuple[str, ...] = ("band", "band_key")
+                      ) -> DataFrame:
+    """Drop ``keys`` buckets above the size cap — ONE implementation
+    shared by the LSH self-join, the incremental pair builder, and the
+    containment posting lists, so the cap semantics (strict ``>``
+    boundary, anti-join form) can't drift between them (see
+    MAX_BUCKET_SIZE).  The hot-bucket list is tiny and broadcast; the
+    census is one map-side-partial count."""
     if max_bucket_size is None:
         return bands
     hot = (
-        bands.groupBy("band", "band_key")
+        bands.groupBy(*keys)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > max_bucket_size)
         .drop("_n")
     )
-    return bands.join(
-        F.broadcast(hot), on=["band", "band_key"], how="left_anti"
-    )
+    return bands.join(F.broadcast(hot), on=list(keys), how="left_anti")
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
@@ -263,7 +265,13 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     sh = shingle_sets(docs, text_col, id_col, n=shingle_n)
-    hh = sh.select("doc_id", F.md5("shingle").alias("shingle"))
+    # hh feeds FIVE consumers (probe window, posting census, posting
+    # join, intersection twice via overlap_counts, sizes) — checkpoint
+    # so the corpus explode+distinct runs once, not per consumer (same
+    # multi-consumer pattern as lsh_candidate_pairs' band table).
+    hh = sh.select(
+        "doc_id", F.md5("shingle").alias("shingle")
+    ).localCheckpoint(eager=True)
     # bottom-m sketch: each doc's m smallest distinct shingle hashes
     w = Window.partitionBy("doc_id").orderBy("shingle")
     probes = (
@@ -271,15 +279,11 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("_rn") <= n_probes)
         .select(F.col("doc_id").alias("doc_sub"), "shingle")
     )
-    postings = hh.select(F.col("doc_id").alias("doc_super"), "shingle")
-    if max_posting is not None:
-        hot = (
-            postings.groupBy("shingle")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > max_posting)
-            .drop("_n")
-        )
-        postings = postings.join(F.broadcast(hot), on="shingle", how="left_anti")
+    postings = _drop_hot_buckets(
+        hh.select(F.col("doc_id").alias("doc_super"), "shingle"),
+        max_posting,
+        keys=("shingle",),
+    )
     cand = (
         probes.join(postings, on="shingle")
         .filter(F.col("doc_sub") != F.col("doc_super"))

@@ -145,6 +145,20 @@ def weighted_hash_sample(df: DataFrame, key: Column | str,
     from a broadcast 1-row aggregate (a cross-joined scalar, never a
     driver collect).  Map-side filter: zero shuffle at any scale.
     """
+    # Integer-exact by design: fractional weights would be silently
+    # TRUNCATED by the bigint casts below (a 0.7 quality score becomes
+    # 0 — zero keep probability), so named non-integral columns are
+    # rejected; scale fractional weights to integers (e.g. permille)
+    # before sampling.
+    _INTEGRAL = ("byte", "short", "int", "integer", "bigint", "long")
+    for name, arg in (("weight", weight), ("max_weight", max_weight)):
+        if isinstance(arg, str):
+            dt = df.schema[arg].dataType.simpleString()
+            if dt not in _INTEGRAL:
+                raise ValueError(
+                    f"{name} column '{arg}' must be integral, got {dt}; "
+                    "scale fractional weights to integers first"
+                )
     w = F.col(weight) if isinstance(weight, str) else weight
     mw = F.lit(max_weight) if isinstance(max_weight, int) else max_weight
     bucket = hash_bucket(key, salt)

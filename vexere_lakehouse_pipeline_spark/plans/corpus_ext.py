@@ -716,14 +716,14 @@ def corpus_above_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(ROUND((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
                        - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
-                      / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
-                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)),
+                      / NULLIF(COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                         - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE), 0),
                       6) AS DOUBLE) AS slope,
            CAST(ROUND((CAST(SUM(y) AS DOUBLE)
                        - ((COUNT(*) * CAST(SUM(xy) AS DOUBLE)
                            - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
-                          / (COUNT(*) * CAST(SUM(xx) AS DOUBLE)
-                             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)))
+                          / NULLIF(COUNT(*) * CAST(SUM(xx) AS DOUBLE)
+                             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE), 0))
                          * CAST(SUM(x) AS DOUBLE)) / COUNT(*),
                       6) AS DOUBLE) AS intercept
     FROM terms
@@ -760,7 +760,7 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     slope = (
         "(cnt * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-        " / (cnt * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " / NULLIF(cnt * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)"
     )
     return agg.select(
         F.col("cnt").alias("n_tokens"),

@@ -1323,7 +1323,7 @@ def events_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - CAST(x_b AS DOUBLE) / NULLIF(n_b, 0))
                / NULLIF(sqrt((CAST(x_a + x_b AS DOUBLE) / NULLIF(n_a + n_b, 0))
                       * (1 - CAST(x_a + x_b AS DOUBLE) / NULLIF(n_a + n_b, 0))
-                      * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0),
+                      * (CAST(1 AS DOUBLE) / NULLIF(n_a, 0) + CAST(1 AS DOUBLE) / NULLIF(n_b, 0))), 0),
                6) AS DOUBLE) AS z_score
     FROM agg
     """,
@@ -1355,7 +1355,7 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(x_b AS DOUBLE) / NULLIF(n_b, 0))"
         " / NULLIF(sqrt((CAST(x_a + x_b AS DOUBLE) / NULLIF(n_a + n_b, 0))"
         " * (1 - CAST(x_a + x_b AS DOUBLE) / NULLIF(n_a + n_b, 0))"
-        " * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0)"
+        " * (CAST(1 AS DOUBLE) / NULLIF(n_a, 0) + CAST(1 AS DOUBLE) / NULLIF(n_b, 0))), 0)"
     )
     return agg.select(
         "n_a", "n_b", "x_a", "x_b",
