@@ -341,3 +341,48 @@ def test_zipf_slope_negative_and_median_filter_strict(spark):
     assert kept
     for r in kept:
         assert r["n_chars"] > r["lang_median"]
+
+
+def test_tokenless_texts_are_not_duplicates(spark):
+    # '!!!' and '???' tokenize to nothing: they must produce NO
+    # shingles (not a shared [''] shingle) and never pair in dedup
+    docs = _docs(spark, ["!!!", "???", "", "real words here today"])
+    assert dedup.shingle_sets(docs).filter("doc_id <= 2").count() == 0
+    assert dedup.ngram_jaccard_pairs(docs).count() == 0
+    from vexere_lakehouse_pipeline_spark.functions.text import document_fingerprint
+
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", document_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert fps[0] is None and fps[1] is None and fps[2] is None
+    assert fps[3] is not None
+
+
+def test_lsh_bucketed_and_ivf_exclude_unscoreable_vectors(spark):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])], schema
+    )
+    q = cands.filter("vec_id = 1")
+    got = similarity.topk_lsh_bucketed(cands, q, k=3).collect()
+    assert all(r["cos_sim"] is not None for r in got)
+    assert 3 not in {r["vec_id"] for r in got}
+    got_ivf = similarity.topk_ivf(cands, q, k=3, n_centroids=1).collect()
+    assert all(r["cos_sim"] is not None for r in got_ivf)
+    assert 3 not in {r["vec_id"] for r in got_ivf}
+
+
+def test_train_kmeans_empty_input_raises(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-empty"):
+        similarity.train_kmeans(empty, k=2)

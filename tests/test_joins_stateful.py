@@ -327,3 +327,51 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     )
     out2 = asof_join(left, right_only_null, "k", "ts", "rts", ["rid"]).collect()
     assert out2[0]["rid"] is None  # null-ts row can never match
+
+
+def test_asof_cogrouped_null_timestamps_match_window_path(spark):
+    from vexere_lakehouse_pipeline_spark.operators.joins import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, None), (2, 5)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, None, 999), (2, 9, 200)],
+        "k long, rts long, payload long",
+    )
+    w = {
+        (r["k"], r["lts"]): r["payload"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_payload=["payload"],
+        ).collect()
+    }
+    c = {
+        (r["k"], r["lts"]): r["payload"]
+        for r in asof_join_cogrouped(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_payload=["payload"],
+        ).collect()
+    }
+    # null right ts never matches; null left ts keeps null payload;
+    # k=2 has no right row at-or-before lts=5
+    assert w == c == {(1, 10): 100, (1, None): None, (2, 5): None}
+
+
+def test_asof_joins_reject_payload_name_collision(spark):
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.joins import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame([(1, 10, 999)], "k long, lts long, price long")
+    right = spark.createDataFrame([(1, 8, 100)], "k long, rts long, price long")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left, right, "k", "lts", "rts", ["price"])
+    with pytest.raises(ValueError, match="collides"):
+        asof_join_cogrouped(left, right, "k", "lts", "rts", ["price"])

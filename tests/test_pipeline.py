@@ -581,3 +581,28 @@ def test_forget_keys_null_safe_match(spark, tmp_path):
     assert n == 1
     got = [r.v for r in read_table(spark, path).collect()]
     assert got == ["keep"]
+
+
+def test_compact_splits_large_hive_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.incremental import compact_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).withColumn(
+        "day", F.when(F.col("id") < 9_000, "d1").otherwise("d2")
+    )
+    df.repartition(40).write.partitionBy("day").parquet(path)
+    compact_table(
+        spark, path, fmt="parquet", target_rows_per_file=2_000,
+        partition_by=("day",),
+    )
+    import glob
+
+    d1_files = glob.glob(f"{path}/day=d1/*.parquet")
+    d2_files = glob.glob(f"{path}/day=d2/*.parquet")
+    # 9000 rows at 2000/file -> 5 slices (was: ONE file per partition)
+    assert len(d1_files) >= 4
+    assert len(d2_files) >= 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000  # lossless

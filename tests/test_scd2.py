@@ -238,3 +238,22 @@ def test_point_in_time_join_tiebreak_on_equal_valid_from(spark):
         ).collect()
     }
     assert out == {101: "B", 102: "B"}
+
+
+def test_scd2_merge_rejects_duplicate_batch_keys(spark):
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.scd2 import (
+        scd2_from_changelog,
+        scd2_merge,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, 1, 10, "A")], "user_id long, event_id long, ts long, state string"
+    )
+    dim = scd2_from_changelog(changes, ["user_id"], "ts", ["state"])
+    dup_batch = spark.createDataFrame(
+        [(1, 20, "B"), (1, 30, "C")], "user_id long, ts long, state string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        scd2_merge(dim, dup_batch, ["user_id"], "ts", ["state"])

@@ -155,8 +155,14 @@ def word_shingles(col: Column | str, n: int = 5) -> Column:
                 acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
             )
         acc = F.filter(acc, lambda x: x.isNotNull())
-        return F.when(sz >= n, acc).otherwise(
-            F.array(F.concat_ws(" ", words))
+        # ZERO tokens (punctuation/whitespace-only text) -> EMPTY set,
+        # like NULL text below: the [''] whole-text fallback would give
+        # every token-less doc the same single shingle, making '!!!'
+        # and '???' exact duplicates across all dedup operators.
+        return (
+            F.when(sz >= n, acc)
+            .when(sz > 0, F.array(F.concat_ws(" ", words)))
+            .otherwise(F.array().cast("array<string>"))
         )
 
     c = F.col(col) if isinstance(col, str) else col

@@ -720,8 +720,12 @@ def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
         "doc_a",
         "doc_b",
         "edit_dist",
-        (
-            F.lit(1000) - F.expr("1000 * edit_dist DIV nullif(_mx, 0)")
+        # _mx = 0 means both texts are empty: an EXACT duplicate
+        # (sim 1000), not an unscoreable null — a null here would be
+        # silently dropped by the threshold filter below.
+        F.expr(
+            "CASE WHEN _mx = 0 THEN 1000"
+            " ELSE 1000 - 1000 * edit_dist DIV _mx END"
         ).alias("sim_permille"),
     )
     if max_permille_dist is not None:

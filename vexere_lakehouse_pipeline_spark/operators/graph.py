@@ -47,44 +47,22 @@ def pagerank_fixed_point(edges: DataFrame, nodes: DataFrame,
     construction (k-NN graphs always are).
 
     Returns (id_col, pr_e12) for every node.
+
+    Implementation: the weighted variant with unit weights —
+    ``(pr · 1) DIV Σ1 == pr DIV outdeg`` exactly, so the delegation is
+    bit-identical to a dedicated unweighted loop and the iteration
+    logic lives in ONE place.
     """
-    if not 0 < damping_pct < 100:
-        raise ValueError("damping_pct must be in (0, 100)")
-    n = nodes.count()
-    if n == 0:
-        return nodes.select(F.col(id_col), F.lit(0).cast("long").alias("pr_e12"))
-    base = (100 - damping_pct) * PR_SCALE // 100 // n
-    e = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    unit = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.lit(1).alias("w"),
     )
-    odeg = e.groupBy("_src").agg(F.count("*").alias("_od"))
-    # Out-degree rides WITH the edge list so the per-iteration join
-    # against pr is single-key; materialized once, reused every round.
-    e_od = e.join(odeg, on="_src").localCheckpoint(eager=True)
-    pr = nodes.select(
-        F.col(id_col).alias("_id"),
-        F.lit(PR_SCALE // n).cast("long").alias("pr_e12"),
+    return pagerank_weighted_fixed_point(
+        unit, nodes, weight_col="w", iters=iters,
+        damping_pct=damping_pct, src_col="src", dst_col="dst",
+        id_col=id_col,
     )
-    for _ in range(iters):
-        contrib = (
-            e_od.join(pr, e_od["_src"] == pr["_id"])
-            .select("_dst", F.expr("pr_e12 DIV _od").alias("_c"))
-            .groupBy("_dst")
-            .agg(F.sum("_c").alias("_s"))
-        )
-        pr = (
-            nodes.select(F.col(id_col).alias("_id"))
-            .join(contrib, F.col("_id") == F.col("_dst"), "left")
-            .select(
-                "_id",
-                (
-                    F.lit(base)
-                    + F.expr(f"{damping_pct} * coalesce(_s, 0) DIV 100")
-                ).cast("long").alias("pr_e12"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return pr.select(F.col("_id").alias(id_col), "pr_e12")
 
 
 def pagerank_weighted_fixed_point(edges: DataFrame, nodes: DataFrame,

@@ -199,11 +199,36 @@ def compact_table(spark: SparkSession, path: str, fmt: str = DEFAULT_FORMAT,
     ZORDER; this is the format-agnostic fallback.)
     """
     df = spark.read.format(fmt).load(path)
-    n = max(1, -(-df.count() // target_rows_per_file))  # ceiling: files
-    # stay AT OR BELOW the target size, never up to 2x it
-    compacted = (
-        df.repartition(n, *partition_by) if partition_by else df.repartition(n)
-    )
+    if partition_by:
+        # repartition(n, *partition_by) would hash ONLY the partition
+        # columns — every Hive partition collapses to a single task and
+        # a single file regardless of target_rows_per_file.  Instead:
+        # census each partition value (metadata-sized), derive its file
+        # count, and salt rows into that many slices; range-partition
+        # on (partition cols, salt) so each slice is its own task.
+        census = df.groupBy(*partition_by).agg(F.count("*").alias("__cnt"))
+        files = census.withColumn(
+            "__files",
+            F.expr(
+                f"CAST((__cnt + {target_rows_per_file} - 1)"
+                f" DIV {target_rows_per_file} AS INT)"
+            ),
+        ).drop("__cnt")
+        n = max(
+            1,
+            sum(r["__files"] for r in files.collect()),
+        )
+        salted = df.join(F.broadcast(files), on=list(partition_by)).withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*df.columns), F.col("__files")).cast("int"),
+        )
+        compacted = salted.repartitionByRange(
+            n, *partition_by, "__salt"
+        ).drop("__files", "__salt")
+    else:
+        n = max(1, -(-df.count() // target_rows_per_file))  # ceiling:
+        # files stay AT OR BELOW the target size, never up to 2x it
+        compacted = df.repartition(n)
     # localCheckpoint TRUNCATES lineage (cache() does not): if a cached
     # block were lost mid-write, the overwrite job would recompute from
     # the source files it is deleting.  A rewrite-to-temp + swap would be
@@ -270,7 +295,13 @@ def incremental_rollup(delta: DataFrame, path: str, group_keys: list[str],
     if len(non_null) != len(keys):
         read_cond = read_cond | F.col(partition_key).isNull()
     relevant = existing.filter(read_cond)
-    merged = partials_union_combine(relevant, new_partials, group_keys, measures)
+    merged = partials_union_combine(
+        relevant, new_partials, group_keys, measures
+    # materialize BEFORE the overwrite: `merged` lazily reads the files
+    # the dynamic overwrite is about to delete, so a task retry after
+    # partial commit would re-scan deleted data (same
+    # overwrite-with-read-self rule as upsert/compact_table).
+    ).localCheckpoint(eager=True)
 
     with _dynamic_partition_overwrite(spark):
         # Dynamic mode replaces ONLY the partitions present in `merged`.

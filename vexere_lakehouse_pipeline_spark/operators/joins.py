@@ -44,6 +44,12 @@ def asof_join(
     orderBy=(ts, side, tiebreak)) running ``last(payload,
     ignorenulls)`` → filter left side.  One shuffle, no O(L×R) pairs.
     """
+    collisions = set(right_payload) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right_payload collides with left columns: {sorted(collisions)};"
+            " alias the right side before joining"
+        )
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
     # A null right_ts can never satisfy "greatest right_ts <= left_ts";
     # unfiltered it would sort FIRST in the window and become a phantom
@@ -146,19 +152,39 @@ def asof_join_cogrouped(
         list(left.schema.fields) + [right.schema[c] for c in right_payload]
     )
 
+    # A payload column sharing a left column's name would produce a
+    # duplicate-named output schema (and merge_asof would silently
+    # suffix-shadow it, returning the LEFT value as the "match") —
+    # reject loudly, same policy as upsert's duplicate-key guard.
+    collisions = set(right_payload) & set(left_cols)
+    if collisions:
+        raise ValueError(
+            f"right_payload collides with left columns: {sorted(collisions)};"
+            " alias the right side before joining"
+        )
+
     def align(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
-        lg = lg.sort_values(left_ts, kind="mergesort")
+        # asof_join parity: null right_ts rows can never match (drop
+        # them); null left_ts rows keep null payloads (merge_asof
+        # raises on null keys, so both cases are peeled off first).
+        rg = rg[rg[right_ts].notna()]
+        null_left = lg[lg[left_ts].isna()].copy()
+        lg = lg[lg[left_ts].notna()].sort_values(left_ts, kind="mergesort")
         if rg.empty:
+            merged = lg.copy()
             for c in right_payload:
-                lg[c] = None
-            return lg[left_cols + right_payload]
-        rg = rg[[right_ts, *right_payload]].sort_values(
-            right_ts, kind="mergesort"
-        )
-        merged = pd.merge_asof(
-            lg, rg, left_on=left_ts, right_on=right_ts,
-            direction="backward", suffixes=("", "_r"),
-        )
+                merged[c] = None
+        else:
+            rg = rg[[right_ts, *right_payload]].sort_values(
+                right_ts, kind="mergesort"
+            )
+            merged = pd.merge_asof(
+                lg, rg, left_on=left_ts, right_on=right_ts,
+                direction="backward", suffixes=("", "_r"),
+            )
+        for c in right_payload:
+            null_left[c] = None
+        merged = pd.concat([merged, null_left], ignore_index=True)
         return merged[left_cols + right_payload]
 
     return (

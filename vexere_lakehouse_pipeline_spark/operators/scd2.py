@@ -93,6 +93,21 @@ def scd2_merge(
     current version opened.  Unchanged keys pass through untouched —
     idempotent re-application of the same batch is a no-op.
     """
+    # One-row-per-key is a CONTRACT, not a convention: a duplicate key
+    # in the batch would replicate that key's current row through the
+    # full-outer join and open two simultaneous "current" versions —
+    # silent dimension corruption.  Reject loudly (same policy as
+    # incremental.upsert); multi-change batches belong in
+    # scd2_from_changelog.
+    dup = (
+        updates.groupBy(*key_cols).agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        key = {k: dup[0][k] for k in key_cols}
+        raise ValueError(f"scd2_merge batch has duplicate key(s): {key}")
     # Explicit existence marker: after the full outer join, "dim row
     # present" must not be inferred from a NULLABLE data column like
     # valid_from (a matched current row with null valid_from would look

@@ -155,6 +155,9 @@ def topk_ivf(candidates: DataFrame, queries: DataFrame, k: int = 5,
         )
         .distinct()  # a (query, candidate) pair can meet in ≤1 list; keep explicit
     )
+    # bruteforce parity: zero-norm/null vectors are unscoreable and
+    # must not occupy ranks (they would sort last but still emit).
+    scored = scored.filter(F.col("cos_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -190,6 +193,9 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
             ).alias("cos_sim"),
         )
     )
+    # bruteforce parity: zero-norm/null vectors are unscoreable and
+    # must not occupy ranks (they would sort last but still emit).
+    scored = scored.filter(F.col("cos_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -316,6 +322,11 @@ def train_kmeans(emb: DataFrame, k: int = 16, iters: int = 5,
     - empty clusters simply drop out (standard Lloyd behavior).
     """
     first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "train_kmeans needs a non-empty embedding frame with a "
+            "non-null first vector"
+        )
     dim = len(first[0])
     cents = [
         (i, [float(x) for x in r[0]])

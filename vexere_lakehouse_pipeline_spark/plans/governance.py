@@ -362,8 +362,10 @@ _ED_BAND = 200
     scored AS (
         SELECT p.doc_a, p.doc_b,
                levenshtein(da.text, db.text) AS edit_dist,
-               1000 - 1000 * levenshtein(da.text, db.text)
-                      // nullif(greatest(length(da.text), length(db.text)), 0)
+               CASE WHEN greatest(length(da.text), length(db.text)) = 0
+                    THEN 1000
+                    ELSE 1000 - 1000 * levenshtein(da.text, db.text)
+                         // greatest(length(da.text), length(db.text)) END
                  AS sim_permille
         FROM pairs p
         JOIN documents da ON da.doc_id = p.doc_a

@@ -69,7 +69,8 @@ def _duck_shingles(n: int) -> str:
     return (
         f"CASE WHEN len(w) >= {n} THEN "
         f"list_transform(range(1, len(w) - {n - 2}), i -> array_to_string(w[i:i+{n - 1}], ' ')) "
-        f"ELSE [array_to_string(w, ' ')] END"
+        "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
+        "ELSE CAST([] AS VARCHAR[]) END"
     )
 
 
