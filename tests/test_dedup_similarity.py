@@ -312,9 +312,11 @@ def test_nucleus_vocab_greedy_coverage(spark):
     assert rows, "nucleus must keep at least the top token"
     import duckdb
 
+    from vexere_lakehouse_pipeline_spark.functions.text import LANG_TOKEN_SPLIT_RE
+
     total = duckdb.connect().execute(
         "SELECT SUM(len(list_filter(string_split_regex(lower(text), "
-        "'[^a-z0-9]+'), x -> x <> ''))) FROM "
+        f"'{LANG_TOKEN_SPLIT_RE}'), x -> x <> ''))) FROM "
         "'/root/testdata/sf0.001/documents.parquet'"
     ).fetchone()[0]
     kept = sum(r["n"] for r in rows)

@@ -21,8 +21,6 @@ from vexere_lakehouse_pipeline_spark.functions.cleaning import VIETNAMESE_CHARS
 # Vietnamese documents via an inflated punct_ratio.  The explicit class
 # is also RE2-safe, so the DuckDB oracles use the same characters.
 PUNCT_RE = rf"[^A-Za-z0-9_\s{VIETNAMESE_CHARS}]"
-
-WORD_RE = r"[a-z0-9]+"
 # GPT-2-style pre-tokenizer shape: word pieces, numbers, or single
 # non-space symbols.  (A real BPE merges further; this counts pre-tokens,
 # which is the standard cheap proxy.)
@@ -48,9 +46,19 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokenize(col: Column | str) -> Column:
-    """Lowercased word tokens as array<string> (empty tokens removed)."""
+    """Lowercased word tokens as array<string> (empty tokens removed).
+
+    Splits on LANG_TOKEN_SPLIT_RE — the letterish class INCLUDING
+    Vietnamese diacritics — not a bare [^a-z0-9]+, which would treat
+    every diacritic letter as a separator and shred the pipeline's
+    primary language into fragments ('tiếng' -> 'ti', 'ng') across all
+    shingle/vocab/fingerprint consumers.  The class is literal chars
+    only, so Java regex and DuckDB RE2 agree bit-for-bit.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
+    return F.filter(
+        F.split(F.lower(c), LANG_TOKEN_SPLIT_RE), lambda t: t != ""
+    )
 
 
 def whitespace_token_count(col: Column | str) -> Column:
@@ -114,7 +122,12 @@ def quality_features(col: Column | str) -> Column:
     words = tokenize(c)
     n_words = F.size(words).cast("double")
     total_word_chars = F.length(F.concat_ws("", words)).cast("double")
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_RE), 0)).cast("double")
+    # PUNCT_RE's letter class is lowercase (plus A-Za-z ASCII), so it
+    # must run on the LOWERED text or uppercase diacritics ('Đ', 'Ẵ')
+    # count as punctuation and junk-filter proper-noun-heavy vi docs.
+    n_punct = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(PUNCT_RE), 0)
+    ).cast("double")
     n_digits = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0)).cast("double")
     n_stop = stopword_hits(F.lower(c), LANG_STOPWORDS["en"]).cast("double")
     safe = lambda num, den: F.round(num / F.nullif(den, F.lit(0.0)), 4)  # noqa: E731

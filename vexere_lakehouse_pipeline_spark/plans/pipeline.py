@@ -26,10 +26,7 @@ from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.catalog import AUDIT_SCHEMA
 from vexere_lakehouse_pipeline_spark.functions.cleaning import (
-    bus_type_category,
-    normalize_place,
-    parse_duration_hours,
-    parse_price_vnd,
+    conform_ticket_columns,
 )
 from vexere_lakehouse_pipeline_spark.operators.incremental import ZoneCatalog
 from vexere_lakehouse_pipeline_spark.operators.nlp import (
@@ -57,10 +54,6 @@ def _with_bus_id(df: DataFrame, bus_ids: DataFrame, first_cols: list[str]) -> Da
 def ticket_to_silver(raw: DataFrame, bus_ids: DataFrame, base_key: int = 0) -> DataFrame:
     """Bronze ticket rows → typed, conformed silver rows
     (to_silver.py:110-134 semantics, UDF-free)."""
-    from vexere_lakehouse_pipeline_spark.functions.cleaning import (
-        conform_ticket_columns,
-    )
-
     cleaned = conform_ticket_columns(raw).drop("Bus_Key")
     keyed = assign_keys_distributed(cleaned, "Bus_Key", base=base_key)
     return _with_bus_id(keyed, bus_ids, ["Bus_Key", "Bus_Id", "Bus_Name"])
@@ -76,7 +69,11 @@ def conform_facilities(raw: DataFrame) -> DataFrame:
     else:
         arr = raw.withColumn(
             "Facilities",
-            F.split(F.regexp_replace("Facilities", r"[\[\]']", ""), ", "),
+            # both repr-style ('[\'wifi\']') and JSON-style ('["wifi"]')
+            # stringified lists appear (catalog.py:120-122) — strip BOTH
+            # quote kinds or JSON payloads keep embedded double quotes
+            # and split the facility dimension.
+            F.split(F.regexp_replace("Facilities", r"[\[\]'\"]", ""), ", "),
         )
     return arr.filter(
         (F.size("Facilities") > 0) & ~F.array_contains("Facilities", "")
@@ -226,7 +223,12 @@ class PipelineRunner:
                 return
             if attempt <= retries and retry_delay_s:
                 time.sleep(retry_delay_s)
-        self.flush_audit()
+        try:
+            self.flush_audit()
+        except Exception as flush_err:  # pragma: no cover - env-dependent
+            # the task's root cause must surface, not the audit IO
+            # error; chain it so neither is lost.
+            raise err from flush_err
         raise err
 
     def flush_audit(self) -> None:

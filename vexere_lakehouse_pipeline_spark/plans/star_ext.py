@@ -247,7 +247,7 @@ def datetime_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_function_showcase",
     """
     WITH t AS (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               list_filter(string_split_regex(lower(text), '[^a-z0-9áàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ]+'),
                            x -> x <> '') AS w
                FROM documents)
     SELECT doc_id,

@@ -59,8 +59,11 @@ def _register(name: str, oracle: str | None = None):
 
 
 # DuckDB mirror of functions.text.tokenize (lowercase word tokens).
+from vexere_lakehouse_pipeline_spark.functions.text import LANG_TOKEN_SPLIT_RE
+
 _DUCK_TOKENS = (
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    "list_filter(string_split_regex(lower(text), "
+    f"'{LANG_TOKEN_SPLIT_RE}'), x -> x <> '')"
 )
 
 # DuckDB mirror of word_shingles(n): n-gram list with the whole-text
@@ -401,7 +404,7 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_scores",
     rf"""
     WITH t AS (SELECT doc_id, text,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               list_filter(string_split_regex(lower(text), '[^a-z0-9áàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ]+'),
                            x -> x <> '') AS w
                FROM documents)
     SELECT doc_id,
@@ -409,7 +412,7 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(w) AS BIGINT) AS n_words,
            ROUND(length(array_to_string(w, '')) * 1.0 / nullif(len(w), 0), 4)
              AS avg_word_len,
-           ROUND(len(regexp_extract_all(text, '{PUNCT_RE}')) * 1.0
+           ROUND(len(regexp_extract_all(lower(text), '{PUNCT_RE}')) * 1.0
                  / nullif(length(text), 0), 4) AS punct_ratio,
            ROUND(len(regexp_extract_all(text, '[0-9]')) * 1.0
                  / nullif(length(text), 0), 4) AS digit_ratio,

@@ -22,10 +22,7 @@ from pyspark.sql.types import StructType
 
 from vexere_lakehouse_pipeline_spark.catalog import RAW_TICKET_SCHEMA
 from vexere_lakehouse_pipeline_spark.functions.cleaning import (
-    bus_type_category,
-    normalize_place,
-    parse_duration_hours,
-    parse_price_vnd,
+    conform_ticket_columns,
 )
 
 
@@ -35,10 +32,6 @@ def stream_tickets_to_silver(spark: SparkSession, source_dir: str,
     extension sniffing is avoided — parquet contract) with the batch
     conform chain applied.  Returns a streaming DataFrame; callers
     attach writeStream."""
-    from vexere_lakehouse_pipeline_spark.functions.cleaning import (
-        conform_ticket_columns,
-    )
-
     raw = spark.readStream.schema(schema).parquet(source_dir)
     return conform_ticket_columns(raw)
 
@@ -122,8 +115,13 @@ def run_stream_merge_sink(stream_df: DataFrame, target_path: str,
 def stream_stream_attribution_join(clicks: DataFrame, purchases: DataFrame,
                                    horizon: str = "1 hour",
                                    watermark: str = "2 hours") -> DataFrame:
-    """Stream-stream inner interval join: purchase attributed to a prior
-    click by the same user within ``horizon``.
+    """Stream-stream inner interval join: every (click, purchase) pair
+    for the same user within ``horizon`` — a MULTI-TOUCH candidate
+    stream.  A purchase preceded by k clicks emits k rows each carrying
+    the full purchase_value; last-touch (or any weighting) is a
+    downstream reduction — e.g. ``groupBy("purchase_id").agg(
+    max_by(struct(*), "click_ts"))`` — NOT a property of this join, so
+    do not SUM purchase_value over the raw pair stream.
 
     Both sides are watermarked so Spark can bound the join state: a
     buffered click can be evicted once the purchase-side watermark
@@ -210,13 +208,14 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
     session_end, n_events); session_end = last event + gap (strict
     merge: an event exactly at the gap boundary starts a new session).
     """
-    return (
-        events.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
-            "n_events",
-        )
+    # ONE session definition: delegate to the stateful module's
+    # sessionizer (which also applies the stream watermark) and project
+    # this function's historical column names — two near-identical
+    # groupBy(session_window) definitions would inevitably drift.
+    from vexere_lakehouse_pipeline_spark.streaming.stateful import (
+        sessionized_event_counts,
+    )
+
+    return sessionized_event_counts(events, gap=gap, watermark=None).select(
+        "user_id", "session_start", "session_end", "n_events"
     )

@@ -62,15 +62,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 def sessionized_event_counts(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+    events: DataFrame, gap: str = "30 minutes",
+    watermark: str | None = "2 hours"
 ) -> DataFrame:
     """Gap-based sessions via the native session window: state closes
     ``gap`` after a key's last event, watermark bounds total state.
     Works on batch DataFrames too (no watermark applied there by Spark).
+    Pass ``watermark=None`` when the caller already watermarked the
+    stream — Spark disallows redefining an event-time watermark.
     """
     src = (
         events.withWatermark("ts", watermark)
-        if events.isStreaming
+        if (events.isStreaming and watermark is not None)
         else events
     )
     return (
