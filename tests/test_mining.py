@@ -1,0 +1,172 @@
+"""Sketch gates, importance weights, BPE pairs, and the distributed
+global-ranking window (plans/mining.py + operators/packing.py
+distributed_rank_ntile)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators import packing
+from vexere_lakehouse_pipeline_spark.plans import mining, star_tpch2
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# distributed_rank_ntile — the rank/total contract behind the window twin
+# ---------------------------------------------------------------------------
+def test_distributed_rank_ntile_rank_and_buckets(spark):
+    df = spark.range(10).withColumn("v", (F.col("id") * 7) % 10)
+    out, n = packing.distributed_rank_ntile(
+        df, ["v"], 3, out_col="b", rank_col="rk"
+    )
+    rows = sorted(_rows(out.select("v", "rk", "b")))
+    assert n == 10
+    # rank follows the v order, 1..10; ntile(3) over 10 rows = 4,3,3
+    assert [r[1] for r in rows] == list(range(1, 11))
+    assert [r[2] for r in rows] == [1] * 4 + [2] * 3 + [3] * 3
+
+
+def test_distributed_rank_ntile_empty_input(spark):
+    df = spark.range(0).withColumn("v", F.col("id"))
+    out, n = packing.distributed_rank_ntile(df, ["v"], 4)
+    assert n == 0
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# The distributed window twin must be row-identical to the
+# single-partition showcase query — same values, no global window.
+# ---------------------------------------------------------------------------
+def test_spend_quartiles_distributed_matches_window_version(spark):
+    a = _rows(star_tpch2.QUERIES["window_spend_quartiles"](spark, SF))
+    b = _rows(
+        mining.QUERIES["window_spend_quartiles_distributed"](spark, SF)
+    )
+    assert a == b
+
+
+def test_spend_quartiles_distributed_no_single_partition_window(spark):
+    df = mining.QUERIES["window_spend_quartiles_distributed"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # the showcase version needs Exchange SinglePartition for its global
+    # window; the distributed twin must never re-introduce one (the
+    # final ORDER BY is a rangepartitioning exchange, not a gather)
+    assert "Exchange SinglePartition" not in plan
+    assert not re.search(r"Window .*ntile", plan)
+
+
+# ---------------------------------------------------------------------------
+# Sketch gates — the estimate stays inside its documented envelope
+# (the oracle pins the booleans TRUE cross-engine; this keeps the
+# property in the suite without DuckDB)
+# ---------------------------------------------------------------------------
+def test_hll_and_quantile_gates_hold(spark):
+    hll = mining.QUERIES["agg_hll_distinct_gate"](spark, SF).collect()
+    assert hll and all(r.hll_within_10pct for r in hll)
+    wau = mining.QUERIES["events_wau_hll_gate"](spark, SF).collect()
+    assert wau and all(r.hll_within_5pct for r in wau)
+    q = mining.QUERIES["agg_approx_quantile_gate"](spark, SF).collect()
+    assert q and all(r.approx_in_decile for r in q)
+
+
+def test_wau_hll_gate_exact_matches_trailing_window(spark):
+    rows = {
+        r.day: r.wau_exact
+        for r in mining.QUERIES["events_wau_hll_gate"](spark, SF).collect()
+    }
+    # recompute one day's trailing-7d distinct independently
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    day = max(rows)
+    expected = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .filter(
+            (F.col("d") >= F.date_sub(F.lit(day), 6))
+            & (F.col("d") <= F.lit(day))
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[day] == expected
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts — cross-checked against a pure-Python recount
+# ---------------------------------------------------------------------------
+def test_bpe_pair_counts_match_python(spark):
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.functions.text import tokenize
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    toks = [
+        r.t
+        for r in docs.select(
+            F.explode(tokenize("text")).alias("t")
+        ).collect()
+    ]
+    expected: dict[str, int] = {}
+    for t in toks:
+        for i in range(len(t) - 1):
+            p = t[i : i + 2]
+            expected[p] = expected.get(p, 0) + 1
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+
+    tok = docs.select(F.explode(tokenize("text")).alias("token")).filter(
+        F.length("token") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair")
+    )
+    got = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+        .collect()
+    )
+    assert [(r.pair, r.n) for r in got] == top
+
+
+# ---------------------------------------------------------------------------
+# Importance weights — direction sanity: a token frequent ONLY in the
+# target source must score positive; one absent from the target must
+# score negative (add-one smoothing keeps both finite)
+# ---------------------------------------------------------------------------
+def test_importance_weights_direction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aardvark aardvark aardvark", "en", "src0", 26),
+            (2, "aardvark aardvark aardvark", "en", "src0", 26),
+            (3, "zebra zebra zebra", "en", "src9", 17),
+            (4, "zebra zebra zebra", "en", "src9", 17),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        out = {
+            r.doc_id: r.importance
+            for r in mining.QUERIES["corpus_importance_weights"](
+                spark, tmp
+            ).collect()
+        }
+    assert out[1] > 0 and out[2] > 0
+    assert out[3] < 0 and out[4] < 0

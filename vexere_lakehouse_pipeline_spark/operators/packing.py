@@ -179,6 +179,19 @@ def distributed_ntile(
     n_buckets: int,
     out_col: str = "bucket",
 ) -> DataFrame:
+    """Exact NTILE(n) without a single-partition window — see
+    :func:`distributed_rank_ntile` (same computation, rank dropped)."""
+    out, _ = distributed_rank_ntile(df, order_col, n_buckets, out_col)
+    return out.drop("__rank")
+
+
+def distributed_rank_ntile(
+    df: DataFrame,
+    order_col: str | list[str],
+    n_buckets: int,
+    out_col: str = "bucket",
+    rank_col: str = "__rank",
+) -> tuple[DataFrame, int]:
     """Exact NTILE(n) without a single-partition window.
 
     A bare ``ntile(n).over(Window.orderBy(...))`` moves the WHOLE
@@ -196,10 +209,18 @@ def distributed_ntile(
     as ordered_prefix_sum).  One range shuffle + a metadata collect;
     the row count rides in from the same partition stats, so no extra
     pass.
+
+    Returns ``(df, n)``: the input with ``rank_col`` (1-based global
+    rank, long — the ROW_NUMBER/RANK under the unique order) and
+    ``out_col`` (the ntile bucket, int), plus the total row count as a
+    driver int.  With the rank and ``n`` in hand, callers get the whole
+    global-ranking window family without the single-partition window:
+    ``percent_rank = (rank-1)/(n-1)``; under a UNIQUE order,
+    ``dense_rank = rank = row_number``.
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
-    clash = {"__one", "__rk0", out_col} & set(df.columns)
+    clash = {"__one", "__rk0", out_col, rank_col} & set(df.columns)
     if clash:
         raise ValueError(
             f"distributed_ntile reserves column names {sorted(clash)}; "
@@ -211,7 +232,12 @@ def distributed_ntile(
         df.withColumn("__one", F.lit(1)), order_col, "__one", out_col="__rk0"
     )
     if n == 0:
-        return df.withColumn(out_col, F.lit(None).cast("int"))
+        return (
+            df.withColumn(rank_col, F.lit(None).cast("long")).withColumn(
+                out_col, F.lit(None).cast("int")
+            ),
+            0,
+        )
     big = n // n_buckets + 1
     small = n // n_buckets
     r = n % n_buckets
@@ -230,6 +256,9 @@ def distributed_ntile(
                 f"CAST({r} + ((__rk0 - {r * big}) DIV {small}) + 1 AS INT)"
             )
         )
-    return ranked.withColumn(out_col, bucket.cast("int")).drop(
-        "__one", "__rk0"
+    return (
+        ranked.withColumn(rank_col, (F.col("__rk0") + 1).cast("long"))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("__one", "__rk0"),
+        n,
     )

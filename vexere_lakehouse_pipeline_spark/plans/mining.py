@@ -1,0 +1,353 @@
+"""Sketch rollups, importance weighting, and tokenizer statistics.
+
+North-star surface (no reference analog — SURVEY.md §2 ends at exact
+aggregation): the approximate/sketch layer a 100 TB deployment runs
+INSTEAD of exact distincts, verified here AGAINST the exact answers,
+plus two training-data primitives (DSIR-style importance weights, the
+first BPE merge iteration) and the distributed twin of the global
+ranking window.
+
+Sketch-gate pattern (``*_gate`` queries): the scalable estimator runs
+on Spark next to the exact computation, and the RESULT COLUMN is the
+exact value plus a boolean asserting the estimate landed inside its
+documented error envelope.  The DuckDB oracle recomputes the exact
+value independently and pins the boolean TRUE — so the gate fails
+loudly if either the exact engines diverge OR the sketch ever leaves
+its envelope.  Estimates themselves are engine-specific (DataSketches
+HLL vs DuckDB's) and deliberately never compared across engines.
+
+Portability rules follow plans/corpus.py: one ROUND(...,6) per log10,
+decimal sums, exact int64 micro-unit means ((2a+n) div 2n), doubles
+divided in textually identical expression shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.functions.text import tokenize
+from vexere_lakehouse_pipeline_spark.operators import packing
+from vexere_lakehouse_pipeline_spark.plans.corpus import _MEAN_MICRO
+from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
+from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS
+from vexere_lakehouse_pipeline_spark.plans import star_tpch2
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count gate — approx_count_distinct (DataSketches-backed
+# HLL++, rsd 2%) next to the exact COUNT(DISTINCT), gated at 10%
+# (5 sigma of the configured rsd).  At 100 TB the approx IS the
+# production path: one map-side-combinable aggregate, no distinct
+# shuffle of user ids — the exact twin here is the verification.
+# ---------------------------------------------------------------------------
+@_register(
+    "agg_hll_distinct_gate",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS hll_within_10pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_hll_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.1)
+            ).alias("hll_within_10pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch ROLLUP — the real 100 TB distinct-count
+# architecture: ONE pass builds a tiny per-day sketch (hll_sketch_agg,
+# map-side combinable), then ANY trailing window is answered by merging
+# 7 kilobyte-sized sketches (hll_union_agg over a broadcast day grid) —
+# no re-scan, no user-id shuffle per window.  Verified against the
+# exact trailing-7-day distinct (events_dau_wau semantics) at 5%
+# (lgConfigK=14 -> rsd ~0.8%).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_wau_hll_gate",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           COUNT(DISTINCT u.user_id) AS wau_exact,
+           TRUE AS hll_within_5pct
+    FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def events_wau_hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    in_window = (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)) & (
+        F.col("u.day") <= F.col("d.day")
+    )
+    exact = (
+        F.broadcast(days).alias("d")
+        .join(du.alias("u"), in_window)
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau_exact"))
+    )
+    daily_sk = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    sk_window = (F.col("s.day") >= F.date_sub(F.col("d.day"), 6)) & (
+        F.col("s.day") <= F.col("d.day")
+    )
+    est = (
+        F.broadcast(days).alias("d")
+        .join(daily_sk.alias("s"), sk_window)
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+    )
+    return (
+        exact.join(est, on="day")
+        .select(
+            "day",
+            "wau_exact",
+            (
+                F.abs(F.col("_est") - F.col("wau_exact"))
+                <= F.col("wau_exact") * F.lit(0.05)
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-quantile gate — percentile_approx (GK sketch, rank error
+# n/2000) must land inside the exact [p45, p55] value band.  Exact
+# median rides along as the portable result column (same
+# percentile/quantile_cont interpolation as agg_median_order_value).
+# ---------------------------------------------------------------------------
+@_register(
+    "agg_approx_quantile_gate",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(quantile_cont(value, 0.5), 2) AS median_value,
+           TRUE AS approx_in_decile
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5D)"), 2).alias(
+                "median_value"
+            ),
+            F.expr("percentile_approx(value, 0.5D, 2000)").alias("_pa"),
+            F.expr("percentile(value, 0.45D)").alias("_lo"),
+            F.expr("percentile(value, 0.55D)").alias("_hi"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "median_value",
+            (
+                (F.col("_pa") >= F.col("_lo")) & (F.col("_pa") <= F.col("_hi"))
+            ).alias("approx_in_decile"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights — score every document by how much its
+# unigram distribution looks like a TARGET domain (source='src0')
+# versus the background corpus: mean over tokens of
+# log10( P_target(tok) / P_background(tok) ), add-one smoothed.
+# The data-selection primitive behind importance resampling: rank the
+# raw corpus by importance, keep the top slice.
+# Scale: two vocab-sized aggregates + one token-key join (same shape as
+# text_unigram_logprob_scores); totals are a 1-row broadcast.
+# ---------------------------------------------------------------------------
+# CAST(1 AS DOUBLE), not the literal 1.0: Spark parses 1.0 as
+# DECIMAL(2,1), which drags the whole quotient through decimal
+# division (precision-truncated at scale 38) before LOG10 ever sees a
+# double — observed as 2e-7 drift vs DuckDB, whose 1.0 is a double.
+_LR_EXPR = (
+    "CAST(ROUND(LOG10(((COALESCE(ft, 0) + CAST(1 AS DOUBLE)) / (T + V))"
+    " / ((fb + CAST(1 AS DOUBLE)) / (B + V))), 6) AS DECIMAL(18,6))"
+)
+
+@_register(
+    "corpus_importance_weights",
+    f"""
+    WITH tok AS (SELECT doc_id, source, unnest({_DUCK_TOKENS}) AS token
+                 FROM documents),
+    bg AS (SELECT token, COUNT(*) AS fb FROM tok GROUP BY token),
+    tg AS (SELECT token, COUNT(*) AS ft FROM tok WHERE source = 'src0'
+           GROUP BY token),
+    tot AS (SELECT (SELECT SUM(fb) FROM bg) AS B,
+                   (SELECT COUNT(*) FROM bg) AS V,
+                   (SELECT COALESCE(SUM(ft), 0) FROM tg) AS T),
+    lr AS (SELECT bg.token, {_LR_EXPR} AS lr
+           FROM bg LEFT JOIN tg USING (token) CROSS JOIN tot),
+    agg AS (SELECT t.doc_id,
+                   CAST(SUM(lr.lr) * 1000000 AS BIGINT) AS s_micro,
+                   COUNT(*) AS n_tokens
+            FROM tok t JOIN lr ON lr.token = t.token GROUP BY t.doc_id)
+    SELECT doc_id,
+           {_MEAN_MICRO.format(s="s_micro", n="n_tokens", div="//")}
+             AS importance,
+           n_tokens
+    FROM agg ORDER BY doc_id
+    """,
+)
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("token")
+    )
+    bg = tok.groupBy("token").agg(F.count("*").alias("fb"))
+    tg = (
+        tok.filter(F.col("source") == "src0")
+        .groupBy("token")
+        .agg(F.count("*").alias("ft"))
+    )
+    totals = bg.agg(
+        F.sum("fb").alias("B"), F.count("*").alias("V")
+    ).crossJoin(tg.agg(F.coalesce(F.sum("ft"), F.lit(0)).alias("T")))
+    lr = (
+        bg.join(tg, on="token", how="left")
+        .crossJoin(F.broadcast(totals))
+        .select("token", F.expr(_LR_EXPR).alias("lr"))
+    )
+    agg = (
+        tok.join(lr, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(lr) * 1000000 AS BIGINT)").alias("s_micro"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        F.expr(_MEAN_MICRO.format(s="s_micro", n="n_tokens", div="DIV")).alias(
+            "importance"
+        ),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# First BPE merge iteration — adjacent character-pair frequencies
+# within tokens, the inner statistic a byte-pair-encoding tokenizer
+# trainer recomputes every merge.  Explode is O(total chars); one
+# shuffle on the pair key with map-side partial counts; deterministic
+# top-30 (count desc, pair asc).
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_bpe_pair_counts",
+    f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    pairs AS (SELECT unnest(list_transform(range(1, length(token)),
+                            i -> substr(token, CAST(i AS INTEGER), 2))) AS pair
+              FROM tok WHERE length(token) >= 2)
+    SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokenize("text")).alias("token")).filter(
+        F.length("token") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed twin of window_spend_quartiles — IDENTICAL output (same
+# oracle SQL), zero single-partition window: the global rank comes from
+# the two-phase prefix sum (operators/packing.py), ntile from the
+# SQL-standard bucket arithmetic, percent_rank from rank and the driver
+# row count.  Under the unique order (total_spend DESC, o_custkey),
+# dense_rank == rank == row_number, so all three window outputs derive
+# from one range shuffle — this is the plan the showcase query should
+# run at 100 TB.
+# ---------------------------------------------------------------------------
+@_register(
+    "window_spend_quartiles_distributed",
+    star_tpch2.ORACLE_SQL["window_spend_quartiles"],
+)
+def window_spend_quartiles_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        )
+        .cast("double")
+        .alias("total_spend")
+    )
+    ranked, n = packing.distributed_rank_ntile(
+        spend.withColumn("_neg", -F.col("total_spend")),
+        ["_neg", "o_custkey"],
+        4,
+        out_col="quartile",
+        rank_col="_rk",
+    )
+    if n <= 1:
+        prank = F.lit(0.0)
+    else:
+        prank = F.round(
+            (F.col("_rk") - F.lit(1)).cast("double") / F.lit(float(n - 1)), 6
+        )
+    return (
+        ranked.select(
+            "o_custkey",
+            "total_spend",
+            "quartile",
+            F.col("_rk").cast("int").alias("drank"),
+            prank.alias("prank"),
+        )
+        .orderBy("o_custkey")
+    )
