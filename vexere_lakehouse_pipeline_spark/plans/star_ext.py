@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.functions.text import LANG_TOKEN_SPLIT_RE
 from vexere_lakehouse_pipeline_spark.operators.nlp import sentiment_udf
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 
@@ -245,9 +246,9 @@ def datetime_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "array_function_showcase",
-    """
+    f"""
     WITH t AS (SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9áàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ]+'),
+               list_filter(string_split_regex(lower(text), '{LANG_TOKEN_SPLIT_RE}'),
                            x -> x <> '') AS w
                FROM documents)
     SELECT doc_id,

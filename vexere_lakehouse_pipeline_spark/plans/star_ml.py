@@ -404,7 +404,7 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_scores",
     rf"""
     WITH t AS (SELECT doc_id, text,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9áàảãạăắằẳẵặâấầẩẫậéèẻẽẹêếềểễệíìỉĩịóòỏõọôốồổỗộơớờởỡợúùủũụưứừửữựýỳỷỹỵđ]+'),
+               list_filter(string_split_regex(lower(text), '{LANG_TOKEN_SPLIT_RE}'),
                            x -> x <> '') AS w
                FROM documents)
     SELECT doc_id,
