@@ -373,6 +373,52 @@ def test_er_matches_respect_block_and_distance(spark):
         assert r["cust_a"] < r["cust_b"]
 
 
+def test_er_sorted_neighborhood_bounded_on_degenerate_corpus(spark, tmp_path):
+    """Thousands of identical names: equality blocking either goes
+    quadratic or (with the cap) drops the block entirely; sorted
+    neighborhood emits exactly the n·W bounded candidate set."""
+    import pyspark.sql.functions as F
+
+    from vexere_lakehouse_pipeline_spark.plans.governance import (
+        _ER_SN_WINDOW,
+        QUERIES,
+    )
+
+    n = 3000
+    df = spark.range(n).select(
+        (F.col("id") + 1).cast("long").alias("c_custkey"),
+        F.lit("Customer#000000001").alias("c_name"),
+        F.lit(1).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    sf = str(tmp_path)
+    df.coalesce(2).write.parquet(f"{sf}/customer.parquet")
+
+    out = QUERIES["er_sorted_neighborhood_matches"](spark, sf)
+    rows = out.collect()
+    # every record pairs with its W successors, all at distance 0
+    expected = sum(min(_ER_SN_WINDOW, n - 1 - i) for i in range(n))
+    assert len(rows) == expected
+    assert all(r.name_dist == 0 for r in rows)
+
+    # the blocked variant's cap drops the single hot block entirely
+    blocked = QUERIES["er_customer_matches"](spark, sf).collect()
+    assert blocked == []
+
+
+def test_er_sorted_neighborhood_finds_adjacent_near_dups(spark):
+    from vexere_lakehouse_pipeline_spark.plans.governance import QUERIES
+
+    rows = QUERIES["er_sorted_neighborhood_matches"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["name_dist"] <= 2
+        assert r["cust_a"] < r["cust_b"]
+
+
 def test_decayed_value_weights_recent_purchases_higher(spark):
     import datetime
 

@@ -1227,6 +1227,78 @@ def er_customer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sorted-neighborhood entity resolution — the scale-path companion of
+# er_customer_matches: instead of equality blocking (whose hot keys
+# the size cap can only DROP), rank every record under a global sort
+# key and compare each record with its W successors.  Candidate count
+# is n·W BY CONSTRUCTION — no key choice can make it quadratic, which
+# is exactly the degenerate-input gap the blocked variant's cap leaves
+# (see SCALE.md note).  The global rank is the distributed two-phase
+# prefix sum (operators/packing.py) — one range shuffle, no
+# single-partition window; neighbors come from an equi-join on
+# rank + k after a W-way explode, verify is banded Levenshtein.
+# ---------------------------------------------------------------------------
+_ER_SN_WINDOW = 5
+
+@_register(
+    "er_sorted_neighborhood_matches",
+    f"""
+    WITH r AS (SELECT c_custkey, c_name,
+                      ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) - 1 AS rk
+               FROM customer),
+    p AS (SELECT a.c_custkey AS ca, a.c_name AS na,
+                 b.c_custkey AS cb, b.c_name AS nb
+          FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + {_ER_SN_WINDOW})
+    SELECT LEAST(ca, cb) AS cust_a, GREATEST(ca, cb) AS cust_b,
+           CAST(levenshtein(na, nb) AS BIGINT) AS name_dist
+    FROM p WHERE levenshtein(na, nb) <= {_ER_MAX_DIST}
+    ORDER BY cust_a, cust_b
+    """,
+)
+def er_sorted_neighborhood_matches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators import packing
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    ranked = packing.ordered_prefix_sum(
+        cust.withColumn("__one", F.lit(1)),
+        ["c_name", "c_custkey"],
+        "__one",
+        out_col="rk",
+    ).drop("__one")
+    probe = (
+        ranked.select(
+            F.col("c_custkey").alias("ca"),
+            F.col("c_name").alias("na"),
+            F.col("rk").alias("ra"),
+        )
+        .withColumn("k", F.explode(F.expr(f"sequence(1, {_ER_SN_WINDOW})")))
+        .withColumn("rb", F.col("ra") + F.col("k"))
+    )
+    right = ranked.select(
+        F.col("c_custkey").alias("cb"),
+        F.col("c_name").alias("nb"),
+        F.col("rk").alias("rb"),
+    )
+    return (
+        probe.join(right, on="rb")
+        .withColumn(
+            "name_dist", F.levenshtein("na", "nb", _ER_MAX_DIST).cast("bigint")
+        )
+        .filter((F.col("name_dist") >= 0) & (F.col("name_dist") <= _ER_MAX_DIST))
+        .select(
+            F.least("ca", "cb").alias("cust_a"),
+            F.greatest("ca", "cb").alias("cust_b"),
+            "name_dist",
+        )
+        .orderBy("cust_a", "cust_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-decayed user value — recency-weighted LTV: each purchase
 # contributes value · 0.5^(age_weeks/4) (4-week half-life).  Neither
 # engine's pow() is guaranteed correctly rounded, so the decay factors
