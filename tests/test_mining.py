@@ -170,3 +170,61 @@ def test_importance_weights_direction(spark):
         }
     assert out[1] > 0 and out[2] > 0
     assert out[3] < 0 and out[4] < 0
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — hand-built graph with a known triangle census
+# ---------------------------------------------------------------------------
+def test_triangle_counts_hand_graph(spark):
+    from vexere_lakehouse_pipeline_spark.operators import graph
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 5
+    # and an isolated 6; edges given messy: duplicated, reversed, loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 5)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "vec_id long")
+    out = {
+        r.vec_id: (r.degree, r.n_triangles)
+        for r in graph.triangle_counts(edges, nodes).collect()
+    }
+    assert out == {
+        1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3), 5: (1, 0), 6: (0, 0)
+    }
+
+
+def test_sliding_windows_each_event_in_four_windows(spark):
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    n_events = load_table(spark, SF, "events").count()
+    out = mining.QUERIES["events_sliding_windows"](spark, SF)
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == 4 * n_events
+
+
+def test_stats_showcase_matches_python(spark):
+    import statistics
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    vals = {}
+    for r in li.collect():
+        vals.setdefault(r.l_returnflag, []).append(float(r.l_quantity))
+    out = {
+        r.l_returnflag: r
+        for r in mining.QUERIES["stats_function_showcase"](
+            spark, SF
+        ).collect()
+    }
+    for flag, xs in vals.items():
+        assert out[flag].n == len(xs)
+        assert abs(out[flag].qty_stddev - statistics.stdev(xs)) < 1e-5
+        mu = statistics.fmean(xs)
+        m2 = sum((x - mu) ** 2 for x in xs) / len(xs)
+        m3 = sum((x - mu) ** 3 for x in xs) / len(xs)
+        assert abs(out[flag].qty_skew_pop - m3 / m2 ** 1.5) < 1e-5

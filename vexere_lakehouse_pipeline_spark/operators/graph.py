@@ -140,3 +140,69 @@ def pagerank_weighted_fixed_point(edges: DataFrame, nodes: DataFrame,
             .localCheckpoint(eager=True)
         )
     return pr.select(F.col("_id").alias(id_col), "pr_e12")
+
+
+def triangle_counts(edges: DataFrame, nodes: DataFrame,
+                    src_col: str = "src", dst_col: str = "dst",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-node triangle participation + degree over an undirected
+    graph given as a (possibly directed / duplicated) edge list.
+
+    The node-iterator-free distributed algorithm: orient every
+    undirected edge low->high, build wedges by joining edges on the
+    middle vertex (a<b<c), close each wedge against the oriented edge
+    set — every triangle is produced exactly once.  Counts are pure
+    integers, so the DuckDB oracle is exact.
+
+    Scale shape: 3 equi-joins shuffling on vertex keys; wedge volume is
+    sum(deg^2) under the low->high orientation, fine for bounded-degree
+    graphs (k-NN: deg <= 2k).  For power-law graphs orient by
+    (degree, id) instead of raw id so hubs get low out-degree — same
+    join plan, one extra degree join; not needed for the k-NN use.
+    Self-loops are dropped; parallel/reverse duplicates collapse in the
+    distinct.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    wedge = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = wedge.join(
+        und.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+    ).select("x", "y", "z")
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(deg, on="node", how="left")
+        .join(per_node, on="node", how="left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )

@@ -342,6 +342,69 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting over the k-NN graph (operators/graph.py
+# triangle_counts) — the local-density signal behind clustering
+# coefficients: a document whose neighbors are also mutual neighbors
+# sits in a tight near-duplicate/topic cluster; isolated bridges have
+# degree but no triangles.  Pure integer counts, exact oracle.
+# ---------------------------------------------------------------------------
+@_register(
+    "graph_triangle_counts",
+    f"""
+    WITH e AS ({_DUCK_EMB}),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rnk
+        FROM scored
+    ),
+    edges AS (SELECT src, dst FROM ranked WHERE rnk <= {_KNN_K}),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges WHERE src <> dst),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pern AS (
+        SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+           CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles
+    FROM e
+    LEFT JOIN deg d ON d.node = e.vec_id
+    LEFT JOIN pern p ON p.node = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=_KNN_K, strategy="exact").select(
+        "src", "dst"
+    )
+    return graph.triangle_counts(edges, emb.select("vec_id")).orderBy(
+        "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance verification of LSH candidates (operators/dedup.py):
 # levenshtein is implemented natively AND identically (integer DP) in
 # Spark and DuckDB, so the verifier is oracle-exact; the similarity

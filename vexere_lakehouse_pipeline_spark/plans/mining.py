@@ -186,6 +186,68 @@ def agg_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Statistical aggregate family — stddev/variance, skewness/kurtosis,
+# correlation/covariance, and the regr_* linear-regression aggregates,
+# all streaming one-pass co-moment implementations JVM-side (no second
+# scan, map-side partial merge).  Definition parity: Spark's
+# skewness/kurtosis are POPULATION g1/g2 while DuckDB's are
+# sample-corrected G1/G2 — the oracle converts with the exact bias
+# factors (verified to 1e-15 on testdata); everything else matches to
+# ~1e-13 and is pinned at the per-column rounding below.
+# ---------------------------------------------------------------------------
+@_register(
+    "stats_function_showcase",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+           ROUND(var_samp(l_quantity), 6) AS qty_var,
+           ROUND(skewness(l_quantity) * (COUNT(*) - 2)
+                 / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 6) AS qty_skew_pop,
+           ROUND((kurtosis(l_quantity) * (COUNT(*) - 2.0) * (COUNT(*) - 3.0)
+                  / (COUNT(*) - 1.0) - 6.0) / (COUNT(*) + 1.0), 6)
+             AS qty_kurt_pop,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2)
+             AS price_qty_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS reg_slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2)
+             AS reg_intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS reg_r2
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.skewness("l_quantity"), 6).alias("qty_skew_pop"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("qty_kurt_pop"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+                "price_qty_corr"
+            ),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+                "price_qty_covar"
+            ),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "reg_slope"
+            ),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 2
+            ).alias("reg_intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias(
+                "reg_r2"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance weights — score every document by how much its
 # unigram distribution looks like a TARGET domain (source='src0')
 # versus the background corpus: mean over tokens of
@@ -262,6 +324,50 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_tokens",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) event-time windows — F.window with a slide: every
+# event lands in window_len/slide = 4 overlapping windows, the shape
+# behind "last hour, refreshed every 15 minutes" dashboards and the
+# batch twin of the slide-windowed stream.  Spark expands the hop
+# JVM-side (one explode-like projection, then a plain hash aggregate);
+# the oracle reproduces the epoch-aligned starts with integer
+# arithmetic over unnest([0..3]).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_sliding_windows",
+    """
+    SELECT make_timestamp(CAST(((FLOOR(epoch(ts) / 900) - k) * 900)
+                               * 1000000 AS BIGINT)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
 
 
 # ---------------------------------------------------------------------------
