@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vexere_lakehouse_pipeline_spark.plans import corpus, corpus_ext, governance, star, star_ext, star_ml, star_tpch2  # noqa: E402
+from vexere_lakehouse_pipeline_spark.plans import corpus, corpus_ext, governance, mining, star, star_ext, star_ml, star_tpch2  # noqa: E402
 from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 ALL_QUERIES = {
@@ -33,6 +33,7 @@ ALL_QUERIES = {
     **corpus.QUERIES,
     **corpus_ext.QUERIES,
     **governance.QUERIES,
+    **mining.QUERIES,
 }
 
 HEADLINE = [
@@ -131,6 +132,18 @@ def main() -> None:
         "corpus_above_median_quality",
         "corpus_zipf_fit",
         "events_ab_conversion_ztest",
+        "agg_hll_distinct_gate",
+        "events_wau_hll_gate",
+        "agg_approx_quantile_gate",
+        "corpus_importance_weights",
+        "corpus_bpe_pair_counts",
+        "window_spend_quartiles_distributed",
+        "er_sorted_neighborhood_matches",
+        "stats_function_showcase",
+        "events_sliding_windows",
+        "graph_triangle_counts",
+        "corpus_ppl_buckets",
+        "corpus_mad_outliers",
     ]
     extra: dict[str, float] = {
         name: time_query(name) for name in extra_names if name in ALL_QUERIES

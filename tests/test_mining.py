@@ -228,3 +228,34 @@ def test_stats_showcase_matches_python(spark):
         m2 = sum((x - mu) ** 2 for x in xs) / len(xs)
         m3 = sum((x - mu) ** 3 for x in xs) / len(xs)
         assert abs(out[flag].qty_skew_pop - m3 / m2 ** 1.5) < 1e-5
+
+
+def test_ppl_buckets_tertile_counts(spark):
+    out = mining.QUERIES["corpus_ppl_buckets"](spark, SF).collect()
+    assert out
+    by_lang: dict[str, dict[str, int]] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {}).setdefault(r.ppl_bucket, 0)
+        by_lang[r.lang][r.ppl_bucket] += 1
+    for lang, buckets in by_lang.items():
+        n = sum(buckets.values())
+        assert buckets.get("head", 0) == n // 3
+        assert buckets.get("middle", 0) == 2 * n // 3 - n // 3
+        assert buckets.get("tail", 0) == n - 2 * n // 3
+
+
+def test_mad_outliers_flag_matches_definition(spark):
+    rows = mining.QUERIES["corpus_mad_outliers"](spark, SF).collect()
+    assert rows
+    import statistics
+
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        meds = {r.lang_median for r in rs}
+        mads = {r.lang_mad for r in rs}
+        assert len(meds) == 1 and len(mads) == 1
+        med, mad = meds.pop(), mads.pop()
+        for r in rs:
+            assert r.is_outlier == (abs(r.n_chars - med) > 3 * mad)

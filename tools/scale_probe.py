@@ -32,7 +32,7 @@ from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 
-NOTE_ER = """Note on `er_customer_matches`: the replica corpus reuses the SAME customer names, so 16x growth pushes every (nation, segment) block past the _ER_MAX_BLOCK cap and the 16x run drops all blocks (hence the sub-1x time). That is the cap's documented degenerate-input behavior, not a speedup: real corpus growth requires refining the blocking key (phone prefix, sorted neighborhood) so block size stays bounded — the cap turns a stale key choice into missing candidates instead of a quadratic join."""
+NOTE_ER = """Note on `er_customer_matches`: the replica corpus reuses the SAME customer names, so 16x growth pushes every (nation, segment) block past the _ER_MAX_BLOCK cap and the 16x run drops all blocks (hence the sub-1x time). That is the cap's documented degenerate-input behavior, not a speedup: the cap turns a stale key choice into missing candidates instead of a quadratic join. The probed `er_sorted_neighborhood_matches` row is the fix in action — on the SAME degenerate replica corpus its candidate set stays n·W by construction, so it keeps finding matches at a bounded, ~linear cost where equality blocking had to drop everything."""
 
 # (query, replicated tables, key columns remapped per replica)
 PROBES = [
@@ -78,10 +78,19 @@ PROBES = [
     ("events_decayed_user_value", {"events": ["event_id", "user_id"]}),
     ("corpus_zipf_fit", {"documents": ["doc_id"]}),
     ("events_ab_conversion_ztest", {"events": ["event_id", "user_id"]}),
-    # graph_pagerank_knn / sim_knn_graph are NOT probed: the exact
-    # strategy is O(N²) by contract (enforced row ceiling); the scale
-    # path is knn_graph(strategy='lsh'), whose bucket self-join shape
-    # is already covered by dedup_minhash_lsh_pairs above.
+    ("agg_hll_distinct_gate", {"events": ["event_id", "user_id"]}),
+    ("events_wau_hll_gate", {"events": ["event_id", "user_id"]}),
+    ("corpus_importance_weights", {"documents": ["doc_id"]}),
+    ("corpus_bpe_pair_counts", {"documents": ["doc_id"]}),
+    ("window_spend_quartiles_distributed", {"orders": ["o_orderkey", "o_custkey"]}),
+    ("er_sorted_neighborhood_matches", {"customer": ["c_custkey"]}),
+    ("stats_function_showcase", {"lineitem": ["l_orderkey"]}),
+    ("events_sliding_windows", {"events": ["event_id", "user_id"]}),
+    # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
+    # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
+    # row ceiling); the scale path is knn_graph(strategy='lsh'), whose
+    # bucket self-join shape is already covered by
+    # dedup_minhash_lsh_pairs above.
 ]
 
 ALL_TABLES = list(TESTDATA_TABLES)  # single source of truth (catalog)

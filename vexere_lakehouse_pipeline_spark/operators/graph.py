@@ -163,10 +163,15 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame,
     distinct.
     """
     a, b = F.col(src_col), F.col(dst_col)
+    # und is referenced three times (both wedge sides + the closing
+    # join): checkpoint it once or the whole upstream edge derivation
+    # (e.g. a k-NN build) re-executes per reference — same lineage
+    # pattern as pagerank/connected-components.
     und = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     wedge = (
         und.alias("e1")

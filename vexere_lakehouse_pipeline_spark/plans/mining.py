@@ -410,6 +410,185 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style LM-score tertiles — the canonical "head / middle / tail"
+# corpus partition: score every document with the unigram LM (exact
+# micro-int mean, same machinery as text_unigram_logprob_scores), rank
+# within language, cut into integer-arithmetic tertiles.  Downstream
+# pipelines keep head+middle and drop (or tag) the tail.
+# Scale: the scoring pass is the proven token-join shape; the tertile
+# rank is a per-language window (strata are few and large — for
+# millions of strata swap in the distributed prefix-sum rank).
+# ---------------------------------------------------------------------------
+_MEAN_MICRO_INT = (
+    "CASE WHEN {s} < 0"
+    " THEN -(((-2 * {s}) + {n}) {div} (2 * {n}))"
+    " ELSE ((2 * {s}) + {n}) {div} (2 * {n}) END"
+)
+
+@_register(
+    "corpus_ppl_buckets",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token
+                 FROM documents),
+    freq AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY token),
+    lp AS (SELECT token,
+                  CAST(ROUND(LOG10(CAST(f AS DOUBLE)
+                       / (SELECT SUM(f) FROM freq)), 6) AS DECIMAL(18,6)) AS lp
+           FROM freq),
+    agg AS (SELECT t.doc_id,
+                   CAST(SUM(lp.lp) * 1000000 AS BIGINT) AS s_micro,
+                   COUNT(*) AS n_tokens
+            FROM tok t JOIN lp ON lp.token = t.token GROUP BY t.doc_id),
+    scored AS (SELECT d.doc_id, d.lang,
+                      {_MEAN_MICRO_INT.format(s="a.s_micro", n="a.n_tokens", div="//")}
+                        AS score_micro
+               FROM documents d JOIN agg a ON a.doc_id = d.doc_id),
+    ranked AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY score_micro DESC, doc_id)
+                        AS rnk,
+                      COUNT(*) OVER (PARTITION BY lang) AS n
+               FROM scored)
+    SELECT doc_id, lang, CAST(score_micro AS BIGINT) AS score_micro,
+           CASE WHEN rnk * 3 <= n THEN 'head'
+                WHEN rnk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("f"))
+    total = freq.agg(F.sum("f").alias("total"))
+    lp = freq.join(F.broadcast(total)).select(
+        "token",
+        F.round(F.log10(F.col("f").cast("double") / F.col("total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    agg = (
+        tok.join(lp, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(lp) * 1000000 AS BIGINT)").alias("s_micro"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    scored = docs.select("doc_id", "lang").join(agg, on="doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            _MEAN_MICRO_INT.format(s="s_micro", n="n_tokens", div="DIV")
+        ).alias("score_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score_micro"), "doc_id"
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.col("score_micro").cast("bigint").alias("score_micro"),
+        F.when(F.col("rnk") * 3 <= F.col("n"), "head")
+        .when(F.col("rnk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outliers — median absolute deviation per language
+# over document length: med = nearest-rank median(n_chars), MAD =
+# nearest-rank median(|n_chars - med|), outlier iff |x - med| > 3·MAD.
+# Everything is integer arithmetic (lengths, absolute deviations,
+# nearest-rank picks), so the flag is bit-portable with no rounding
+# contract at all — the robust alternative to the z-score gate
+# (anomaly_daily_revenue) for heavy-tailed length distributions.
+# Scale: two per-language window passes; same stratum-window shape as
+# corpus_above_median_quality.
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_mad_outliers",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    ),
+    med AS (SELECT lang, n_chars AS lang_median FROM ranked
+            WHERE rnk = (50 * n + 99) // 100),
+    dev AS (
+        SELECT d.doc_id, d.lang, d.n_chars, m.lang_median,
+               ABS(d.n_chars - m.lang_median) AS adev
+        FROM documents d JOIN med m ON m.lang = d.lang
+    ),
+    dranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY adev, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM dev
+    ),
+    mad AS (SELECT lang, adev AS lang_mad FROM dranked
+            WHERE rnk = (50 * n + 99) // 100)
+    SELECT d.doc_id, d.lang, d.n_chars, d.lang_median,
+           CAST(mad.lang_mad AS BIGINT) AS lang_mad,
+           d.adev > 3 * mad.lang_mad AS is_outlier
+    FROM dev d JOIN mad ON mad.lang = d.lang
+    ORDER BY d.doc_id
+    """,
+)
+def corpus_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def nearest_rank_median(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("lang").orderBy(val, "doc_id")
+        return (
+            df.select(
+                "lang",
+                val,
+                F.row_number().over(w).alias("rnk"),
+                F.count("*").over(Window.partitionBy("lang")).alias("n"),
+            )
+            .filter(F.col("rnk") == F.expr("(50 * n + 99) DIV 100"))
+            .select("lang", F.col(val).alias(out))
+        )
+
+    med = nearest_rank_median(docs, "n_chars", "lang_median")
+    dev = docs.join(F.broadcast(med), on="lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "lang_median",
+        F.abs(F.col("n_chars") - F.col("lang_median")).alias("adev"),
+    )
+    mad = nearest_rank_median(dev, "adev", "lang_mad")
+    return (
+        dev.join(F.broadcast(mad), on="lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "lang_median",
+            F.col("lang_mad").cast("bigint").alias("lang_mad"),
+            (F.col("adev") > 3 * F.col("lang_mad")).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed twin of window_spend_quartiles — IDENTICAL output (same
 # oracle SQL), zero single-partition window: the global rank comes from
 # the two-phase prefix sum (operators/packing.py), ntile from the
