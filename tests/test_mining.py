@@ -104,11 +104,16 @@ def test_wau_hll_gate_exact_matches_trailing_window(spark):
 # ---------------------------------------------------------------------------
 # BPE pair counts — cross-checked against a pure-Python recount
 # ---------------------------------------------------------------------------
-def test_bpe_pair_counts_match_python(spark):
+def test_bpe_pair_counts_match_python(spark, tmp_path):
     from vexere_lakehouse_pipeline_spark.catalog import load_table
     from vexere_lakehouse_pipeline_spark.functions.text import tokenize
 
+    # 50-doc sample written as its own sf dir so the REGISTERED query
+    # runs, not a copy of its internals
     docs = load_table(spark, SF, "documents").limit(50)
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+
     toks = [
         r.t
         for r in docs.select(
@@ -122,24 +127,7 @@ def test_bpe_pair_counts_match_python(spark):
             expected[p] = expected.get(p, 0) + 1
     top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
 
-    tok = docs.select(F.explode(tokenize("text")).alias("token")).filter(
-        F.length("token") >= 2
-    )
-    pairs = tok.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(token) - 1),"
-                " i -> substring(token, i, 2))"
-            )
-        ).alias("pair")
-    )
-    got = (
-        pairs.groupBy("pair")
-        .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "pair")
-        .limit(30)
-        .collect()
-    )
+    got = mining.QUERIES["corpus_bpe_pair_counts"](spark, sf).collect()
     assert [(r.pair, r.n) for r in got] == top
 
 

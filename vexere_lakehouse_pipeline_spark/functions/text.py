@@ -55,12 +55,13 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 def tokenize(col: Column | str) -> Column:
     """Lowercased word tokens as array<string> (empty tokens removed).
 
-    Splits on LANG_TOKEN_SPLIT_RE — the letterish class INCLUDING
-    Vietnamese diacritics — not a bare [^a-z0-9]+, which would treat
-    every diacritic letter as a separator and shred the pipeline's
-    primary language into fragments ('tiếng' -> 'ti', 'ng') across all
-    shingle/vocab/fingerprint consumers.  The class is literal chars
-    only, so Java regex and DuckDB RE2 agree bit-for-bit.
+    Splits on LANG_TOKEN_SPLIT_RE — non-(letter|number) runs via the
+    Unicode \\p{L}\\p{N} property classes — not a bare [^a-z0-9]+,
+    which would treat every diacritic letter as a separator and shred
+    the pipeline's primary language into fragments ('tiếng' -> 'ti',
+    'ng') across all shingle/vocab/fingerprint consumers.  Java regex
+    and DuckDB RE2 implement these property classes identically (see
+    the constant's note), so both engines agree bit-for-bit.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(
@@ -129,9 +130,10 @@ def quality_features(col: Column | str) -> Column:
     words = tokenize(c)
     n_words = F.size(words).cast("double")
     total_word_chars = F.length(F.concat_ws("", words)).cast("double")
-    # PUNCT_RE's letter class is lowercase (plus A-Za-z ASCII), so it
-    # must run on the LOWERED text or uppercase diacritics ('Đ', 'Ẵ')
-    # count as punctuation and junk-filter proper-noun-heavy vi docs.
+    # Runs on the LOWERED text: \p{L} makes case irrelevant to the
+    # punct count itself, but the DuckDB oracles (star_ml.py) pin
+    # lower(text) in their regexp_extract_all — keep the two sides
+    # textually aligned rather than "simplifying" one of them.
     n_punct = F.size(
         F.regexp_extract_all(F.lower(c), F.lit(PUNCT_RE), 0)
     ).cast("double")

@@ -181,8 +181,13 @@ def distributed_ntile(
 ) -> DataFrame:
     """Exact NTILE(n) without a single-partition window — see
     :func:`distributed_rank_ntile` (same computation, rank dropped)."""
-    out, _ = distributed_rank_ntile(df, order_col, n_buckets, out_col)
-    return out.drop("__rank")
+    # rank column must never collide with out_col or an input column —
+    # a collision would silently drop the bucket on the way out
+    rk = "__rank_drop"
+    while rk == out_col or rk in df.columns:
+        rk += "_"
+    out, _ = distributed_rank_ntile(df, order_col, n_buckets, out_col, rk)
+    return out.drop(rk)
 
 
 def distributed_rank_ntile(

@@ -248,16 +248,24 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: freq table is vocab-sized; the token join shuffles on the
 # token hash; no driver state.
 # ---------------------------------------------------------------------------
-_MEAN_MICRO = (
-    "CAST(CASE WHEN {s} < 0"
+# Integer core of the micro-unit mean ((2a+n) div 2n, signed) — the
+# ONE definition both the double-emitting _MEAN_MICRO and integer
+# consumers (plans/mining.py tertile scores) must share: any change to
+# this rounding contract changes every oracle in lockstep.
+_MEAN_MICRO_INT = (
+    "CASE WHEN {s} < 0"
     " THEN -(((-2 * {s}) + {n}) {div} (2 * {n}))"
-    " ELSE ((2 * {s}) + {n}) {div} (2 * {n}) END AS DOUBLE) / 1000000.0"
+    " ELSE ((2 * {s}) + {n}) {div} (2 * {n}) END"
 )
+_MEAN_MICRO = "CAST(" + _MEAN_MICRO_INT + " AS DOUBLE) / 1000000.0"
 
-@_register(
-    "text_unigram_logprob_scores",
-    f"""
-    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+# Shared unigram-LM scoring pipeline (fit corpus frequencies -> 6dp
+# decimal logprobs -> per-doc exact micro sums).  ONE definition of the
+# oracle CTEs and the Spark builder, consumed by
+# text_unigram_logprob_scores here and corpus_ppl_buckets
+# (plans/mining.py) — keeps the rounding/typing contract from
+# diverging between the two.
+_DUCK_UNIGRAM_CTES = f"""tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
     freq AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY token),
     lp AS (SELECT token,
                   CAST(ROUND(LOG10(CAST(f AS DOUBLE)
@@ -266,7 +274,45 @@ _MEAN_MICRO = (
     agg AS (SELECT t.doc_id,
                    CAST(SUM(lp.lp) * 1000000 AS BIGINT) AS s_micro,
                    COUNT(*) AS n_tokens
-            FROM tok t JOIN lp ON lp.token = t.token GROUP BY t.doc_id)
+            FROM tok t JOIN lp ON lp.token = t.token GROUP BY t.doc_id)"""
+
+
+def doc_token_table(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *extra_cols, token) exploded token table, materialized
+    once (localCheckpoint): every two-pass consumer (model fit + doc
+    scoring join) reads it twice, and without pinning, the regex
+    split/explode — the dominant cost of tokenize-heavy queries —
+    re-executes per consumer."""
+    return docs.select(
+        "doc_id", *extra_cols, F.explode(tokenize("text")).alias("token")
+    ).localCheckpoint(eager=True)
+
+
+def unigram_logprob_agg(tok: DataFrame) -> DataFrame:
+    """Per-doc exact unigram-LM sums (doc_id, s_micro, n_tokens) from a
+    (doc_id, token) table — the Spark twin of _DUCK_UNIGRAM_CTES."""
+    freq = tok.groupBy("token").agg(F.count("*").alias("f"))
+    total = freq.agg(F.sum("f").alias("total"))
+    lp = freq.join(F.broadcast(total)).select(
+        "token",
+        F.round(F.log10(F.col("f").cast("double") / F.col("total")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    return (
+        tok.select("doc_id", "token")
+        .join(lp, on="token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(lp) * 1000000 AS BIGINT)").alias("s_micro"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+@_register(
+    "text_unigram_logprob_scores",
+    f"""
+    WITH {_DUCK_UNIGRAM_CTES}
     SELECT doc_id,
            {_MEAN_MICRO.format(s="s_micro", n="n_tokens", div="//")}
              AS mean_logprob,
@@ -276,25 +322,7 @@ _MEAN_MICRO = (
 )
 def text_unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(tokenize("text")).alias("token")
-    )
-    freq = tok.groupBy("token").agg(F.count("*").alias("f"))
-    total = freq.agg(F.sum("f").alias("total"))
-    lp = freq.join(F.broadcast(total)).select(
-        "token",
-        F.round(F.log10(F.col("f").cast("double") / F.col("total")), 6)
-        .cast("decimal(18,6)")
-        .alias("lp"),
-    )
-    agg = (
-        tok.join(lp, on="token")
-        .groupBy("doc_id")
-        .agg(
-            F.expr("CAST(SUM(lp) * 1000000 AS BIGINT)").alias("s_micro"),
-            F.count("*").alias("n_tokens"),
-        )
-    )
+    agg = unigram_logprob_agg(doc_token_table(docs))
     return agg.select(
         "doc_id",
         F.expr(

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 from vexere_lakehouse_pipeline_spark.catalog import load_table
 from vexere_lakehouse_pipeline_spark.functions.text import tokenize
 from vexere_lakehouse_pipeline_spark.operators import packing
-from vexere_lakehouse_pipeline_spark.plans.corpus import _MEAN_MICRO
+from vexere_lakehouse_pipeline_spark.plans.corpus import (
+    _DUCK_UNIGRAM_CTES,
+    _MEAN_MICRO,
+    _MEAN_MICRO_INT,
+    doc_token_table,
+    unigram_logprob_agg,
+)
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS
 from vexere_lakehouse_pipeline_spark.plans import star_tpch2
@@ -292,9 +298,8 @@ _LR_EXPR = (
 )
 def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(tokenize("text")).alias("token")
-    )
+    # materialized once — feeds bg, tg AND the per-doc scoring join
+    tok = doc_token_table(docs, ("source",))
     bg = tok.groupBy("token").agg(F.count("*").alias("fb"))
     tg = (
         tok.filter(F.col("source") == "src0")
@@ -419,26 +424,10 @@ def corpus_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank is a per-language window (strata are few and large — for
 # millions of strata swap in the distributed prefix-sum rank).
 # ---------------------------------------------------------------------------
-_MEAN_MICRO_INT = (
-    "CASE WHEN {s} < 0"
-    " THEN -(((-2 * {s}) + {n}) {div} (2 * {n}))"
-    " ELSE ((2 * {s}) + {n}) {div} (2 * {n}) END"
-)
-
 @_register(
     "corpus_ppl_buckets",
     f"""
-    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token
-                 FROM documents),
-    freq AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY token),
-    lp AS (SELECT token,
-                  CAST(ROUND(LOG10(CAST(f AS DOUBLE)
-                       / (SELECT SUM(f) FROM freq)), 6) AS DECIMAL(18,6)) AS lp
-           FROM freq),
-    agg AS (SELECT t.doc_id,
-                   CAST(SUM(lp.lp) * 1000000 AS BIGINT) AS s_micro,
-                   COUNT(*) AS n_tokens
-            FROM tok t JOIN lp ON lp.token = t.token GROUP BY t.doc_id),
+    WITH {_DUCK_UNIGRAM_CTES},
     scored AS (SELECT d.doc_id, d.lang,
                       {_MEAN_MICRO_INT.format(s="a.s_micro", n="a.n_tokens", div="//")}
                         AS score_micro
@@ -460,23 +449,7 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
-    freq = tok.groupBy("token").agg(F.count("*").alias("f"))
-    total = freq.agg(F.sum("f").alias("total"))
-    lp = freq.join(F.broadcast(total)).select(
-        "token",
-        F.round(F.log10(F.col("f").cast("double") / F.col("total")), 6)
-        .cast("decimal(18,6)")
-        .alias("lp"),
-    )
-    agg = (
-        tok.join(lp, on="token")
-        .groupBy("doc_id")
-        .agg(
-            F.expr("CAST(SUM(lp) * 1000000 AS BIGINT)").alias("s_micro"),
-            F.count("*").alias("n_tokens"),
-        )
-    )
+    agg = unigram_logprob_agg(doc_token_table(docs))
     scored = docs.select("doc_id", "lang").join(agg, on="doc_id").select(
         "doc_id",
         "lang",
@@ -496,8 +469,11 @@ def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.col("score_micro").cast("bigint").alias("score_micro"),
-        F.when(F.col("rnk") * 3 <= F.col("n"), "head")
-        .when(F.col("rnk") * 3 <= 2 * F.col("n"), "middle")
+        # rnk is int32 from row_number: go through long BEFORE *3 so the
+        # tertile arithmetic can't overflow (ANSI error) at billions of
+        # rows per stratum
+        F.when(F.col("rnk").cast("long") * 3 <= F.col("n"), "head")
+        .when(F.col("rnk").cast("long") * 3 <= 2 * F.col("n"), "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),
     ).orderBy("doc_id")
