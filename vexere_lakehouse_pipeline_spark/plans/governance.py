@@ -495,9 +495,12 @@ from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_TOKENS, _duck_sh
 )
 def text_bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # materialized once: bi feeds both the model fit (cbi) and the
+    # final scoring join — unpinned, the shingle explode re-executes
+    # per consumer (same pattern as corpus.doc_token_table)
     bi = docs.select(
         "doc_id", F.explode(word_shingles("text", 2)).alias("bg")
-    )
+    ).localCheckpoint(eager=True)
     uni = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
     cbi = bi.groupBy("bg").agg(F.count("*").alias("c2"))
     cuni = uni.groupBy("token").agg(F.count("*").alias("c1"))
