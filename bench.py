@@ -22,7 +22,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vexere_lakehouse_pipeline_spark.plans import corpus, corpus_ext, governance, mining, star, star_ext, star_ml, star_tpch2  # noqa: E402
+from vexere_lakehouse_pipeline_spark.plans import corpus, corpus_ext, governance, mining, star, star_ext, star_ml, star_tpch2, webcur  # noqa: E402
 from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 ALL_QUERIES = {
@@ -34,6 +34,7 @@ ALL_QUERIES = {
     **corpus_ext.QUERIES,
     **governance.QUERIES,
     **mining.QUERIES,
+    **webcur.QUERIES,
 }
 
 HEADLINE = [

@@ -1,0 +1,88 @@
+"""Unit semantics for plans/webcur.py — PII scrub, HTML strip, Gopher
+flags, domain curation (the sf0.001 oracle parity lives in
+test_star_oracle.py; these pin the operator-level contracts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.plans import webcur
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_scrub_pii_sequential_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and b@c.org here"),
+            (2, "ip 10.0.0.1 phone 0123456789 end"),
+            (3, "plain text only"),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in webcur.scrub_pii_report(df).collect()
+    }
+    assert rows[1]["n_emails"] == 2 and rows[1]["n_ips"] == 0
+    assert "<EMAIL>" in rows[1]["scrubbed"] and "@" not in rows[1]["scrubbed"]
+    assert rows[2]["n_ips"] == 1 and rows[2]["n_phones"] == 1
+    assert rows[2]["scrubbed"] == "ip <IP> phone <PHONE> end"
+    assert rows[3]["scrubbed"] == "plain text only"
+    assert rows[4]["scrubbed"] is None  # null propagates, no crash
+
+
+def test_scrub_pii_no_double_count(spark):
+    # digits inside an email's host must not count as a phone; an IP
+    # inside a URL-ish string redacts as IP only once
+    df = spark.createDataFrame(
+        [(1, "x 0123456789@host.com y")], "id long, text string"
+    )
+    r = webcur.scrub_pii_report(df).collect()[0]
+    assert r["n_emails"] == 1 and r["n_phones"] == 0
+    assert r["scrubbed"] == "x <EMAIL> y"
+
+
+def test_html_to_text_strip_and_entities(spark):
+    df = spark.createDataFrame(
+        [(1, '<div  class="x">a &amp; b</div><br/>&lt;c&gt;')],
+        "id long, html string",
+    )
+    out = df.select(webcur.html_to_text(F.col("html")).alias("t")).collect()
+    assert out[0]["t"] == "a & b <c>"
+
+
+def test_gopher_flags_pass_is_conjunction(spark):
+    df = webcur.corpus_gopher_quality_flags(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        expect = (
+            r["flag_word_count"]
+            and r["flag_word_len"]
+            and r["flag_alpha"]
+            and r["flag_stop"]
+        )
+        assert r["pass"] == expect
+    # the thresholds must actually split this corpus
+    passes = {r["pass"] for r in rows}
+    assert passes == {True, False}
+
+
+def test_domain_curation_blocklist_and_counts(spark):
+    df = webcur.corpus_domain_curation(spark, SF_DIR)
+    rows = df.collect()
+    blocked = {r["domain"] for r in rows if r["blocked"]}
+    assert blocked <= set(webcur._BLOCKLIST)
+    # every doc lands in exactly one domain
+    total = sum(r["n_docs"] for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert total == docs
+
+
+def test_webcur_plans_stay_native(spark):
+    for name in webcur.QUERIES:
+        plan = webcur.QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name

@@ -1,0 +1,406 @@
+"""Web-corpus curation: PII scrubbing, HTML-to-text extraction,
+Gopher-style quality rules, and domain-level curation.
+
+Third north-star layer over the ``documents`` table (no reference
+analog — BASELINE.json extension surface, like plans/corpus.py): the
+passes a web-scale pre-training pipeline runs between "raw crawl" and
+"quality filtering" — strip markup, scrub personally-identifiable
+strings, apply the published Gopher repetition/shape rules, and
+aggregate per-domain statistics against a curation blocklist.
+
+Scale notes (100 TB): every operator here is a single narrow
+projection or one hash aggregation — no joins except the broadcast
+blocklist join in domain curation, no shuffles except the per-domain
+groupBy (domain cardinality ~ millions, far below doc cardinality, so
+partial aggregation collapses the map side).  All string work is
+JVM-native Column expressions inside WholeStageCodegen — zero Python.
+
+Portability rules (oracle gate): the synthesized PII/markup inputs are
+built from doc_id arithmetic with explicit CASTs so Spark and DuckDB
+construct byte-identical strings; all regexes use the RE2-and-Java
+common subset (no \\b, no backrefs, no lookaround); entity decoding
+uses literal replace(), not regex, so replacement-string metacharacter
+rules ('$' in Java, '\\0' in RE2) never apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.functions.text import (
+    LANG_STOPWORDS,
+    stopword_hits,
+    stopword_hits_sql,
+)
+from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# PII scrub report — email / phone / IPv4 redaction with per-doc counts.
+#
+# The documents table is synthetic word salad with no real PII, so the
+# query synthesizes a deterministic PII tail per doc (same doc_id
+# arithmetic on both engines — the silver_conform_chain pattern) and
+# then runs the production scrub: sequential redaction email -> IPv4 ->
+# phone, counting each pattern on the text as it exists at that stage
+# (counting all three on the raw text would double-count the digits
+# inside an email's host or an IP inside a URL).
+#
+# Plan shape: one projection, zero shuffles; the regex chain is
+# codegen'd.  At 100 TB this is the canonical embarrassingly-parallel
+# scan — cost is pure CPU, no exchange.
+# ---------------------------------------------------------------------------
+
+# RE2-and-Java common subset (no \b / lookaround).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PHONE_RE = r"0[0-9]{8,10}"
+
+
+def scrub_pii_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sequential PII redaction with stage-accurate counts.
+
+    Returns the input plus ``n_emails/n_ips/n_phones`` (matches counted
+    on the text at the stage each rule runs) and ``scrubbed`` (the
+    fully-redacted text).  Pure Column expressions — safe in any plan.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), 0)).cast("long")
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), 0)).cast("long")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), 0)).cast("long")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return df.withColumns(
+        {
+            "n_emails": n_emails,
+            "n_ips": n_ips,
+            "n_phones": n_phones,
+            "scrubbed": t3,
+        }
+    )
+
+
+# Deterministic PII tail appended to each doc's text (both engines
+# build the identical string from doc_id arithmetic).
+def _pii_text_spark() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" user"),
+        d.cast("string"),
+        F.lit("@mail"),
+        (d % 7).cast("string"),
+        F.lit(".example.com tel 09"),
+        F.lpad((d % 10000000).cast("string"), 7, "0"),
+        F.lit(" ip "),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+        F.lit(".0.1"),
+        # every third doc carries a second address so the per-pattern
+        # counts VARY (a uniform count couldn't catch a count-once bug)
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" cc admin"), d.cast("string"), F.lit("@ex.org")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text || ' user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com tel 09' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')"
+    " || ' ip ' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.0.1'"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@ex.org'"
+    " ELSE '' END"
+)
+
+
+@_register(
+    "text_pii_scrub_report",
+    f"""
+    WITH raw AS (
+        SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id, text,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+        FROM raw
+    ),
+    s2 AS (
+        SELECT doc_id, n_emails,
+               CAST(len(regexp_extract_all(t1, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+               regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+        FROM s1
+    )
+    SELECT doc_id, n_emails, n_ips,
+           CAST(len(regexp_extract_all(t2, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM s2 ORDER BY doc_id
+    """,
+)
+def text_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select("doc_id", _pii_text_spark().alias("text"))
+    return scrub_pii_report(seeded).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "scrubbed"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HTML-to-text extraction — the markup-strip pass between "crawl WARC"
+# and every text operator in this engine.  Tag strip (regex, RE2-safe)
+# -> literal entity decode (replace(), so no replacement-metacharacter
+# divergence) -> whitespace squeeze.  One projection, zero shuffles.
+# ---------------------------------------------------------------------------
+
+TAG_RE = r"<[^>]*>"
+_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"')]
+
+
+def html_to_text(col: F.Column) -> F.Column:
+    """Strip tags, decode the common entities, squeeze whitespace."""
+    out = F.regexp_replace(col, TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def _html_to_text_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '{TAG_RE}', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def _html_raw_spark() -> F.Column:
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit('<div id="d'),
+        d,
+        F.lit('"><p class="t">'),
+        F.col("text"),
+        F.lit('</p><br/>&amp; <a href="https://ex.com/'),
+        d,
+        F.lit('">link&lt;tail&gt;</a></div>'),
+    )
+
+
+_HTML_RAW_SQL = (
+    "'<div id=\"d' || CAST(doc_id AS VARCHAR) || '\"><p class=\"t\">' || text"
+    " || '</p><br/>&amp; <a href=\"https://ex.com/' || CAST(doc_id AS VARCHAR)"
+    " || '\">link&lt;tail&gt;</a></div>'"
+)
+
+
+@_register(
+    "text_html_strip",
+    f"""
+    WITH raw AS (SELECT doc_id, {_HTML_RAW_SQL} AS html FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(html, '{TAG_RE}')) AS BIGINT) AS n_tags,
+           {_html_to_text_sql('html')} AS clean_text
+    FROM raw ORDER BY doc_id
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _html_raw_spark().alias("html"))
+    return raw.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("html"), F.lit(TAG_RE), 0))
+        .cast("long")
+        .alias("n_tags"),
+        html_to_text(F.col("html")).alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, table A1 — the shape
+# subset that applies to single-line synthetic docs; thresholds on word
+# count adapted to this corpus' 10-99-word range so the gate actually
+# splits it).  All flags from one projection; `pass` is the AND.  The
+# repetition-based Gopher rules live in corpus_repetition_scores.
+# ---------------------------------------------------------------------------
+
+_G_MIN_WORDS, _G_MAX_WORDS = 50, 100_000
+_G_MIN_WLEN, _G_MAX_WLEN = 3.0, 10.0
+_G_MIN_ALPHA = 0.8
+_G_MIN_STOP = 2
+
+
+@_register(
+    "corpus_gopher_quality_flags",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS wc,
+               CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+                   AS chars_no_ws,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                        x -> x <> '' AND regexp_matches(x, '\\p{{L}}')))
+                    AS BIGINT) AS alpha_words,
+               CAST({stopword_hits_sql('text', LANG_STOPWORDS['en'])} AS BIGINT)
+                   AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, wc,
+           ROUND(chars_no_ws * 1.0 / wc, 4) AS mean_wlen,
+           ROUND(alpha_words * 1.0 / wc, 4) AS alpha_frac,
+           stop_hits,
+           wc BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS} AS flag_word_count,
+           chars_no_ws * 1.0 / wc BETWEEN {_G_MIN_WLEN} AND {_G_MAX_WLEN}
+               AS flag_word_len,
+           alpha_words * 1.0 / wc >= {_G_MIN_ALPHA} AS flag_alpha,
+           stop_hits >= {_G_MIN_STOP} AS flag_stop,
+           (wc BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+               AND (chars_no_ws * 1.0 / wc BETWEEN {_G_MIN_WLEN} AND {_G_MAX_WLEN})
+               AND (alpha_words * 1.0 / wc >= {_G_MIN_ALPHA})
+               AND (stop_hits >= {_G_MIN_STOP}) AS pass
+    FROM t ORDER BY doc_id
+    """,
+)
+def corpus_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    wc = F.size(ws_tokens).cast("long")
+    chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast(
+        "long"
+    )
+    alpha_words = F.size(
+        F.filter(ws_tokens, lambda t: t.rlike(r"\p{L}"))
+    ).cast("long")
+    stop_hits = stopword_hits(F.lower("text"), LANG_STOPWORDS["en"]).cast(
+        "long"
+    )
+    mean_wlen = chars_no_ws * F.lit(1.0) / wc
+    alpha_frac = alpha_words * F.lit(1.0) / wc
+    f_wc = wc.between(_G_MIN_WORDS, _G_MAX_WORDS)
+    f_wlen = mean_wlen.between(_G_MIN_WLEN, _G_MAX_WLEN)
+    f_alpha = alpha_frac >= _G_MIN_ALPHA
+    f_stop = stop_hits >= _G_MIN_STOP
+    return docs.select(
+        "doc_id",
+        wc.alias("wc"),
+        F.round(mean_wlen, 4).alias("mean_wlen"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        f_wc.alias("flag_word_count"),
+        f_wlen.alias("flag_word_len"),
+        f_alpha.alias("flag_alpha"),
+        f_stop.alias("flag_stop"),
+        (f_wc & f_wlen & f_alpha & f_stop).alias("pass"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Domain-level curation — per-domain stats + blocklist flag.  URL is
+# synthesized from (source, doc_id) arithmetic (the documents table has
+# no url column); domain extraction is a regex capture group, stats are
+# ONE hash aggregation on domain (cardinality << docs, partial agg
+# collapses the map side), and the blocklist is an explicitly
+# broadcast left join — at 100 TB the blocklist is a curated list of
+# maybe 10^5 domains, always broadcastable.
+# ---------------------------------------------------------------------------
+
+DOMAIN_RE = r"https?://([^/]+)/"
+_BLOCKLIST = (
+    "www.src0-3.example.com",
+    "www.src7-3.example.com",
+    "www.src19-9.example.com",
+)
+
+_URL_SQL = (
+    "'https://www.' || source || '-' || CAST(doc_id % 13 AS VARCHAR)"
+    " || '.example.com/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _url_spark() -> F.Column:
+    return F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+@_register(
+    "corpus_domain_curation",
+    f"""
+    WITH u AS (
+        SELECT doc_id, lang, n_chars, {_URL_SQL} AS url FROM documents
+    ),
+    d AS (
+        SELECT regexp_extract(url, '{DOMAIN_RE}', 1) AS domain,
+               lang, n_chars
+        FROM u
+    ),
+    agg AS (
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(AVG(n_chars), 2) AS avg_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM d GROUP BY domain
+    )
+    SELECT agg.domain, n_docs, avg_chars, n_langs,
+           b.domain IS NOT NULL AS blocked
+    FROM agg LEFT JOIN (VALUES {', '.join(f"('{b}')" for b in _BLOCKLIST)})
+        AS b(domain) ON agg.domain = b.domain
+    ORDER BY agg.domain
+    """,
+)
+def corpus_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    block = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(b,) for b in _BLOCKLIST], "blocked_domain string"
+        )
+    )
+    agg = (
+        docs.select(
+            F.regexp_extract(_url_spark(), DOMAIN_RE, 1).alias("domain"),
+            "lang",
+            "n_chars",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+    return (
+        agg.join(block, agg["domain"] == block["blocked_domain"], "left")
+        .select(
+            "domain",
+            "n_docs",
+            "avg_chars",
+            "n_langs",
+            F.col("blocked_domain").isNotNull().alias("blocked"),
+        )
+        .orderBy("domain")
+    )
