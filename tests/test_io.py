@@ -223,3 +223,18 @@ def test_orc_roundtrip_through_zone_and_upsert(spark, tmp_path):
         spark, path, spark.createDataFrame([(1,)], "id int"), ["id"], fmt="orc"
     ) == 1
     assert {r.id for r in read_table(spark, path, fmt="orc").collect()} == {2, 3}
+
+
+def test_read_write_orc_helpers_pushdown(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.io import read_orc, write_orc
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k", "CAST(id AS STRING) AS s")
+    path = str(tmp_path / "orc_direct")
+    write_orc(df, path, partition_by=["k"])
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    # partition pruning: only one of 7 partition dirs is scanned
+    pruned = back.filter("k = 3").select("id")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or pruned.count() == df.filter("id % 7 = 3").count()
+    assert pruned.count() == df.filter("id % 7 = 3").count()

@@ -86,3 +86,47 @@ def test_webcur_plans_stay_native(spark):
         plan = webcur.QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_semdedup_survivor_is_component_min(spark):
+    from vexere_lakehouse_pipeline_spark.operators.dedup import (
+        semantic_dedup_survivors,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = semantic_dedup_survivors(emb, threshold=0.3).collect()
+    assert len(out) == emb.count()
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for comp, members in by_comp.items():
+        ids = sorted(m["vec_id"] for m in members)
+        assert comp == ids[0]  # canonical label is the min id
+        survivors = [m for m in members if m["is_survivor"]]
+        assert len(survivors) == 1 and survivors[0]["vec_id"] == ids[0]
+
+
+def test_semdedup_kmeans_blocked_path(spark):
+    """The scale path: block on TRAINED k-means clusters instead of the
+    label column — shape invariants only (centroid floats are not
+    oracle-stable)."""
+    from vexere_lakehouse_pipeline_spark.operators.dedup import (
+        semantic_dedup_survivors,
+    )
+    from vexere_lakehouse_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        train_kmeans,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = train_kmeans(emb, k=4, iters=2)
+    blocked = kmeans_assign(emb, cents).withColumnRenamed("cluster", "kblock")
+    out = semantic_dedup_survivors(
+        blocked, block_col="kblock", threshold=0.3
+    )
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    n_survivors = sum(1 for r in rows if r["is_survivor"])
+    assert 0 < n_survivors <= len(rows)
+    # survivors are exactly the distinct component ids
+    assert n_survivors == len({r["component_id"] for r in rows})

@@ -86,6 +86,11 @@ PROBES = [
     ("er_sorted_neighborhood_matches", {"customer": ["c_custkey"]}),
     ("stats_function_showcase", {"lineitem": ["l_orderkey"]}),
     ("events_sliding_windows", {"events": ["event_id", "user_id"]}),
+    ("text_pii_scrub_report", {"documents": ["doc_id"]}),
+    ("text_html_strip", {"documents": ["doc_id"]}),
+    ("corpus_gopher_quality_flags", {"documents": ["doc_id"]}),
+    ("corpus_domain_curation", {"documents": ["doc_id"]}),
+    ("dedup_semdedup_survivors", {"embeddings": ["vec_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
     # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
     # row ceiling); the scale path is knn_graph(strategy='lsh'), whose

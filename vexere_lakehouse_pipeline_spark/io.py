@@ -101,3 +101,30 @@ def read_text_corpus(spark: SparkSession, path: str,
         F.col("_metadata.file_path").alias("path"),
         F.col("value").alias("text"),
     )
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None,
+             merge_schema: bool = False) -> DataFrame:
+    """ORC scan — the columnar alternative where the lake standard is
+    ORC rather than parquet (Hive-heritage warehouses).  Same engine
+    guarantees as the parquet path: predicate pushdown, column pruning,
+    and vectorized reads all apply (Spark's native OrcFileFormat);
+    ``merge_schema`` tolerates drift across files like the parquet
+    ingest path (operators/incremental.py)."""
+    reader = spark.read.option("mergeSchema", merge_schema)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None,
+              compression: str = "zstd") -> None:
+    """ORC sink with zstd compression (the modern default: snappy-class
+    speed at better ratios).  Partitioning semantics identical to the
+    parquet zone sinks."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -796,3 +796,43 @@ def incremental_candidate_pairs(batch: DataFrame, corpus: DataFrame,
         .select("doc_new", "doc_old")
         .distinct()
     )
+
+
+def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             block_col: str = "label",
+                             threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): cluster-blocked pairwise cosine -> near-dup groups ->
+    one survivor per group.
+
+    ``block_col`` is the cluster assignment — a k-means cluster id at
+    scale (operators/similarity.py:train_kmeans/kmeans_assign), any
+    deterministic partition for oracle checking.  Pairs with cosine >=
+    ``threshold`` inside a block form edges; connected components give
+    the duplicate groups; the survivor is the group's MIN id (the
+    paper keeps low-centroid-similarity exemplars — id-min is the
+    deterministic variant, the centroid rule is float-accumulation-
+    order-sensitive and pinned in tests instead).
+
+    Scale: the block self-join is quadratic PER BLOCK only (k-means k
+    is chosen so blocks are ~|N|/k; SemDeDup runs at k ~ 10^5 for
+    10^8 docs), CC is O(log diameter) shuffles — no all-pairs stage.
+    Output: (vec_id, component_id, is_survivor).
+    """
+    pairs = embedding_neardup_pairs(
+        emb, vec_col=vec_col, id_col=id_col, block_col=block_col,
+        threshold=threshold,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    comp = connected_components(pairs)
+    all_ids = emb.select(F.col(id_col).alias("vec_id"))
+    return (
+        all_ids.join(comp, all_ids.vec_id == comp.doc_id, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component_id"), F.col("vec_id")).alias(
+                "component_id"
+            ),
+        )
+        .withColumn("is_survivor", F.col("vec_id") == F.col("component_id"))
+    )

@@ -34,7 +34,9 @@ from vexere_lakehouse_pipeline_spark.functions.text import (
     stopword_hits,
     stopword_hits_sql,
 )
+from vexere_lakehouse_pipeline_spark.operators import dedup
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
+from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_COS, _DUCK_EMB
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -404,3 +406,48 @@ def corpus_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup survivors (operators/dedup.py:
+# semantic_dedup_survivors).  The oracle blocks on the deterministic
+# `label` column (at scale the block is a trained k-means cluster id;
+# that path's recall/shape is pinned in tests) and replays the whole
+# pairs -> connected-components -> min-id-survivor pipeline as a
+# recursive CTE — any bug in the blocked join, the threshold, label
+# propagation, or survivor selection breaks the hash.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.3
+
+
+@_register(
+    "dedup_semdedup_survivors",
+    f"""
+    WITH RECURSIVE e AS ({_DUCK_EMB}),
+    pairs AS (
+        SELECT a.vec_id AS u, b.vec_id AS v
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_DUCK_COS.format(a="a.v", b="b.v")} >= {_SEMDEDUP_TAU}
+    ),
+    undirected AS (
+        SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN undirected e2 ON e2.u = r.v
+    ),
+    comp AS (SELECT u AS vec_id, MIN(v) AS component_id FROM reach GROUP BY u)
+    SELECT emb.vec_id,
+           COALESCE(c.component_id, emb.vec_id) AS component_id,
+           emb.vec_id = COALESCE(c.component_id, emb.vec_id) AS is_survivor
+    FROM embeddings emb LEFT JOIN comp c ON c.vec_id = emb.vec_id
+    ORDER BY emb.vec_id
+    """,
+)
+def dedup_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_survivors(
+        emb, threshold=_SEMDEDUP_TAU
+    ).orderBy("vec_id")
