@@ -130,3 +130,17 @@ def test_semdedup_kmeans_blocked_path(spark):
     assert 0 < n_survivors <= len(rows)
     # survivors are exactly the distinct component ids
     assert n_survivors == len({r["component_id"] for r in rows})
+
+
+def test_sentence_dedup_reassembly(spark):
+    out = webcur.QUERIES["corpus_sentence_dedup"](spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    joined = {r["doc_id"]: r for r in out.collect()}
+    for d in docs.collect():
+        r = joined[d["doc_id"]]
+        assert 0 <= r["n_dropped"] <= r["n_sents"]
+        if r["n_dropped"] == 0:
+            # nothing dropped -> clean text is exactly the tokenized doc
+            toks = [t for t in __import__("re").split(
+                r"[^\w]+", d["text"].lower()) if t]
+            assert r["clean_text"].split(" ") == toks

@@ -33,6 +33,7 @@ from vexere_lakehouse_pipeline_spark.functions.text import (
     LANG_STOPWORDS,
     stopword_hits,
     stopword_hits_sql,
+    tokenize,
 )
 from vexere_lakehouse_pipeline_spark.operators import dedup
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
@@ -451,3 +452,109 @@ def dedup_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup_survivors(
         emb, threshold=_SEMDEDUP_TAU
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Sentence-level dedup (C4 / CCNet style): split each doc into
+# fixed-width token "sentences", count each sentence's corpus-wide
+# frequency, drop the boilerplate ones (frequency > threshold), and
+# reassemble the surviving text in order.
+#
+# Plan shape at 100 TB (the industrial shape C4 used): explode to the
+# sentence table [no shuffle], frequency = ONE hash aggregation on the
+# sentence hash (partial agg collapses the map side), join sentences
+# to their frequency [shuffle on hash — both sides already hash-
+# partitioned from the agg], reassemble = ONE aggregation on doc_id.
+# Per-doc sentence totals come from arithmetic on the token count, not
+# a second scan or count.
+# ---------------------------------------------------------------------------
+
+_SENT_W = 4          # tokens per sentence
+_SENT_MAX_FREQ = 2   # sentences seen more often than this are dropped
+
+
+@_register(
+    "corpus_sentence_dedup",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                  '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') AS w
+               FROM documents),
+    nc AS (SELECT doc_id, w,
+                  CAST(ceil(len(w) * 1.0 / {_SENT_W}) AS BIGINT) AS n_sents
+           FROM t WHERE len(w) > 0),
+    ex AS (SELECT doc_id, n_sents,
+                  CAST(unnest(range(0, n_sents)) AS BIGINT) AS sent_idx,
+                  array_to_string(
+                      w[CAST(unnest(range(0, n_sents)) AS BIGINT) * {_SENT_W} + 1
+                        : CAST(unnest(range(0, n_sents)) AS BIGINT) * {_SENT_W} + {_SENT_W}],
+                      ' ') AS sent
+           FROM nc),
+    freq AS (SELECT md5(sent) AS h, COUNT(*) AS c FROM ex GROUP BY md5(sent)),
+    kept AS (SELECT ex.doc_id, ex.n_sents, ex.sent_idx, ex.sent
+             FROM ex JOIN freq ON md5(ex.sent) = freq.h
+             WHERE freq.c <= {_SENT_MAX_FREQ})
+    SELECT nc.doc_id,
+           nc.n_sents,
+           nc.n_sents - COALESCE(k.n_kept, 0) AS n_dropped,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM nc LEFT JOIN (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(sent, ' ' ORDER BY sent_idx) AS clean_text
+        FROM kept GROUP BY doc_id
+    ) k ON k.doc_id = nc.doc_id
+    ORDER BY nc.doc_id
+    """,
+)
+def corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", tokenize("text").alias("w"))
+        .withColumn("n", F.size("w").cast("long"))
+        .filter(F.col("n") > 0)
+    )
+    nc = t.withColumn(
+        "n_sents", F.ceil(F.col("n") * 1.0 / _SENT_W).cast("long")
+    )
+    ex = nc.select(
+        "doc_id",
+        "n_sents",
+        F.explode(F.expr("sequence(0, n_sents - 1)")).alias("sent_idx"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "n_sents",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("sent_idx") * _SENT_W + 1, _SENT_W), " "
+        ).alias("sent"),
+    )
+    freq = ex.groupBy(F.md5("sent").alias("h")).agg(F.count("*").alias("c"))
+    kept = (
+        ex.join(freq, F.md5(ex.sent) == freq.h)
+        .filter(F.col("c") <= _SENT_MAX_FREQ)
+        .select("doc_id", "sent_idx", "sent")
+    )
+    re = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_idx", "sent"))),
+                lambda s: s.sent,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        nc.select("doc_id", "n_sents")
+        .join(re, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_sents",
+            (F.col("n_sents") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
