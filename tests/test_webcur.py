@@ -144,3 +144,31 @@ def test_sentence_dedup_reassembly(spark):
             toks = [t for t in __import__("re").split(
                 r"[^\w]+", d["text"].lower()) if t]
             assert r["clean_text"].split(" ") == toks
+
+
+def test_apply_cdc_changes_semantics(spark):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        apply_cdc_changes,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", -1), (2, "b", -1), (3, "c", -1)],
+        "k long, v string, seq long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a1", 10, "U"),   # upsert over base
+            (1, "a2", 20, "U"),   # later seq wins
+            (2, "xx", 5, "D"),    # delete
+            (4, "d", 7, "U"),     # insert of a new key
+            (5, "e", 1, "U"),
+            (5, "e2", 2, "D"),    # insert then delete -> absent
+        ],
+        "k long, v string, seq long, op string",
+    )
+    out = {r["k"]: r for r in apply_cdc_changes(
+        base, changes, keys=["k"], seq_col="seq").collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["v"] == "a2" and out[1]["seq"] == 20
+    assert out[3]["v"] == "c" and out[3]["seq"] == -1  # untouched
+    assert out[4]["v"] == "d"

@@ -523,3 +523,37 @@ def forget_keys(spark: SparkSession, path: str, keys_df: DataFrame,
         ).save(path)
         spark.catalog.refreshByPath(path)
     return n_matched
+
+
+def apply_cdc_changes(base: DataFrame, changes: DataFrame,
+                      keys: list[str], seq_col: str, op_col: str = "op",
+                      delete_op: str = "D") -> DataFrame:
+    """APPLY CHANGES semantics (the Delta CDC / DLT apply_changes
+    contract) as a batch operator: fold a keyed change stream into a
+    base snapshot.
+
+    Per key, the change with the highest ``seq_col`` wins (callers
+    needing a tiebreak pass a struct/derived column); a winning
+    ``delete_op`` removes the key, any other op upserts the change
+    row's payload.  Base rows whose key never appears in ``changes``
+    pass through untouched.
+
+    Plan shape: ONE window (shuffle on keys) to pick each key's last
+    change + ONE left-anti join of base against the change keys
+    (shuffle on the same keys — co-partitioned with the window
+    exchange, so AQE reuses the partitioning).  No iteration, no
+    driver state; at 100 TB both exchanges are on the merge key,
+    exactly the shape Delta's MERGE executes.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    surviving = last.filter(F.col(op_col) != delete_op).drop(op_col)
+    untouched = base.join(changes.select(*keys).distinct(), on=keys,
+                          how="left_anti")
+    return untouched.unionByName(surviving)

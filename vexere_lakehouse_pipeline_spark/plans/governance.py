@@ -1507,3 +1507,83 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_b"),
         F.expr(f"CAST(ROUND({z}, 6) AS DOUBLE)").alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC APPLY CHANGES (operators/incremental.py:apply_cdc_changes) — fold
+# a keyed change stream into a base snapshot: last change per key by
+# sequence wins, deletes remove, untouched base rows pass through.
+# The change stream is the events table (event_type='error' plays the
+# delete op); the base is the even-thirds of the user space plus a
+# shifted synthetic block that no change ever touches, so all three
+# code paths (upsert / delete / pass-through) are exercised and the
+# oracle pins each.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "cdc_apply_user_state",
+    """
+    WITH base AS (
+        SELECT DISTINCT user_id, CAST(0.0 AS DOUBLE) AS balance,
+               CAST(-1 AS BIGINT) AS seq
+        FROM events WHERE user_id % 3 = 0
+        UNION ALL
+        SELECT DISTINCT user_id + 1000000, CAST(0.0 AS DOUBLE),
+               CAST(-1 AS BIGINT)
+        FROM events WHERE user_id % 5 = 0
+    ),
+    ch AS (
+        SELECT user_id, ROUND(value, 2) AS balance, event_id AS seq,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events
+    ),
+    last AS (
+        SELECT user_id, balance, seq, op FROM (
+            SELECT ch.*, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY seq DESC) AS rn
+            FROM ch
+        ) WHERE rn = 1
+    ),
+    surv AS (SELECT user_id, balance, seq FROM last WHERE op <> 'D'),
+    unt AS (
+        SELECT b.user_id, b.balance, b.seq FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.user_id = b.user_id)
+    )
+    SELECT user_id, balance, seq FROM unt
+    UNION ALL SELECT user_id, balance, seq FROM surv
+    ORDER BY user_id
+    """,
+)
+def cdc_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        apply_cdc_changes,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = (
+        events.filter(F.col("user_id") % 3 == 0)
+        .select("user_id").distinct()
+        .select(
+            "user_id",
+            F.lit(0.0).alias("balance"),
+            F.lit(-1).cast("long").alias("seq"),
+        )
+        .unionByName(
+            events.filter(F.col("user_id") % 5 == 0)
+            .select((F.col("user_id") + 1000000).alias("user_id")).distinct()
+            .select(
+                "user_id",
+                F.lit(0.0).alias("balance"),
+                F.lit(-1).cast("long").alias("seq"),
+            )
+        )
+    )
+    changes = events.select(
+        "user_id",
+        F.round("value", 2).alias("balance"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    return apply_cdc_changes(
+        base, changes, keys=["user_id"], seq_col="seq"
+    ).orderBy("user_id")
