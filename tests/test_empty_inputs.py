@@ -137,3 +137,39 @@ def test_split_leakage_and_nucleus_on_empty(spark):
 
     docs = _empty_docs(spark)
     assert split_leakage(docs).count() == 0
+
+
+def test_webcur_and_cdc_ops_on_empty(spark):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        apply_cdc_changes,
+    )
+    from vexere_lakehouse_pipeline_spark.plans.webcur import (
+        html_to_text,
+        scrub_pii_report,
+    )
+
+    docs = _empty_docs(spark)
+    assert scrub_pii_report(docs).count() == 0
+    assert docs.select(html_to_text(F.col("text")).alias("t")).count() == 0
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    out = dedup.semantic_dedup_survivors(emb)
+    assert out.count() == 0
+    assert set(out.columns) == {"vec_id", "component_id", "is_survivor"}
+
+    base = spark.createDataFrame([(1, "a", -1)], "k long, v string, seq long")
+    empty_ch = spark.createDataFrame(
+        [], "k long, v string, seq long, op string"
+    )
+    # empty change stream -> base passes through unchanged
+    got = apply_cdc_changes(base, empty_ch, keys=["k"], seq_col="seq").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, "a")]
+    # empty base -> only surviving changes
+    empty_base = spark.createDataFrame([], "k long, v string, seq long")
+    ch = spark.createDataFrame(
+        [(2, "b", 1, "U"), (3, "c", 1, "D")], "k long, v string, seq long, op string"
+    )
+    got2 = apply_cdc_changes(empty_base, ch, keys=["k"], seq_col="seq").collect()
+    assert [(r["k"], r["v"]) for r in got2] == [(2, "b")]
