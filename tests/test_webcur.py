@@ -172,3 +172,22 @@ def test_apply_cdc_changes_semantics(spark):
     assert out[1]["v"] == "a2" and out[1]["seq"] == 20
     assert out[3]["v"] == "c" and out[3]["seq"] == -1  # untouched
     assert out[4]["v"] == "d"
+
+
+def test_wav_roundtrip_and_quarantine_contract():
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        wav_decode,
+    )
+
+    samples = [(i * 37) % 256 for i in range(100)]
+    rate, ch, bits, n, dur, s, peak = wav_decode(encode_wav(8000, samples))
+    assert (rate, ch, bits, n) == (8000, 1, 8, 100)
+    assert dur == 100 * 1000 // 8000
+    assert s == sum(samples) and peak == max(samples)
+    assert wav_decode(b"") == (0,) * 7  # null-payload contract
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxWAVE")  # truncated: no fmt/data
+    with _pytest.raises(ValueError):
+        wav_decode(b"not audio at all....................................")

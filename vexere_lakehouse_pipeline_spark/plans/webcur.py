@@ -558,3 +558,69 @@ def corpus_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal audio plumbing through the oracle gate: a deterministic
+# 8-bit PCM WAV payload is synthesized per doc (Arrow-batched Python —
+# this IS the binary-column path), decoded by the zero-dependency
+# wav_decode through extract_audio_stats (mapInPandas), and the oracle
+# recomputes every integer stat closed-form from the same doc_id
+# arithmetic — so a bug anywhere in encode, chunk walking, or the
+# Arrow batch shape breaks the hash.  The image twin is
+# multimodal_payload_stats (BMP, plans/star_ml.py).
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+@_register(
+    "multimodal_wav_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS media_id,
+               64 + doc_id % 64 AS n,
+               list_transform(range(0, 64 + doc_id % 64),
+                              i -> (doc_id * 31 + i * 7) % 256) AS s
+        FROM documents
+    )
+    SELECT media_id,
+           {_WAV_RATE} AS sample_rate,
+           1 AS n_channels,
+           8 AS bits,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // {_WAV_RATE} AS BIGINT) AS duration_ms,
+           CAST(list_aggregate(s, 'sum') AS BIGINT) AS sum_samples,
+           CAST(list_aggregate(s, 'max') AS INTEGER) AS peak
+    FROM t ORDER BY media_id
+    """,
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = [
+                encode_wav(
+                    _WAV_RATE,
+                    [(int(d) * 31 + i * 7) % 256
+                     for i in range(64 + int(d) % 64)],
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return extract_audio_stats(media).orderBy("media_id")
