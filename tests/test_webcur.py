@@ -191,3 +191,21 @@ def test_wav_roundtrip_and_quarantine_contract():
         wav_decode(b"RIFFxxxxWAVE")  # truncated: no fmt/data
     with _pytest.raises(ValueError):
         wav_decode(b"not audio at all....................................")
+
+
+def test_normalize_unicode_chain(spark):
+    from vexere_lakehouse_pipeline_spark.functions.text import (
+        normalize_unicode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "﻿“q” – a…​"),
+         (2, "‘x’ y"),
+         (3, None)],
+        "id long, t string",
+    )
+    out = {r["id"]: r["c"] for r in df.select(
+        "id", normalize_unicode("t").alias("c")).collect()}
+    assert out[1] == '"q" - a...'
+    assert out[2] == "'x' y"
+    assert out[3] is None

@@ -220,3 +220,43 @@ def document_fingerprint(col: Column | str, n: int = 5) -> Column:
     the standard rolling-hash fingerprint reduced to its minimum
     selection."""
     return F.array_min(F.transform(word_shingles(col, n), F.md5))
+
+
+# Unicode scrub table: the invisible/typographic characters a web
+# corpus carries that tokenizers and dedup hashes must not see.
+# Literal replace() pairs (ordered) — engine-portable because no regex
+# replacement-metacharacter rules apply.  (ellipsis first: its
+# replacement introduces '.', which no later rule touches.)
+UNICODE_SCRUB: tuple[tuple[str, str], ...] = (
+    ("…", "..."),   # horizontal ellipsis
+    ("﻿", ""),      # BOM / zero-width no-break space
+    ("​", ""),      # zero-width space
+    ("‌", ""),      # zero-width non-joiner
+    ("‍", ""),      # zero-width joiner
+    (" ", " "),     # no-break space
+    ("‘", "'"),     # left single quote
+    ("’", "'"),     # right single quote
+    ("“", '"'),     # left double quote
+    ("”", '"'),     # right double quote
+    ("–", "-"),     # en dash
+    ("—", "-"),     # em dash
+)
+
+
+def normalize_unicode(col: Column | str) -> Column:
+    """Apply the UNICODE_SCRUB table as an ordered literal-replace
+    chain (pure Column projection, codegen'd)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for src, dst in UNICODE_SCRUB:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def normalize_unicode_sql(expr: str) -> str:
+    """DuckDB SQL computing exactly :func:`normalize_unicode`."""
+    out = expr
+    for src, dst in UNICODE_SCRUB:
+        s = src.replace("'", "''")
+        d = dst.replace("'", "''")
+        out = f"replace({out}, '{s}', '{d}')"
+    return out

@@ -624,3 +624,78 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, payload binary"
     )
     return extract_audio_stats(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Unicode scrub — zero-width characters, typographic quotes/dashes,
+# NBSP: the invisible noise a web crawl carries that silently breaks
+# tokenization and dedup hashing.  A deterministic noisy wrapper is
+# synthesized per doc (three variants by doc_id % 3, so the scrub's
+# effect VARIES per row) and normalized by the ordered literal-replace
+# chain in functions/text.py (one projection, zero shuffles, zero
+# Python).
+# ---------------------------------------------------------------------------
+
+from vexere_lakehouse_pipeline_spark.functions.text import (  # noqa: E402
+    normalize_unicode,
+    normalize_unicode_sql,
+)
+
+_NOISY_SPARK_PARTS = {
+    0: ("﻿“q” – ", "…​"),
+    1: ("‘x’ ", "‌‍"),
+    2: ("", ""),
+}
+
+
+def _noisy_spark() -> F.Column:
+    d = F.col("doc_id") % 3
+    out = F.when(
+        d == 0,
+        F.concat(
+            F.lit(_NOISY_SPARK_PARTS[0][0]),
+            F.col("text"),
+            F.lit(_NOISY_SPARK_PARTS[0][1]),
+        ),
+    ).when(
+        d == 1,
+        F.concat(
+            F.lit(_NOISY_SPARK_PARTS[1][0]),
+            F.col("text"),
+            F.lit(_NOISY_SPARK_PARTS[1][1]),
+        ),
+    ).otherwise(F.col("text"))
+    return out
+
+
+_NOISY_SQL = (
+    "CASE doc_id % 3 "
+    f"WHEN 0 THEN '{_NOISY_SPARK_PARTS[0][0]}' || text || '{_NOISY_SPARK_PARTS[0][1]}' "
+    f"WHEN 1 THEN '{_NOISY_SPARK_PARTS[1][0]}' || text || '{_NOISY_SPARK_PARTS[1][1]}' "
+    "ELSE text END"
+)
+
+
+@_register(
+    "text_unicode_scrub",
+    f"""
+    WITH raw AS (SELECT doc_id, {_NOISY_SQL} AS noisy FROM documents)
+    SELECT doc_id,
+           CAST(length(noisy) AS BIGINT) AS len_before,
+           CAST(length({normalize_unicode_sql('noisy')}) AS BIGINT)
+               AS len_after,
+           {normalize_unicode_sql('noisy')} AS clean_text
+    FROM raw ORDER BY doc_id
+    """,
+)
+def text_unicode_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _noisy_spark().alias("noisy"))
+    return raw.select(
+        "doc_id",
+        F.length("noisy").cast("long").alias("len_before"),
+        F.length(normalize_unicode(F.col("noisy"))).cast("long").alias(
+            "len_after"
+        ),
+        normalize_unicode(F.col("noisy")).alias("clean_text"),
+    ).orderBy("doc_id")
