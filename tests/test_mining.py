@@ -247,3 +247,18 @@ def test_mad_outliers_flag_matches_definition(spark):
         med, mad = meds.pop(), mads.pop()
         for r in rs:
             assert r.is_outlier == (abs(r.n_chars - med) > 3 * mad)
+
+
+def test_bpe_merge_step_shape(spark):
+    from vexere_lakehouse_pipeline_spark.plans import mining
+
+    out = mining.QUERIES["corpus_bpe_merge_step"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert 0 < len(out) <= 20
+    mp = {r["merged_pair"] for r in out}
+    assert len(mp) == 1 and len(mp.pop()) == 2  # one 2-char merge chosen
+    ns = [r["n"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+    for r in out:
+        assert "+" in r["pair"]  # post-merge pairs are symbol pairs

@@ -95,6 +95,7 @@ PROBES = [
     ("cdc_apply_user_state", {"events": ["event_id", "user_id"]}),
     ("multimodal_wav_stats", {"documents": ["doc_id"]}),
     ("text_unicode_scrub", {"documents": ["doc_id"]}),
+    ("corpus_bpe_merge_step", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
     # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
     # row ceiling); the scale path is knn_graph(strategy='lsh'), whose

@@ -612,3 +612,131 @@ def window_spend_quartiles_distributed(
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge STEP — the full train-loop body, not just the statistics:
+# build the distinct-word frequency table (the trainer's working set —
+# all later work is weighted by word count, never per-occurrence),
+# count weighted adjacent char pairs, pick the top merge (count desc,
+# pair asc — deterministic), APPLY it to every word's spaced symbol
+# string (leftmost non-overlapping replace = BPE's greedy-left
+# application; replace() is leftmost non-overlapping in both engines),
+# and recount the post-merge pair table.  Composing this step k times
+# is exactly BPE training; one step through the oracle gate pins the
+# whole loop body.
+#
+# Scale: distinct-word table is vocabulary-sized (≪ corpus); two
+# shuffles (pair agg before, pair agg after); the 1-row top merge is a
+# broadcast cross join, never a driver collect.
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_bpe_merge_step",
+    f"""
+    WITH tok AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+        WHERE length(token) >= 2 GROUP BY token
+    ),
+    pc AS (
+        SELECT pair, SUM(c) AS n FROM (
+            SELECT unnest(list_transform(range(1, length(token)),
+                          i -> substr(token, CAST(i AS INTEGER), 2))) AS pair,
+                   c
+            FROM tok
+        ) GROUP BY pair
+    ),
+    top1 AS (SELECT pair AS merged_pair FROM pc
+             ORDER BY n DESC, pair LIMIT 1),
+    sym AS (
+        SELECT ' ' || regexp_replace(token, '(.)', '\\1 ', 'g') AS s, c
+        FROM tok
+    ),
+    merged AS (
+        SELECT replace(s,
+                       ' ' || substr(merged_pair, 1, 1) || ' '
+                           || substr(merged_pair, 2, 1) || ' ',
+                       ' ' || merged_pair || ' ') AS s,
+               c, merged_pair
+        FROM sym, top1
+    ),
+    post AS (
+        SELECT merged_pair, pair, SUM(c) AS n FROM (
+            SELECT merged_pair, c,
+                   unnest(list_transform(range(1, len(a)),
+                          i -> a[CAST(i AS INTEGER)] || '+'
+                               || a[CAST(i AS INTEGER) + 1])) AS pair
+            FROM (SELECT merged_pair, c,
+                         list_filter(string_split(trim(s), ' '),
+                                     x -> x <> '') AS a
+                  FROM merged)
+        ) GROUP BY merged_pair, pair
+    )
+    SELECT merged_pair, pair, n FROM post
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(tokenize("text")).alias("token"))
+        .filter(F.length("token") >= 2)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pc = (
+        tok.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(token) - 1),"
+                    " i -> substring(token, i, 2))"
+                )
+            ).alias("pair"),
+            "c",
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+    )
+    top1 = pc.orderBy(F.desc("n"), "pair").limit(1).select(
+        F.col("pair").alias("merged_pair")
+    )
+    sym = tok.select(
+        F.concat(F.lit(" "), F.regexp_replace("token", "(.)", "$1 ")).alias(
+            "s"
+        ),
+        "c",
+    )
+    merged = sym.crossJoin(F.broadcast(top1)).select(
+        F.replace(
+            F.col("s"),
+            F.concat(
+                F.lit(" "),
+                F.substring("merged_pair", 1, 1),
+                F.lit(" "),
+                F.substring("merged_pair", 2, 1),
+                F.lit(" "),
+            ),
+            F.concat(F.lit(" "), F.col("merged_pair"), F.lit(" ")),
+        ).alias("s"),
+        "c",
+        "merged_pair",
+    )
+    post = (
+        merged.select(
+            "merged_pair",
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(filter(split(trim(s), ' '),"
+                    " x -> x != '')) - 1),"
+                    " i -> concat(element_at(filter(split(trim(s), ' '),"
+                    " x -> x != ''), i), '+',"
+                    " element_at(filter(split(trim(s), ' '), x -> x != ''),"
+                    " i + 1)))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("merged_pair", "pair")
+        .agg(F.sum("c").alias("n"))
+    )
+    return post.orderBy(F.desc("n"), "pair").limit(20)
