@@ -478,3 +478,27 @@ def test_ab_ztest_matches_hand_computation(spark):
     p = 3 / 5
     z = (2 / 3 - 1 / 2) / math.sqrt(p * (1 - p) * (1 / 3 + 1 / 2))
     assert abs(r["z_score"] - round(z, 6)) < 1e-9
+
+
+def test_hard_negatives_cross_label_and_ceiling(spark):
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    out = similarity.hard_negative_candidates(emb, k=2).collect()
+    for r in out:
+        assert labels[r["src"]] != labels[r["neg"]]
+        assert 1 <= r["rnk"] <= 2
+    # every src gets exactly k negatives (cross-label candidates exist)
+    from collections import Counter
+    per_src = Counter(r["src"] for r in out)
+    assert set(per_src.values()) == {2}
+
+    import pytest as _pytest
+    big = similarity.MAX_EXACT_KNN_ROWS
+    try:
+        similarity.MAX_EXACT_KNN_ROWS = 3
+        with _pytest.raises(ValueError):
+            similarity.hard_negative_candidates(emb, k=2)
+    finally:
+        similarity.MAX_EXACT_KNN_ROWS = big

@@ -531,3 +531,59 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def hard_negative_candidates(emb: DataFrame, k: int = 2,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    top-``k`` most-similar neighbors with a DIFFERENT label — the
+    "looks alike, isn't" examples a contrastive loss learns most from.
+
+    Exact strategy with the same enforced ceiling as exact k-NN
+    (pairwise scoring is O(N²)); at corpus scale run it per LSH bucket
+    or per k-means cluster exactly like ``knn_graph(strategy='lsh')`` —
+    the label filter composes with any blocked pair generator.
+    Returns (src, neg, cos_sim, rnk).
+    """
+    from pyspark.sql import Window
+
+    from vexere_lakehouse_pipeline_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+
+    n = emb.count()
+    if n > MAX_EXACT_KNN_ROWS:
+        raise ValueError(
+            f"exact hard-negative mining is O(N^2); {n} rows exceeds the "
+            f"{MAX_EXACT_KNN_ROWS} ceiling — block by LSH bucket/cluster"
+        )
+    a = emb.select(
+        F.col(id_col).alias("src"),
+        F.col(label_col).alias("label_a"),
+        F.col(vec_col).alias("emb_a"),
+        l2_norm(vec_col).alias("norm_a"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("neg"),
+        F.col(label_col).alias("label_b"),
+        F.col(vec_col).alias("emb_b"),
+        l2_norm(vec_col).alias("norm_b"),
+    )
+    scored = (
+        a.join(b, F.col("label_a") != F.col("label_b"))
+        .select(
+            "src",
+            "neg",
+            F.round(
+                cosine_from_norms("emb_a", "emb_b", "norm_a", "norm_b"), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "neg")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

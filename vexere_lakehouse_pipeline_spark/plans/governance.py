@@ -1587,3 +1587,34 @@ def cdc_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc_changes(
         base, changes, keys=["user_id"], seq_col="seq"
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (operators/similarity.py:hard_negative_candidates)
+# — top-k most-similar CROSS-label neighbors per vector, the
+# contrastive-training counterpart of sim_knn_graph.  Exact on the
+# gate corpus (ceiling enforced); blocked per LSH bucket/cluster at
+# scale.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "sim_hard_negatives",
+    f"""
+    WITH e AS ({_DUCK_EMB}),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS neg,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.label <> b.label
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, neg) AS rnk
+        FROM scored
+    )
+    SELECT src, neg, cos_sim, rnk FROM ranked WHERE rnk <= 2
+    ORDER BY src, rnk
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_candidates(emb, k=2).orderBy("src", "rnk")
