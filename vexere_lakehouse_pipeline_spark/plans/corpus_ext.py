@@ -240,11 +240,11 @@ _PACK_CTX = 128
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS start_offset
           FROM t WHERE n_tokens > 0)
-    SELECT doc_id, n_tokens, start_offset,
-           start_offset // {_PACK_CTX} AS start_chunk,
-           (start_offset + n_tokens - 1) // {_PACK_CTX} AS end_chunk,
-           (start_offset + n_tokens - 1) // {_PACK_CTX}
-             - start_offset // {_PACK_CTX} + 1 AS n_chunks
+    SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {_PACK_CTX} AS BIGINT) AS start_chunk,
+           CAST((start_offset + n_tokens - 1) // {_PACK_CTX} AS BIGINT) AS end_chunk,
+           CAST((start_offset + n_tokens - 1) // {_PACK_CTX}
+             - start_offset // {_PACK_CTX} + 1 AS BIGINT) AS n_chunks
     FROM o ORDER BY doc_id
     """,
 )
@@ -358,7 +358,7 @@ _BUDGET_NUM, _BUDGET_DEN = 2, 5  # keep while cum_tokens/total <= 2/5
                    + n_tokens AS cum_tokens
           FROM f),
     tot AS (SELECT SUM(n_tokens) AS total_tokens FROM f)
-    SELECT doc_id, quality, n_tokens, cum_tokens
+    SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
     FROM o, tot
     WHERE (cum_tokens - n_tokens) * {_BUDGET_DEN} < total_tokens * {_BUDGET_NUM}
     ORDER BY doc_id

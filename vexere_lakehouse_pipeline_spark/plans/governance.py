@@ -695,8 +695,8 @@ _DRIFT_A, _DRIFT_B = "src0", "src1"
     ),
     counts AS (
         SELECT bucket,
-               SUM(CASE WHEN source = '{_DRIFT_A}' THEN 1 ELSE 0 END) AS n_a,
-               SUM(CASE WHEN source = '{_DRIFT_B}' THEN 1 ELSE 0 END) AS n_b
+               CAST(SUM(CASE WHEN source = '{_DRIFT_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN source = '{_DRIFT_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
         FROM scored GROUP BY bucket
     ),
     tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts),
@@ -1049,7 +1049,7 @@ _FINAL_NUM, _FINAL_DEN = 3, 5  # greedy: enter while spent/total < 3/5
         FROM surv
     ),
     tot AS (SELECT SUM(n_chars) AS t FROM surv)
-    SELECT doc_id, component_id, n_chars, cum_chars
+    SELECT doc_id, component_id, n_chars, CAST(cum_chars AS BIGINT) AS cum_chars
     FROM o, tot WHERE (cum_chars - n_chars) * {_FINAL_DEN} < t * {_FINAL_NUM}
     ORDER BY doc_id
     """,

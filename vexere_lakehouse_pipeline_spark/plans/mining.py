@@ -672,7 +672,7 @@ def window_spend_quartiles_distributed(
                   FROM merged)
         ) GROUP BY merged_pair, pair
     )
-    SELECT merged_pair, pair, n FROM post
+    SELECT merged_pair, pair, CAST(n AS BIGINT) AS n FROM post
     ORDER BY n DESC, pair LIMIT 20
     """,
 )
