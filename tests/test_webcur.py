@@ -209,3 +209,29 @@ def test_normalize_unicode_chain(spark):
     assert out[1] == '"q" - a...'
     assert out[2] == "'x' y"
     assert out[3] is None
+
+
+def test_embedding_block_cap_drops_oversized(spark):
+    from vexere_lakehouse_pipeline_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    # one giant block (0) and one small block (1)
+    rows = [(i, [1.0, 0.0], 0) for i in range(50)] + [
+        (100, [0.0, 1.0], 1), (101, [0.0, 1.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pairs = embedding_neardup_pairs(emb, threshold=0.9, max_block_size=10)
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}  # oversized block contributes no pairs
+    out = semantic_dedup_survivors(emb, threshold=0.9, max_block_size=10)
+    rows_out = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows_out) == 52  # every vector still present
+    for i in range(50):
+        assert rows_out[i]["is_survivor"]  # dropped block -> singletons
+    assert rows_out[100]["is_survivor"] and not rows_out[101]["is_survivor"]
+    # uncapped: the giant block pairs up
+    assert embedding_neardup_pairs(
+        emb, threshold=0.9, max_block_size=None).count() == 50 * 49 // 2 + 1

@@ -442,23 +442,46 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+MAX_EMB_BLOCK_SIZE = 2048
+
+
 def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", block_col: str = "label",
-                            threshold: float = 0.3) -> DataFrame:
+                            threshold: float = 0.3,
+                            max_block_size: int | None = MAX_EMB_BLOCK_SIZE
+                            ) -> DataFrame:
     """Blocked pairwise cosine near-dup: only pairs sharing ``block_col``
-    are compared (at scale the block key is an LSH bucket — see
-    operators/similarity.py).  Returns (vec_a, vec_b, cos_sim)."""
-    a = emb.select(
+    are compared (at scale the block key is an LSH bucket or k-means
+    cluster — see operators/similarity.py).  Returns
+    (vec_a, vec_b, cos_sim).
+
+    The per-block join is quadratic IN THE BLOCK, so blocks above
+    ``max_block_size`` are dropped before the self-join (same contract
+    as the LSH hot-bucket cap, _drop_hot_buckets): an oversized block
+    means the blocking key is stale for the corpus size — SemDeDup
+    grows the cluster count with N precisely so blocks stay bounded —
+    and the cap turns a quadratic blowup into missing candidates
+    (members of dropped blocks emit no pairs and become singletons
+    downstream).  The 16x scale probe measured exponent 1.47 without
+    the cap on label-replicated data; with it the degenerate input is
+    linear."""
+    base = emb.select(
         F.col(block_col).alias("block"),
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("emb_a"),
-        l2_norm(vec_col).alias("norm_a"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
     )
-    b = emb.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("emb_b"),
-        l2_norm(vec_col).alias("norm_b"),
+    base = _drop_hot_buckets(base, max_block_size, keys=("block",))
+    a = base.select(
+        "block",
+        F.col("_id").alias("vec_a"),
+        F.col("_vec").alias("emb_a"),
+        l2_norm("_vec").alias("norm_a"),
+    )
+    b = base.select(
+        "block",
+        F.col("_id").alias("vec_b"),
+        F.col("_vec").alias("emb_b"),
+        l2_norm("_vec").alias("norm_b"),
     )
     return (
         a.join(b, on="block")
@@ -801,7 +824,9 @@ def incremental_candidate_pairs(batch: DataFrame, corpus: DataFrame,
 def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              block_col: str = "label",
-                             threshold: float = 0.3) -> DataFrame:
+                             threshold: float = 0.3,
+                             max_block_size: int | None = MAX_EMB_BLOCK_SIZE
+                             ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): cluster-blocked pairwise cosine -> near-dup groups ->
     one survivor per group.
@@ -822,7 +847,7 @@ def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
     """
     pairs = embedding_neardup_pairs(
         emb, vec_col=vec_col, id_col=id_col, block_col=block_col,
-        threshold=threshold,
+        threshold=threshold, max_block_size=max_block_size,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     comp = connected_components(pairs)
     all_ids = emb.select(F.col(id_col).alias("vec_id"))
