@@ -32,6 +32,8 @@ from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 
+NOTE_SEMDEDUP = """Note on `dedup_semdedup_survivors`: the replica corpus reuses the SAME label per replica, so 16x growth pushes every label block past MAX_EMB_BLOCK_SIZE and the capped run drops all blocks (hence the sub-1x time — without the cap this row measured exponent 1.47, the quadratic-per-block blowup). Degenerate-input contract, same as the ER block cap below: an oversized block means the blocking key is stale for the corpus size; real SemDeDup grows the k-means cluster count with N so blocks stay bounded, and the cap converts a stale clustering into missing candidates instead of an O(B^2) join."""
+
 NOTE_ER = """Note on `er_customer_matches`: the replica corpus reuses the SAME customer names, so 16x growth pushes every (nation, segment) block past the _ER_MAX_BLOCK cap and the 16x run drops all blocks (hence the sub-1x time). That is the cap's documented degenerate-input behavior, not a speedup: the cap turns a stale key choice into missing candidates instead of a quadratic join. The probed `er_sorted_neighborhood_matches` row is the fix in action — on the SAME degenerate replica corpus its candidate set stays n·W by construction, so it keeps finding matches at a bounded, ~linear cost where equality blocking had to drop everything."""
 
 # (query, replicated tables, key columns remapped per replica)
@@ -223,6 +225,8 @@ def main() -> None:
     shutil.rmtree(skk, ignore_errors=True)
 
     lines.append(NOTE_ER)
+    lines.append("")
+    lines.append(NOTE_SEMDEDUP)
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE.md"), "w") as f:
         f.write("\n".join(lines))
