@@ -84,3 +84,32 @@ def test_zorder_nulls_sort_low_and_empty_ok(spark):
     assert rows[100.0] > rows[None]
     empty = df.filter(F2.col("y") < 0)
     assert empty.withColumn("z", layout.zorder_key(empty, ["x"], 8)).count() == 0
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Scale evidence: a date-partitioned fact joined to a filtered dim
+    triggers Spark's dynamic partition pruning — the fact scan reads
+    only partitions matching the dim filter, discovered AT RUNTIME via
+    the reused broadcast.  This is the mechanism that makes
+    dim-filtered star joins touch a sliver of a 100 TB fact table."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    path = str(tmp_path / "fact_part")
+    fact.write.mode("overwrite").partitionBy("part").parquet(path)
+    dim = spark.createDataFrame(
+        [(3, "keep"), (7, "keep2")], "part long, name string"
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(dim.filter(F.col("name") == "keep"), on="part")
+        .select("k", "v", "name")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(part" in plan, plan[:2000]
+    rows = joined.collect()
+    assert len(rows) == 1000 and {r["name"] for r in rows} == {"keep"}
