@@ -145,6 +145,20 @@ def main() -> None:
         "graph_triangle_counts",
         "corpus_ppl_buckets",
         "corpus_mad_outliers",
+        "text_pii_scrub_report",
+        "text_html_strip",
+        "corpus_gopher_quality_flags",
+        "corpus_domain_curation",
+        "dedup_semdedup_survivors",
+        "corpus_sentence_dedup",
+        "cdc_apply_user_state",
+        "multimodal_wav_stats",
+        "text_unicode_scrub",
+        "corpus_bpe_merge_step",
+        # sim_hard_negatives is NOT tracked: exact cross-label mining is
+        # O(N^2) by contract (enforced ceiling) — the oracle pins its
+        # correctness at sf0.01; timing it at sf0.1 would measure the
+        # documented quadratic, not a pipeline regression.
     ]
     extra: dict[str, float] = {
         name: time_query(name) for name in extra_names if name in ALL_QUERIES

@@ -375,3 +375,27 @@ def test_asof_joins_reject_payload_name_collision(spark):
         asof_join(left, right, "k", "lts", "rts", ["price"])
     with pytest.raises(ValueError, match="collides"):
         asof_join_cogrouped(left, right, "k", "lts", "rts", ["price"])
+
+
+def test_asof_join_forward_semantics(spark):
+    from vexere_lakehouse_pipeline_spark.operators.joins import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 400), (4, "v", 10)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u", 100, 11), ("u", 100, 10), ("u", 300, 12), ("v", 5, 13),
+         ("u", None, 99)],
+        "k string, rts long, rid long",
+    )
+    out = {r["lid"]: r for r in asof_join_forward(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_payload=["rid"], tiebreak="rid",
+    ).collect()}
+    assert out[1]["rid"] == 10   # equal-ts right matches; min tiebreak wins
+    assert out[2]["rid"] == 12   # next at-or-after 250 is ts=300
+    assert out[3]["rid"] is None  # nothing at-or-after 400
+    assert out[4]["rid"] is None  # v's only right (ts=5) is BEFORE 10

@@ -192,3 +192,60 @@ def asof_join_cogrouped(
         .cogroup(right.groupBy(on))
         .applyInPandas(align, schema=out_schema)
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward (at-or-after) as-of join — the mirror of :func:`asof_join`.
+
+    For each left row, attach the payload of the right row with the
+    SMALLEST ``right_ts`` >= ``left_ts`` within the same ``on`` key
+    (ties on ``right_ts`` broken by the smallest ``tiebreak``).  Same
+    union+window shape: one shuffle, no O(L×R) pairs — the frame just
+    looks forward (``first(payload, ignorenulls)`` over
+    [currentRow, unboundedFollowing]) and right rows sort AFTER left at
+    equal ts so an exactly-simultaneous right row still matches.
+    """
+    collisions = set(right_payload) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right_payload collides with left columns: {sorted(collisions)};"
+            " alias the right side before joining"
+        )
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    right = right.filter(F.col(right_ts).isNotNull())
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # right rows sort after left at equal ts
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
+        payload_struct.alias("_payload"),
+    )
+    left_cols = left.columns
+    l = left.select(  # noqa: E741
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c) for c in left_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_tb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = l.unionByName(r, allowMissingColumns=True).withColumn(
+        "_match", F.first("_payload", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("_side") == 0).select(
+        *left_cols,
+        *[F.col("_match")[c].alias(c) for c in right_payload],
+    )

@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.catalog import load_table
-from vexere_lakehouse_pipeline_spark.operators.joins import asof_join, range_join
+from vexere_lakehouse_pipeline_spark.operators.joins import (
+    asof_join,
+    asof_join_forward,
+    range_join,
+)
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 
 QUERIES: dict[str, QueryFn] = {}
@@ -1193,3 +1197,51 @@ def setop_priority_bags_intersect_all(spark: SparkSession, sf_dir: str) -> DataF
         & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
     ).select("o_custkey", "o_orderpriority")
     return h1.intersectAll(h2).orderBy("o_custkey", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join — for each error event, the user's NEXT click at
+# or after it (operators/joins.py asof_join_forward; the time-to-
+# recovery / next-action pattern, same one-shuffle union+window shape
+# as the backward join).
+# ---------------------------------------------------------------------------
+@_register(
+    "asof_join_error_next_click",
+    """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           c.click_id, c.click_ts_us
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+        FROM events c
+        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+          AND c.ts >= e.ts
+        ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
+    ) c ON TRUE
+    WHERE e.event_type = 'error'
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_error_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        "ts",
+    )
+    out = asof_join_forward(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_id", "click_ts_us"],
+        tiebreak="click_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "click_id", "click_ts_us"
+    ).orderBy("event_id")
