@@ -399,3 +399,22 @@ def test_asof_join_forward_semantics(spark):
     assert out[2]["rid"] == 12   # next at-or-after 250 is ts=300
     assert out[3]["rid"] is None  # nothing at-or-after 400
     assert out[4]["rid"] is None  # v's only right (ts=5) is BEFORE 10
+
+
+def test_asof_join_forward_null_left_ts_gets_null(spark):
+    from vexere_lakehouse_pipeline_spark.operators.joins import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u", None), (2, "u", 50)], "lid long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("u", 100, 9)], "k string, rts long, rid long"
+    )
+    out = {r["lid"]: r["rid"] for r in asof_join_forward(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_payload=["rid"],
+    ).collect()}
+    assert out[1] is None  # null ts must NOT phantom-match earliest right
+    assert out[2] == 9

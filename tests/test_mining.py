@@ -262,3 +262,24 @@ def test_bpe_merge_step_shape(spark):
     assert ns == sorted(ns, reverse=True)
     for r in out:
         assert "+" in r["pair"]  # post-merge pairs are symbol pairs
+
+
+def test_bpe_two_pass_replace_reaches_fixpoint(spark):
+    from pyspark.sql import functions as F
+
+    # overlap chain: one pass leaves every other occurrence unmerged
+    df = spark.createDataFrame(
+        [(" c o c o ",), (" c o c o c o ",), (" a a a a ",)], "s string"
+    )
+    pat, repl = F.lit(" c o "), F.lit(" co ")
+    out = [r["m"] for r in df.select(
+        F.replace(F.replace(F.col("s"), pat, repl), pat, repl).alias("m")
+    ).collect()]
+    assert out[0] == " co co "
+    assert out[1] == " co co co "
+    # same two passes with the 'aa' pair: greedy-left 'aaaa' -> 'aa aa'
+    pat2, repl2 = F.lit(" a a "), F.lit(" aa ")
+    out2 = df.filter(F.col("s") == " a a a a ").select(
+        F.replace(F.replace(F.col("s"), pat2, repl2), pat2, repl2).alias("m")
+    ).collect()[0]["m"]
+    assert out2 == " aa aa "

@@ -235,3 +235,36 @@ def test_embedding_block_cap_drops_oversized(spark):
     # uncapped: the giant block pairs up
     assert embedding_neardup_pairs(
         emb, threshold=0.9, max_block_size=None).count() == 50 * 49 // 2 + 1
+
+
+def test_apply_cdc_null_op_upserts(spark):
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        apply_cdc_changes,
+    )
+
+    base = spark.createDataFrame([(7, "a", -1)], "k long, v string, seq long")
+    changes = spark.createDataFrame(
+        [(7, "x", 5, None)], "k long, v string, seq long, op string"
+    )
+    got = apply_cdc_changes(base, changes, keys=["k"], seq_col="seq").collect()
+    # NULL op is "not the delete op": the key must upsert, not vanish
+    assert [(r["k"], r["v"]) for r in got] == [(7, "x")]
+
+
+def test_wav_truncated_fmt_raises_valueerror():
+    import struct
+
+    import pytest as _pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        wav_decode,
+    )
+
+    # fmt chunk declares 16 bytes but payload ends after 8
+    payload = (
+        struct.pack("<4sI4s", b"RIFF", 100, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + b"\x01\x00\x01\x00\x40\x1f\x00\x00"  # 8 of 16 declared bytes
+    )
+    with _pytest.raises(ValueError):
+        wav_decode(payload)

@@ -553,7 +553,15 @@ def apply_cdc_changes(base: DataFrame, changes: DataFrame,
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    surviving = last.filter(F.col(op_col) != delete_op).drop(op_col)
-    untouched = base.join(changes.select(*keys).distinct(), on=keys,
-                          how="left_anti")
+    # Null-safe: a NULL op is "not the delete op" and must upsert (the
+    # documented contract); plain != would null out and silently DROP
+    # the key — neither upserted nor passed through.
+    surviving = last.filter(
+        ~F.col(op_col).eqNullSafe(delete_op)
+    ).drop(op_col)
+    # Anti join against the windowed per-key rows (already one row per
+    # key, already shuffled on the keys) — a distinct() over the raw
+    # change stream would add a second full scan + exchange for nothing:
+    # left_anti ignores right-side duplicates anyway.
+    untouched = base.join(last.select(*keys), on=keys, how="left_anti")
     return untouched.unionByName(surviving)

@@ -243,7 +243,15 @@ def asof_join_forward(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     matched = l.unionByName(r, allowMissingColumns=True).withColumn(
-        "_match", F.first("_payload", ignorenulls=True).over(w)
+        # A null left_ts sorts FIRST ascending, so its forward frame
+        # would span every right row in the key — the mirror of the
+        # backward join's phantom-match hazard.  "smallest right_ts >=
+        # NULL" is vacuous: null ts must yield a null payload.
+        "_match",
+        F.when(
+            F.col("_ts").isNotNull(),
+            F.first("_payload", ignorenulls=True).over(w),
+        ),
     )
     return matched.filter(F.col("_side") == 0).select(
         *left_cols,

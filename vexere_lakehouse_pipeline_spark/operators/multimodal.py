@@ -293,6 +293,14 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8: pos + 8 + size]
         if cid == b"fmt ":
+            # the slice silently truncates when the declared size
+            # overruns the payload; unpacking a short body would raise
+            # struct.error and break the ValueError quarantine contract
+            if len(body) < 16:
+                raise ValueError(
+                    f"not a WAV payload: truncated fmt chunk "
+                    f"({len(body)} of {size} declared bytes)"
+                )
             fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt_tag != 1:

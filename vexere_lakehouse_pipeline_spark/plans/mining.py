@@ -620,8 +620,9 @@ def window_spend_quartiles_distributed(
 # all later work is weighted by word count, never per-occurrence),
 # count weighted adjacent char pairs, pick the top merge (count desc,
 # pair asc — deterministic), APPLY it to every word's spaced symbol
-# string (leftmost non-overlapping replace = BPE's greedy-left
-# application; replace() is leftmost non-overlapping in both engines),
+# string (two leftmost non-overlapping replace passes reach the merge
+# fixpoint — BPE's exhaustive application of one merge; replace() is
+# leftmost non-overlapping in both engines, see the in-plan comment),
 # and recount the post-merge pair table.  Composing this step k times
 # is exactly BPE training; one step through the oracle gate pins the
 # whole loop body.
@@ -653,7 +654,13 @@ def window_spend_quartiles_distributed(
         FROM tok
     ),
     merged AS (
-        SELECT replace(s,
+        -- two passes: overlap chains (' c o c o ') leave every other
+        -- occurrence unmerged after one left-to-right scan; pass-1
+        -- leftovers are never adjacent, so pass 2 is the fixpoint
+        SELECT replace(replace(s,
+                       ' ' || substr(merged_pair, 1, 1) || ' '
+                           || substr(merged_pair, 2, 1) || ' ',
+                       ' ' || merged_pair || ' '),
                        ' ' || substr(merged_pair, 1, 1) || ' '
                            || substr(merged_pair, 2, 1) || ' ',
                        ' ' || merged_pair || ' ') AS s,
@@ -706,33 +713,45 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "c",
     )
+    pat = F.concat(
+        F.lit(" "),
+        F.substring("merged_pair", 1, 1),
+        F.lit(" "),
+        F.substring("merged_pair", 2, 1),
+        F.lit(" "),
+    )
+    repl = F.concat(F.lit(" "), F.col("merged_pair"), F.lit(" "))
+    # TWO replace passes: a left-to-right non-overlapping scan misses
+    # every other occurrence in an overlap chain (' c o c o ' — the
+    # second ' c o ' lost its leading space to the first replacement).
+    # Pass-1 leftovers are never adjacent (each sits between merged
+    # symbols), so one more pass reaches the fixpoint and the result
+    # IS the full BPE application of the merge.  Same two passes in
+    # the oracle SQL.
     merged = sym.crossJoin(F.broadcast(top1)).select(
-        F.replace(
-            F.col("s"),
-            F.concat(
-                F.lit(" "),
-                F.substring("merged_pair", 1, 1),
-                F.lit(" "),
-                F.substring("merged_pair", 2, 1),
-                F.lit(" "),
-            ),
-            F.concat(F.lit(" "), F.col("merged_pair"), F.lit(" ")),
-        ).alias("s"),
+        F.replace(F.replace(F.col("s"), pat, repl), pat, repl).alias("s"),
         "c",
         "merged_pair",
     )
+    # materialize the symbol array ONCE — a filter(split(...)) inside
+    # the per-element lambda would re-split the string per output pair
+    # (O(len^2) per word; see text_bigram_logprob_scores)
+    arr = merged.select(
+        "merged_pair",
+        "c",
+        F.filter(
+            F.split(F.trim(F.col("s")), " "), lambda x: x != ""
+        ).alias("a"),
+    )
     post = (
-        merged.select(
+        arr.select(
             "merged_pair",
             "c",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(filter(split(trim(s), ' '),"
-                    " x -> x != '')) - 1),"
-                    " i -> concat(element_at(filter(split(trim(s), ' '),"
-                    " x -> x != ''), i), '+',"
-                    " element_at(filter(split(trim(s), ' '), x -> x != ''),"
-                    " i + 1)))"
+                    "transform(sequence(1, size(a) - 1),"
+                    " i -> concat(element_at(a, i), '+',"
+                    " element_at(a, i + 1)))"
                 )
             ).alias("pair"),
         )

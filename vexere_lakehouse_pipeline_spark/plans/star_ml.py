@@ -312,13 +312,24 @@ _DUCK_COS = (
 )
 
 
+# The oracle models the operator's block-size cap (MAX_EMB_BLOCK_SIZE:
+# blocks above it emit no pairs) so Spark and DuckDB agree at ANY data
+# scale, not just where the gate corpus happens to stay under the cap.
+_DUCK_EMB_CAPPED = (
+    "e AS ({emb}), "
+    "bc AS (SELECT label FROM e GROUP BY label "
+    "HAVING COUNT(*) <= {cap}), "
+    "ek AS (SELECT e.* FROM e JOIN bc USING (label))"
+)
+
+
 @_register(
     "dedup_embedding_neardup_pairs",
     f"""
-    WITH e AS ({_DUCK_EMB})
+    WITH {_DUCK_EMB_CAPPED.format(emb=_DUCK_EMB, cap=dedup.MAX_EMB_BLOCK_SIZE)}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM ek a JOIN ek b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE cos_sim >= 0.3
     ORDER BY vec_a, vec_b
     """,

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from vexere_lakehouse_pipeline_spark.catalog import load_table
 from vexere_lakehouse_pipeline_spark.functions.text import (
     LANG_STOPWORDS,
+    normalize_unicode,
+    normalize_unicode_sql,
     stopword_hits,
     stopword_hits_sql,
     tokenize,
@@ -426,9 +428,12 @@ _SEMDEDUP_TAU = 0.3
     "dedup_semdedup_survivors",
     f"""
     WITH RECURSIVE e AS ({_DUCK_EMB}),
+    bc AS (SELECT label FROM e GROUP BY label
+           HAVING COUNT(*) <= {dedup.MAX_EMB_BLOCK_SIZE}),
+    ek AS (SELECT e.* FROM e JOIN bc USING (label)),
     pairs AS (
         SELECT a.vec_id AS u, b.vec_id AS v
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM ek a JOIN ek b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE {_DUCK_COS.format(a="a.v", b="b.v")} >= {_SEMDEDUP_TAU}
     ),
     undirected AS (
@@ -635,11 +640,6 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chain in functions/text.py (one projection, zero shuffles, zero
 # Python).
 # ---------------------------------------------------------------------------
-
-from vexere_lakehouse_pipeline_spark.functions.text import (  # noqa: E402
-    normalize_unicode,
-    normalize_unicode_sql,
-)
 
 _NOISY_SPARK_PARTS = {
     0: ("﻿“q” – ", "…​"),
