@@ -707,7 +707,7 @@ _DRIFT_A, _DRIFT_B = "src0", "src1"
                     - CAST(c.n_b + 1 AS DOUBLE) / CAST(t.t_b + {_PSI_BUCKETS} AS DOUBLE))
                    * ln((CAST(c.n_a + 1 AS DOUBLE) / CAST(t.t_a + {_PSI_BUCKETS} AS DOUBLE))
                         / (CAST(c.n_b + 1 AS DOUBLE) / CAST(t.t_b + {_PSI_BUCKETS} AS DOUBLE))),
-                   6) AS DECIMAL(18,6)) AS psi_term
+                   6) AS DOUBLE) AS psi_term
         FROM counts c CROSS JOIN tot t
     )
     SELECT bucket, n_a, n_b, psi_term FROM contrib ORDER BY bucket
@@ -740,7 +740,7 @@ def quality_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             F.expr(
                 f"CAST(ROUND(({pa} - {pb}) * ln({pa} / {pb}), 6)"
-                " AS DECIMAL(18,6))"
+                " AS DOUBLE)"
             ).alias("psi_term"),
         )
         .orderBy("bucket")
@@ -856,7 +856,8 @@ def corpus_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders CROSS JOIN maxd
         GROUP BY o_custkey, maxd.d0
     )
-    SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+    SELECT o_custkey AS custkey, recency_days, frequency,
+           CAST(monetary AS DOUBLE) AS monetary,
            NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
            NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
            NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
@@ -911,7 +912,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         "recency_days",
         "frequency",
-        "monetary",
+        # output as double on BOTH engines: no r1 driver precedent
+        # exists for decimal-typed outputs (tools/dtype_audit.py); the
+        # quartile cuts above ordered on the exact decimal
+        F.col("monetary").cast("double").alias("monetary"),
         "r_quartile",
         "f_quartile",
         "m_quartile",
