@@ -268,3 +268,14 @@ def test_wav_truncated_fmt_raises_valueerror():
     )
     with _pytest.raises(ValueError):
         wav_decode(payload)
+
+
+def test_script_mix_counts_and_dominance(spark):
+    out = webcur.QUERIES["text_script_mix"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 1 <= r["n_han"] <= 4  # every doc got a 1-4 char Han run
+        assert (r["n_cyrillic"] >= 1) == (r["doc_id"] % 2 == 0)
+        assert r["dominant_script"] in ("latin", "han", "cyrillic")
+        # ASCII word salad dominates by construction
+        assert r["dominant_script"] == "latin"

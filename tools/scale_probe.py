@@ -99,6 +99,7 @@ PROBES = [
     ("text_unicode_scrub", {"documents": ["doc_id"]}),
     ("corpus_bpe_merge_step", {"documents": ["doc_id"]}),
     ("asof_join_error_next_click", {"events": ["event_id", "user_id"]}),
+    ("text_script_mix", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
     # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
     # row ceiling); the scale path is knn_graph(strategy='lsh'), whose

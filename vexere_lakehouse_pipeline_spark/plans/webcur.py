@@ -699,3 +699,110 @@ def text_unicode_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         normalize_unicode(F.col("noisy")).alias("clean_text"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Script-mix detection — per-doc counts of Latin / Han / Cyrillic
+# characters and the dominant script: the multilingual-curation screen
+# that routes documents to per-script pipelines (and catches
+# mixed-script spam).  The corpus is ASCII word salad, so deterministic
+# Han/Cyrillic runs are appended per doc_id (literal char arrays — the
+# same codepoints on both engines; Spark's char() is ASCII-only so the
+# chars are Python-generated literals).  Counting uses each engine's
+# own Unicode-script syntax (Java \p{IsHan} ≡ RE2 \p{Han}) over BMP
+# codepoints stable across Unicode versions.  One projection, zero
+# shuffles, zero Python.
+# ---------------------------------------------------------------------------
+
+_HAN_CHARS = [chr(0x4E00 + i) for i in range(50)]
+_CYR_CHARS = [chr(0x0410 + i) for i in range(32)]
+
+
+def _script_mix_spark() -> F.Column:
+    d = F.col("doc_id")
+    cyr = F.element_at(
+        F.array(*[F.lit(c) for c in _CYR_CHARS]), (d % 32 + 1).cast("int")
+    )
+    return F.concat(
+        F.col("text"),
+        F.lit(" "),
+        # repeat(col, Column) needs the SQL form; the Han char itself
+        # comes from the same literal array as the oracle
+        F.expr(
+            "repeat("
+            + "element_at(array("
+            + ", ".join("'" + c + "'" for c in _HAN_CHARS)
+            + "), CAST(doc_id % 50 + 1 AS INT)), CAST(doc_id % 4 + 1 AS INT))"
+        ),
+        F.when(d % 2 == 0, F.concat(F.lit(" "), cyr)).otherwise(F.lit("")),
+    )
+
+
+_SCRIPT_MIX_SQL = (
+    "text || ' ' || repeat(["
+    + ", ".join("'" + c + "'" for c in _HAN_CHARS)
+    + "][CAST(doc_id % 50 + 1 AS INTEGER)], CAST(doc_id % 4 + 1 AS INTEGER))"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' ' || ["
+    + ", ".join("'" + c + "'" for c in _CYR_CHARS)
+    + "][CAST(doc_id % 32 + 1 AS INTEGER)] ELSE '' END"
+)
+
+_DOMINANT_SQL = (
+    "CASE WHEN n_latin >= n_han AND n_latin >= n_cyrillic THEN 'latin' "
+    "WHEN n_han >= n_cyrillic THEN 'han' ELSE 'cyrillic' END"
+)
+
+
+@_register(
+    "text_script_mix",
+    f"""
+    WITH raw AS (SELECT doc_id, {_SCRIPT_MIX_SQL} AS mixed FROM documents),
+    counted AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(mixed, '\\p{{Latin}}')) AS BIGINT)
+                   AS n_latin,
+               CAST(len(regexp_extract_all(mixed, '\\p{{Han}}')) AS BIGINT)
+                   AS n_han,
+               CAST(len(regexp_extract_all(mixed, '\\p{{Cyrillic}}')) AS BIGINT)
+                   AS n_cyrillic
+        FROM raw
+    )
+    SELECT doc_id, n_latin, n_han, n_cyrillic,
+           {_DOMINANT_SQL} AS dominant_script
+    FROM counted ORDER BY doc_id
+    """,
+)
+def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", _script_mix_spark().alias("mixed"))
+    n_latin = F.size(
+        F.regexp_extract_all("mixed", F.lit(r"\p{IsLatin}"), 0)
+    ).cast("long")
+    n_han = F.size(
+        F.regexp_extract_all("mixed", F.lit(r"\p{IsHan}"), 0)
+    ).cast("long")
+    n_cyr = F.size(
+        F.regexp_extract_all("mixed", F.lit(r"\p{IsCyrillic}"), 0)
+    ).cast("long")
+    counted = raw.select(
+        "doc_id",
+        n_latin.alias("n_latin"),
+        n_han.alias("n_han"),
+        n_cyr.alias("n_cyrillic"),
+    )
+    dominant = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_han"))
+            & (F.col("n_latin") >= F.col("n_cyrillic")),
+            "latin",
+        )
+        .when(F.col("n_han") >= F.col("n_cyrillic"), "han")
+        .otherwise("cyrillic")
+    )
+    return counted.select(
+        "doc_id",
+        "n_latin",
+        "n_han",
+        "n_cyrillic",
+        dominant.alias("dominant_script"),
+    ).orderBy("doc_id")
