@@ -279,3 +279,14 @@ def test_script_mix_counts_and_dominance(spark):
         assert r["dominant_script"] in ("latin", "han", "cyrillic")
         # ASCII word salad dominates by construction
         assert r["dominant_script"] == "latin"
+
+
+def test_script_mix_null_text_yields_null_label(spark):
+    from vexere_lakehouse_pipeline_spark.plans.webcur import (
+        _script_mix_spark,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    mixed = df.select("doc_id", _script_mix_spark().alias("mixed"))
+    assert mixed.collect()[0]["mixed"] is None  # concat propagates null

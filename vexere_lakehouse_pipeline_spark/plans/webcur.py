@@ -720,20 +720,16 @@ _CYR_CHARS = [chr(0x0410 + i) for i in range(32)]
 
 def _script_mix_spark() -> F.Column:
     d = F.col("doc_id")
+    han = F.element_at(
+        F.array(*[F.lit(c) for c in _HAN_CHARS]), (d % 50 + 1).cast("int")
+    )
     cyr = F.element_at(
         F.array(*[F.lit(c) for c in _CYR_CHARS]), (d % 32 + 1).cast("int")
     )
     return F.concat(
         F.col("text"),
         F.lit(" "),
-        # repeat(col, Column) needs the SQL form; the Han char itself
-        # comes from the same literal array as the oracle
-        F.expr(
-            "repeat("
-            + "element_at(array("
-            + ", ".join("'" + c + "'" for c in _HAN_CHARS)
-            + "), CAST(doc_id % 50 + 1 AS INT)), CAST(doc_id % 4 + 1 AS INT))"
-        ),
+        F.repeat(han, (d % 4 + 1).cast("int")),
         F.when(d % 2 == 0, F.concat(F.lit(" "), cyr)).otherwise(F.lit("")),
     )
 
@@ -747,8 +743,12 @@ _SCRIPT_MIX_SQL = (
     + "][CAST(doc_id % 32 + 1 AS INTEGER)] ELSE '' END"
 )
 
+# NULL text -> NULL counts -> the label must be NULL, not a fall-through
+# to the ELSE branch (a per-script router must never get a concrete
+# wrong script for an empty doc).
 _DOMINANT_SQL = (
-    "CASE WHEN n_latin >= n_han AND n_latin >= n_cyrillic THEN 'latin' "
+    "CASE WHEN n_latin IS NULL THEN NULL "
+    "WHEN n_latin >= n_han AND n_latin >= n_cyrillic THEN 'latin' "
     "WHEN n_han >= n_cyrillic THEN 'han' ELSE 'cyrillic' END"
 )
 
@@ -791,7 +791,8 @@ def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cyr.alias("n_cyrillic"),
     )
     dominant = (
-        F.when(
+        F.when(F.col("n_latin").isNull(), F.lit(None).cast("string"))
+        .when(
             (F.col("n_latin") >= F.col("n_han"))
             & (F.col("n_latin") >= F.col("n_cyrillic")),
             "latin",
