@@ -155,6 +155,7 @@ def main() -> None:
         "multimodal_wav_stats",
         "text_unicode_scrub",
         "corpus_bpe_merge_step",
+        "corpus_bpe_train_k",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the
@@ -164,6 +165,24 @@ def main() -> None:
         name: time_query(name) for name in extra_names if name in ALL_QUERIES
     }
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver tails stdout and JSON-parses the FINAL line.  Round 2's
+    # record was lost because the one line carried a 47-entry "extra"
+    # dict and outgrew the driver's tail window (VERDICT r2, defect #1).
+    # Fix: extras go to a side file + their own EARLIER stdout line; the
+    # final line is the short headline dict only (r1/r2-comparable).
+    extra_payload = {"metric": "extra_queries_total",
+                     "value": round(sum(extra.values()), 3),
+                     "unit": "sec", "queries": extra, "sf": sf_val}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_EXTRA.json"), "w") as fh:
+            json.dump(extra_payload, fh)
+    except OSError:
+        pass  # read-only checkout: the stdout line below still carries it
+    print(json.dumps(extra_payload))
+
     print(
         json.dumps(
             {
@@ -171,8 +190,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "extra": extra,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

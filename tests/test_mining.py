@@ -264,22 +264,47 @@ def test_bpe_merge_step_shape(spark):
         assert "+" in r["pair"]  # post-merge pairs are symbol pairs
 
 
-def test_bpe_two_pass_replace_reaches_fixpoint(spark):
+def _true_bpe_merge(symbols, p1, p2):
+    """Greedy left-to-right BPE application of one merge — the ground
+    truth the replace-based scheme must equal."""
+    out = []
+    for x in symbols:
+        if out and out[-1] == p1 and x == p2:
+            out[-1] = p1 + p2
+        else:
+            out.append(x)
+    return out
+
+
+def test_bpe_single_pass_double_space_is_exact(spark):
+    """Round-2 ADVICE: single-space two-pass replace mis-paired
+    same-char runs >= 5 ('a a a a a' -> [aa, a, aa] instead of
+    [aa, aa, a]).  The double-space single-pass scheme must equal the
+    pure-Python left-to-right fold on exactly those cases and on
+    multi-char-symbol chains."""
+    import random
+
     from pyspark.sql import functions as F
 
-    # overlap chain: one pass leaves every other occurrence unmerged
-    df = spark.createDataFrame(
-        [(" c o c o ",), (" c o c o c o ",), (" a a a a ",)], "s string"
-    )
-    pat, repl = F.lit(" c o "), F.lit(" co ")
-    out = [r["m"] for r in df.select(
-        F.replace(F.replace(F.col("s"), pat, repl), pat, repl).alias("m")
+    random.seed(7)
+    alpha = ["a", "b", "ba", "ab", "aa", "c", "co", "o"]
+    cases = [(["a"] * k, "a", "a") for k in range(2, 9)]
+    cases += [(["c", "o"] * k, "c", "o") for k in range(1, 4)]
+    for _ in range(40):
+        cases.append((
+            [random.choice(alpha) for _ in range(random.randint(1, 10))],
+            random.choice(alpha), random.choice(alpha),
+        ))
+    rows = [("  " + "  ".join(syms) + "  ", p1, p2) for syms, p1, p2 in cases]
+    df = spark.createDataFrame(rows, "s string, p1 string, p2 string")
+    pat = F.concat(F.lit(" "), "p1", F.lit("  "), "p2", F.lit(" "))
+    repl = F.concat(F.lit(" "), "p1", "p2", F.lit(" "))
+    got = [r["m"] for r in df.select(
+        F.replace(F.col("s"), pat, repl).alias("m")
     ).collect()]
-    assert out[0] == " co co "
-    assert out[1] == " co co co "
-    # same two passes with the 'aa' pair: greedy-left 'aaaa' -> 'aa aa'
-    pat2, repl2 = F.lit(" a a "), F.lit(" aa ")
-    out2 = df.filter(F.col("s") == " a a a a ").select(
-        F.replace(F.replace(F.col("s"), pat2, repl2), pat2, repl2).alias("m")
-    ).collect()[0]["m"]
-    assert out2 == " aa aa "
+    for (syms, p1, p2), m in zip(cases, got):
+        assert [t for t in m.split(" ") if t] == _true_bpe_merge(
+            syms, p1, p2
+        ), (syms, p1, p2, m)
+        # output stays canonically double-spaced -> iterable k times
+        assert "  ".join([t for t in m.split(" ") if t]) == m.strip()

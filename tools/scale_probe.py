@@ -98,6 +98,7 @@ PROBES = [
     ("multimodal_wav_stats", {"documents": ["doc_id"]}),
     ("text_unicode_scrub", {"documents": ["doc_id"]}),
     ("corpus_bpe_merge_step", {"documents": ["doc_id"]}),
+    ("corpus_bpe_train_k", {"documents": ["doc_id"]}),
     ("asof_join_error_next_click", {"events": ["event_id", "user_id"]}),
     ("text_script_mix", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are

@@ -532,11 +532,23 @@ def apply_cdc_changes(base: DataFrame, changes: DataFrame,
     contract) as a batch operator: fold a keyed change stream into a
     base snapshot.
 
-    Per key, the change with the highest ``seq_col`` wins (callers
-    needing a tiebreak pass a struct/derived column); a winning
+    Per key, the change with the highest ``seq_col`` wins; a winning
     ``delete_op`` removes the key, any other op upserts the change
     row's payload.  Base rows whose key never appears in ``changes``
     pass through untouched.
+
+    Schema contract (enforced): ``base``'s columns must equal
+    ``changes``'s columns minus ``op_col`` — INCLUDING ``seq_col``
+    (the base snapshot carries each row's last-applied sequence, which
+    is what makes re-application idempotent).  A mismatch raises
+    ValueError up front rather than an opaque AnalysisException from
+    ``unionByName``.
+
+    Determinism contract: ties on ``seq_col`` within a key make the
+    winner nondeterministic (row_number over equal keys).  Callers with
+    tie-prone sequences must pre-build a total-order column, e.g.
+    ``F.struct("seq", "change_file", "change_offset")``, and pass that
+    as ``seq_col``.
 
     Plan shape: ONE window (shuffle on keys) to pick each key's last
     change + ONE left-anti join of base against the change keys
@@ -546,6 +558,14 @@ def apply_cdc_changes(base: DataFrame, changes: DataFrame,
     exactly the shape Delta's MERGE executes.
     """
     from pyspark.sql import Window
+
+    expected = [c for c in changes.columns if c != op_col]
+    if sorted(base.columns) != sorted(expected):
+        raise ValueError(
+            "apply_cdc_changes: base schema must be changes minus "
+            f"{op_col!r} (incl. {seq_col!r}); base has "
+            f"{sorted(base.columns)}, expected {sorted(expected)}"
+        )
 
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
     last = (

@@ -306,6 +306,15 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
             if fmt_tag != 1:
                 raise ValueError(f"unsupported WAV: fmt_tag={fmt_tag}")
         elif cid == b"data":
+            # same guard as fmt: the slice silently truncates when the
+            # declared size overruns the payload — computing
+            # n_samples/duration/sum/peak on partial data would violate
+            # the "malformed non-empty payloads raise" contract
+            if len(body) < size:
+                raise ValueError(
+                    f"not a WAV payload: truncated data chunk "
+                    f"({len(body)} of {size} declared bytes)"
+                )
             data = body
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if rate is None or data is None:

@@ -620,12 +620,23 @@ def window_spend_quartiles_distributed(
 # all later work is weighted by word count, never per-occurrence),
 # count weighted adjacent char pairs, pick the top merge (count desc,
 # pair asc — deterministic), APPLY it to every word's spaced symbol
-# string (two leftmost non-overlapping replace passes reach the merge
-# fixpoint — BPE's exhaustive application of one merge; replace() is
-# leftmost non-overlapping in both engines, see the in-plan comment),
-# and recount the post-merge pair table.  Composing this step k times
-# is exactly BPE training; one step through the oracle gate pins the
-# whole loop body.
+# string, and recount the post-merge pair table.  Composing this step
+# k times is exactly BPE training (see corpus_bpe_train_k); one step
+# through the oracle gate pins the whole loop body.
+#
+# Merge application = ONE leftmost non-overlapping replace over
+# DOUBLE-space-separated symbols: pattern ' p1  p2 ' -> ' p1p2 '.
+# Each boundary carries two spaces; a match consumes one space from
+# each flanking boundary and the replacement restores one, so
+# consecutive matches in a run never starve each other — this makes
+# single-pass replace EQUAL to greedy left-to-right BPE pairing,
+# including same-char runs ('a a a a a' -> [aa, aa, a]) where the
+# previous single-space two-pass scheme mis-paired (round-2 ADVICE
+# finding, verified fixed by tests/test_mining.py::test_bpe_merge_*
+# against a pure-Python left-to-right fold).  The single leading/
+# trailing pattern spaces also make cross-symbol prefix/suffix matches
+# impossible once symbols are multi-char (symbol interiors contain no
+# spaces).  replace() is leftmost non-overlapping in both engines.
 #
 # Scale: distinct-word table is vocabulary-sized (≪ corpus); two
 # shuffles (pair agg before, pair agg after); the 1-row top merge is a
@@ -650,18 +661,15 @@ def window_spend_quartiles_distributed(
     top1 AS (SELECT pair AS merged_pair FROM pc
              ORDER BY n DESC, pair LIMIT 1),
     sym AS (
-        SELECT ' ' || regexp_replace(token, '(.)', '\\1 ', 'g') AS s, c
+        SELECT '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS s, c
         FROM tok
     ),
     merged AS (
-        -- two passes: overlap chains (' c o c o ') leave every other
-        -- occurrence unmerged after one left-to-right scan; pass-1
-        -- leftovers are never adjacent, so pass 2 is the fixpoint
-        SELECT replace(replace(s,
-                       ' ' || substr(merged_pair, 1, 1) || ' '
-                           || substr(merged_pair, 2, 1) || ' ',
-                       ' ' || merged_pair || ' '),
-                       ' ' || substr(merged_pair, 1, 1) || ' '
+        -- double-space separators: one leftmost non-overlapping
+        -- replace of ' p1  p2 ' -> ' p1p2 ' IS greedy left-to-right
+        -- BPE (see block comment above the Spark twin)
+        SELECT replace(s,
+                       ' ' || substr(merged_pair, 1, 1) || '  '
                            || substr(merged_pair, 2, 1) || ' ',
                        ' ' || merged_pair || ' ') AS s,
                c, merged_pair
@@ -708,7 +716,7 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pair").alias("merged_pair")
     )
     sym = tok.select(
-        F.concat(F.lit(" "), F.regexp_replace("token", "(.)", "$1 ")).alias(
+        F.concat(F.lit("  "), F.regexp_replace("token", "(.)", "$1  ")).alias(
             "s"
         ),
         "c",
@@ -716,20 +724,16 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     pat = F.concat(
         F.lit(" "),
         F.substring("merged_pair", 1, 1),
-        F.lit(" "),
+        F.lit("  "),
         F.substring("merged_pair", 2, 1),
         F.lit(" "),
     )
     repl = F.concat(F.lit(" "), F.col("merged_pair"), F.lit(" "))
-    # TWO replace passes: a left-to-right non-overlapping scan misses
-    # every other occurrence in an overlap chain (' c o c o ' — the
-    # second ' c o ' lost its leading space to the first replacement).
-    # Pass-1 leftovers are never adjacent (each sits between merged
-    # symbols), so one more pass reaches the fixpoint and the result
-    # IS the full BPE application of the merge.  Same two passes in
-    # the oracle SQL.
+    # ONE replace pass over DOUBLE-space separators = exact greedy
+    # left-to-right BPE application (see block comment above); same
+    # single pass in the oracle SQL.
     merged = sym.crossJoin(F.broadcast(top1)).select(
-        F.replace(F.replace(F.col("s"), pat, repl), pat, repl).alias("s"),
+        F.replace(F.col("s"), pat, repl).alias("s"),
         "c",
         "merged_pair",
     )
@@ -743,6 +747,12 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.col("s")), " "), lambda x: x != ""
         ).alias("a"),
     )
+    # A 2-char token equal to the chosen merge collapses to ONE symbol;
+    # sequence(1, size-1) would then be the DESCENDING [1, 0] and
+    # element_at(a, 0) throws.  Single-symbol words contribute no pairs
+    # — drop them (DuckDB's range(1, 1) is empty, so the oracle already
+    # does).
+    arr = arr.filter(F.size("a") >= 2)
     post = (
         arr.select(
             "merged_pair",
@@ -759,3 +769,130 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("n"))
     )
     return post.orderBy(F.desc("n"), "pair").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINER — k full merge iterations, proving the iterative-trainer
+# shape (VERDICT r2 item 6): per iteration, count weighted adjacent
+# symbol pairs, pick the top merge (n desc, p1/p2 asc — deterministic),
+# apply it with the exact single-pass double-space replace (see
+# corpus_bpe_merge_step), repeat.  Output = the learned merge table
+# (step, p1, p2, pre-merge count) — the artifact a tokenizer ships.
+#
+# Scale shape: the DRIVER holds only the merge table (k rows, one
+# 1-row collect per iteration — bounded model state, the same pattern
+# as k-means centroids in operators/similarity.py); the vocabulary
+# table stays distributed and is localCheckpoint-ed each round so
+# lineage stays O(1) instead of O(k) (same pattern as
+# operators/graph.py pagerank).  Work per iteration: one pair-count
+# shuffle over a vocabulary-sized table (≪ corpus — pair counting is
+# weighted by word frequency, never per-occurrence).
+#
+# The oracle unrolls the same k iterations as chained CTEs — top-1
+# selection and merge application are pure SQL, so the whole trainer
+# is oracle-gated, not just one step.
+# ---------------------------------------------------------------------------
+_BPE_TRAIN_K = 4
+
+
+def _bpe_train_sql(k: int) -> str:
+    """Unrolled k-iteration BPE trainer as one DuckDB query."""
+    ctes = [
+        f"""tok AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+        WHERE length(token) >= 2 GROUP BY token
+    )""",
+        """sym0 AS (
+        SELECT '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS s, c
+        FROM tok
+    )""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"sym{i - 1}"
+        # '+' is a safe pair separator: tokens are \p{L}\p{N} only
+        ctes.append(f"""pc{i} AS (
+        SELECT string_split(pr, '+')[1] AS p1,
+               string_split(pr, '+')[2] AS p2, SUM(c) AS n
+        FROM (
+            SELECT c,
+                   unnest(list_transform(range(1, len(a)),
+                          j -> a[CAST(j AS INTEGER)] || '+'
+                               || a[CAST(j AS INTEGER) + 1])) AS pr
+            FROM (SELECT list_filter(string_split(trim(s), ' '),
+                                     x -> x <> '') AS a, c
+                  FROM {prev})
+        ) GROUP BY 1, 2
+    )""")
+        ctes.append(f"""top{i} AS (
+        SELECT p1, p2, n FROM pc{i} ORDER BY n DESC, p1, p2 LIMIT 1
+    )""")
+        if i < k:
+            ctes.append(f"""sym{i} AS (
+        SELECT replace(s, ' ' || p1 || '  ' || p2 || ' ',
+                       ' ' || p1 || p2 || ' ') AS s, c
+        FROM {prev}, top{i}
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step, p1, p2, CAST(n AS BIGINT) AS n FROM top{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({unions}) ORDER BY step"
+    )
+
+
+@_register("corpus_bpe_train_k", _bpe_train_sql(_BPE_TRAIN_K))
+def corpus_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(tokenize("text")).alias("token"))
+        .filter(F.length("token") >= 2)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sym = tok.select(
+        F.concat(F.lit("  "), F.regexp_replace("token", "(.)", "$1  ")).alias(
+            "s"
+        ),
+        "c",
+    ).localCheckpoint()  # materialize the vocabulary once
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, _BPE_TRAIN_K + 1):
+        arr = sym.select(
+            F.filter(F.split(F.trim("s"), " "), lambda x: x != "").alias("a"),
+            "c",
+        ).filter(F.size("a") >= 2)  # 1-symbol words contribute no pairs
+        pairs = (
+            arr.select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " j -> named_struct("
+                        "'p1', element_at(a, j),"
+                        " 'p2', element_at(a, j + 1)))"
+                    )
+                ).alias("pr"),
+            )
+            .select("pr.p1", "pr.p2", "c")
+            .groupBy("p1", "p2")
+            .agg(F.sum("c").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "p1", "p2").limit(1).collect()
+        if not top:
+            break
+        r = top[0]
+        merges.append((step, r["p1"], r["p2"], int(r["n"])))
+        sym = sym.select(
+            F.replace(
+                "s",
+                F.lit(f" {r['p1']}  {r['p2']} "),
+                F.lit(f" {r['p1']}{r['p2']} "),
+            ).alias("s"),
+            "c",
+        ).localCheckpoint()  # truncate lineage: O(1) per round, not O(k)
+    return spark.createDataFrame(
+        merges, "step int, p1 string, p2 string, n long"
+    ).orderBy("step")

@@ -179,7 +179,10 @@ def text_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TAG_RE = r"<[^>]*>"
-_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"')]
+# '&amp;' must decode LAST: decoding it first turns nested escapes like
+# '&amp;lt;' into '&lt;' which a later pass wrongly decodes to '<'
+# (correct HTML entity decoding yields the literal text '&lt;').
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&amp;", "&")]
 
 
 def html_to_text(col: F.Column) -> F.Column:
