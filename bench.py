@@ -156,6 +156,7 @@ def main() -> None:
         "text_unicode_scrub",
         "corpus_bpe_merge_step",
         "corpus_bpe_train_k",
+        "events_watermark_discard_twin",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

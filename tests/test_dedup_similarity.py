@@ -156,35 +156,76 @@ def test_topk_paths_agree_on_null_and_zero_vectors(spark):
     assert similarity.topk_bruteforce_arrow(cands, zq, k=3).count() == 0
 
 
-def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
-    """VERDICT r1 scale risk: a boilerplate corpus (thousands of
-    identical docs) puts everything in one band bucket and makes the
-    self-join quadratic.  The bucket cap must drop those buckets —
-    bounded pair count — while distinct near-dup pairs elsewhere
-    survive."""
+def test_lsh_hot_bucket_split_bounds_degenerate_corpus(spark):
+    """VERDICT r1 scale risk + r2 defect #2: a boilerplate corpus
+    (thousands of identical docs) puts everything in one band bucket.
+    Oversized buckets are hash-SPLIT into ceil(n/cap) sub-buckets:
+    work drops from quadratic to ~n*cap/2 pairs, hot-bucket candidates
+    are STILL FOUND (the old drop policy emitted none), and the
+    oversized-bucket census is reported via stats."""
     import time
 
     boiler = ["the same boilerplate footer text appears in every document"] * 3000
     base = "a genuinely unique sentence about catalyst optimizer internals"
     near = base.replace("internals", "details")
     docs = _docs(spark, boiler + [base, near])
+    stats: dict = {}
     t0 = time.monotonic()
-    pairs = {
-        (r["doc_a"], r["doc_b"])
-        for r in dedup.lsh_candidate_pairs(docs).collect()
-    }
+    pairs = dedup.lsh_candidate_pairs(docs, stats=stats)
+    # the genuine near-dup outside the hot bucket is still found
+    assert pairs.filter("doc_a = 3000 AND doc_b = 3001").count() == 1
+    n_split = pairs.count()
     elapsed = time.monotonic() - t0
-    # Uncapped, the boilerplate bucket alone is 3000*2999/2 ~ 4.5M pairs;
-    # capped, it contributes zero and only the real near-dup pair remains.
-    assert (3000, 3001) in pairs
-    assert len(pairs) < 10
-    assert elapsed < 60
+    # recall inside the hot bucket is partial but NON-ZERO (drop gave 0)
+    assert pairs.filter("doc_a < 3000 AND doc_b < 3000").count() > 100_000
+    # ... and bounded well below the quadratic 3000*2999/2 ~ 4.5M:
+    # 3 sub-buckets of ~1000 give ~3*C(1000,2) ~ 1.5M
+    assert n_split < 2_500_000
+    assert elapsed < 120
+    # no-silent-caps: the census names the hot buckets and their splits
+    census = stats["oversized_buckets"].collect()
+    assert census and all(r["bucket_size"] == 3000 for r in census)
+    assert all(r["n_splits"] == 3 for r in census)
     # cap disabled -> the quadratic blowup is really there (guards the
     # test against vacuously passing if banding ever changes)
     n_uncapped = dedup.lsh_candidate_pairs(
         docs, max_bucket_size=None
     ).count()
     assert n_uncapped > 4_000_000
+
+
+def test_sub_split_assignment_matches_duckdb(spark):
+    """The sub-bucket hash must be IDENTICAL across engines — it is
+    part of the oracle contract whenever a gate corpus has hot buckets
+    (the sf0.01 gate has none, so this pins the cross-engine parity
+    the gate can't see)."""
+    import duckdb
+
+    from vexere_lakehouse_pipeline_spark.operators import sampling
+    from vexere_lakehouse_pipeline_spark.plans.star_ml import _duck_sub_split
+
+    cap = 10
+    n = 95  # one bucket of 95 -> n_splits = 10
+    bands = spark.createDataFrame(
+        [(i, 0, "k") for i in range(n)], "doc_id long, band int, band_key string"
+    )
+    out = dedup._split_hot_buckets(bands, cap)
+    got = {r["doc_id"]: r["_sub"] for r in out.collect()}
+    duck = duckdb.sql(
+        "WITH ids AS (SELECT unnest(range(0, 95)) AS doc_id), "
+        "b AS (SELECT doc_id, COUNT(*) OVER () AS bn FROM ids) "
+        f"SELECT doc_id, {_duck_sub_split('doc_id', 'bn', cap)} AS sub FROM b"
+    ).fetchall()
+    want = {int(d): int(s) for d, s in duck}
+    assert got == want
+    assert set(got.values()) == set(range(10))  # all sub-buckets used
+    # sub-cap bucket -> everyone in sub 0 (both engines' CASE arm)
+    small = spark.createDataFrame(
+        [(i, 0, "k") for i in range(cap)], "doc_id long, band int, band_key string"
+    )
+    assert {
+        r["_sub"] for r in dedup._split_hot_buckets(small, cap).collect()
+    } == {0}
 
 
 def test_arrow_topk_refuses_oversized_query_set(spark, monkeypatch):
@@ -248,19 +289,64 @@ def test_simhash_near_pairs_exact_recall_vs_bruteforce(spark):
     assert got == want
 
 
-def test_simhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
+def test_simhash_hot_bucket_split_bounds_degenerate_corpus(spark):
     # 300 identical docs: uncapped banding would emit C(300,2) pairs
-    # per band; with the cap they are dropped (exact-dup territory)
+    # per band; with the split they are re-blocked into ~6 sub-buckets
+    # of ~50, so boiler-boiler pairs ARE found (hamming 0) but the
+    # total stays ~n*cap/2, not quadratic
     texts = ["identical boilerplate body repeated everywhere " * 4] * 300
     texts += [f"unique doc {i} with its own words entirely " * 3 for i in range(5)]
     docs = _docs(spark, texts)
-    capped = dedup.simhash_near_pairs(docs, max_bucket_size=50)
+    stats: dict = {}
+    capped = dedup.simhash_near_pairs(docs, max_bucket_size=50, stats=stats)
     got = capped.collect()
-    # no pair may involve two boilerplate docs (ids 0..299)
-    assert all(not (r["doc_a"] < 300 and r["doc_b"] < 300) for r in got)
-    # uncapped emits the quadratic set — the cap is what bounds it
+    boiler = [r for r in got if r["doc_a"] < 300 and r["doc_b"] < 300]
+    # recall recovered: sub-bucket mates pair at hamming 0...
+    assert len(boiler) > 500
+    assert all(r["hamming"] == 0 for r in boiler)
+    # ...but bounded: ~6 sub-buckets of ~50 -> ~6*C(50,2)=7350, far
+    # under the quadratic C(300,2)=44850 (hash unevenness allowed for)
+    assert len(boiler) < 20_000
+    # unique docs never pair with the boilerplate mass
+    assert not [r for r in got if (r["doc_a"] >= 300) != (r["doc_b"] >= 300)]
+    # census reported for every hot (band, value) bucket
+    census = stats["oversized_buckets"].collect()
+    assert census and all(r["bucket_size"] == 300 and r["n_splits"] == 6
+                          for r in census)
+    # uncapped emits the quadratic set — the split is what bounds it
     uncapped_n = dedup.simhash_near_pairs(docs, max_bucket_size=None).count()
     assert uncapped_n >= 300 * 299 // 2
+
+
+def test_embedding_block_split_finds_matches(spark):
+    """Degenerate SemDeDup input (every vector shares one label):
+    the split finds near-dup pairs inside bounded sub-blocks where the
+    old drop found nothing, and semantic_dedup_survivors dedups to
+    ~one survivor per sub-block instead of all-singletons."""
+    n, cap = 400, 100
+    emb = spark.createDataFrame(
+        [(i, "same", [1.0, 2.0, 3.0]) for i in range(n)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    stats: dict = {}
+    pairs = dedup.embedding_neardup_pairs(
+        emb, threshold=0.99, max_block_size=cap, stats=stats
+    )
+    n_pairs = pairs.count()
+    assert n_pairs > 0  # drop policy produced 0 here
+    # bounded: 4 sub-blocks of ~100 -> ~4*C(100,2) ~ 19800 << C(400,2)
+    assert n_pairs < 40_000
+    census = stats["oversized_blocks"].collect()
+    assert [(r["block"], r["bucket_size"], r["n_splits"]) for r in census] == [
+        ("same", n, 4)
+    ]
+    surv = dedup.semantic_dedup_survivors(
+        emb, threshold=0.99, max_block_size=cap
+    )
+    n_surv = surv.filter("is_survivor").count()
+    # one survivor per sub-block (identical vectors all pair within a
+    # sub-block -> one component each); drop policy left 400 singletons
+    assert n_surv == 4
 
 
 def test_containment_detects_excerpt(spark):

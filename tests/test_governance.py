@@ -374,9 +374,9 @@ def test_er_matches_respect_block_and_distance(spark):
 
 
 def test_er_sorted_neighborhood_bounded_on_degenerate_corpus(spark, tmp_path):
-    """Thousands of identical names: equality blocking either goes
-    quadratic or (with the cap) drops the block entirely; sorted
-    neighborhood emits exactly the n·W bounded candidate set."""
+    """Thousands of identical names: equality blocking re-blocks the
+    hot key into bounded sub-blocks (linear work, partial recall);
+    sorted neighborhood emits exactly the n·W bounded candidate set."""
     import pyspark.sql.functions as F
 
     from vexere_lakehouse_pipeline_spark.plans.governance import (
@@ -402,9 +402,12 @@ def test_er_sorted_neighborhood_bounded_on_degenerate_corpus(spark, tmp_path):
     assert len(rows) == expected
     assert all(r.name_dist == 0 for r in rows)
 
-    # the blocked variant's cap drops the single hot block entirely
-    blocked = QUERIES["er_customer_matches"](spark, sf).collect()
-    assert blocked == []
+    # the blocked variant hash-splits the hot block into ceil(n/cap)=3
+    # sub-blocks: matches ARE found (the old drop policy emitted zero)
+    # and the count stays ~n*cap/2, bounded below the quadratic
+    # C(3000,2) = 4_498_500
+    n_blocked = QUERIES["er_customer_matches"](spark, sf).count()
+    assert 0 < n_blocked < 2_500_000
 
 
 def test_er_sorted_neighborhood_finds_adjacent_near_dups(spark):

@@ -418,3 +418,75 @@ def test_asof_join_forward_null_left_ts_gets_null(spark):
     ).collect()}
     assert out[1] is None  # null ts must NOT phantom-match earliest right
     assert out[2] == 9
+
+
+def test_watermark_discard_twin_matches_real_engine(spark, tmp_path):
+    """The batch twin's acceptance rule (ingest.watermark_accepted_flags)
+    must reproduce the REAL engine's late-data discard: drive a
+    watermarked windowed aggregation one micro-batch at a time (one
+    file per run, shared checkpoint, AvailableNow), flush with a far-
+    future event to finalize every window, and compare the emitted
+    (window, type, count) set against the twin's accepted-row
+    aggregation."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # (event_id, type, ts, value, arrival_hour).  Late rows:
+    #  id 10 (arr h1, ts 00:15) within delay          -> accepted
+    #  id 20 (arr h2, ts 00:25) wm=00:20, end 01:00   -> accepted
+    #  id 30 (arr h3, ts 00:30) wm=01:10, end 01:00   -> DROPPED
+    #  id 40 (arr h4, ts 02:50) wm=02:10, end 03:00   -> accepted
+    rows = [
+        (1, "a", t(10), 1.0, 0), (2, "a", t(20), 1.0, 0),
+        (11, "a", t(70), 1.0, 1), (12, "a", t(80), 1.0, 1),
+        (10, "a", t(15), 1.0, 1),
+        (21, "a", t(130), 1.0, 2), (20, "a", t(25), 1.0, 2),
+        (31, "a", t(190), 1.0, 3), (30, "a", t(30), 1.0, 3),
+        (41, "a", t(250), 1.0, 4), (40, "a", t(170), 1.0, 4),
+        (99, "a", t(600), 1.0, 10),  # flush: finalizes all windows
+    ]
+    schema = ("event_id long, event_type string, ts timestamp,"
+              " value double, arrival_hour int")
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "wm_src")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    for h in sorted({r[4] for r in rows}):
+        df.filter(F.col("arrival_hour") == h).drop("arrival_hour").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp, value double"
+        ).parquet(src)
+        ingest.run_stream_to_sink(
+            ingest.windowed_event_counts(stream, watermark="1 hour"),
+            out, ckpt,
+        )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # twin on the same arrival timeline (flush row's own window is
+    # never finalized -> excluded from the comparison)
+    seeded = df.withColumn(
+        "arrival_ts",
+        F.to_timestamp(F.lit(str(base)))
+        + F.col("arrival_hour") * F.expr("INTERVAL 1 HOUR"),
+    )
+    flags = ingest.watermark_accepted_flags(seeded)
+    want = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in flags.filter("ok AND event_id <> 99")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # the scenario is non-trivial: exactly one row was discarded
+    assert sum(want.values()) == len(rows) - 1 - 1  # minus flush, minus id 30

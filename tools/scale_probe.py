@@ -32,9 +32,9 @@ from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 
-NOTE_SEMDEDUP = """Note on `dedup_semdedup_survivors`: the replica corpus reuses the SAME label per replica, so 16x growth pushes every label block past MAX_EMB_BLOCK_SIZE and the capped run drops all blocks (hence the sub-1x time — without the cap this row measured exponent 1.47, the quadratic-per-block blowup). Degenerate-input contract, same as the ER block cap below: an oversized block means the blocking key is stale for the corpus size; real SemDeDup grows the k-means cluster count with N so blocks stay bounded, and the cap converts a stale clustering into missing candidates instead of an O(B^2) join."""
+NOTE_SEMDEDUP = """Note on `dedup_semdedup_survivors`: the replica corpus reuses the SAME label per replica, so 16x growth pushes every label block past MAX_EMB_BLOCK_SIZE. Since round 3 oversized blocks are hash-SPLIT into ceil(n/cap) sub-blocks instead of dropped (dedup._split_hot_buckets): the probe must show matches still FOUND at 16x with a ~linear exponent — per-block work is bounded at n*cap/2 pairs. The principled fix at 100 TB remains growing the k-means cluster count with N (similarity.train_kmeans) so blocks stay under the cap; the split is the unconditional guard, and the oversized-block census is reported via the stats side-channel (no silent caps)."""
 
-NOTE_ER = """Note on `er_customer_matches`: the replica corpus reuses the SAME customer names, so 16x growth pushes every (nation, segment) block past the _ER_MAX_BLOCK cap and the 16x run drops all blocks (hence the sub-1x time). That is the cap's documented degenerate-input behavior, not a speedup: the cap turns a stale key choice into missing candidates instead of a quadratic join. The probed `er_sorted_neighborhood_matches` row is the fix in action — on the SAME degenerate replica corpus its candidate set stays n·W by construction, so it keeps finding matches at a bounded, ~linear cost where equality blocking had to drop everything."""
+NOTE_ER = """Note on `er_customer_matches`: the replica corpus reuses the SAME customer names, so 16x growth pushes every (nation, segment) block past _ER_MAX_BLOCK. Since round 3 oversized blocks are hash-split into bounded sub-blocks instead of dropped: matches are still found at 16x and the work stays ~linear (n*cap/2 per hot block). The probed `er_sorted_neighborhood_matches` row remains the principled scale path — its candidate set is n*W by construction under ANY key distribution — while the split converts a stale blocking key into partial recall with a reported census instead of silence."""
 
 # (query, replicated tables, key columns remapped per replica)
 PROBES = [
@@ -99,6 +99,7 @@ PROBES = [
     ("text_unicode_scrub", {"documents": ["doc_id"]}),
     ("corpus_bpe_merge_step", {"documents": ["doc_id"]}),
     ("corpus_bpe_train_k", {"documents": ["doc_id"]}),
+    ("events_watermark_discard_twin", {"events": ["event_id", "user_id"]}),
     ("asof_join_error_next_click", {"events": ["event_id", "user_id"]}),
     ("text_script_mix", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are

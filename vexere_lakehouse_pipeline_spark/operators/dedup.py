@@ -25,8 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from vexere_lakehouse_pipeline_spark.functions.text import tokenize, word_shingles
 from vexere_lakehouse_pipeline_spark.functions.vectors import cosine_from_norms, l2_norm
+from vexere_lakehouse_pipeline_spark.operators import sampling
 
 # LSH defaults: 4 bands × 2 rows = 8 minhashes.  P(candidate) = 1-(1-J²)⁴,
 # i.e. ~50% at J=0.4 — tuned for near-dup discovery, not exact-dup only.
@@ -36,11 +39,17 @@ SHINGLE_N = 2
 # Band-bucket size cap: a bucket of s docs yields s·(s-1)/2 candidate
 # pairs, so ONE hot bucket (boilerplate corpora — millions of
 # near-identical docs hash to the same band key) makes the self-join
-# quadratic.  Buckets above the cap are dropped entirely: their members
-# are exact/near-exact duplicate territory already handled by
-# exact_duplicate_groups, and 1000²/2 pairs per bucket is the most the
-# verifier should ever pay.
+# quadratic.  Buckets above the cap are RE-BLOCKED (split into
+# ceil(s/cap) hash-assigned sub-buckets — see _split_hot_buckets), so
+# per-doc pair fan-out stays ≤ cap-1 per band and total work stays
+# LINEAR in s, while candidates inside the hot bucket are still found
+# (previously such buckets were dropped whole, which silently
+# collapsed recall — round-2 VERDICT defect #2).
 MAX_BUCKET_SIZE = 1000
+# Salt for the sub-bucket hash (sampling.hash_bucket) — shared with
+# every oracle that models the split, so both engines assign the same
+# sub-bucket to the same id.
+SUBSPLIT_SALT = "subsplit"
 
 
 def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
@@ -114,37 +123,127 @@ def minhash_band_keys(sh: DataFrame, n_bands: int = N_BANDS,
     ).select("doc_id", "bk.band", "bk.band_key")
 
 
+def _split_hot_buckets(bands: DataFrame,
+                       max_bucket_size: int | None,
+                       keys: tuple[str, ...] = ("band", "band_key"),
+                       id_col: Column | str = "doc_id",
+                       stats: dict | None = None,
+                       stats_key: str = "oversized_buckets") -> DataFrame:
+    """RE-BLOCK ``keys`` buckets above the size cap — ONE implementation
+    shared by the LSH/SimHash self-joins, the incremental pair builder,
+    and the embedding block join, so the split semantics can't drift
+    between them.
+
+    Members of a bucket of size n > cap are hash-assigned (md5-based
+    ``sampling.hash_bucket`` of ``id_col`` — deterministic and
+    engine-portable, so oracles reproduce it) to ceil(n/cap) sub-
+    buckets; buckets at or under the cap keep sub-bucket 0.  Returns
+    ``bands`` plus an integer ``_sub`` column the caller must include
+    in its self-join keys.
+
+    Why split, not drop: a self-join restricted to (bucket, _sub)
+    bounds per-row fan-out at ~cap, so total pair work is ≤ n·cap/2 —
+    LINEAR in n — while candidates inside a hot bucket are still
+    surfaced (each doc still pairs with up to cap-1 bucket-mates).
+    Dropping bounded the work too, but produced NO pairs and no
+    signal: recall silently collapsed on degenerate corpora (the
+    round-2 16x er/semdedup probes "found" nothing and got faster).
+    The residual loss is pairs straddling two sub-buckets of the same
+    hot bucket — observable via ``stats``, recoverable downstream
+    (hot-bucket members are near-exact duplicates; connected
+    components still collapse each sub-bucket).
+
+    Observability contract (no silent caps): when ``stats`` is a dict,
+    ``stats[stats_key]`` is set to a LAZY census DataFrame of the
+    oversized buckets — (*keys, bucket_size, n_splits) — so callers
+    can count/sample what was re-blocked.  The census is tiny (one row
+    per hot bucket) and broadcast into the assignment join.
+    """
+    if max_bucket_size is None:
+        out = bands.withColumn("_sub", F.lit(0))
+        if stats is not None:
+            stats[stats_key] = bands.limit(0).select(
+                *keys,
+                F.lit(0).cast("long").alias("bucket_size"),
+                F.lit(0).alias("n_splits"),
+            )
+        return out
+    hot = (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .select(
+            *keys,
+            F.col("_n").alias("bucket_size"),
+            F.expr(
+                f"CAST((_n + {max_bucket_size} - 1) DIV {max_bucket_size}"
+                " AS INT)"
+            ).alias("n_splits"),
+        )
+    )
+    if stats is not None:
+        stats[stats_key] = hot
+    joined = bands.join(
+        F.broadcast(hot.select(*keys, "n_splits")), on=list(keys), how="left"
+    )
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    return joined.withColumn(
+        "_sub",
+        F.when(F.col("n_splits").isNull(), F.lit(0))
+        .otherwise(
+            F.pmod(sampling.hash_bucket(idc, SUBSPLIT_SALT),
+                   F.col("n_splits"))
+        )
+        .cast("int"),
+    ).drop("n_splits")
+
+
 def _drop_hot_buckets(bands: DataFrame,
                       max_bucket_size: int | None,
-                      keys: tuple[str, ...] = ("band", "band_key")
-                      ) -> DataFrame:
-    """Drop ``keys`` buckets above the size cap — ONE implementation
-    shared by the LSH self-join, the incremental pair builder, and the
-    containment posting lists, so the cap semantics (strict ``>``
-    boundary, anti-join form) can't drift between them (see
-    MAX_BUCKET_SIZE).  The hot-bucket list is tiny and broadcast; the
-    census is one map-side-partial count."""
+                      keys: tuple[str, ...] = ("band", "band_key"),
+                      stats: dict | None = None,
+                      stats_key: str = "dropped_buckets") -> DataFrame:
+    """Drop ``keys`` buckets above the size cap — retained ONLY for the
+    containment posting lists, where a hot key is a corpus-common
+    shingle: splitting it would keep join work without adding evidence
+    value (a shingle shared by >cap docs is an IDF-style stopword, not
+    duplicate signal), so dropping IS the semantics there.  Self-join
+    operators use _split_hot_buckets instead.
+
+    Observability contract (no silent caps): when ``stats`` is a dict,
+    ``stats[stats_key]`` is set to a lazy census DataFrame
+    (*keys, bucket_size) of what was dropped."""
     if max_bucket_size is None:
+        if stats is not None:
+            stats[stats_key] = bands.limit(0).select(
+                *keys, F.lit(0).cast("long").alias("bucket_size")
+            )
         return bands
     hot = (
         bands.groupBy(*keys)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > max_bucket_size)
-        .drop("_n")
+        .select(*keys, F.col("_n").alias("bucket_size"))
     )
-    return bands.join(F.broadcast(hot), on=list(keys), how="left_anti")
+    if stats is not None:
+        stats[stats_key] = hot
+    return bands.join(
+        F.broadcast(hot.select(*keys)), on=list(keys), how="left_anti"
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
-                        max_bucket_size: int | None = MAX_BUCKET_SIZE
-                        ) -> DataFrame:
+                        max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                        stats: dict | None = None) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (doc_a < doc_b).
 
     Docs sharing any band key become candidates; the band-key equi-join
     replaces the O(N²) pair enumeration.  Buckets larger than
-    ``max_bucket_size`` are dropped before the self-join (see
-    MAX_BUCKET_SIZE) — the hot-bucket list is tiny and broadcast, so
+    ``max_bucket_size`` are hash-split into bounded sub-buckets before
+    the self-join (see _split_hot_buckets: work stays linear, hot-
+    bucket candidates are still found, and ``stats`` receives the
+    oversized-bucket census) — the census is tiny and broadcast, so
     the cap costs one map-side-partial count, not an extra wide
     shuffle.  Pass ``None`` to disable.
     """
@@ -158,13 +257,14 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     # localCheckpoint: tiny (n_bands rows/doc) and read twice by the
     # self-join — materialize once AND avoid the unbounded cache-manager
     # entry a bare persist() would leak (blocks free with the DataFrame).
-    bands = _drop_hot_buckets(
-        minhash_band_keys(sh).localCheckpoint(eager=True), max_bucket_size
+    bands = _split_hot_buckets(
+        minhash_band_keys(sh).localCheckpoint(eager=True), max_bucket_size,
+        stats=stats,
     )
     a = bands.withColumnsRenamed({"doc_id": "doc_a"})
     b = bands.withColumnsRenamed({"doc_id": "doc_b"})
     return (
-        a.join(b, on=["band", "band_key"])
+        a.join(b, on=["band", "band_key", "_sub"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -200,7 +300,8 @@ def overlap_counts(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
-                        min_jaccard: float = 0.0) -> DataFrame:
+                        min_jaccard: float = 0.0,
+                        stats: dict | None = None) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidate pairs.
 
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed with joins/group-bys on
@@ -208,7 +309,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     (doc_a, doc_b, jaccard) rounded to 4dp.
     """
     sh = shingle_sets(docs, text_col, id_col)
-    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(docs, text_col, id_col, stats=stats)
     return (
         overlap_counts(pairs, sh)
         .select(
@@ -240,7 +341,8 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
                       min_containment: float = 0.9,
                       n_probes: int = CONTAIN_PROBES,
                       shingle_n: int = CONTAIN_SHINGLE_N,
-                      max_posting: int | None = MAX_BUCKET_SIZE) -> DataFrame:
+                      max_posting: int | None = MAX_BUCKET_SIZE,
+                      stats: dict | None = None) -> DataFrame:
     """Asymmetric shingle containment — excerpt/quotation detection:
     containment(sub → super) = |S_sub ∩ S_super| / |S_sub|.
 
@@ -258,9 +360,13 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
     Scale shape: probes are n_probes rows/doc; posting lists join on a
     fixed-width md5 key; lists longer than ``max_posting`` are dropped
     (corpus-common shingles — useless as evidence, quadratic as join
-    keys; same hot-key policy as MAX_BUCKET_SIZE).  Verification runs
-    on candidates only (overlap_counts).  Output one row per surfaced
-    DIRECTION: (doc_sub, doc_super, containment) rounded to 4dp.
+    keys).  Unlike the self-join operators, which RE-BLOCK hot
+    buckets, dropping is the correct semantics here: a shingle shared
+    by >cap docs is an IDF-style stopword, not duplicate evidence.
+    The drop census is observable via ``stats["dropped_postings"]``
+    (no silent caps).  Verification runs on candidates only
+    (overlap_counts).  Output one row per surfaced DIRECTION:
+    (doc_sub, doc_super, containment) rounded to 4dp.
     """
     from pyspark.sql import Window
 
@@ -283,6 +389,8 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
         hh.select(F.col("doc_id").alias("doc_super"), "shingle"),
         max_posting,
         keys=("shingle",),
+        stats=stats,
+        stats_key="dropped_postings",
     )
     cand = (
         probes.join(postings, on="shingle")
@@ -371,8 +479,8 @@ SIMHASH_BANDS = 4
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        max_hamming: int = 3,
-                       max_bucket_size: int | None = MAX_BUCKET_SIZE
-                       ) -> DataFrame:
+                       max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                       stats: dict | None = None) -> DataFrame:
     """Hamming-space near-dup pairs over SimHash signatures — the
     Google-style complement to MinHash/Jaccard (Charikar 2002 / the
     Manku-Jain-Sarma WWW'07 banding trick, both public papers).
@@ -388,12 +496,13 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     O(N²) over the corpus), verification touches candidates only; see
     SIMHASH_BITS for why band width must grow with corpus size (random
     band collisions are the quadratic term — measured superlinear at
-    8-bit bands, linear at 15-bit).  Same
-    hot-bucket handling as LSH: (band, value) buckets above
-    ``max_bucket_size`` are dropped before the self-join (boilerplate
-    corpora pile exact/near-exact copies into one bucket; those are
-    exact_duplicate_groups territory), trading bounded work for recall
-    only inside degenerate buckets.
+    8-bit bands, linear at 15-bit).  Same hot-bucket handling as LSH:
+    (band, value) buckets above ``max_bucket_size`` are hash-split
+    into bounded sub-buckets before the self-join
+    (_split_hot_buckets: linear work, candidates still found, census
+    reported via ``stats``).  Pigeonhole recall is exact only for
+    pairs whose shared band sits in a sub-cap bucket; inside split
+    buckets recall is partial by design.
 
     Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     """
@@ -416,19 +525,19 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
             )
         ).alias("bv"),
     ).select("doc_id", "simhash", "bv.band", "bv.band_key")
-    bands = _drop_hot_buckets(
-        bands.localCheckpoint(eager=True), max_bucket_size
+    bands = _split_hot_buckets(
+        bands.localCheckpoint(eager=True), max_bucket_size, stats=stats
     )
     a = bands.select(
-        "band", "band_key",
+        "band", "band_key", "_sub",
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
     )
     b = bands.select(
-        "band", "band_key",
+        "band", "band_key", "_sub",
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
     )
     return (
-        a.join(b, on=["band", "band_key"])
+        a.join(b, on=["band", "band_key", "_sub"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -448,43 +557,55 @@ MAX_EMB_BLOCK_SIZE = 2048
 def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", block_col: str = "label",
                             threshold: float = 0.3,
-                            max_block_size: int | None = MAX_EMB_BLOCK_SIZE
-                            ) -> DataFrame:
+                            max_block_size: int | None = MAX_EMB_BLOCK_SIZE,
+                            stats: dict | None = None) -> DataFrame:
     """Blocked pairwise cosine near-dup: only pairs sharing ``block_col``
     are compared (at scale the block key is an LSH bucket or k-means
     cluster — see operators/similarity.py).  Returns
     (vec_a, vec_b, cos_sim).
 
     The per-block join is quadratic IN THE BLOCK, so blocks above
-    ``max_block_size`` are dropped before the self-join (same contract
-    as the LSH hot-bucket cap, _drop_hot_buckets): an oversized block
-    means the blocking key is stale for the corpus size — SemDeDup
-    grows the cluster count with N precisely so blocks stay bounded —
-    and the cap turns a quadratic blowup into missing candidates
-    (members of dropped blocks emit no pairs and become singletons
-    downstream).  The 16x scale probe measured exponent 1.47 without
-    the cap on label-replicated data; with it the degenerate input is
-    linear."""
+    ``max_block_size`` are hash-split into bounded sub-blocks before
+    the self-join (_split_hot_buckets — same contract as the LSH hot-
+    bucket split): an oversized block means the blocking key is stale
+    for the corpus size, and the PRINCIPLED fix is re-clustering —
+    SemDeDup grows the k-means cluster count with N precisely so
+    blocks stay bounded (similarity.train_kmeans with larger k, then
+    re-block on the new assignment).  The hash split is the unconditional
+    fallback that bounds work even when every vector in the block is
+    identical (where any similarity-aware split degenerates): work per
+    block becomes ≤ n·cap/2 — linear — and near-dups are still found
+    within each sub-block (over-retention ≤ n/cap survivors per
+    degenerate group instead of dropped-block singletons-everywhere).
+    The 16x scale probe measured exponent 1.47 uncapped; the split
+    keeps the degenerate input linear AND still finds matches, and the
+    oversized-block census is reported via ``stats`` (no silent
+    caps)."""
     base = emb.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
     )
-    base = _drop_hot_buckets(base, max_block_size, keys=("block",))
+    base = _split_hot_buckets(
+        base, max_block_size, keys=("block",), id_col="_id",
+        stats=stats, stats_key="oversized_blocks",
+    )
     a = base.select(
         "block",
+        "_sub",
         F.col("_id").alias("vec_a"),
         F.col("_vec").alias("emb_a"),
         l2_norm("_vec").alias("norm_a"),
     )
     b = base.select(
         "block",
+        "_sub",
         F.col("_id").alias("vec_b"),
         F.col("_vec").alias("emb_b"),
         l2_norm("_vec").alias("norm_b"),
     )
     return (
-        a.join(b, on="block")
+        a.join(b, on=["block", "_sub"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
@@ -555,11 +676,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
 
 
 def duplicate_clusters(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       stats: dict | None = None) -> DataFrame:
     """End-to-end near-dup clustering: LSH candidate pairs → connected
     components → (doc_id, component_id, is_canonical).  Docs in no pair
     are their own singleton component."""
-    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(docs, text_col, id_col, stats=stats)
     comp = connected_components(pairs)
     all_ids = docs.select(F.col(id_col).alias("doc_id"))
     full = (
@@ -613,7 +735,8 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
 
 def survivor_selection(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       quality_col: str = "n_chars") -> DataFrame:
+                       quality_col: str = "n_chars",
+                       stats: dict | None = None) -> DataFrame:
     """Pick one canonical survivor per near-duplicate cluster.
 
     ``duplicate_clusters`` labels components but crowns the MIN doc id;
@@ -631,7 +754,7 @@ def survivor_selection(docs: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    clusters = duplicate_clusters(docs, text_col, id_col)
+    clusters = duplicate_clusters(docs, text_col, id_col, stats=stats)
     quality = docs.select(
         F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
     )
@@ -648,7 +771,8 @@ def survivor_selection(docs: DataFrame, text_col: str = "text",
 def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_permille_dist: int | None = None,
-                          band: int | None = None) -> DataFrame:
+                          band: int | None = None,
+                          stats: dict | None = None) -> DataFrame:
     """Character-level verification of LSH candidate pairs: Levenshtein
     distance + an integer similarity score.
 
@@ -690,7 +814,7 @@ def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
                 f"with distance in ({band}, {d_max}] "
                 "would be silently dropped; raise band or tighten the threshold"
             )
-    pairs = lsh_candidate_pairs(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(docs, text_col, id_col, stats=stats)
     texts = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")
     )
@@ -759,17 +883,19 @@ def editdist_verify_pairs(docs: DataFrame, text_col: str = "text",
 def incremental_candidate_pairs(batch: DataFrame, corpus: DataFrame,
                                 text_col: str = "text",
                                 id_col: str = "doc_id",
-                                max_bucket_size: int | None = MAX_BUCKET_SIZE
-                                ) -> DataFrame:
+                                max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                                stats: dict | None = None) -> DataFrame:
     """Near-dup candidates between a NEW batch and the EXISTING corpus
     — the per-ingest dedup gate when a corpus grows incrementally
     (only new×old pairs; new×new dedup is ``lsh_candidate_pairs`` on
     the batch, old×old was handled when those docs arrived).
 
     Returns (doc_new, doc_old) candidate pairs via the shared MinHash
-    band keys.  The band-bucket cap is computed over batch ∪ corpus so
-    the semantics match the self-join operator exactly (a bucket that
-    would explode combined is dropped whole).
+    band keys.  The band-bucket census (and hash-split of oversized
+    buckets) is computed over batch ∪ corpus so the semantics match
+    the self-join operator exactly; the sub-bucket hash runs on the
+    ORIGINAL id, so a re-ingested doc's two versions share a
+    sub-bucket and their new-vs-old pair is always retained.
 
     Scale shape: in production the corpus side's band keys are a
     MATERIALIZED table maintained across ingests (one row per doc per
@@ -803,19 +929,23 @@ def incremental_candidate_pairs(batch: DataFrame, corpus: DataFrame,
         F.col("_uid").alias("doc_id"),
         F.explode(word_shingles("_t", SHINGLE_N)).alias("shingle"),
     )
-    bands = _drop_hot_buckets(
-        minhash_band_keys(sh).localCheckpoint(eager=True), max_bucket_size
+    # Split on the ORIGINAL id (strip the "n:"/"o:" side tag): the
+    # oracle hashes the bare doc_id, and both versions of a re-ingested
+    # doc must land in the same sub-bucket.
+    bands = _split_hot_buckets(
+        minhash_band_keys(sh).localCheckpoint(eager=True), max_bucket_size,
+        id_col=F.expr("substring(doc_id, 3)"), stats=stats,
     )
     sides = tagged.select(F.col("_uid").alias("doc_id"), "_orig", "_new")
     b2 = bands.join(sides, on="doc_id")
     new_side = b2.filter(F.col("_new")).select(
-        F.col("_orig").alias("doc_new"), "band", "band_key"
+        F.col("_orig").alias("doc_new"), "band", "band_key", "_sub"
     )
     old_side = b2.filter(~F.col("_new")).select(
-        F.col("_orig").alias("doc_old"), "band", "band_key"
+        F.col("_orig").alias("doc_old"), "band", "band_key", "_sub"
     )
     return (
-        new_side.join(old_side, on=["band", "band_key"])
+        new_side.join(old_side, on=["band", "band_key", "_sub"])
         .select("doc_new", "doc_old")
         .distinct()
     )
@@ -825,8 +955,8 @@ def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              block_col: str = "label",
                              threshold: float = 0.3,
-                             max_block_size: int | None = MAX_EMB_BLOCK_SIZE
-                             ) -> DataFrame:
+                             max_block_size: int | None = MAX_EMB_BLOCK_SIZE,
+                             stats: dict | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): cluster-blocked pairwise cosine -> near-dup groups ->
     one survivor per group.
@@ -847,7 +977,7 @@ def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
     """
     pairs = embedding_neardup_pairs(
         emb, vec_col=vec_col, id_col=id_col, block_col=block_col,
-        threshold=threshold, max_block_size=max_block_size,
+        threshold=threshold, max_block_size=max_block_size, stats=stats,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     comp = connected_components(pairs)
     all_ids = emb.select(F.col(id_col).alias("vec_id"))

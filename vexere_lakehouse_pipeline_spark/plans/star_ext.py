@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.catalog import load_table
 from vexere_lakehouse_pipeline_spark.functions.text import LANG_TOKEN_SPLIT_RE
+from vexere_lakehouse_pipeline_spark.operators import sampling
 from vexere_lakehouse_pipeline_spark.operators.nlp import sentiment_udf
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 
@@ -170,6 +171,100 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-discard twin — oracle-gates the streaming LATE-DATA rule
+# that events_hourly_windows (the closed-window twin above) cannot
+# see.  A deterministic ~5% of events is declared late (arrives 3h
+# after its event time, hash-chosen so both engines agree); arrivals
+# are grouped into hourly micro-batches; the per-batch watermark is
+# the running max of preceding batches' event time minus 1h; a row is
+# counted by the "stream" only while its window's end is beyond that
+# watermark (streaming/ingest.py:watermark_accepted_flags — the
+# append-mode state-eviction rule, engine-equivalence pinned in
+# tests/test_joins_stateful.py).  Output compares the stream's window
+# counts against the full batch truth: n_dropped is exactly the late
+# data a real stream would lose at this watermark.
+# ---------------------------------------------------------------------------
+_LATE_BOUND = 3277  # ~5% of 65536 hash buckets
+
+
+@_register(
+    "events_watermark_discard_twin",
+    f"""
+    WITH e AS (
+        SELECT event_id, event_type, ts, value,
+               CASE WHEN {sampling.hash_bucket_sql('event_id', 'late')}
+                         < {_LATE_BOUND}
+                    THEN ts + INTERVAL 3 HOUR ELSE ts END AS arrival_ts
+        FROM events
+    ),
+    e2 AS (SELECT *, date_trunc('hour', arrival_ts) AS batch FROM e),
+    bm AS (SELECT batch, MAX(ts) AS bmax FROM e2 GROUP BY batch),
+    wm AS (SELECT batch,
+                  MAX(bmax) OVER (ORDER BY batch
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+                  - INTERVAL 1 HOUR AS wm
+           FROM bm),
+    acc AS (SELECT e2.*,
+                   (wm.wm IS NULL
+                    OR date_trunc('hour', e2.ts) + INTERVAL 1 HOUR > wm.wm)
+                       AS ok
+            FROM e2 JOIN wm USING (batch))
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n_stream,
+           CAST(COUNT(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_dropped,
+           CAST(ROUND(COALESCE(
+                    SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE ok),
+                    0), 2) AS DOUBLE) AS total_value_stream
+    FROM acc GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_watermark_discard_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        watermark_accepted_flags,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    seeded = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.when(
+            sampling.hash_bucket("event_id", "late") < _LATE_BOUND,
+            F.col("ts") + F.expr("INTERVAL 3 HOURS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("arrival_ts"),
+    )
+    flagged = watermark_accepted_flags(seeded)
+    ok = F.col("ok")
+    return (
+        flagged.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_batch"),
+            F.count(F.when(ok, 1)).alias("n_stream"),
+            F.count(F.when(~ok, 1)).alias("n_dropped"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(ok, F.col("value").cast("decimal(18,2)"))
+                    ),
+                    F.lit(0).cast("decimal(18,2)"),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_value_stream"),
         )
         .orderBy("window_start", "event_type")
     )

@@ -41,7 +41,7 @@ from vexere_lakehouse_pipeline_spark.functions.text import (
     quality_features,
     whitespace_token_count,
 )
-from vexere_lakehouse_pipeline_spark.operators import dedup, similarity
+from vexere_lakehouse_pipeline_spark.operators import dedup, sampling, similarity
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 
 QUERIES: dict[str, QueryFn] = {}
@@ -79,6 +79,19 @@ def _duck_shingles(n: int) -> str:
 
 _N_HASHES = dedup.N_BANDS * dedup.N_ROWS
 
+
+def _duck_sub_split(id_sql: str, n_sql: str, cap: int) -> str:
+    """DuckDB sub-bucket assignment mirroring dedup._split_hot_buckets:
+    sub-cap buckets keep sub 0; oversized buckets hash-assign members
+    to ceil(n/cap) sub-buckets with the portable md5 bucket hash (same
+    SUBSPLIT_SALT both engines)."""
+    return (
+        f"CASE WHEN {n_sql} <= {cap} THEN 0 "
+        f"ELSE ({sampling.hash_bucket_sql(id_sql, dedup.SUBSPLIT_SALT)}) "
+        f"% CAST(({n_sql} + {cap} - 1) // {cap} AS INTEGER) END"
+    )
+
+
 _DUCK_SHINGLE_CTES = f"""
     tok AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
     sh AS (SELECT DISTINCT doc_id, unnest({_duck_shingles(dedup.SHINGLE_N)}) AS shingle
@@ -96,14 +109,15 @@ _DUCK_SHINGLE_CTES = f"""
         FROM mins GROUP BY doc_id, i // {dedup.N_ROWS}
     ),
     bsz AS (SELECT b, band_key, COUNT(*) AS bn FROM bands GROUP BY b, band_key),
-    bok AS (SELECT bands.doc_id, bands.b, bands.band_key
+    bok AS (SELECT bands.doc_id, bands.b, bands.band_key,
+                   {_duck_sub_split('bands.doc_id', 'bsz.bn',
+                                    dedup.MAX_BUCKET_SIZE)} AS sub
             FROM bands JOIN bsz ON bsz.b = bands.b
-                 AND bsz.band_key = bands.band_key
-            WHERE bsz.bn <= {dedup.MAX_BUCKET_SIZE}),
+                 AND bsz.band_key = bands.band_key),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
         FROM bok a JOIN bok c ON a.b = c.b AND a.band_key = c.band_key
-                     AND a.doc_id < c.doc_id
+                     AND a.sub = c.sub AND a.doc_id < c.doc_id
     )"""
 
 
@@ -276,14 +290,17 @@ _SIMHASH_NP_COMBINE = " + ".join(
         FROM sig, (SELECT unnest(range(0, {dedup.SIMHASH_BANDS})) AS b)
     ),
     sbsz AS (SELECT b, band_val, COUNT(*) AS bn FROM bands GROUP BY b, band_val),
-    sbok AS (SELECT bands.* FROM bands
-             JOIN sbsz ON sbsz.b = bands.b AND sbsz.band_val = bands.band_val
-             WHERE sbsz.bn <= {dedup.MAX_BUCKET_SIZE}),
+    sbok AS (SELECT bands.*,
+                    {_duck_sub_split('bands.doc_id', 'sbsz.bn',
+                                     dedup.MAX_BUCKET_SIZE)} AS sub
+             FROM bands
+             JOIN sbsz ON sbsz.b = bands.b AND sbsz.band_val = bands.band_val),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
                         c.doc_id AS doc_b, c.simhash AS sim_b
         FROM sbok a JOIN sbok c
-          ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+          ON a.b = c.b AND a.band_val = c.band_val AND a.sub = c.sub
+         AND a.doc_id < c.doc_id
     )
     SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
@@ -313,23 +330,32 @@ _DUCK_COS = (
 
 
 # The oracle models the operator's block-size cap (MAX_EMB_BLOCK_SIZE:
-# blocks above it emit no pairs) so Spark and DuckDB agree at ANY data
-# scale, not just where the gate corpus happens to stay under the cap.
+# oversized blocks hash-split into bounded sub-blocks, pairs only
+# within a sub-block — dedup._split_hot_buckets) so Spark and DuckDB
+# agree at ANY data scale, not just where the gate corpus happens to
+# stay under the cap.
 _DUCK_EMB_CAPPED = (
     "e AS ({emb}), "
-    "bc AS (SELECT label FROM e GROUP BY label "
-    "HAVING COUNT(*) <= {cap}), "
-    "ek AS (SELECT e.* FROM e JOIN bc USING (label))"
+    "bc AS (SELECT label, COUNT(*) AS bn FROM e GROUP BY label), "
+    "ek AS (SELECT e.*, {sub} AS sub FROM e JOIN bc USING (label))"
 )
+
+
+def _duck_emb_capped() -> str:
+    return _DUCK_EMB_CAPPED.format(
+        emb=_DUCK_EMB,
+        sub=_duck_sub_split("e.vec_id", "bc.bn", dedup.MAX_EMB_BLOCK_SIZE),
+    )
 
 
 @_register(
     "dedup_embedding_neardup_pairs",
     f"""
-    WITH {_DUCK_EMB_CAPPED.format(emb=_DUCK_EMB, cap=dedup.MAX_EMB_BLOCK_SIZE)}
+    WITH {_duck_emb_capped()}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
-    FROM ek a JOIN ek b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM ek a JOIN ek b ON a.label = b.label AND a.sub = b.sub
+                        AND a.vec_id < b.vec_id
     WHERE cos_sim >= 0.3
     ORDER BY vec_a, vec_b
     """,

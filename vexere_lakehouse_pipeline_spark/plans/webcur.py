@@ -39,7 +39,11 @@ from vexere_lakehouse_pipeline_spark.functions.text import (
 )
 from vexere_lakehouse_pipeline_spark.operators import dedup
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
-from vexere_lakehouse_pipeline_spark.plans.star_ml import _DUCK_COS, _DUCK_EMB
+from vexere_lakehouse_pipeline_spark.plans.star_ml import (
+    _DUCK_COS,
+    _DUCK_EMB,
+    _duck_sub_split,
+)
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -431,12 +435,14 @@ _SEMDEDUP_TAU = 0.3
     "dedup_semdedup_survivors",
     f"""
     WITH RECURSIVE e AS ({_DUCK_EMB}),
-    bc AS (SELECT label FROM e GROUP BY label
-           HAVING COUNT(*) <= {dedup.MAX_EMB_BLOCK_SIZE}),
-    ek AS (SELECT e.* FROM e JOIN bc USING (label)),
+    bc AS (SELECT label, COUNT(*) AS bn FROM e GROUP BY label),
+    ek AS (SELECT e.*, {_duck_sub_split("e.vec_id", "bc.bn",
+                                        dedup.MAX_EMB_BLOCK_SIZE)} AS sub
+           FROM e JOIN bc USING (label)),
     pairs AS (
         SELECT a.vec_id AS u, b.vec_id AS v
-        FROM ek a JOIN ek b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM ek a JOIN ek b ON a.label = b.label AND a.sub = b.sub
+                            AND a.vec_id < b.vec_id
         WHERE {_DUCK_COS.format(a="a.v", b="b.v")} >= {_SEMDEDUP_TAU}
     ),
     undirected AS (

@@ -219,3 +219,57 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
     return sessionized_event_counts(events, gap=gap, watermark=None).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+def watermark_accepted_flags(events: DataFrame, ts_col: str = "ts",
+                             arrival_ts_col: str = "arrival_ts",
+                             batch_granularity: str = "hour",
+                             window_duration: str = "1 hour",
+                             delay: str = "1 hour") -> DataFrame:
+    """Batch twin of the streaming watermark DISCARD rule — which rows
+    a watermarked windowed aggregation would actually count, given an
+    explicit arrival timeline.
+
+    Structured Streaming semantics being modeled (the append-mode
+    state-eviction rule): the watermark after micro-batch k is
+    max(event time seen in batches <= k) - delay; a window's state is
+    evicted once watermark >= window end, and rows for evicted windows
+    arriving later are dropped.  This twin reproduces that at
+    micro-batch granularity: rows are grouped into arrival batches
+    (``date_trunc(batch_granularity, arrival_ts)`` — one micro-batch
+    per arrival period), the per-batch watermark is the running max of
+    PRECEDING batches' max event time minus ``delay``, and a row is
+    accepted iff its tumbling window's end is still beyond that
+    watermark.  tests/test_joins_stateful.py proves equivalence
+    against the real engine (file-per-micro-batch AvailableNow runs).
+
+    Scale shape: the batch census is one aggregate (rows -> one row
+    per arrival period — metadata-sized), the running-max window runs
+    on that tiny table (single-partition is fine at any corpus size),
+    and the flags join back via broadcast.  The event table itself is
+    touched by exactly one wide aggregation downstream.
+
+    Returns ``events`` plus ``_batch`` (arrival micro-batch),
+    ``_wm`` (watermark in force when the row's batch ran; null in the
+    first batch) and ``ok`` (accepted by the stream).
+    """
+    from pyspark.sql import Window
+
+    e2 = events.withColumn(
+        "_batch", F.date_trunc(batch_granularity, F.col(arrival_ts_col))
+    )
+    bm = e2.groupBy("_batch").agg(F.max(ts_col).alias("_bmax"))
+    w = Window.orderBy("_batch").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = bm.select(
+        "_batch",
+        (F.max("_bmax").over(w) - F.expr(f"INTERVAL {delay}")).alias("_wm"),
+    )
+    joined = e2.join(F.broadcast(wm), on="_batch")
+    win_end = F.date_trunc("hour", F.col(ts_col)) + F.expr(
+        f"INTERVAL {window_duration}"
+    )
+    return joined.withColumn(
+        "ok", F.col("_wm").isNull() | (win_end > F.col("_wm"))
+    )
