@@ -285,3 +285,56 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
         how="inner",
     ).filter(F.col("n_events") == F.col("n_batch"))
     assert joined.count() == closed  # every closed session matches batch
+
+
+def test_bmp_stats_integer_exact_and_contract_edges():
+    """bmp_stats (the oracle-portable integer twin of bmp_decode):
+    sums/luma agree with a direct pixel computation; empty payload is
+    the all-zero row; malformed payloads raise for quarantine; the
+    truncated-data guard matches bmp_decode's."""
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        bmp_stats,
+        encode_bmp,
+    )
+
+    pixels = [(r * 50 % 256, c * 90 % 256, (r + c) * 30 % 256)
+              for r in range(3) for c in range(5)]
+    got = bmp_stats(encode_bmp(5, 3, pixels))
+    lumas = [299 * r + 587 * g + 114 * b for r, g, b in pixels]
+    assert got == (
+        5, 3, 15,
+        sum(p[0] for p in pixels),
+        sum(p[1] for p in pixels),
+        sum(p[2] for p in pixels),
+        min(lumas), max(lumas),
+    )
+    assert bmp_stats(b"") == (0, 0, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="not a BMP"):
+        bmp_stats(b"JUNK" * 20)
+    with pytest.raises(ValueError, match="truncated pixel data"):
+        bmp_stats(encode_bmp(5, 3, pixels)[:-4])
+
+
+def test_wav_decode_rejects_overrun_data_chunk():
+    """ADVICE r2: a data chunk whose declared size overruns the payload
+    must raise (quarantine), not silently compute stats on the
+    truncated slice."""
+    import struct
+
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        wav_decode,
+    )
+
+    wav = bytearray(encode_wav(8000, list(range(64))))
+    # inflate the data chunk's declared size past the real payload
+    data_off = wav.index(b"data")
+    struct.pack_into("<I", wav, data_off + 4, 64 + 100)
+    with pytest.raises(ValueError, match="truncated data chunk"):
+        wav_decode(bytes(wav))
+    # the intact encoding still decodes
+    assert wav_decode(encode_wav(8000, list(range(64))))[3] == 64

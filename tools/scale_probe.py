@@ -96,6 +96,7 @@ PROBES = [
     ("corpus_sentence_dedup", {"documents": ["doc_id"]}),
     ("cdc_apply_user_state", {"events": ["event_id", "user_id"]}),
     ("multimodal_wav_stats", {"documents": ["doc_id"]}),
+    ("multimodal_bmp_stats", {"documents": ["doc_id"]}),
     ("text_unicode_scrub", {"documents": ["doc_id"]}),
     ("corpus_bpe_merge_step", {"documents": ["doc_id"]}),
     ("corpus_bpe_train_k", {"documents": ["doc_id"]}),
@@ -227,6 +228,71 @@ def main() -> None:
     print(lines[-1])
     shutil.rmtree(sk1, ignore_errors=True)
     shutil.rmtree(skk, ignore_errors=True)
+
+    # Salted-join probe (VERDICT r2 item 7): ONE hot customer key
+    # receives 20% of all orders; the fact-dim equi-join is measured
+    # plain vs salted (operators/skew.py:salted_join, 32 salts) with
+    # auto-broadcast AND AQE skew-join disabled, isolating the salting
+    # effect (at 100 TB those are the shapes where AQE can't help: the
+    # dim is past broadcast size and the skew sits inside a wider
+    # pipeline AQE won't split).  Expected: plain degrades with K (the
+    # hot key's task grows linearly while others stay put), salted
+    # stays ~linear overall with exponent <= ~1.1.
+    from vexere_lakehouse_pipeline_spark.operators.skew import salted_join
+
+    def hot_fact(src: str):
+        orders = load_table(spark, src, "orders")
+        return orders.withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(1).cast("long"))
+            .otherwise(F.col("o_custkey")),
+        )
+
+    def join_probe(kind: str):
+        def run(src: str) -> float:
+            fact = hot_fact(src)
+            dim = load_table(spark, src, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+            if kind == "salted":
+                j = salted_join(
+                    fact.withColumnRenamed("o_custkey", "c_custkey"),
+                    dim, on="c_custkey", salt_from="o_orderkey", n_salts=32,
+                )
+            else:
+                j = fact.join(
+                    dim, fact.o_custkey == dim.c_custkey, "inner"
+                )
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                force(j.groupBy("c_mktsegment").agg(
+                    F.sum("o_totalprice"), F.sum("c_acctbal")
+                ))
+                best = min(best, time.time() - t0)
+            return best
+
+        return run
+
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        for kind in ("plain", "salted"):
+            run = join_probe(kind)
+            run(BASE)  # warm
+            t1, tk = run(BASE), run(tmp)
+            exp = math.log(tk / t1) / math.log(k)
+            lines.append(
+                f"| skewed-key join, {kind} (hot key = 20% of orders, "
+                f"no broadcast/AQE-skew) | {t1:.2f} | {tk:.2f} | {exp:.2f} |"
+            )
+            print(lines[-1])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
 
     lines.append(NOTE_ER)
     lines.append("")

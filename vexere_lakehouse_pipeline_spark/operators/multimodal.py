@@ -61,27 +61,12 @@ def fake_decode(payload: bytes) -> list[float]:
     ]
 
 
-def bmp_decode(payload: bytes) -> list[float]:
-    """REAL image decode with zero media libraries: uncompressed
-    24-bit BMP header + pixel parse (pure Python/stdlib).  Proves the
-    decode_fn plumbing end-to-end beyond :func:`fake_decode` — swap in
-    PIL/torch decoders on clusters that have them; the mapInPandas
-    stage is identical.
-
-    Features: [width, height, n_pixels, mean_r, mean_g, mean_b,
-    min_luma, max_luma].
-
-    Contract parity with :func:`fake_decode`: an EMPTY payload (the
-    substitution ``extract_features`` makes for NULL payloads) returns
-    a degenerate all-zero feature row rather than raising — one null
-    row must never abort a 100 TB job.  Malformed non-empty payloads
-    still raise ValueError (truncated pixel data and zero-area images
-    included), which the caller routes to quarantine.
-    """
+def _bmp_parse_header(payload: bytes) -> tuple[int, int, int, int, bool]:
+    """Shared BMP header parse/validation for bmp_decode and bmp_stats:
+    returns (pix_off, width, height, row_stride, bottom_up); raises
+    ValueError for anything malformed (quarantine routing)."""
     import struct
 
-    if not payload:
-        return [0.0] * 8
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (pix_off,) = struct.unpack_from("<I", payload, 10)
@@ -100,6 +85,29 @@ def bmp_decode(payload: bytes) -> list[float]:
             f"not a BMP payload: truncated pixel data "
             f"(need {pix_off + height * row_stride} bytes, have {len(payload)})"
         )
+    return pix_off, width, height, row_stride, bottom_up
+
+
+def bmp_decode(payload: bytes) -> list[float]:
+    """REAL image decode with zero media libraries: uncompressed
+    24-bit BMP header + pixel parse (pure Python/stdlib).  Proves the
+    decode_fn plumbing end-to-end beyond :func:`fake_decode` — swap in
+    PIL/torch decoders on clusters that have them; the mapInPandas
+    stage is identical.
+
+    Features: [width, height, n_pixels, mean_r, mean_g, mean_b,
+    min_luma, max_luma].
+
+    Contract parity with :func:`fake_decode`: an EMPTY payload (the
+    substitution ``extract_features`` makes for NULL payloads) returns
+    a degenerate all-zero feature row rather than raising — one null
+    row must never abort a 100 TB job.  Malformed non-empty payloads
+    still raise ValueError (truncated pixel data and zero-area images
+    included), which the caller routes to quarantine.
+    """
+    if not payload:
+        return [0.0] * 8
+    pix_off, width, height, row_stride, bottom_up = _bmp_parse_header(payload)
     sums = [0, 0, 0]
     min_l, max_l = 255.0, 0.0
     for row in range(height):
@@ -350,4 +358,71 @@ def extract_audio_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=AUDIO_SCHEMA
+    )
+
+
+IMAGE_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, "
+    "min_luma_milli long, max_luma_milli long"
+)
+
+
+def bmp_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
+    """Integer-exact image statistics from an uncompressed 24-bit BMP —
+    the oracle-portable twin of :func:`bmp_decode` (whose float means
+    and luma depend on IEEE evaluation order; these channel SUMS and
+    BT.601 milli-luma 299r+587g+114b are pure integer arithmetic, so
+    DuckDB can recompute them bit-for-bit).
+
+    Returns (width, height, n_pixels, sum_r, sum_g, sum_b,
+    min_luma_milli, max_luma_milli).  Empty payload → all-zero row
+    (NULL rows never abort a 100 TB job); malformed non-empty payloads
+    raise ValueError for quarantine routing.
+    """
+    if not payload:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    pix_off, width, height, row_stride, bottom_up = _bmp_parse_header(payload)
+    sr = sg = sb = 0
+    min_l, max_l = 255_000, 0
+    for row in range(height):
+        src_row = (height - 1 - row) if bottom_up else row
+        base = pix_off + src_row * row_stride
+        for col in range(width):
+            b, g, r = payload[base + col * 3: base + col * 3 + 3]
+            sr += r
+            sg += g
+            sb += b
+            luma = 299 * r + 587 * g + 114 * b
+            if luma < min_l:
+                min_l = luma
+            if luma > max_l:
+                max_l = luma
+    return (width, height, width * height, sr, sg, sb, min_l, max_l)
+
+
+def extract_image_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas image feature extraction: (media_id, payload) →
+    IMAGE_SCHEMA rows via :func:`bmp_stats`.  Same Arrow-batched shape
+    as :func:`extract_audio_stats` — bytes cross JVM→Python once per
+    batch; swap in PIL/torch decoders on clusters that have them, the
+    plumbing is identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid,) + bmp_stats(b if b is not None else b"")
+                for mid, b in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                    "min_luma_milli", "max_luma_milli",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_SCHEMA
     )

@@ -82,40 +82,63 @@ def conform_facilities(raw: DataFrame) -> DataFrame:
 
 def facility_to_silver(raw: DataFrame, bus_ids: DataFrame,
                        existing_names: DataFrame | None = None,
-                       ) -> dict[str, DataFrame]:
+                       keyer: str = "distributed") -> dict[str, DataFrame]:
     """→ {facility: bridge(Bus_Id, Bus_Name, Facility_Id),
     facility_name: dim(Facility_Name, Facility_Id)}
-    (to_silver.py:142-164).  The name dim is tiny (21 rows) so its
-    row_number window is harmless; the bridge join broadcasts it.
+    (to_silver.py:142-164).  The bridge join broadcasts the name dim.
 
     ``existing_names`` (the current silver dim) makes reruns id-STABLE:
     already-assigned names keep their Facility_Id and only genuinely
     new names get fresh ids above the existing max — without this, a
-    rerun whose batch contains a new name would re-number the sorted
-    list and corrupt the dim/bridge (two names sharing one id).
+    rerun whose batch contains a new name would re-number the
+    assignment and corrupt the dim/bridge (two names sharing one id).
+
+    ``keyer`` picks how NEW names get ids (both yield contiguous keys
+    continuing above the existing max — the dim's actual contract):
+
+    - ``"distributed"`` (default): surrogate_keys.assign_keys_distributed
+      — per-partition ranks + a driver prefix-sum, no global window, so
+      the keying stage scales with the name vocabulary without an
+      Exchange SinglePartition.  Name→id mapping is physical-order-
+      dependent on FIRST assignment (stable thereafter via
+      ``existing_names``).
+    - ``"ordered"``: the reference's sorted-by-name row_number
+      (to_silver.py:130-131 semantics) — deterministic first
+      assignment, single-partition window; fine while the vocabulary
+      is tiny, kept as the compat mode.
     """
+    if keyer not in ("distributed", "ordered"):
+        raise ValueError(f"keyer must be distributed|ordered, got {keyer!r}")
     conformed = _with_bus_id(
         conform_facilities(raw), bus_ids, ["Id", "Bus_Id", "Bus_Name"]
     )
     batch_names = conformed.select(
         F.explode("Facilities").alias("Facility_Name")
     ).distinct()
-    if existing_names is not None:
-        base = existing_names.agg(F.max("Facility_Id")).first()[0] or 0
-        fresh = batch_names.join(
-            F.broadcast(existing_names.select("Facility_Name")),
-            on="Facility_Name", how="left_anti",
-        ).withColumn(
+
+    def _key(df: DataFrame, base: int) -> DataFrame:
+        if keyer == "distributed":
+            return assign_keys_distributed(df, "Facility_Id", base=base)
+        return df.withColumn(
             "Facility_Id",
-            F.row_number().over(Window.orderBy("Facility_Name")) + F.lit(base),
+            (F.row_number().over(Window.orderBy("Facility_Name"))
+             + F.lit(base)).cast("long"),
+        )
+
+    if existing_names is not None:
+        base = max_existing_key(existing_names, "Facility_Id")
+        fresh = _key(
+            batch_names.join(
+                F.broadcast(existing_names.select("Facility_Name")),
+                on="Facility_Name", how="left_anti",
+            ),
+            base,
         )
         names = existing_names.select(
-            "Facility_Name", "Facility_Id"
+            F.col("Facility_Name"), F.col("Facility_Id").cast("long")
         ).unionByName(fresh)
     else:
-        names = batch_names.withColumn(
-            "Facility_Id", F.row_number().over(Window.orderBy("Facility_Name"))
-        )
+        names = _key(batch_names, 0)
     bridge = (
         conformed.select(
             "Bus_Id", "Bus_Name", F.explode("Facilities").alias("Facility_Name")

@@ -641,6 +641,80 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal IMAGE twin of multimodal_wav_stats — real BMP decode
+# (operators/multimodal.py:bmp_stats — pure-stdlib uncompressed 24-bit
+# parse) through the same mapInPandas plumbing, oracle-checked on
+# integer-exact statistics: channel sums and BT.601 milli-luma
+# (299r+587g+114b) instead of float means, so DuckDB recomputes the
+# decode's ground truth bit-for-bit from the same synthesized pixels.
+# Each doc gets a deterministic (4+id%5)x(3+id%4) image whose pixel
+# channels are (id*7 + row*5 + col*3 + {0,11,22}) % 256.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_bmp_stats",
+    """
+    WITH t AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM t),
+    v AS (SELECT doc_id, w, h,
+                 (doc_id * 7 + (k // w) * 5 + (k % w) * 3) % 256 AS vr,
+                 (doc_id * 7 + (k // w) * 5 + (k % w) * 3 + 11) % 256 AS vg,
+                 (doc_id * 7 + (k // w) * 5 + (k % w) * 3 + 22) % 256 AS vb
+          FROM px)
+    SELECT doc_id AS media_id,
+           CAST(MIN(w) AS INTEGER) AS width,
+           CAST(MIN(h) AS INTEGER) AS height,
+           CAST(MIN(w) * MIN(h) AS BIGINT) AS n_pixels,
+           CAST(SUM(vr) AS BIGINT) AS sum_r,
+           CAST(SUM(vg) AS BIGINT) AS sum_g,
+           CAST(SUM(vb) AS BIGINT) AS sum_b,
+           CAST(MIN(299 * vr + 587 * vg + 114 * vb) AS BIGINT)
+               AS min_luma_milli,
+           CAST(MAX(299 * vr + 587 * vg + 114 * vb) AS BIGINT)
+               AS max_luma_milli
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        extract_image_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                pixels = [
+                    (
+                        (d * 7 + r * 5 + c * 3) % 256,
+                        (d * 7 + r * 5 + c * 3 + 11) % 256,
+                        (d * 7 + r * 5 + c * 3 + 22) % 256,
+                    )
+                    for r in range(h)
+                    for c in range(w)
+                ]
+                payloads.append(encode_bmp(w, h, pixels))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return extract_image_stats(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # Unicode scrub — zero-width characters, typographic quotes/dashes,
 # NBSP: the invisible noise a web crawl carries that silently breaks
 # tokenization and dedup hashing.  A deterministic noisy wrapper is
