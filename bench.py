@@ -158,6 +158,7 @@ def main() -> None:
         "corpus_bpe_train_k",
         "events_watermark_discard_twin",
         "multimodal_bmp_stats",
+        "text_repetition_scores",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

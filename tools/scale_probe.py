@@ -97,6 +97,7 @@ PROBES = [
     ("cdc_apply_user_state", {"events": ["event_id", "user_id"]}),
     ("multimodal_wav_stats", {"documents": ["doc_id"]}),
     ("multimodal_bmp_stats", {"documents": ["doc_id"]}),
+    ("text_repetition_scores", {"documents": ["doc_id"]}),
     ("text_unicode_scrub", {"documents": ["doc_id"]}),
     ("corpus_bpe_merge_step", {"documents": ["doc_id"]}),
     ("corpus_bpe_train_k", {"documents": ["doc_id"]}),

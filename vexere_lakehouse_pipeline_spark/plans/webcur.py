@@ -42,6 +42,7 @@ from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 from vexere_lakehouse_pipeline_spark.plans.star_ml import (
     _DUCK_COS,
     _DUCK_EMB,
+    _DUCK_TOKENS,
     _duck_sub_split,
 )
 
@@ -638,6 +639,141 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, payload binary"
     )
     return extract_audio_stats(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Repetition scores — the Gopher repetition signals (Rae et al. 2021,
+# arXiv 2112.11446 Table A1) the quality-flag row lacks: excessive
+# in-document repetition marks boilerplate/SEO spam that LENGTH and
+# stopword screens pass.  Three per-doc signals, all integer permille
+# so both engines agree bit-for-bit:
+#   dup_2gram_permille  — repeated share of word-bigram OCCURRENCES
+#                         (1 - distinct/total),
+#   top_2gram_permille  — share held by the single most frequent
+#                         bigram,
+#   dup_sent_permille   — repeated share of fixed 10-token "sentences"
+#                         (the line/paragraph-dup analog for text with
+#                         no newline structure).
+# Plan shape: one explode per signal family feeding map-side-partial
+# aggs keyed by doc — linear, no joins beyond the final per-doc
+# broadcast-sized reassembly.
+# ---------------------------------------------------------------------------
+
+_SENT_W = 10  # tokens per pseudo-sentence window
+
+
+@_register(
+    "text_repetition_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+             FROM tok),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[CAST(i AS INTEGER)] || ' '
+                           || toks[CAST(i AS INTEGER) + 1])) AS g
+        FROM base WHERE len(toks) >= 2
+    ),
+    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    ga AS (SELECT doc_id, SUM(c) AS n2, COUNT(*) AS nd2, MAX(c) AS topc
+           FROM gc GROUP BY doc_id),
+    sents AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, CAST(len(toks) // {_SENT_W}
+                                                   AS INTEGER)),
+                      i -> array_to_string(
+                          toks[CAST(i * {_SENT_W} + 1 AS INTEGER)
+                               : CAST(i * {_SENT_W} + {_SENT_W} AS INTEGER)],
+                          ' '))) AS s
+        FROM base WHERE len(toks) >= {_SENT_W}
+    ),
+    sa AS (SELECT doc_id, COUNT(*) AS ns, COUNT(DISTINCT s) AS nds
+           FROM sents GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(ga.n2, 0) AS BIGINT) AS n_2grams,
+           CAST(CASE WHEN COALESCE(ga.n2, 0) = 0 THEN 0
+                ELSE 1000 * (ga.n2 - ga.nd2) // ga.n2 END AS BIGINT)
+               AS dup_2gram_permille,
+           CAST(CASE WHEN COALESCE(ga.n2, 0) = 0 THEN 0
+                ELSE 1000 * ga.topc // ga.n2 END AS BIGINT)
+               AS top_2gram_permille,
+           CAST(COALESCE(sa.ns, 0) AS BIGINT) AS n_sents,
+           CAST(CASE WHEN COALESCE(sa.ns, 0) = 0 THEN 0
+                ELSE 1000 * (sa.ns - sa.nds) // sa.ns END AS BIGINT)
+               AS dup_sent_permille
+    FROM base b
+    LEFT JOIN ga ON ga.doc_id = b.doc_id
+    LEFT JOIN sa ON sa.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tokenize("text").alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks")
+    grams = base.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ',"
+                " element_at(toks, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    ga = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n2"),
+            F.count("*").alias("nd2"),
+            F.max("c").alias("topc"),
+        )
+    )
+    sents = base.filter(F.size("toks") >= _SENT_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) DIV {_SENT_W} - 1),"
+                f" i -> array_join(slice(toks, i * {_SENT_W} + 1,"
+                f" {_SENT_W}), ' '))"
+            )
+        ).alias("s"),
+    )
+    sa = sents.groupBy("doc_id").agg(
+        F.count("*").alias("ns"), F.countDistinct("s").alias("nds")
+    )
+    n2 = F.coalesce(F.col("n2"), F.lit(0))
+    ns = F.coalesce(F.col("ns"), F.lit(0))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(ga, on="doc_id", how="left")
+        .join(sa, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            n2.cast("long").alias("n_2grams"),
+            F.when(n2 == 0, F.lit(0))
+            .otherwise(
+                F.expr("1000 * (n2 - nd2) DIV n2")
+            )
+            .cast("long")
+            .alias("dup_2gram_permille"),
+            F.when(n2 == 0, F.lit(0))
+            .otherwise(F.expr("1000 * topc DIV n2"))
+            .cast("long")
+            .alias("top_2gram_permille"),
+            ns.cast("long").alias("n_sents"),
+            F.when(ns == 0, F.lit(0))
+            .otherwise(F.expr("1000 * (ns - nds) DIV ns"))
+            .cast("long")
+            .alias("dup_sent_permille"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

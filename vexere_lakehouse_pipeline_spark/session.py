@@ -64,6 +64,23 @@ def build_session(
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
+    conf = assemble_conf(
+        shuffle_partitions=shuffle_partitions, with_s3a=with_s3a,
+        extra_conf=extra_conf, cpus=int(cpus),
+    )
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def assemble_conf(shuffle_partitions: int | None = None,
+                  with_s3a: bool = False,
+                  extra_conf: dict[str, str] | None = None,
+                  cpus: int = 4) -> dict[str, str]:
+    """Pure conf assembly for :func:`build_session` — separated so the
+    env-driven S3A/MinIO wiring is unit-testable in this offline
+    sandbox (the live object-store path can't run here; the conf
+    contract can — tests/test_io.py::test_s3a_conf_wiring)."""
     conf = dict(_SCALE_DEFAULTS)
     # On local[NN] a fixed shuffle width avoids the 200-partition default
     # dominating tiny stages; AQE coalesces further at runtime.
@@ -75,7 +92,10 @@ def build_session(
         # set the endpoint when one is configured (an empty string breaks
         # the client; absent = AWS default), and default SSL to ON —
         # plaintext only when S3_SSL=false is requested (MinIO-style
-        # local stacks).
+        # local stacks).  Credentials are NOT copied into Spark conf:
+        # the s3a provider chain reads AWS_ACCESS_KEY_ID/
+        # AWS_SECRET_ACCESS_KEY from the environment itself, and conf
+        # entries would leak into UI/event logs.
         conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
         endpoint = os.environ.get("S3_ENDPOINT")
         if endpoint:
@@ -84,6 +104,4 @@ def build_session(
             conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] = "false"
     if extra_conf:
         conf.update(extra_conf)
-    for k, v in conf.items():
-        builder = builder.config(k, v)
-    return builder.getOrCreate()
+    return conf
