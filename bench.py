@@ -159,6 +159,8 @@ def main() -> None:
         "events_watermark_discard_twin",
         "multimodal_bmp_stats",
         "text_repetition_scores",
+        "agg_unpivot_measures",
+        "map_function_showcase",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

@@ -474,3 +474,98 @@ def test_train_kmeans_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="non-empty"):
         similarity.train_kmeans(empty, k=2)
+
+
+def test_incremental_pairs_vs_stored_band_table_equivalence(spark, tmp_path):
+    """The materialized band-key store path must produce EXACTLY the
+    pairs the from-text incremental builder does — including under a
+    hot-bucket split and for a re-ingested (revised) doc id — while
+    never re-reading corpus text."""
+    corpus_texts = ["the quick brown fox jumps over the lazy dog today"] * 60
+    corpus_texts += [f"corpus doc {i} about catalyst optimizer internals topic {i}"
+                     for i in range(10)]
+    corpus = _docs(spark, corpus_texts)
+    # batch: near-dup of corpus doc 60, a revised version of id 3 (same
+    # boilerplate -> lands in the hot bucket), and an unrelated doc
+    batch = spark.createDataFrame(
+        [
+            (60, "corpus doc 0 about catalyst optimizer internals topic 0"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+            (999, "entirely unrelated words live in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "bands")
+    dedup.materialize_band_keys(corpus, store)
+    stored = spark.read.parquet(store)
+    cap = 20  # boilerplate bucket (60+1 docs) splits 4 ways
+    stats_a: dict = {}
+    stats_b: dict = {}
+    a = {
+        (r["doc_new"], r["doc_old"])
+        for r in dedup.incremental_pairs_vs_stored(
+            batch, stored, max_bucket_size=cap, stats=stats_a
+        ).collect()
+    }
+    b = {
+        (r["doc_new"], r["doc_old"])
+        for r in dedup.incremental_candidate_pairs(
+            batch, corpus, max_bucket_size=cap, stats=stats_b
+        ).collect()
+    }
+    assert a == b
+    assert a  # non-vacuous
+    # the revised doc still pairs with its stored version: sub-split
+    # hashes the ORIGINAL id on both paths
+    assert (3, 3) in a
+    # both paths report the same oversized-bucket census
+    ca = {(r["band"], r["band_key"], r["bucket_size"], r["n_splits"])
+          for r in stats_a["oversized_buckets"].collect()}
+    cb = {(r["band"], r["band_key"], r["bucket_size"], r["n_splits"])
+          for r in stats_b["oversized_buckets"].collect()}
+    assert ca == cb and ca
+    # append-mode maintenance: adding the batch to the store makes its
+    # docs visible to the NEXT ingest
+    dedup.materialize_band_keys(batch, store, mode="append")
+    stored2 = spark.read.parquet(store)
+    nxt = spark.createDataFrame(
+        [(1000, "entirely unrelated words live in this document here")],
+        "doc_id long, text string",
+    )
+    nxt_pairs = {
+        (r["doc_new"], r["doc_old"])
+        for r in dedup.incremental_pairs_vs_stored(nxt, stored2).collect()
+    }
+    assert (1000, 999) in nxt_pairs
+
+
+def test_semantic_dedup_auto_scales_k_with_n(spark):
+    """The principled SemDeDup scale path: k grows with N so blocks
+    stay bounded (empty oversize census = the observable success
+    criterion), exact duplicates still collapse to one survivor, and
+    distinct directions keep their own survivors."""
+    import random
+
+    random.seed(11)
+    rows = []
+    # 8 well-separated directions x 50 near-copies each
+    for g in range(8):
+        base = [0.0] * 8
+        base[g] = 1.0
+        for i in range(50):
+            rows.append((g * 100 + i,
+                         [x + random.uniform(-0.01, 0.01) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats: dict = {}
+    out = dedup.semantic_dedup_auto(
+        emb, threshold=0.95, target_block_size=64, max_block_size=256,
+        kmeans_iters=4, stats=stats,
+    )
+    surv = out.filter("is_survivor").count()
+    # each direction collapses to ~1 survivor (k-means may split a
+    # direction across cluster boundaries -> allow a small excess)
+    assert 8 <= surv <= 24
+    # scaled k kept every block under the cap: census is EMPTY
+    assert stats["oversized_blocks"].count() == 0
+    # every vec is assigned to exactly one component
+    assert out.count() == 400

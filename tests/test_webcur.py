@@ -211,7 +211,7 @@ def test_normalize_unicode_chain(spark):
     assert out[3] is None
 
 
-def test_embedding_block_cap_drops_oversized(spark):
+def test_embedding_block_cap_splits_oversized(spark):
     from vexere_lakehouse_pipeline_spark.operators.dedup import (
         embedding_neardup_pairs,
         semantic_dedup_survivors,
@@ -223,14 +223,26 @@ def test_embedding_block_cap_drops_oversized(spark):
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
-    pairs = embedding_neardup_pairs(emb, threshold=0.9, max_block_size=10)
+    stats: dict = {}
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.9, max_block_size=10, stats=stats
+    )
     got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
-    assert got == {(100, 101)}  # oversized block contributes no pairs
+    assert (100, 101) in got  # small block untouched
+    # oversized block is SPLIT 5 ways, not dropped: pairs exist within
+    # sub-blocks but never across (r2 VERDICT: drop silently killed
+    # recall here)
+    giant = {(a, b) for a, b in got if a < 50 and b < 50}
+    assert giant and len(giant) < 50 * 49 // 2
+    census = stats["oversized_blocks"].collect()
+    assert [(r["block"], r["bucket_size"], r["n_splits"])
+            for r in census] == [(0, 50, 5)]
     out = semantic_dedup_survivors(emb, threshold=0.9, max_block_size=10)
     rows_out = {r["vec_id"]: r for r in out.collect()}
     assert len(rows_out) == 52  # every vector still present
-    for i in range(50):
-        assert rows_out[i]["is_survivor"]  # dropped block -> singletons
+    # split block -> ~one survivor per sub-block (5), not 50 singletons
+    n_surv_giant = sum(1 for i in range(50) if rows_out[i]["is_survivor"])
+    assert n_surv_giant == 5
     assert rows_out[100]["is_survivor"] and not rows_out[101]["is_survivor"]
     # uncapped: the giant block pairs up
     assert embedding_neardup_pairs(

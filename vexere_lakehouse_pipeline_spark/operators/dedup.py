@@ -991,3 +991,123 @@ def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
         )
         .withColumn("is_survivor", F.col("vec_id") == F.col("component_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized band-key table — the production shape for INCREMENTAL
+# near-dup gating that incremental_candidate_pairs' docstring promises:
+# the corpus' MinHash band keys live as a maintained metadata table
+# (one row per doc per band — ~4 short rows/doc, metadata-scale next
+# to a 100 TB corpus), so each ingest pays banding for ITS OWN docs
+# plus one equi-join against the store, never a re-scan of corpus
+# text.
+# ---------------------------------------------------------------------------
+
+
+def band_keys_for(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, band_key) for a document set — the unit the
+    band-key store holds.  No bucket capping here: the cap/split is a
+    JOIN-time policy computed over store ∪ batch (a bucket that is
+    fine today may be hot after the next ingest)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, SHINGLE_N)).alias("shingle"),
+    )
+    return minhash_band_keys(sh)
+
+
+def materialize_band_keys(docs: DataFrame, path: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          mode: str = "overwrite") -> None:
+    """Write/extend the band-key store (parquet).  ``mode='append'``
+    after each accepted ingest keeps it current; compact with
+    operators.incremental.compact_table when small files accumulate."""
+    band_keys_for(docs, text_col, id_col).write.mode(mode).parquet(path)
+
+
+def incremental_pairs_vs_stored(batch: DataFrame, stored_bands: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                                stats: dict | None = None) -> DataFrame:
+    """(doc_new, doc_old) near-dup candidates of a new batch against a
+    MATERIALIZED band-key store — semantically identical to
+    incremental_candidate_pairs(batch, corpus) (equivalence pinned in
+    tests/test_dedup_similarity.py) but costing O(batch banding) + one
+    equi-join on the store instead of re-banding the whole corpus.
+
+    The hot-bucket census/split runs over store ∪ batch bands, exactly
+    like the from-text builder: sub-buckets are hash-assigned from the
+    ORIGINAL doc id, so a re-ingested doc's two versions always share
+    a sub-bucket and their new-vs-old pair survives any split.
+    """
+    new_bands = band_keys_for(batch, text_col, id_col).select(
+        "doc_id", "band", "band_key", F.lit(True).alias("_new")
+    )
+    old_bands = stored_bands.select(
+        "doc_id", "band", "band_key", F.lit(False).alias("_new")
+    )
+    both = _split_hot_buckets(
+        new_bands.unionByName(old_bands).localCheckpoint(eager=True),
+        max_bucket_size, stats=stats,
+    )
+    new_side = both.filter(F.col("_new")).select(
+        F.col("doc_id").alias("doc_new"), "band", "band_key", "_sub"
+    )
+    old_side = both.filter(~F.col("_new")).select(
+        F.col("doc_id").alias("doc_old"), "band", "band_key", "_sub"
+    )
+    return (
+        new_side.join(old_side, on=["band", "band_key", "_sub"])
+        .select("doc_new", "doc_old")
+        .distinct()
+    )
+
+
+def semantic_dedup_auto(emb: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        threshold: float = 0.3,
+                        target_block_size: int = 512,
+                        max_block_size: int | None = MAX_EMB_BLOCK_SIZE,
+                        kmeans_iters: int = 5,
+                        stats: dict | None = None) -> DataFrame:
+    """SemDeDup with the PRINCIPLED block-size control: the k-means
+    cluster count GROWS WITH N (k = ceil(n / target_block_size), the
+    paper's k ~ N/expected-block-size rule) so blocks stay bounded by
+    construction, and the hash split (:func:`_split_hot_buckets` inside
+    :func:`embedding_neardup_pairs`) remains only the unconditional
+    guard for clusters that still overflow (mass-duplicate corpora
+    where every copy shares one centroid — the case similarity-aware
+    splitting cannot separate).
+
+    Pipeline: count n (one metadata aggregate) → train k-means with
+    scaled k (driver holds k×dim centroid floats only) → assign
+    clusters as a pure projection (no shuffle) → blocked cosine pairs →
+    connected components → min-id survivors.  ``stats`` receives the
+    oversized-block census; with a healthy embedding distribution it is
+    EMPTY, which is the observable success criterion of the scaled k.
+
+    Not oracle-gated: k-means centroids are float-accumulation-order
+    state (engine-specific); the fixed-block variant
+    :func:`semantic_dedup_survivors` carries the cross-engine gate and
+    tests pin this path's recall/shape (tests/test_dedup_similarity.py).
+    """
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    n = emb.count()
+    if n == 0:
+        return semantic_dedup_survivors(
+            emb.withColumn("_c", F.lit(0)), vec_col=vec_col, id_col=id_col,
+            block_col="_c", threshold=threshold,
+            max_block_size=max_block_size, stats=stats,
+        )
+    k = max(1, -(-n // target_block_size))
+    cents = similarity.train_kmeans(
+        emb, k=k, iters=kmeans_iters, vec_col=vec_col, id_col=id_col
+    )
+    assigned = similarity.kmeans_assign(emb, cents, vec_col=vec_col)
+    return semantic_dedup_survivors(
+        assigned, vec_col=vec_col, id_col=id_col, block_col="cluster",
+        threshold=threshold, max_block_size=max_block_size, stats=stats,
+    )

@@ -642,11 +642,14 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Repetition scores — the Gopher repetition signals (Rae et al. 2021,
-# arXiv 2112.11446 Table A1) the quality-flag row lacks: excessive
-# in-document repetition marks boilerplate/SEO spam that LENGTH and
-# stopword screens pass.  Three per-doc signals, all integer permille
-# so both engines agree bit-for-bit:
+# Repetition scores — the remaining Gopher repetition signals (Rae et
+# al. 2021, arXiv 2112.11446 Table A1) beyond the dup-3gram ratio
+# plans/corpus.py:corpus_repetition_scores already covers: top-n-gram
+# CONCENTRATION (one bigram dominating the doc) and the duplicate-
+# line/paragraph analogs — boilerplate/SEO-spam shapes that both the
+# length/stopword screens and a plain dup-n-gram ratio pass.  Three
+# per-doc signals, all integer permille so both engines agree
+# bit-for-bit:
 #   dup_2gram_permille  — repeated share of word-bigram OCCURRENCES
 #                         (1 - distinct/total),
 #   top_2gram_permille  — share held by the single most frequent
@@ -659,7 +662,7 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast-sized reassembly.
 # ---------------------------------------------------------------------------
 
-_SENT_W = 10  # tokens per pseudo-sentence window
+_REP_SENT_W = 10  # tokens per pseudo-sentence window
 
 
 @_register(
@@ -680,13 +683,13 @@ _SENT_W = 10  # tokens per pseudo-sentence window
            FROM gc GROUP BY doc_id),
     sents AS (
         SELECT doc_id,
-               unnest(list_transform(range(0, CAST(len(toks) // {_SENT_W}
+               unnest(list_transform(range(0, CAST(len(toks) // {_REP_SENT_W}
                                                    AS INTEGER)),
                       i -> array_to_string(
-                          toks[CAST(i * {_SENT_W} + 1 AS INTEGER)
-                               : CAST(i * {_SENT_W} + {_SENT_W} AS INTEGER)],
+                          toks[CAST(i * {_REP_SENT_W} + 1 AS INTEGER)
+                               : CAST(i * {_REP_SENT_W} + {_REP_SENT_W} AS INTEGER)],
                           ' '))) AS s
-        FROM base WHERE len(toks) >= {_SENT_W}
+        FROM base WHERE len(toks) >= {_REP_SENT_W}
     ),
     sa AS (SELECT doc_id, COUNT(*) AS ns, COUNT(DISTINCT s) AS nds
            FROM sents GROUP BY doc_id)
@@ -733,13 +736,13 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").alias("topc"),
         )
     )
-    sents = base.filter(F.size("toks") >= _SENT_W).select(
+    sents = base.filter(F.size("toks") >= _REP_SENT_W).select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(toks) DIV {_SENT_W} - 1),"
-                f" i -> array_join(slice(toks, i * {_SENT_W} + 1,"
-                f" {_SENT_W}), ' '))"
+                f"transform(sequence(0, size(toks) DIV {_REP_SENT_W} - 1),"
+                f" i -> array_join(slice(toks, i * {_REP_SENT_W} + 1,"
+                f" {_REP_SENT_W}), ' '))"
             )
         ).alias("s"),
     )
