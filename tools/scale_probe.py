@@ -32,9 +32,9 @@ from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 
-NOTE_SEMDEDUP = """Note on `dedup_semdedup_survivors`: the replica corpus reuses the SAME label per replica, so 16x growth pushes every label block past MAX_EMB_BLOCK_SIZE. Since round 3 oversized blocks are hash-SPLIT into ceil(n/cap) sub-blocks instead of dropped (dedup._split_hot_buckets): the probe must show matches still FOUND at 16x with a ~linear exponent — per-block work is bounded at n*cap/2 pairs. The principled fix at 100 TB remains growing the k-means cluster count with N (similarity.train_kmeans) so blocks stay under the cap; the split is the unconditional guard, and the oversized-block census is reported via the stats side-channel (no silent caps)."""
+NOTE_SEMDEDUP = """Note on the block regimes (round 3): oversized blocks are hash-SPLIT into ceil(n/cap) sub-blocks instead of dropped (dedup._split_hot_buckets) — bounded linear work (n*cap/2 pairs per hot block) with matches still found and the oversize census reported via the stats side-channel (no silent caps). The generic `dedup_semdedup_survivors` / `er_customer_matches` rows remap their block keys (label / nation) per replica, modeling HEALTHY growth: 16x data arrives as 16x blocks of unchanged size, blocks never cross the cap, exponent should be ~linear. Crossing the cap from below (a healthy corpus growing into a stale blocking key) is quadratic-in-block until the cap binds — by design; the production answer is re-keying (grow k-means k with N: dedup.semantic_dedup_auto; finer ER keys or er_sorted_neighborhood_matches), with the split as the unconditional guard. The dedicated degenerate rows above hold the corpus IN the capped regime at both scales, which is where the split's linear-work + matches-found claim is falsifiable."""
 
-NOTE_ER = """Note on `er_customer_matches`: the replica corpus reuses the SAME customer names, so 16x growth pushes every (nation, segment) block past _ER_MAX_BLOCK. Since round 3 oversized blocks are hash-split into bounded sub-blocks instead of dropped: matches are still found at 16x and the work stays ~linear (n*cap/2 per hot block). The probed `er_sorted_neighborhood_matches` row remains the principled scale path — its candidate set is n*W by construction under ANY key distribution — while the split converts a stale blocking key into partial recall with a reported census instead of silence."""
+NOTE_ER = """Note on `er_sorted_neighborhood_matches`: its candidate set is n*W by construction under ANY key distribution — the principled ER scale path when no bounded blocking key exists; the degenerate ER row above shows the split keeping equality blocking linear with partial recall and a reported census where round 2's drop policy returned nothing."""
 
 # (query, replicated tables, key columns remapped per replica)
 PROBES = [
@@ -76,7 +76,12 @@ PROBES = [
     ("scd2_point_in_time_join", {"events": ["event_id", "user_id"]}),
     ("dedup_containment_pairs", {"documents": ["doc_id"]}),
     ("corpus_nucleus_vocab", {"documents": ["doc_id"]}),
-    ("er_customer_matches", {"customer": ["c_custkey"]}),
+    # block keys (nation / label) are remapped per replica so these two
+    # rows model HEALTHY growth (16x data -> 16x blocks of unchanged
+    # size); the degenerate-block regime (one key soaking up the
+    # corpus) has its own dedicated probes below, where BOTH scales sit
+    # in the capped/split regime and the linear-work claim is testable
+    ("er_customer_matches", {"customer": ["c_custkey", "c_nationkey"]}),
     ("events_decayed_user_value", {"events": ["event_id", "user_id"]}),
     ("corpus_zipf_fit", {"documents": ["doc_id"]}),
     ("events_ab_conversion_ztest", {"events": ["event_id", "user_id"]}),
@@ -92,7 +97,7 @@ PROBES = [
     ("text_html_strip", {"documents": ["doc_id"]}),
     ("corpus_gopher_quality_flags", {"documents": ["doc_id"]}),
     ("corpus_domain_curation", {"documents": ["doc_id"]}),
-    ("dedup_semdedup_survivors", {"embeddings": ["vec_id"]}),
+    ("dedup_semdedup_survivors", {"embeddings": ["vec_id", "label"]}),
     ("corpus_sentence_dedup", {"documents": ["doc_id"]}),
     ("cdc_apply_user_state", {"events": ["event_id", "user_id"]}),
     ("multimodal_wav_stats", {"documents": ["doc_id"]}),
@@ -230,6 +235,104 @@ def main() -> None:
     shutil.rmtree(sk1, ignore_errors=True)
     shutil.rmtree(skk, ignore_errors=True)
 
+    # Degenerate-block probes (VERDICT r2 item 2 done-criterion): one
+    # block key soaks up the corpus so BOTH the 1x and 16x measurements
+    # sit in the capped/split regime — the claim under test is "the
+    # hash split keeps degenerate corpora LINEAR (exponent ~1, work =
+    # n*cap/2) while still FINDING matches" (round-2's drop policy
+    # found nothing and reported sub-1x times).  Crossing the cap from
+    # below (healthy 1x -> degenerate 16x) is intentionally NOT what
+    # these rows measure — that transition is quadratic-in-block up to
+    # the cap by design and the generic rows above keep blocks healthy.
+    from vexere_lakehouse_pipeline_spark.operators import dedup as dedup_ops
+
+    notes: list[str] = []
+    emb_found = {}
+
+    def run_embdeg(src: str, count_found: bool = False) -> float:
+        # all-one-label embeddings; probe-sized cap 256 keeps the row
+        # cheap while exercising the exact production split code path
+        emb = load_table(spark, src, "embeddings").withColumn(
+            "label", F.lit(0)
+        )
+        pairs = dedup_ops.embedding_neardup_pairs(
+            emb, threshold=0.3, max_block_size=256
+        )
+        if count_found:
+            emb_found[src] = pairs.count()
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            force(pairs)
+            best = min(best, time.time() - t0)
+        return best
+
+    run_embdeg(BASE)  # warm
+    t1, tk = run_embdeg(BASE), run_embdeg(tmp, count_found=True)
+    exp = math.log(tk / t1) / math.log(k)
+    lines.append(
+        f"| embedding near-dup, ALL rows one label (split, cap=256) "
+        f"| {t1:.2f} | {tk:.2f} | {exp:.2f} |"
+    )
+    print(lines[-1])
+    notes.append(
+        f"Degenerate embedding probe found {emb_found.get(tmp, 0)} "
+        f"near-dup pairs at {k}x (the r2 drop policy found 0 here)."
+    )
+
+    def skew_cust(src: str, dst_dir: str) -> str:
+        # 20% of customers forced into ONE (nation, segment) block —
+        # hot at 1x (3000 > _ER_MAX_BLOCK) and at 16x (48000)
+        cust = load_table(spark, src, "customer")
+        hot = F.col("c_custkey") % 5 == 0  # offsets are %5-neutral
+        skewed = cust.withColumn(
+            "c_nationkey",
+            F.when(hot, F.lit(0)).otherwise(F.col("c_nationkey")),
+        ).withColumn(
+            "c_mktsegment",
+            F.when(hot, F.lit("HOTSEG")).otherwise(F.col("c_mktsegment")),
+        )
+        os.makedirs(dst_dir, exist_ok=True)
+        for name in ALL_TABLES:
+            if name == "customer":
+                skewed.write.mode("overwrite").parquet(
+                    f"{dst_dir}/customer.parquet"
+                )
+            else:
+                s, d = f"{src}/{name}.parquet", f"{dst_dir}/{name}.parquet"
+                if not os.path.exists(d):
+                    (shutil.copytree(s, d) if os.path.isdir(s)
+                     else shutil.copy(s, d))
+        return dst_dir
+
+    ersk1 = skew_cust(BASE, tempfile.mkdtemp(prefix="scale_ersk1_"))
+    erskk = skew_cust(tmp, tempfile.mkdtemp(prefix="scale_erskk_"))
+    fn = ALL_QUERIES["er_customer_matches"]
+    force(fn(spark, ersk1))  # warm
+    times = {}
+    for label, d in (("1x", ersk1), (f"{k}x", erskk)):
+        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            force(fn(spark, d))
+            best = min(best, time.time() - t0)
+        times[label] = best
+    er_found = fn(spark, erskk).count()
+    exp = math.log(times[f"{k}x"] / times["1x"]) / math.log(k)
+    lines.append(
+        f"| er_customer_matches, 20% of customers in ONE block (split) "
+        f"| {times['1x']:.2f} | {times[f'{k}x']:.2f} | {exp:.2f} |"
+    )
+    print(lines[-1])
+    notes.append(
+        f"Degenerate ER probe found {er_found} candidate matches at "
+        f"{k}x (the r2 drop policy found 0 here)."
+    )
+    shutil.rmtree(ersk1, ignore_errors=True)
+    shutil.rmtree(erskk, ignore_errors=True)
+
     # Salted-join probe (VERDICT r2 item 7): ONE hot customer key
     # receives 20% of all orders; the fact-dim equi-join is measured
     # plain vs salted (operators/skew.py:salted_join, 32 salts) with
@@ -295,6 +398,10 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
 
+    for n in notes:
+        lines.append("")
+        lines.append(n)
+    lines.append("")
     lines.append(NOTE_ER)
     lines.append("")
     lines.append(NOTE_SEMDEDUP)
