@@ -34,6 +34,8 @@ BASE = "/root/testdata/sf0.1"
 
 NOTE_SEMDEDUP = """Note on the block regimes (round 3): oversized blocks are hash-SPLIT into ceil(n/cap) sub-blocks instead of dropped (dedup._split_hot_buckets) — bounded linear work (n*cap/2 pairs per hot block) with matches still found and the oversize census reported via the stats side-channel (no silent caps). The generic `dedup_semdedup_survivors` / `er_customer_matches` rows remap their block keys (label / nation) per replica, modeling HEALTHY growth: 16x data arrives as 16x blocks of unchanged size, blocks never cross the cap, exponent should be ~linear. Crossing the cap from below (a healthy corpus growing into a stale blocking key) is quadratic-in-block until the cap binds — by design; the production answer is re-keying (grow k-means k with N: dedup.semantic_dedup_auto; finer ER keys or er_sorted_neighborhood_matches), with the split as the unconditional guard. The dedicated degenerate rows above hold the corpus IN the capped regime at both scales, which is where the split's linear-work + matches-found claim is falsifiable."""
 
+NOTE_SALT = """Note on the salted-join rows: both exponents are sublinear and plain may WIN at probe scale — the honest reading, not a probe failure. At sf0.1x16 the hot key carries only ~480k fact rows, well inside one task's comfort zone, so the plain join's single hot task costs under a second while salted_join pays a fixed dim x 32-salt replication that dominates. Salting's crossover is where the hot key's single task stops fitting (10^8+ rows per key / spill territory at 100 TB) or where AQE skew-split cannot apply (the fact side feeds a co-partitioned aggregation, or the dim is past broadcast size inside a multi-join stage). The row exists to pin that salted_join scales linearly and agrees with the plain join's results (row-count equality is unit-tested); at probe size the right default is AQE skew handling, which session.py leaves on."""
+
 NOTE_ER = """Note on `er_sorted_neighborhood_matches`: its candidate set is n*W by construction under ANY key distribution — the principled ER scale path when no bounded blocking key exists; the degenerate ER row above shows the split keeping equality blocking linear with partial recall and a reported census where round 2's drop policy returned nothing."""
 
 # (query, replicated tables, key columns remapped per replica)
@@ -401,6 +403,8 @@ def main() -> None:
     for n in notes:
         lines.append("")
         lines.append(n)
+    lines.append("")
+    lines.append(NOTE_SALT)
     lines.append("")
     lines.append(NOTE_ER)
     lines.append("")

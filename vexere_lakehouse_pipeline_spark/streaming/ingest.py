@@ -255,6 +255,14 @@ def watermark_accepted_flags(events: DataFrame, ts_col: str = "ts",
     """
     from pyspark.sql import Window
 
+    if window_duration != "1 hour":
+        # the window-start expression below is date_trunc('hour', ts);
+        # a different tumbling width needs a matching floor — refuse
+        # rather than silently mis-assign windows
+        raise ValueError(
+            "watermark_accepted_flags models 1-hour tumbling windows; "
+            f"got window_duration={window_duration!r}"
+        )
     e2 = events.withColumn(
         "_batch", F.date_trunc(batch_granularity, F.col(arrival_ts_col))
     )
