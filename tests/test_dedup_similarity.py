@@ -569,3 +569,48 @@ def test_semantic_dedup_auto_scales_k_with_n(spark):
     assert stats["oversized_blocks"].count() == 0
     # every vec is assigned to exactly one component
     assert out.count() == 400
+
+
+def test_embedding_neardup_arrow_matches_jvm_pairs(spark):
+    """The Arrow/numpy engine must produce the SAME pair set as the
+    oracle-gated JVM fold (values may differ in the last ulp — pair
+    membership at a non-boundary threshold must not), including under
+    a hot-block split and with zero/NULL vectors excluded."""
+    import time
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    # add a NULL and a zero vector — both engines must skip them
+    extra = spark.createDataFrame(
+        [(900001, None, 0), (900002, [0.0] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb = emb.unionByName(extra.withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    ))
+    for cap in (2048, 100):  # healthy blocks AND forced splits
+        jvm = {
+            (r["vec_a"], r["vec_b"])
+            for r in dedup.embedding_neardup_pairs(
+                emb, threshold=0.3, max_block_size=cap
+            ).collect()
+        }
+        arrow = {
+            (r["vec_a"], r["vec_b"])
+            for r in dedup.embedding_neardup_pairs_arrow(
+                emb, threshold=0.3, max_block_size=cap
+            ).collect()
+        }
+        assert arrow == jvm, f"cap={cap}"
+        assert jvm  # non-vacuous
+        assert not any(900001 in p or 900002 in p for p in jvm)
+    # informational timing (not asserted: single-node jitter) — the
+    # dense-matmul advantage shows on wide blocks
+    t0 = time.monotonic()
+    dedup.embedding_neardup_pairs(emb, threshold=0.3).count()
+    t_jvm = time.monotonic() - t0
+    t0 = time.monotonic()
+    dedup.embedding_neardup_pairs_arrow(emb, threshold=0.3).count()
+    t_arrow = time.monotonic() - t0
+    print(f"blocked-cosine engines: jvm={t_jvm:.2f}s arrow={t_arrow:.2f}s")
