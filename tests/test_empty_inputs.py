@@ -173,3 +173,50 @@ def test_webcur_and_cdc_ops_on_empty(spark):
     )
     got2 = apply_cdc_changes(empty_base, ch, keys=["k"], seq_col="seq").collect()
     assert [(r["k"], r["v"]) for r in got2] == [(2, "b")]
+
+
+def test_round3_ops_on_empty(spark, tmp_path):
+    """Round-3 operators on empty frames: schema-correct empty output,
+    no crashes (partition-pruned reads produce exactly this)."""
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        extract_audio_stats,
+        extract_image_stats,
+    )
+    from vexere_lakehouse_pipeline_spark.plans import mining, star_ext, webcur
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        watermark_accepted_flags,
+    )
+
+    docs = _empty_docs(spark)
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    # BPE trainer: no tokens -> empty merge table with the right schema
+    out = mining.QUERIES["corpus_bpe_train_k"](spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["step", "p1", "p2", "n"]
+    # repetition scores: empty in, empty out
+    assert webcur.QUERIES["text_repetition_scores"](spark, sf).count() == 0
+    # watermark twin flags on an empty event frame
+    ev = spark.createDataFrame(
+        [], "event_id long, event_type string, ts timestamp,"
+            " value double, arrival_ts timestamp"
+    )
+    assert watermark_accepted_flags(ev).count() == 0
+    # media stats on empty media frames
+    media = spark.createDataFrame([], "media_id long, payload binary")
+    assert extract_audio_stats(media).count() == 0
+    assert extract_image_stats(media).count() == 0
+    # band-key store round trip on an empty corpus
+    store = str(tmp_path / "bands")
+    dedup.materialize_band_keys(docs, store)
+    stored = spark.read.parquet(store)
+    batch = _empty_docs(spark)
+    assert dedup.incremental_pairs_vs_stored(batch, stored).count() == 0
+    # arrow cosine engine on an empty embedding frame
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label int"
+    )
+    assert dedup.embedding_neardup_pairs_arrow(emb).count() == 0
+    assert dedup.semantic_dedup_auto(emb).count() == 0
