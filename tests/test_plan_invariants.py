@@ -188,3 +188,43 @@ def test_oov_vocab_is_topk_heap_and_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_split_census_is_broadcast_no_extra_shuffle(spark):
+    """The hot-bucket split must not change the LSH plan class: the
+    census assignment is a BROADCAST join (the census is one row per
+    hot bucket), never a sort-merge join, and the band self-join stays
+    the only equi-join over bulk data."""
+    from vexere_lakehouse_pipeline_spark.plans import star_ml
+
+    plan = _plan(star_ml.QUERIES["dedup_minhash_lsh_pairs"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    # census join + self join are both hash joins; census side broadcast
+    assert plan.count("BroadcastHashJoin") >= 1
+    # shuffles: minhash agg + pair distinct (+ AQE variance); the split
+    # must NOT add a wide exchange for the census
+    assert _shuffles(plan) <= 3
+
+
+def test_er_split_keeps_window_single_pass(spark):
+    """ER blocking after the split: one window pass for the block
+    census, hash-join self-join on (block, sub) — no SMJ, no second
+    wide exchange for the sub assignment."""
+    from vexere_lakehouse_pipeline_spark.plans import governance
+
+    plan = _plan(governance.QUERIES["er_customer_matches"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert _shuffles(plan) <= 3
+
+
+def test_watermark_twin_batch_census_broadcasts(spark):
+    """The watermark twin's per-batch census join must broadcast (the
+    census is one row per arrival hour — metadata-sized) so the event
+    table is touched by exactly one wide aggregation."""
+    from vexere_lakehouse_pipeline_spark.plans import star_ext
+
+    plan = _plan(
+        star_ext.QUERIES["events_watermark_discard_twin"](spark, SF)
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
