@@ -614,3 +614,22 @@ def test_embedding_neardup_arrow_matches_jvm_pairs(spark):
     dedup.embedding_neardup_pairs_arrow(emb, threshold=0.3).count()
     t_arrow = time.monotonic() - t0
     print(f"blocked-cosine engines: jvm={t_jvm:.2f}s arrow={t_arrow:.2f}s")
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    """No silent caps: running out of iterations must emit a warning
+    (partial labels under-merge downstream); a converged run must not."""
+    import warnings
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "doc_a long, doc_b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.connected_components(chain, max_iterations=1).collect()
+    assert any("not converged" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup.connected_components(chain, max_iterations=20).collect()
+    assert not any("not converged" in str(x.message) for x in w)
+    assert {r["component_id"] for r in out} == {0}

@@ -640,6 +640,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
         # the upstream pair-generation lineage per iteration
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    converged = False
     for _ in range(max_iterations):
         # 1-hop: each node's best neighbor label this round
         neighbor_min = (
@@ -671,7 +672,21 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
         )
         labels = updated.select("u", F.col("new_label").alias("label"))
         if updated.filter(F.col("new_label") < F.col("label")).isEmpty():
+            converged = True
             break
+    if not converged:
+        # No silent caps: with pointer jumping, max_iterations rounds
+        # cover diameter ~2^max_iterations — running out means a
+        # pathological graph whose partial labels would silently
+        # under-merge components downstream.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iterations} "
+            "iterations — labels may under-merge; raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("component_id"))
 
 
