@@ -161,6 +161,7 @@ def main() -> None:
         "text_repetition_scores",
         "agg_unpivot_measures",
         "map_function_showcase",
+        "corpus_bpe_apply",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

@@ -108,6 +108,7 @@ PROBES = [
     ("text_unicode_scrub", {"documents": ["doc_id"]}),
     ("corpus_bpe_merge_step", {"documents": ["doc_id"]}),
     ("corpus_bpe_train_k", {"documents": ["doc_id"]}),
+    ("corpus_bpe_apply", {"documents": ["doc_id"]}),
     ("events_watermark_discard_twin", {"events": ["event_id", "user_id"]}),
     ("asof_join_error_next_click", {"events": ["event_id", "user_id"]}),
     ("text_script_mix", {"documents": ["doc_id"]}),

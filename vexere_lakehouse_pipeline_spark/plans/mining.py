@@ -843,8 +843,10 @@ def _bpe_train_sql(k: int) -> str:
     )
 
 
-@_register("corpus_bpe_train_k", _bpe_train_sql(_BPE_TRAIN_K))
-def corpus_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _train_bpe_merges(spark: SparkSession,
+                      sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """The trainer loop shared by corpus_bpe_train_k (which exposes the
+    merge table) and corpus_bpe_apply (which encodes with it)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(F.explode(tokenize("text")).alias("token"))
@@ -893,6 +895,99 @@ def corpus_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "c",
         ).localCheckpoint()  # truncate lineage: O(1) per round, not O(k)
+    return merges
+
+
+@_register("corpus_bpe_train_k", _bpe_train_sql(_BPE_TRAIN_K))
+def corpus_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
-        merges, "step int, p1 string, p2 string, n long"
+        _train_bpe_merges(spark, sf_dir),
+        "step int, p1 string, p2 string, n long",
     ).orderBy("step")
+
+
+def _bpe_apply_sql(k: int) -> str:
+    """Per-doc encoding with the k trained merges: the train CTEs give
+    top1..topk; each doc token is symbolized and run through the same
+    k single-pass replaces, then symbols are counted per doc."""
+    train = _bpe_train_sql(k)
+    ctes = train[len("WITH "):train.rindex("\n    SELECT")]
+    apply_ctes = [
+        f"""dtok AS (
+        SELECT doc_id, token
+        FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents)
+        WHERE length(token) >= 2
+    )""",
+        """dsym0 AS (
+        SELECT doc_id, length(token) AS n_chars,
+               '  ' || regexp_replace(token, '(.)', '\\1  ', 'g') AS s
+        FROM dtok
+    )""",
+    ]
+    for i in range(1, k + 1):
+        apply_ctes.append(f"""dsym{i} AS (
+        SELECT doc_id, n_chars,
+               replace(s, ' ' || p1 || '  ' || p2 || ' ',
+                       ' ' || p1 || p2 || ' ') AS s
+        FROM dsym{i - 1}, top{i}
+    )""")
+    return (
+        "WITH " + ctes + ",\n    " + ",\n    ".join(apply_ctes) + f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(len(list_filter(string_split(trim(s), ' '),
+                                    x -> x <> ''))) AS BIGINT) AS n_symbols,
+           CAST(1000 * (SUM(n_chars)
+                        - SUM(len(list_filter(string_split(trim(s), ' '),
+                                              x -> x <> ''))))
+                // SUM(n_chars) AS BIGINT) AS saved_permille
+    FROM dsym{k} GROUP BY doc_id ORDER BY doc_id
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY — the consumer side of the trainer: encode every document
+# with the k learned merges and report the compression each doc gets
+# (chars -> symbols; saved_permille is the tokenizer's win).  Driver
+# state is the k-row merge table; the application is a chain of k
+# literal replaces — pure JVM projection over exploded (doc, token)
+# rows, one aggregation back to doc grain.  The oracle re-trains AND
+# re-applies in SQL, so train->apply stays end-to-end gated.
+# ---------------------------------------------------------------------------
+@_register("corpus_bpe_apply", _bpe_apply_sql(_BPE_TRAIN_K))
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _train_bpe_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    ).filter(F.length("token") >= 2)
+    s = F.concat(F.lit("  "), F.regexp_replace("token", "(.)", "$1  "))
+    for _, p1, p2, _ in merges:
+        s = F.replace(s, F.lit(f" {p1}  {p2} "), F.lit(f" {p1}{p2} "))
+    enc = dtok.select(
+        "doc_id",
+        F.length("token").alias("n_chars"),
+        F.size(
+            F.filter(F.split(F.trim(s), " "), lambda x: x != "")
+        ).alias("n_symbols"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_symbols").cast("long").alias("n_symbols"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_symbols",
+            F.expr(
+                "CAST(1000 * (n_chars - n_symbols) DIV n_chars AS BIGINT)"
+            ).alias("saved_permille"),
+        )
+        .orderBy("doc_id")
+    )
