@@ -214,3 +214,45 @@ def test_simhash_width_bound_and_determinism(spark, texts):
     sig2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash_sig(docs, bits=20).collect()}
     assert sig1 == sig2
     assert all(0 <= s < 2 ** 20 for s in sig1.values())
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=1,
+                   max_size=6),
+    cap=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=8, deadline=None)
+def test_split_hot_buckets_partition_properties(spark, sizes, cap):
+    """_split_hot_buckets is a PARTITION of its input for any bucket
+    sizes and cap: no row lost or duplicated, sub ids live in
+    [0, ceil(n/cap)), sub-cap buckets keep sub 0, and the assignment
+    is deterministic (pure hash of the id)."""
+    from vexere_lakehouse_pipeline_spark.operators import dedup
+
+    rows = []
+    next_id = 0
+    for b, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((next_id, 0, f"k{b}"))
+            next_id += 1
+    bands = spark.createDataFrame(
+        rows, "doc_id long, band int, band_key string"
+    )
+    out = dedup._split_hot_buckets(bands, cap).collect()
+    assert len(out) == len(rows)                       # no loss/dup
+    assert {r["doc_id"] for r in out} == {r[0] for r in rows}
+    by_bucket: dict[str, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["band_key"], []).append(r["_sub"])
+    for b, n in enumerate(sizes):
+        subs = by_bucket[f"k{b}"]
+        n_splits = -(-n // cap)
+        assert all(0 <= s < n_splits for s in subs)
+        if n <= cap:
+            assert set(subs) == {0}
+    # determinism: a second invocation assigns identically
+    again = {
+        r["doc_id"]: r["_sub"]
+        for r in dedup._split_hot_buckets(bands, cap).collect()
+    }
+    assert again == {r["doc_id"]: r["_sub"] for r in out}
