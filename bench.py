@@ -159,8 +159,6 @@ def main() -> None:
         "events_watermark_discard_twin",
         "multimodal_bmp_stats",
         "text_repetition_scores",
-        "agg_unpivot_measures",
-        "map_function_showcase",
         "corpus_bpe_apply",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

@@ -308,3 +308,35 @@ def test_bpe_single_pass_double_space_is_exact(spark):
         ), (syms, p1, p2, m)
         # output stays canonically double-spaced -> iterable k times
         assert "  ".join([t for t in m.split(" ") if t]) == m.strip()
+
+
+def test_bpe_apply_survives_sub_k_merge_corpus(spark, tmp_path):
+    """Code-review r3: a corpus with fewer learnable merges than
+    _BPE_TRAIN_K must not annihilate the oracle (empty top{i} was
+    cross-joined); both engines must return every document."""
+    import duckdb
+
+    from vexere_lakehouse_pipeline_spark.plans.mining import (
+        _BPE_TRAIN_K,
+        _bpe_apply_sql,
+    )
+
+    spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab cd")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in mining.QUERIES["corpus_bpe_apply"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab ab ab'),"
+        " (2, 'ab cd')) t(doc_id, text)"
+    )
+    want = sorted(tuple(r) for r in con.sql(
+        _bpe_apply_sql(_BPE_TRAIN_K)
+    ).fetchall())
+    assert got == want
+    assert len(got) == 2

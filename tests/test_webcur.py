@@ -302,3 +302,37 @@ def test_script_mix_null_text_yields_null_label(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     mixed = df.select("doc_id", _script_mix_spark().alias("mixed"))
     assert mixed.collect()[0]["mixed"] is None  # concat propagates null
+
+
+def test_repetition_scores_null_text_matches_oracle(spark, tmp_path):
+    """Code-review r3: NULL text must yield zero-count rows on BOTH
+    engines (bare size(NULL array) is -1 under ansi-off Spark, NULL in
+    DuckDB — either diverges the gate)."""
+    import duckdb
+
+    from vexere_lakehouse_pipeline_spark.plans.webcur import (
+        ORACLE_SQL,
+        QUERIES,
+    )
+
+    rows = [(1, None), (2, "alpha beta gamma")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["text_repetition_scores"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES"
+        " (1, CAST(NULL AS VARCHAR)), (2, 'alpha beta gamma'))"
+        " t(doc_id, text)"
+    )
+    want = sorted(tuple(r) for r in con.sql(
+        ORACLE_SQL["text_repetition_scores"]
+    ).fetchall())
+    assert got == want
+    assert got[0] == (1, 0, 0, 0, 0, 0, 0)  # NULL text -> zeros

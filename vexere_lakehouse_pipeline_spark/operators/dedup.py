@@ -1162,14 +1162,18 @@ def embedding_neardup_pairs_arrow(emb: DataFrame, vec_col: str = "embedding",
         F.col(block_col).alias("block"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
-    ).filter(F.col("_vec").isNotNull())
+    )
+    # NULL vectors stay in until AFTER the split: the JVM path counts
+    # them in the block census (they only drop out when their cosine
+    # nullifies), so filtering first would split blocks differently
+    # near the cap and change the pair set vs the gated engine.
     base = _split_hot_buckets(
         base, max_block_size, keys=("block",), id_col="_id",
         stats=stats, stats_key="oversized_blocks",
     )
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_id")
+        pdf = pdf[pdf["_vec"].notna()].sort_values("_id")
         ids = pdf["_id"].to_numpy()
         mat = np.stack(pdf["_vec"].to_numpy())
         norms = np.linalg.norm(mat, axis=1)

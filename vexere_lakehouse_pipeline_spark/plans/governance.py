@@ -1270,41 +1270,32 @@ _ER_MAX_BLOCK = 1000
 )
 def er_customer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    counted = cust.withColumn(
-        "bn",
-        F.count("*").over(
-            Window.partitionBy("c_nationkey", "c_mktsegment")
-        ),
-    ).withColumn(
-        "sub",
-        F.when(F.col("bn") <= _ER_MAX_BLOCK, F.lit(0))
-        .otherwise(
-            F.pmod(
-                sampling.hash_bucket("c_custkey", dedup.SUBSPLIT_SALT),
-                F.expr(
-                    f"CAST((bn + {_ER_MAX_BLOCK} - 1) DIV {_ER_MAX_BLOCK}"
-                    " AS INT)"
-                ),
-            )
-        )
-        .cast("int"),
+    # ONE split implementation for the whole engine: the shared helper
+    # (census agg + broadcast assignment) rather than a re-derived
+    # inline formula, so the sub-bucket semantics can't drift from the
+    # dedup family — and the oversize census stays observable.
+    counted = dedup._split_hot_buckets(
+        cust.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        _ER_MAX_BLOCK,
+        keys=("c_nationkey", "c_mktsegment"),
+        id_col="c_custkey",
     )
     a = counted.select(
         F.col("c_custkey").alias("cust_a"),
         F.col("c_name").alias("name_a"),
         "c_nationkey",
         "c_mktsegment",
-        "sub",
+        "_sub",
     )
     b = counted.select(
         F.col("c_custkey").alias("cust_b"),
         F.col("c_name").alias("name_b"),
         "c_nationkey",
         "c_mktsegment",
-        "sub",
+        "_sub",
     )
     return (
-        a.join(b, on=["c_nationkey", "c_mktsegment", "sub"])
+        a.join(b, on=["c_nationkey", "c_mktsegment", "_sub"])
         .filter(F.col("cust_a") < F.col("cust_b"))
         # banded Levenshtein: O(len·threshold) per pair, -1 above the
         # band — strictly cheaper than the full DP at scale

@@ -925,11 +925,16 @@ def _bpe_apply_sql(k: int) -> str:
     )""",
     ]
     for i in range(1, k + 1):
+        # LEFT JOIN ON TRUE, not a cross join: a corpus with fewer than
+        # k learnable merges leaves top{i} EMPTY, and a cross join
+        # would annihilate every document (the Spark side just stops
+        # merging) — NULL p1 means "no merge this round, keep s".
         apply_ctes.append(f"""dsym{i} AS (
         SELECT doc_id, n_chars,
-               replace(s, ' ' || p1 || '  ' || p2 || ' ',
-                       ' ' || p1 || p2 || ' ') AS s
-        FROM dsym{i - 1}, top{i}
+               CASE WHEN p1 IS NULL THEN s
+                    ELSE replace(s, ' ' || p1 || '  ' || p2 || ' ',
+                                 ' ' || p1 || p2 || ' ') END AS s
+        FROM dsym{i - 1} LEFT JOIN top{i} ON TRUE
     )""")
     return (
         "WITH " + ctes + ",\n    " + ",\n    ".join(apply_ctes) + f"""

@@ -177,55 +177,6 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Unpivot (melt) — the inverse of the pivot row above: wide per-flag
-# measures to long (flag, measure, value) via DataFrame.unpivot
-# (Spark 3.4+ native Unpivot operator, one projection-side explode —
-# no shuffle beyond the feeding aggregate).  Oracle is the UNION ALL
-# the operator desugars to.
-# ---------------------------------------------------------------------------
-@_register(
-    "agg_unpivot_measures",
-    """
-    WITH w AS (
-        SELECT l_returnflag,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
-                    AS DOUBLE) AS sum_qty,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
-                    AS DOUBLE) AS sum_price,
-               CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,2))), 2)
-                    AS DOUBLE) AS sum_disc
-        FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT * FROM (
-        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
-        UNION ALL
-        SELECT l_returnflag, 'sum_price', sum_price FROM w
-        UNION ALL
-        SELECT l_returnflag, 'sum_disc', sum_disc FROM w
-    ) ORDER BY l_returnflag, measure
-    """,
-)
-def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    wide = li.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.sum(F.col(c).cast("decimal(18,2)")), 2)
-            .cast("double")
-            .alias(a)
-            for c, a in (
-                ("l_quantity", "sum_qty"),
-                ("l_extendedprice", "sum_price"),
-                ("l_discount", "sum_disc"),
-            )
-        ]
-    )
-    return wide.unpivot(
-        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
-        "measure", "value",
-    ).orderBy("l_returnflag", "measure")
-
-
-# ---------------------------------------------------------------------------
 # Watermark-discard twin — oracle-gates the streaming LATE-DATA rule
 # that events_hourly_windows (the closed-window twin above) cannot
 # see.  A deterministic ~5% of events is declared late (arrives 3h
@@ -417,65 +368,6 @@ def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_contains(w, "the").alias("has_the"),
     ).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
-# Map function family — per-flag linestatus→count maps exercised
-# through map_from_entries / map_keys / map_values / element_at /
-# transform_values.  Entries are sorted BEFORE map construction so the
-# map's internal order (which Spark map functions preserve) is
-# deterministic; outputs are scalars/arrays derived from the map (maps
-# themselves are not hash-portable across engines — DuckDB recomputes
-# the same values relationally).
-# ---------------------------------------------------------------------------
-@_register(
-    "map_function_showcase",
-    """
-    WITH c AS (
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-        FROM lineitem GROUP BY l_returnflag, l_linestatus
-    )
-    SELECT l_returnflag,
-           array_to_string(list_sort(list(l_linestatus)), '|') AS statuses,
-           list_sort(list(l_linestatus)) AS status_keys,
-           list_transform(list_sort(list(l_linestatus)),
-                          k -> (SELECT CAST(n AS BIGINT) FROM c c2
-                                WHERE c2.l_returnflag = c.l_returnflag
-                                  AND c2.l_linestatus = k)) AS status_counts,
-           CAST(COALESCE(SUM(n) FILTER (WHERE l_linestatus = 'F'), 0)
-                AS BIGINT) AS n_f,
-           CAST(SUM(n) AS BIGINT) AS n_total,
-           CAST(SUM(n) * 2 AS BIGINT) AS doubled_total
-    FROM c GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-)
-def map_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n")
-    )
-    m = F.map_from_entries(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("l_linestatus").alias("k"),
-                                    F.col("n").alias("v")))
-        )
-    )
-    mapped = counts.groupBy("l_returnflag").agg(m.alias("m"))
-    return mapped.select(
-        "l_returnflag",
-        F.concat_ws("|", F.map_keys("m")).alias("statuses"),
-        F.map_keys("m").alias("status_keys"),
-        F.map_values("m").alias("status_counts"),
-        F.coalesce(F.element_at("m", "F"), F.lit(0)).cast("long").alias("n_f"),
-        F.aggregate(
-            F.map_values("m"), F.lit(0).cast("long"), lambda a, v: a + v
-        ).alias("n_total"),
-        F.aggregate(
-            F.map_values(F.transform_values("m", lambda _, v: v * 2)),
-            F.lit(0).cast("long"),
-            lambda a, v: a + v,
-        ).alias("doubled_total"),
-    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

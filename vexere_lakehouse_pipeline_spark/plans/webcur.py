@@ -668,7 +668,10 @@ _REP_SENT_W = 10  # tokens per pseudo-sentence window
 @_register(
     "text_repetition_scores",
     f"""
-    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    WITH tok AS (SELECT doc_id,
+                        COALESCE({_DUCK_TOKENS}, CAST([] AS VARCHAR[]))
+                            AS toks
+                 FROM documents),
     base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
              FROM tok),
     grams AS (
@@ -714,7 +717,14 @@ _REP_SENT_W = 10  # tokens per pseudo-sentence window
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
-        "doc_id", tokenize("text").alias("toks")
+        # NULL text -> empty token array on BOTH engines: a bare
+        # size(NULL) is -1 under ansi-off Spark while DuckDB len(NULL)
+        # is NULL — either would hash-diverge on a NULL-text doc (the
+        # hard-negative class the script-mix query guards too)
+        "doc_id",
+        F.coalesce(
+            tokenize("text"), F.array().cast("array<string>")
+        ).alias("toks"),
     ).select("doc_id", F.size("toks").cast("long").alias("n_tokens"), "toks")
     grams = base.filter(F.size("toks") >= 2).select(
         "doc_id",
