@@ -135,8 +135,9 @@ def _split_hot_buckets(bands: DataFrame,
     between them.
 
     Members of a bucket of size n > cap are hash-assigned (md5-based
-    ``sampling.hash_bucket`` of ``id_col`` — deterministic and
-    engine-portable, so oracles reproduce it) to ceil(n/cap) sub-
+    ``sampling.hash_bucket_wide`` of ``id_col`` — 32-bit so n_splits
+    up to 2^32 stays reachable, deterministic and engine-portable, so
+    oracles reproduce it) to ceil(n/cap) sub-
     buckets; buckets at or under the cap keep sub-bucket 0.  Returns
     ``bands`` plus an integer ``_sub`` column the caller must include
     in its self-join keys.
@@ -191,7 +192,7 @@ def _split_hot_buckets(bands: DataFrame,
         "_sub",
         F.when(F.col("n_splits").isNull(), F.lit(0))
         .otherwise(
-            F.pmod(sampling.hash_bucket(idc, SUBSPLIT_SALT),
+            F.pmod(sampling.hash_bucket_wide(idc, SUBSPLIT_SALT),
                    F.col("n_splits"))
         )
         .cast("int"),
@@ -1182,8 +1183,8 @@ def embedding_neardup_pairs_arrow(emb: DataFrame, vec_col: str = "embedding",
         n = len(ids)
         if n < 2:
             return pd.DataFrame(
-                {"vec_a": pd.Series(dtype="int64"),
-                 "vec_b": pd.Series(dtype="int64"),
+                {"vec_a": pd.Series(dtype="object"),
+                 "vec_b": pd.Series(dtype="object"),
                  "cos_sim": pd.Series(dtype="float64")}
             )
         sims = (mat @ mat.T) / np.outer(norms, norms)
@@ -1195,6 +1196,11 @@ def embedding_neardup_pairs_arrow(emb: DataFrame, vec_col: str = "embedding",
              "cos_sim": vals[mask]}
         )
 
+    # Output-id type follows the input id column (the JVM twin is
+    # generic over it); hardcoding long here would miscast string ids
+    # at runtime in this engine only.
+    id_type = emb.schema[id_col].dataType.simpleString()
     return base.groupBy("block", "_sub").applyInPandas(
-        per_group, schema="vec_a long, vec_b long, cos_sim double"
+        per_group,
+        schema=f"vec_a {id_type}, vec_b {id_type}, cos_sim double",
     )

@@ -43,6 +43,33 @@ def hash_bucket_sql(key_sql: str, salt: str = "") -> str:
     )
 
 
+WIDE_BUCKETS = 1 << 32  # 8 md5 nibbles
+
+
+def hash_bucket_wide(key: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 2^32) from the row key.
+
+    The 32-bit sibling of :func:`hash_bucket`, for modulo targets that
+    can exceed 65536 — e.g. hot-bucket re-blocking, where a 100 TB
+    boilerplate bucket may need >65536 sub-buckets: a 16-bit hash would
+    leave sub-buckets >= 65536 unreachable and silently break the
+    linear-work bound (sub-bucket size ~ n/65536 instead of <= cap).
+    Modulo bias is also negligible here (< n_splits/2^32) where the
+    16-bit hash carried up to 2x skew.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def hash_bucket_wide_sql(key_sql: str, salt: str = "") -> str:
+    """DuckDB-portable SQL computing exactly :func:`hash_bucket_wide`."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}:' || CAST({key_sql} AS STRING)), 1, 8)"
+        " AS BIGINT)"
+    )
+
+
 def hash_sample(df: DataFrame, key: Column | str, fraction: float,
                 salt: str = "sample") -> DataFrame:
     """Keep ~``fraction`` of rows, chosen deterministically by key.

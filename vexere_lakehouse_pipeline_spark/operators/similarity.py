@@ -603,9 +603,15 @@ def quantize_int8_unit(df: DataFrame, vec_col: str = "embedding",
     are 4-8x smaller than float32/64 arrays, so the scan that
     dominates brute-force scoring moves 4-8x less data.
 
-    Engine-portable: the divide/multiply/round expression tree is
-    reproduced verbatim in the DuckDB oracle (sim_topk_int8), and the
-    integer dot products downstream are exact in both engines.
+    Engine-portable, with one stated caveat: the divide/multiply/round
+    tree is mirrored in the DuckDB oracle (sim_topk_int8), but the
+    norm is this left-to-right F.aggregate fold vs DuckDB's
+    list_dot_product — the codes agree because both engines accumulate
+    sequentially left-to-right (the same already-gated assumption the
+    float _DUCK_COS pattern rests on), NOT because the trees are
+    literally identical.  If either engine ever vectorized its fold, a
+    value landing exactly on a round() .5 boundary could flip one code;
+    the downstream int64 dot products are unconditionally exact.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(

@@ -63,6 +63,58 @@ def assign_keys_distributed(df: DataFrame, key_col: str, base: int = 0) -> DataF
     )
 
 
+def assign_keys_range_ordered(df: DataFrame, key_col: str,
+                              order_cols: list[str],
+                              base: int = 0) -> DataFrame:
+    """Deterministic keys in global ``order_cols`` order WITHOUT a
+    single-partition exchange: range-partition on the order key, sort
+    within partitions, then the same per-partition rank + driver
+    prefix-sum as :func:`assign_keys_distributed`.
+
+    Key property: the assignment equals :func:`assign_keys_ordered`'s
+    global row_number REGARDLESS of where the range sampler places
+    partition boundaries — partition p holds a contiguous sorted range,
+    and the prefix sum walks partitions in range order, so every row's
+    key is (global sorted position + base).  Deterministic first
+    assignment (the advisor's requirement) at distributed cost (the
+    scale requirement).  ``order_cols`` must be a unique key of ``df``
+    for full determinism — with ties, tied rows may swap ids run-to-run
+    (they stay within one partition, so keys remain unique).
+    """
+    arranged = (
+        df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    )
+    with_pid = arranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, base
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return with_pid.withColumn(key_col, F.lit(base).cast("long")).drop(
+            "_pid"
+        )
+    offset_arr = F.array(
+        *[F.lit(offsets.get(i, 0)) for i in range(max(offsets) + 1)]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        with_pid.withColumn("_local", F.row_number().over(w))
+        .withColumn(
+            key_col,
+            (
+                F.element_at(offset_arr, F.col("_pid") + 1) + F.col("_local")
+            ).cast("long"),
+        )
+        .drop("_pid", "_local")
+    )
+
+
 def assign_keys_ordered(df: DataFrame, key_col: str, order_cols: list[str],
                         base: int = 0) -> DataFrame:
     """Deterministic keys: row_number over an explicit total order.

@@ -36,6 +36,7 @@ from vexere_lakehouse_pipeline_spark.operators.nlp import (
 )
 from vexere_lakehouse_pipeline_spark.operators.surrogate_keys import (
     assign_keys_distributed,
+    assign_keys_range_ordered,
     max_existing_key,
 )
 from vexere_lakehouse_pipeline_spark.plans import gold
@@ -82,7 +83,7 @@ def conform_facilities(raw: DataFrame) -> DataFrame:
 
 def facility_to_silver(raw: DataFrame, bus_ids: DataFrame,
                        existing_names: DataFrame | None = None,
-                       keyer: str = "distributed") -> dict[str, DataFrame]:
+                       keyer: str = "range_ordered") -> dict[str, DataFrame]:
     """→ {facility: bridge(Bus_Id, Bus_Name, Facility_Id),
     facility_name: dim(Facility_Name, Facility_Id)}
     (to_silver.py:142-164).  The bridge join broadcasts the name dim.
@@ -93,22 +94,29 @@ def facility_to_silver(raw: DataFrame, bus_ids: DataFrame,
     rerun whose batch contains a new name would re-number the
     assignment and corrupt the dim/bridge (two names sharing one id).
 
-    ``keyer`` picks how NEW names get ids (both yield contiguous keys
+    ``keyer`` picks how NEW names get ids (all yield contiguous keys
     continuing above the existing max — the dim's actual contract):
 
-    - ``"distributed"`` (default): surrogate_keys.assign_keys_distributed
-      — per-partition ranks + a driver prefix-sum, no global window, so
-      the keying stage scales with the name vocabulary without an
-      Exchange SinglePartition.  Name→id mapping is physical-order-
-      dependent on FIRST assignment (stable thereafter via
-      ``existing_names``).
-    - ``"ordered"``: the reference's sorted-by-name row_number
-      (to_silver.py:130-131 semantics) — deterministic first
-      assignment, single-partition window; fine while the vocabulary
-      is tiny, kept as the compat mode.
+    - ``"range_ordered"`` (default): surrogate_keys.assign_keys_range_
+      ordered — ids follow global sorted Facility_Name order (IDENTICAL
+      first-run name→id mapping to the reference's sorted row_number,
+      to_silver.py:130-131) but computed via range partitioning + a
+      driver prefix-sum, so no Exchange SinglePartition.  Deterministic
+      AND distributed; the default since round 4 (round 3 briefly
+      defaulted to ``"distributed"``, whose first assignment was
+      physical-order-dependent — flagged by review as a silent
+      behavior change vs the reference).
+    - ``"distributed"``: surrogate_keys.assign_keys_distributed —
+      per-partition ranks + a driver prefix-sum.  Cheapest (no sort/
+      range exchange) but first-run name→id mapping is physical-order-
+      dependent (stable thereafter via ``existing_names``).
+    - ``"ordered"``: the reference's literal sorted-by-name row_number
+      — single-partition window; kept as the compat mode.
     """
-    if keyer not in ("distributed", "ordered"):
-        raise ValueError(f"keyer must be distributed|ordered, got {keyer!r}")
+    if keyer not in ("range_ordered", "distributed", "ordered"):
+        raise ValueError(
+            f"keyer must be range_ordered|distributed|ordered, got {keyer!r}"
+        )
     conformed = _with_bus_id(
         conform_facilities(raw), bus_ids, ["Id", "Bus_Id", "Bus_Name"]
     )
@@ -117,6 +125,10 @@ def facility_to_silver(raw: DataFrame, bus_ids: DataFrame,
     ).distinct()
 
     def _key(df: DataFrame, base: int) -> DataFrame:
+        if keyer == "range_ordered":
+            return assign_keys_range_ordered(
+                df, "Facility_Id", ["Facility_Name"], base=base
+            )
         if keyer == "distributed":
             return assign_keys_distributed(df, "Facility_Id", base=base)
         return df.withColumn(

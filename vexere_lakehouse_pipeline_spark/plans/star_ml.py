@@ -83,11 +83,11 @@ _N_HASHES = dedup.N_BANDS * dedup.N_ROWS
 def _duck_sub_split(id_sql: str, n_sql: str, cap: int) -> str:
     """DuckDB sub-bucket assignment mirroring dedup._split_hot_buckets:
     sub-cap buckets keep sub 0; oversized buckets hash-assign members
-    to ceil(n/cap) sub-buckets with the portable md5 bucket hash (same
-    SUBSPLIT_SALT both engines)."""
+    to ceil(n/cap) sub-buckets with the portable 32-bit md5 bucket
+    hash (same SUBSPLIT_SALT both engines)."""
     return (
         f"CASE WHEN {n_sql} <= {cap} THEN 0 "
-        f"ELSE ({sampling.hash_bucket_sql(id_sql, dedup.SUBSPLIT_SALT)}) "
+        f"ELSE ({sampling.hash_bucket_wide_sql(id_sql, dedup.SUBSPLIT_SALT)}) "
         f"% CAST(({n_sql} + {cap} - 1) // {cap} AS INTEGER) END"
     )
 
