@@ -162,6 +162,7 @@ def main() -> None:
         "corpus_bpe_apply",
         "sim_topk_int8",
         "sim_recall_int8_vs_bruteforce",
+        "sim_recall_knn_lsh_vs_exact",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

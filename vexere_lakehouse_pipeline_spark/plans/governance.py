@@ -30,6 +30,7 @@ from vexere_lakehouse_pipeline_spark.catalog import load_table
 from vexere_lakehouse_pipeline_spark.operators import dedup, privacy, sampling, similarity
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 from vexere_lakehouse_pipeline_spark.plans.star_ml import (
+    _DUCK_BUCKET,
     _DUCK_COS,
     _DUCK_EMB,
     _DUCK_SHINGLE_CTES,
@@ -271,6 +272,74 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_graph(emb, k=_KNN_K, strategy="exact").orderBy(
         "src", "rnk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall gate for the LSH k-NN graph strategy — the same contract the
+# top-k paths carry (sim_recall_lsh_vs_bruteforce, sim_recall_int8_vs_
+# bruteforce): the approximate scale path is never shipped ungated.
+# Per-source recall@k of knn_graph(strategy='lsh') against the exact
+# graph; the floor is pinned in tests/test_dedup_similarity.py.
+# ---------------------------------------------------------------------------
+@_register(
+    "sim_recall_knn_lsh_vs_exact",
+    f"""
+    WITH e AS ({_DUCK_EMB}),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ),
+    exact AS (SELECT src, dst FROM ranked WHERE rnk <= {_KNN_K}),
+    eb AS (SELECT vec_id, v, {_DUCK_BUCKET.format(v="v")} AS bucket FROM e),
+    lscored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM eb a JOIN eb b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    lranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rnk
+        FROM lscored WHERE cos_sim IS NOT NULL
+    ),
+    lsh AS (SELECT src, dst FROM lranked WHERE rnk <= {_KNN_K})
+    SELECT ex.src,
+           COUNT(l.dst) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(l.dst) * 1.0 / COUNT(*), 4) AS recall
+    FROM exact ex LEFT JOIN lsh l
+      ON l.src = ex.src AND l.dst = ex.dst
+    GROUP BY ex.src ORDER BY ex.src
+    """,
+)
+def sim_recall_knn_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.knn_graph(emb, k=_KNN_K, strategy="exact").select(
+        "src", "dst"
+    )
+    approx = similarity.knn_graph(
+        emb, k=_KNN_K, strategy="lsh", n_bits=4
+    ).select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))
+    joined = truth.join(
+        approx,
+        (truth["src"] == approx["a_src"]) & (truth["dst"] == approx["a_dst"]),
+        "left",
+    )
+    return (
+        joined.groupBy("src")
+        .agg(
+            F.count("a_dst").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_dst") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("src")
     )
 
 
