@@ -157,6 +157,7 @@ def main() -> None:
         "corpus_bpe_merge_step",
         "corpus_bpe_train_k",
         "events_watermark_discard_twin",
+        "events_dedup_within_watermark_twin",
         "multimodal_bmp_stats",
         "text_repetition_scores",
         "corpus_bpe_apply",

@@ -490,3 +490,71 @@ def test_watermark_discard_twin_matches_real_engine(spark, tmp_path):
     assert got == want
     # the scenario is non-trivial: exactly one row was discarded
     assert sum(want.values()) == len(rows) - 1 - 1  # minus flush, minus id 30
+
+
+def test_dedup_within_watermark_twin_matches_real_engine(spark, tmp_path):
+    """The batch twin (ingest.dedup_within_watermark_flags) must
+    reproduce the REAL dropDuplicatesWithinWatermark, including the
+    three probed behaviors: late input rows are filtered before the
+    state lookup (id 4: never-seen key, old ts, not emitted);
+    duplicates do NOT extend the first event's expiry (id 3: emitted
+    after first-event expiry even though a mid-window duplicate
+    arrived); eviction at wm >= expiry re-opens the key."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # (event_id, key, ts, arrival_batch); delay 2h
+    rows = [
+        (1, "a", t(0), 0),      # accept; state expires 02:00
+        (90, "z", t(10), 0),
+        (2, "a", t(110), 1),    # dup inside window -> dropped
+        (91, "z2", t(250), 1),  # ts 04:10 -> wm after batch1 = 02:10
+        (3, "a", t(180), 2),    # wm 02:10 >= expiry 02:00 -> accept again
+        (4, "c", t(5), 2),      # new key but ts < wm -> late-dropped
+        (5, "d", t(230), 2),    # new key, ts >= wm -> accept
+        (92, "z3", t(400), 3),  # flush batch
+    ]
+    sch = "event_id long, k string, ts timestamp"
+    src = str(tmp_path / "dw_src")
+    out = str(tmp_path / "dw_out")
+    ckpt = str(tmp_path / "dw_ckpt")
+    full = spark.createDataFrame(rows, sch + ", b int")
+    for b in sorted({r[3] for r in rows}):
+        full.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(sch).parquet(src)
+        ingest.run_stream_to_sink(
+            ingest.stream_dedup(stream, ["k"], watermark="2 hours"),
+            out, ckpt,
+        )
+    got = sorted(
+        (r["event_id"], r["k"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, "a"), (3, "a"), (5, "d"), (90, "z"),
+                   (91, "z2"), (92, "z3")]
+
+    # twin over the same arrival timeline
+    seeded = full.withColumn(
+        "arrival_ts",
+        F.to_timestamp(F.lit(str(base)))
+        + F.col("b") * F.expr("INTERVAL 1 HOUR"),
+    ).drop("b")
+    flags = ingest.dedup_within_watermark_flags(
+        seeded, ["k"], delay="2 hours"
+    )
+    want = sorted(
+        (r["event_id"], r["k"])
+        for r in flags.filter("status = 'kept'").collect()
+    )
+    assert got == want
+    # and the reasons split exactly as the probes established
+    by_status = {
+        r["status"]: r["n"]
+        for r in flags.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_status == {"kept": 6, "dup": 1, "late": 1}

@@ -271,6 +271,111 @@ def events_watermark_discard_twin(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Dedup-within-watermark twin — oracle-gates the streaming
+# dropDuplicatesWithinWatermark semantics (streaming/ingest.py:
+# stream_dedup) the way the discard twin above gates the late-data
+# rule.  Same deterministic arrival seeding; key = (user_id,
+# event_type), delay 2h.  The per-key state walk is a chain recurrence
+# (each acceptance depends on the previous ACCEPTED row's expiry), so
+# the Spark side runs it as an applyInPandas group walk
+# (ingest.dedup_within_watermark_flags — real-engine equivalence
+# pinned in tests/test_joins_stateful.py) and the DuckDB side as a
+# recursive CTE stepping row-by-row per key.  Output: per event_type,
+# how many rows the stream would emit vs drop as in-window duplicates
+# vs drop as late input.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_dedup_within_watermark_twin",
+    f"""
+    WITH RECURSIVE e AS (
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN {sampling.hash_bucket_sql('event_id', 'late')}
+                         < {_LATE_BOUND}
+                    THEN ts + INTERVAL 3 HOUR ELSE ts END AS arrival_ts
+        FROM events
+    ),
+    e2 AS (SELECT *, date_trunc('hour', arrival_ts) AS batch FROM e),
+    bm AS (SELECT batch, MAX(ts) AS bmax FROM e2 GROUP BY batch),
+    wm AS (SELECT batch,
+                  MAX(bmax) OVER (ORDER BY batch
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+                  - INTERVAL 2 HOUR AS wm
+           FROM bm),
+    j AS (SELECT e2.*, wm.wm,
+                 (wm.wm IS NOT NULL AND e2.ts < wm.wm) AS is_late
+          FROM e2 JOIN wm USING (batch)),
+    nl AS (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY batch, ts, event_id) AS rn
+           FROM j WHERE NOT is_late),
+    ch AS (
+        SELECT user_id, event_type, rn, TRUE AS kept,
+               ts + INTERVAL 2 HOUR AS expiry
+        FROM nl WHERE rn = 1
+        UNION ALL
+        SELECT n.user_id, n.event_type, n.rn,
+               (n.wm IS NOT NULL AND n.wm >= ch.expiry) AS kept,
+               CASE WHEN n.wm IS NOT NULL AND n.wm >= ch.expiry
+                    THEN n.ts + INTERVAL 2 HOUR ELSE ch.expiry END AS expiry
+        FROM nl n JOIN ch ON n.user_id = ch.user_id
+                         AND n.event_type = ch.event_type
+                         AND n.rn = ch.rn + 1
+    ),
+    statuses AS (
+        SELECT event_type, 'late' AS status FROM j WHERE is_late
+        UNION ALL
+        SELECT event_type, CASE WHEN kept THEN 'kept' ELSE 'dup' END
+        FROM ch
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE status = 'kept') AS BIGINT)
+               AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE status = 'dup') AS BIGINT)
+               AS n_dup_dropped,
+           CAST(COUNT(*) FILTER (WHERE status = 'late') AS BIGINT)
+               AS n_late_dropped
+    FROM statuses GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_dedup_within_watermark_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        dedup_within_watermark_flags,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    seeded = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            sampling.hash_bucket("event_id", "late") < _LATE_BOUND,
+            F.col("ts") + F.expr("INTERVAL 3 HOURS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("arrival_ts"),
+    )
+    flagged = dedup_within_watermark_flags(
+        seeded, ["user_id", "event_type"], delay="2 hours"
+    )
+    s = F.col("status")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(s == "kept", 1)).alias("n_kept"),
+            F.count(F.when(s == "dup", 1)).alias("n_dup_dropped"),
+            F.count(F.when(s == "late", 1)).alias("n_late_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON functions — events.props is a JSON string column; extract + typed
 # aggregate (the reference handles JSON only at scan time, SURVEY §2.7).
 # ---------------------------------------------------------------------------

@@ -281,3 +281,83 @@ def watermark_accepted_flags(events: DataFrame, ts_col: str = "ts",
     return joined.withColumn(
         "ok", F.col("_wm").isNull() | (win_end > F.col("_wm"))
     )
+
+
+def dedup_within_watermark_flags(events: DataFrame, id_cols: list[str],
+                                 ts_col: str = "ts",
+                                 arrival_ts_col: str = "arrival_ts",
+                                 batch_granularity: str = "hour",
+                                 delay: str = "2 hours",
+                                 order_col: str = "event_id") -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark`` — which rows the
+    streaming dedup (stream_dedup above) would emit, given an explicit
+    arrival timeline.
+
+    Semantics reproduced (probed against the REAL engine, Spark 4.1 —
+    tests/test_joins_stateful.py::test_dedup_within_watermark_twin_
+    matches_real_engine):
+
+    1. LATE FILTER: a row whose event time is behind the watermark in
+       force when its micro-batch runs (``ts < wm``) is dropped before
+       the dedup state is ever consulted (probed: a NEVER-seen key with
+       ts < wm is not emitted — the operator late-filters its input).
+    2. FIRST-EVENT EXPIRY: an accepted row stores state expiring at
+       ``ts + delay``; later duplicates are dropped while that state
+       lives but do NOT extend it (probed: a duplicate inside the
+       window followed by one after first-event expiry re-emits).
+    3. EVICTION: state is gone once ``wm >= expiry``; the next
+       surviving row of the key is accepted and starts a new window.
+
+    The per-batch watermark is the same census used by
+    :func:`watermark_accepted_flags`: running max of PRECEDING batches'
+    max event time minus ``delay``; NULL in the first batch (nothing
+    evicted, nothing late).
+
+    The per-key state walk is a chain recurrence (each acceptance
+    depends on the previous accepted row), which no window function
+    expresses — it runs as an ``applyInPandas`` over the key groups,
+    rows canonically ordered by (batch, ts, ``order_col``) so the twin
+    is deterministic where the real engine's within-batch order is not.
+    Scale shape: the census is metadata-sized and broadcast; the walk
+    shuffles once on ``id_cols`` and each group is one user-key's
+    history (small by construction).
+
+    Returns ``events`` + ``_batch``, ``_wm`` and ``status`` in
+    ('kept', 'dup', 'late'); the stream's output is status = 'kept'.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    e2 = events.withColumn(
+        "_batch", F.date_trunc(batch_granularity, F.col(arrival_ts_col))
+    )
+    bm = e2.groupBy("_batch").agg(F.max(ts_col).alias("_bmax"))
+    w = Window.orderBy("_batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bm.select(
+        "_batch",
+        (F.max("_bmax").over(w) - F.expr(f"INTERVAL {delay}")).alias("_wm"),
+    )
+    joined = e2.join(F.broadcast(wm), on="_batch")
+    delay_td = pd.Timedelta(delay)
+    out_schema = StructType(
+        list(joined.schema.fields) + [StructField("status", StringType())]
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_batch", ts_col, order_col]).copy()
+        status: list[str] = []
+        expiry = None
+        for ts, wm_val in zip(pdf[ts_col], pdf["_wm"]):
+            if pd.notna(wm_val) and ts < wm_val:
+                status.append("late")
+            elif expiry is not None and (pd.isna(wm_val) or wm_val < expiry):
+                status.append("dup")
+            else:
+                status.append("kept")
+                expiry = ts + delay_td
+        pdf["status"] = status
+        return pdf
+
+    return joined.groupBy(*id_cols).applyInPandas(per_key, schema=out_schema)
