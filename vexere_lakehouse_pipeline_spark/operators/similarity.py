@@ -301,9 +301,47 @@ def topk_bruteforce_arrow(candidates: DataFrame, queries: DataFrame,
     )
 
 
+def _init_centroids_hash(emb: DataFrame, k: int, vec_col: str,
+                         id_col: str) -> list[tuple[int, list[float]]]:
+    """Deterministic hash-stratified seeding: the 32-bit md5 bucket of
+    the id splits the corpus into ``k`` strata; each stratum's seed is
+    its minimum-(hash, id) vector.  Equivalent to a uniform random
+    sample of ~k spread-out points (dense regions get proportionally
+    more strata mass, like random init) but with NO rand() — retries,
+    re-plans and repartitions reproduce the same model.  One shuffle of
+    (stratum, hash, id, vec); empty strata (k close to n) just yield
+    fewer seeds.
+    """
+    from vexere_lakehouse_pipeline_spark.operators import sampling
+
+    h = sampling.hash_bucket_wide(F.col(id_col), "kmeans-init")
+    picked = (
+        emb.select(
+            F.pmod(h, F.lit(k)).alias("_s"),
+            h.alias("_h"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_s").orderBy("_h", "_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("_v").isNotNull())
+        .orderBy("_s")
+        .collect()
+    )
+    return [
+        (i, [float(x) for x in r["_v"]]) for i, r in enumerate(picked)
+    ]
+
+
 def train_kmeans(emb: DataFrame, k: int = 16, iters: int = 5,
                  vec_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 init: str = "hash_stratified") -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column; returns a
     centroid DataFrame ``(cluster int, centroid array<double>)`` ready
     to feed :func:`topk_ivf` as its coarse quantizer.
@@ -317,10 +355,20 @@ def train_kmeans(emb: DataFrame, k: int = 16, iters: int = 5,
     - the update step is one groupBy(cluster) with per-dimension AVG —
       the only shuffle, and it moves k × dim partial sums per task,
       not data;
-    - init is the first ``k`` vectors by id (deterministic — no seeded
-      rand, so retries/re-plans reproduce the same model);
+    - ``init`` is deterministic either way (no seeded rand, so
+      retries/re-plans reproduce the same model):
+      ``"hash_stratified"`` (default) seeds from k hash-strata minima —
+      spread across the corpus regardless of id order, so sorted or
+      correlated corpora don't start with every seed in one region;
+      ``"first_k"`` is the pre-round-4 compat mode (first k vectors by
+      id — clustering-quality-poor exactly on those sorted corpora,
+      kept for model reproducibility);
     - empty clusters simply drop out (standard Lloyd behavior).
     """
+    if init not in ("hash_stratified", "first_k"):
+        raise ValueError(
+            f"init must be hash_stratified|first_k, got {init!r}"
+        )
     first = emb.select(vec_col).first()
     if first is None or first[0] is None:
         raise ValueError(
@@ -328,10 +376,15 @@ def train_kmeans(emb: DataFrame, k: int = 16, iters: int = 5,
             "non-null first vector"
         )
     dim = len(first[0])
-    cents = [
-        (i, [float(x) for x in r[0]])
-        for i, r in enumerate(emb.orderBy(id_col).limit(k).select(vec_col).collect())
-    ]
+    if init == "hash_stratified":
+        cents = _init_centroids_hash(emb, k, vec_col, id_col)
+    else:
+        cents = [
+            (i, [float(x) for x in r[0]])
+            for i, r in enumerate(
+                emb.orderBy(id_col).limit(k).select(vec_col).collect()
+            )
+        ]
     vec = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
         choices = [
