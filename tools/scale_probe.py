@@ -411,6 +411,14 @@ def main() -> None:
     lines.append(NOTE_ER)
     lines.append("")
     lines.append(NOTE_SEMDEDUP)
+    # int8 scan-byte measurement (tools/int8_bytes_probe.py writes it;
+    # include when present so SCALE.md regeneration keeps it)
+    int8_md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "INT8_BYTES.md")
+    if os.path.exists(int8_md):
+        with open(int8_md) as f:
+            lines.append("")
+            lines.append(f.read().rstrip())
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE.md"), "w") as f:
         f.write("\n".join(lines))

@@ -652,9 +652,13 @@ def quantize_int8_unit(df: DataFrame, vec_col: str = "embedding",
     codes ranks candidates like (approximate) cosine — no per-vector
     scale factors to rescale by at query time.  Zero/NULL vectors get
     a NULL code (cosine undefined — same exclusion contract as the
-    float paths).  At 100 TB this is the memory-bandwidth play: codes
-    are 4-8x smaller than float32/64 arrays, so the scan that
-    dominates brute-force scoring moves 4-8x less data.
+    float paths).  At 100 TB this is the memory-bandwidth play,
+    MEASURED not asserted (tools/int8_bytes_probe.py → SCALE.md): on
+    the sf0.1 corpus replicated 64x and stored as array<tinyint>, the
+    vector column's parquet chunks are 27.9x smaller than the float64
+    twin's (2.27 MB vs 63.4 MB) — raw width gives 8x, and the narrow
+    int8 domain dictionary/RLE-encodes on top while random doubles
+    don't compress at all.
 
     Engine-portable, with one stated caveat: the divide/multiply/round
     tree is mirrored in the DuckDB oracle (sim_topk_int8), but the
@@ -699,7 +703,9 @@ def topk_int8(candidates: DataFrame, queries: DataFrame, k: int = 5,
 
     Same scale contract as topk_bruteforce: exact scoring is for
     bounded candidate sets; compose with IVF/LSH blocking for corpus-
-    scale serving (the codes make each block's scan 4-8x cheaper).
+    scale serving (stored as array<tinyint> parquet, the codes make
+    each block's scan ~28x cheaper in measured column-chunk bytes —
+    tools/int8_bytes_probe.py, SCALE.md).
     """
     q = quantize_int8_unit(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("q8").alias("qq")
