@@ -191,6 +191,36 @@ def main() -> None:
         pass  # read-only checkout: the stdout line below still carries it
     print(json.dumps(extra_payload))
 
+    # Second headline set (VERDICT r3 #7): the heaviest REAL operators
+    # were driver-invisible because the r1-frozen headline set predates
+    # them — promote them on their OWN additive line so regressions in
+    # the expensive paths show up round-over-round.  Timings are reused
+    # from the extras pass (same best-of-reps estimator), so this line
+    # costs nothing extra.  Printed BEFORE the final line: the driver
+    # parses only the LAST stdout line, which stays the short
+    # r1-comparable headline dict.
+    headline2_names = [
+        "dedup_semdedup_survivors",
+        "corpus_final_training_set",
+        "dedup_editdist_verify",
+    ]
+    headline2 = {
+        name: extra.get(name, time_query(name))
+        for name in headline2_names
+        if name in ALL_QUERIES
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "headline2_queries_total",
+                "value": round(sum(headline2.values()), 3),
+                "unit": "sec",
+                "queries": headline2,
+                "sf": sf_val,
+            }
+        )
+    )
+
     print(
         json.dumps(
             {

@@ -1,0 +1,163 @@
+"""Attribute the degenerate one-label embedding probe's residual
+superlinearity (VERDICT r3 #4: SCALE.md exponent 1.09 at cap=256).
+
+The probe's work model says pair work is LINEAR once the hash split
+bounds sub-blocks, so any exponent above 1.0 must live in a support
+stage.  This tool times the pipeline CUMULATIVELY at 1x/4x/16x:
+
+  census      — the oversized-bucket groupBy census alone;
+  assignment  — census + broadcast-join + hash sub-bucket assignment
+                (the split output materialized, no pair join);
+  pairs       — the full embedding_neardup_pairs (what SCALE.md times).
+
+Per-stage exponents then separate fixed overhead amortization, census
+growth, assignment growth and pair-join growth.  Writes
+tools/EMBDEG_PROFILE.md and prints one JSON line.
+
+Usage: python tools/embdeg_profile.py  (scales 1/4/16, cap 256 — the
+probe's exact regime).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table  # noqa: E402
+from vexere_lakehouse_pipeline_spark.operators import dedup  # noqa: E402
+from vexere_lakehouse_pipeline_spark.operators.dedup import (  # noqa: E402
+    _split_hot_buckets,
+    embedding_neardup_pairs,
+)
+from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CAP = 256
+SCALES = (1, 4, 16)
+
+
+def _force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _one_label(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", "embedding", F.lit("all").alias("label")
+    )
+
+
+def stage_census(emb: DataFrame) -> DataFrame:
+    base = _one_label(emb).select(
+        F.col("label").alias("block"), F.col("vec_id").alias("_id")
+    )
+    return (
+        base.groupBy("block")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > CAP)
+    )
+
+
+def stage_assignment(emb: DataFrame) -> DataFrame:
+    base = _one_label(emb).select(
+        F.col("label").alias("block"),
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_vec"),
+    )
+    return _split_hot_buckets(base, CAP, keys=("block",), id_col="_id")
+
+
+def stage_pairs(emb: DataFrame) -> DataFrame:
+    return embedding_neardup_pairs(
+        _one_label(emb), threshold=0.3, max_block_size=CAP
+    )
+
+
+def main() -> None:
+    spark = build_session("embdeg-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb0 = load_table(spark, BASE, "embeddings").select("vec_id", "embedding")
+    tmp = tempfile.mkdtemp(prefix="embdeg_")
+    paths: dict[int, str] = {}
+    for k in SCALES:
+        p = os.path.join(tmp, f"x{k}")
+        (
+            emb0.crossJoin(
+                spark.range(k).select(F.col("id").alias("_r"))
+            )
+            .select(
+                (F.col("vec_id") + F.col("_r") * 10_000_000).alias("vec_id"),
+                "embedding",
+            )
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+        paths[k] = p
+
+    stages = (
+        ("census", stage_census),
+        ("assignment", stage_assignment),
+        ("pairs", stage_pairs),
+    )
+    times: dict[str, dict[int, float]] = {n: {} for n, _ in stages}
+    for name, fn in stages:
+        fn_warm = fn(spark.read.parquet(paths[1]))
+        _force(fn_warm)  # warm codegen for this plan shape
+        for k in SCALES:
+            emb = spark.read.parquet(paths[k])
+            best = float("inf")
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                _force(fn(emb))
+                best = min(best, time.time() - t0)
+            times[name][k] = round(best, 3)
+
+    def expo(t: dict[int, float], a: int, b: int) -> float:
+        return round(math.log(t[b] / t[a]) / math.log(b / a), 2)
+
+    md = [
+        "# Degenerate one-label embedding probe — stage attribution",
+        "",
+        f"All-one-label embeddings, cap={CAP}, scales x1/x4/x16 of the "
+        f"sf0.1 table ({emb0.count()} rows at x1), best-of-3 each "
+        "(tools/embdeg_profile.py).  Stages are CUMULATIVE prefixes of "
+        "the pipeline; the exponent columns are log-slopes over 1->4 "
+        "and 4->16.",
+        "",
+        "| stage | t_1x (s) | t_4x (s) | t_16x (s) | exp 1->4 | exp 4->16 |",
+        "|---|---|---|---|---|---|",
+    ]
+    out = {"cap": CAP, "stages": {}}
+    for name, _ in stages:
+        t = times[name]
+        md.append(
+            f"| {name} | {t[1]} | {t[4]} | {t[16]} | "
+            f"{expo(t, 1, 4)} | {expo(t, 4, 16)} |"
+        )
+        out["stages"][name] = {
+            "t": t,
+            "exp_1_4": expo(t, 1, 4),
+            "exp_4_16": expo(t, 4, 16),
+        }
+    md.append("")
+    md_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "EMBDEG_PROFILE.md"
+    )
+    with open(md_path, "w") as f:
+        f.write("\n".join(md) + "\n")
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
