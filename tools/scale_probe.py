@@ -411,14 +411,17 @@ def main() -> None:
     lines.append(NOTE_ER)
     lines.append("")
     lines.append(NOTE_SEMDEDUP)
-    # int8 scan-byte measurement (tools/int8_bytes_probe.py writes it;
-    # include when present so SCALE.md regeneration keeps it)
-    int8_md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "INT8_BYTES.md")
-    if os.path.exists(int8_md):
-        with open(int8_md) as f:
-            lines.append("")
-            lines.append(f.read().rstrip())
+    # Side measurements written by their own tools — include when
+    # present so SCALE.md regeneration keeps them:
+    # int8 scan bytes (tools/int8_bytes_probe.py) and the degenerate
+    # one-label probe's stage attribution (tools/embdeg_profile.py).
+    for side in ("INT8_BYTES.md", "EMBDEG_PROFILE.md"):
+        side_md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               side)
+        if os.path.exists(side_md):
+            with open(side_md) as f:
+                lines.append("")
+                lines.append(f.read().rstrip())
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALE.md"), "w") as f:
         f.write("\n".join(lines))
