@@ -164,6 +164,8 @@ def main() -> None:
         "sim_topk_int8",
         "sim_recall_int8_vs_bruteforce",
         "sim_recall_knn_lsh_vs_exact",
+        "sim_topk_lsh_multitable",
+        "sim_recall_knn_lsh_multitable",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

@@ -714,3 +714,35 @@ def test_knn_graph_lsh_recall_gate(spark):
     n_total = sum(sizes)
     baseline = sum(n * (n - 1) for n in sizes) / (n_total * (n_total - 1))
     assert mean_recall >= 1.5 * baseline
+
+
+def test_multitable_lsh_lifts_recall(spark):
+    """n_tables is the LSH recall lever: unioning independent hash
+    tables (disjoint dim slices) must lift k-NN graph recall vs the
+    exact graph well above the single-table path on real data —
+    measured 0.15 (1 table) -> 0.45 (4) -> 0.71 (8) at sf0.001.  Floors
+    are set under the measured values; monotonicity is the contract."""
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    truth = {
+        (r["src"], r["dst"])
+        for r in similarity.knn_graph(emb, k=3, strategy="exact")
+        .select("src", "dst")
+        .collect()
+    }
+    recall = {}
+    for n_tables in (1, 4, 8):
+        got = {
+            (r["src"], r["dst"])
+            for r in similarity.knn_graph(
+                emb, k=3, strategy="lsh", n_bits=4, n_tables=n_tables
+            )
+            .select("src", "dst")
+            .collect()
+        }
+        recall[n_tables] = len(got & truth) / len(truth)
+    assert recall[1] < recall[4] < recall[8]
+    assert recall[4] >= 0.35
+    assert recall[8] >= 0.6

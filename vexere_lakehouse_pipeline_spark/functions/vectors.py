@@ -50,14 +50,20 @@ def cosine_from_norms(a: Column | str, b: Column | str,
     return dot_product(a, b) / F.nullif(_c(norm_a) * _c(norm_b), F.lit(0.0))
 
 
-def sign_lsh_bucket(a: Column | str, n_bits: int = 8) -> Column:
-    """Random-hyperplane-style LSH bucket from the signs of the first
-    ``n_bits`` components (deterministic, engine-portable stand-in for
-    sampled hyperplanes; adequate for bucketing normalized embeddings).
-    Returns a compact bit-string like '10110010'."""
+def sign_lsh_bucket(a: Column | str, n_bits: int = 8,
+                    offset: int = 0) -> Column:
+    """Random-hyperplane-style LSH bucket from the signs of components
+    [offset, offset + n_bits) (deterministic, engine-portable stand-in
+    for sampled hyperplanes; adequate for bucketing normalized
+    embeddings).  Returns a compact bit-string like '10110010'.
+
+    ``offset`` gives INDEPENDENT hash tables from disjoint dim slices —
+    the standard multi-table LSH recall lever (candidates = union over
+    tables; a true neighbor is lost only if it disagrees in EVERY
+    table's slice), used by knn_graph/topk n_tables > 1."""
     c = _c(a)
     bits = F.transform(
-        F.slice(c, 1, n_bits),
+        F.slice(c, offset + 1, n_bits),
         lambda x: F.when(x.cast("double") >= 0, F.lit("1")).otherwise(F.lit("0")),
     )
     # NULL vector -> NULL bucket (joins nothing), matching the SQL

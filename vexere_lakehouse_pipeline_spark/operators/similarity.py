@@ -165,33 +165,88 @@ def topk_ivf(candidates: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _table_buckets(vec_col: str, n_bits: int, n_tables: int):
+    """(table, bucket) struct array for multi-table sign-LSH: table t
+    hashes the disjoint dim slice [t*n_bits, (t+1)*n_bits).  Candidates
+    are the UNION over tables, so a true neighbor is lost only if its
+    signs disagree with the query's in EVERY slice — the standard LSH
+    recall lever, at a linear cost multiplier of n_tables on the
+    bucket-join volume."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sign_lsh_bucket(vec_col, n_bits, t * n_bits).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      n_bits: int = 4) -> DataFrame:
+                      n_bits: int = 4, n_tables: int = 1) -> DataFrame:
     """Approximate top-k: candidates are scored only within the query's
-    sign-LSH bucket.  Same output shape as :func:`topk_bruteforce`."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_emb"),
-        l2_norm(vec_col).alias("q_norm"),
-        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
-    )
-    c = candidates.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("emb"),
-        l2_norm(vec_col).alias("c_norm"),
-        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                cosine_from_norms("q_emb", "emb", "q_norm", "c_norm"), 6
-            ).alias("cos_sim"),
+    sign-LSH bucket(s).  Same output shape as :func:`topk_bruteforce`.
+
+    ``n_tables`` > 1 unions candidates over independent hash tables
+    (disjoint dim slices, :func:`_table_buckets`) and dedupes the
+    (query, candidate) pairs before scoring, so each survivor is
+    scored exactly once — recall rises with n_tables (gated:
+    sim_topk_lsh_multitable + tests pin multi > single on real data)
+    while the scored-pair volume stays bounded by the union size.
+    """
+    if n_tables == 1:
+        # single-table fast path: no generator node, bucket stays a
+        # plain projected column inside whole-stage codegen (the
+        # oracle-gated r2 plan shape, unchanged)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            l2_norm(vec_col).alias("q_norm"),
+            sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
         )
+        c = candidates.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("emb"),
+            l2_norm(vec_col).alias("c_norm"),
+            sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+        )
+        joined = c.join(F.broadcast(q), on="bucket").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            l2_norm(vec_col).alias("q_norm"),
+            F.explode(_table_buckets(vec_col, n_bits, n_tables)).alias("tb"),
+        ).select("query_id", "q_emb", "q_norm", "tb.t", "tb.bucket")
+        c = candidates.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("emb"),
+            l2_norm(vec_col).alias("c_norm"),
+            F.explode(_table_buckets(vec_col, n_bits, n_tables)).alias("tb"),
+        ).select("vec_id", "emb", "c_norm", "tb.t", "tb.bucket")
+        joined = c.join(F.broadcast(q), on=["t", "bucket"]).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+    if n_tables > 1:
+        # one score per surviving pair, however many tables matched it
+        joined = joined.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id", "vec_id").orderBy("t")
+            ),
+        ).filter(F.col("_rn") == 1)
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_from_norms("q_emb", "emb", "q_norm", "c_norm"), 6
+        ).alias("cos_sim"),
     )
     # bruteforce parity: zero-norm/null vectors are unscoreable and
     # must not occupy ranks (they would sort last but still emit).
@@ -460,7 +515,7 @@ MAX_EXACT_KNN_ROWS = 100_000
 
 def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
               id_col: str = "vec_id", strategy: str = "exact",
-              n_bits: int = 4) -> DataFrame:
+              n_bits: int = 4, n_tables: int = 1) -> DataFrame:
     """k-nearest-neighbor graph over a single embedding table.
 
     Returns (src, dst, cos_sim, rnk) — each vector's top-``k`` cosine
@@ -554,20 +609,41 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
             F.col(vec_col).alias("emb"),
             l2_norm(vec_col).alias("norm"),
         )
-        bucketed = base.withColumn("bucket", sign_lsh_bucket("emb", n_bits))
+        if n_tables == 1:
+            bucketed = base.withColumn(
+                "bucket", sign_lsh_bucket("emb", n_bits)
+            )
+            join_keys = ["bucket"]
+        else:
+            bucketed = base.select(
+                "vec_id", "emb", "norm",
+                F.explode(_table_buckets("emb", n_bits, n_tables)).alias(
+                    "tb"
+                ),
+            ).select("vec_id", "emb", "norm", "tb.t", "tb.bucket")
+            join_keys = ["t", "bucket"]
         a = bucketed.select(
-            "bucket",
+            *join_keys,
             F.col("vec_id").alias("src"),
             F.col("emb").alias("a_emb"),
             F.col("norm").alias("a_norm"),
         )
         b = bucketed.select(
-            "bucket",
+            *join_keys,
             F.col("vec_id").alias("dst"),
             F.col("emb").alias("b_emb"),
             F.col("norm").alias("b_norm"),
         )
-        pairs = a.join(b, on="bucket")
+        pairs = a.join(b, on=join_keys)
+        if n_tables > 1:
+            # union semantics: score each (src, dst) pair once no
+            # matter how many tables co-bucketed it
+            pairs = pairs.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("src", "dst").orderBy("t")
+                ),
+            ).filter(F.col("_rn") == 1).drop("_rn", "t")
     scored = (
         pairs.filter(F.col("src") != F.col("dst"))
         .select(

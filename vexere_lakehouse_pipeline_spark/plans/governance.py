@@ -344,6 +344,89 @@ def sim_recall_knn_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-table LSH k-NN recall gate — the recall LEVER, gated the same
+# way.  Single-table sign-LSH recall@3 on the near-orthogonal test
+# embeddings is ~0.13 (the row above measures it); unioning 8
+# independent hash tables over disjoint dim slices lifts it to ~0.70
+# at an 8x bucket-join volume multiplier (linear, bounded).  The
+# oracle mirrors the union + pair-dedup + score-once semantics.
+# ---------------------------------------------------------------------------
+_KNN_TABLES = 8
+
+
+@_register(
+    "sim_recall_knn_lsh_multitable",
+    f"""
+    WITH e AS ({_DUCK_EMB}),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    ),
+    exact AS (SELECT src, dst FROM ranked WHERE rnk <= {_KNN_K}),
+    ts AS (SELECT unnest(range(0, {_KNN_TABLES})) AS t),
+    eb AS (SELECT vec_id, ts.t AS t,
+                  array_to_string(list_transform(v[ts.t*4+1 : ts.t*4+4],
+                      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')
+                      AS bucket
+           FROM e CROSS JOIN ts),
+    cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+             FROM eb a JOIN eb b
+               ON a.t = b.t AND a.bucket = b.bucket
+              AND a.vec_id <> b.vec_id),
+    lscored AS (
+        SELECT cand.src, cand.dst,
+               {_DUCK_COS.format(a="ea.v", b="eb2.v")} AS cos_sim
+        FROM cand JOIN e ea ON ea.vec_id = cand.src
+                  JOIN e eb2 ON eb2.vec_id = cand.dst
+    ),
+    lranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rnk
+        FROM lscored WHERE cos_sim IS NOT NULL
+    ),
+    lsh AS (SELECT src, dst FROM lranked WHERE rnk <= {_KNN_K})
+    SELECT ex.src,
+           COUNT(l.dst) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(l.dst) * 1.0 / COUNT(*), 4) AS recall
+    FROM exact ex LEFT JOIN lsh l
+      ON l.src = ex.src AND l.dst = ex.dst
+    GROUP BY ex.src ORDER BY ex.src
+    """,
+)
+def sim_recall_knn_lsh_multitable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = similarity.knn_graph(emb, k=_KNN_K, strategy="exact").select(
+        "src", "dst"
+    )
+    approx = similarity.knn_graph(
+        emb, k=_KNN_K, strategy="lsh", n_bits=4, n_tables=_KNN_TABLES
+    ).select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))
+    joined = truth.join(
+        approx,
+        (truth["src"] == approx["a_src"]) & (truth["dst"] == approx["a_dst"]),
+        "left",
+    )
+    return (
+        joined.groupBy("src")
+        .agg(
+            F.count("a_dst").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_dst") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("src")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fixed-point PageRank over the k-NN graph (operators/graph.py).  The
 # oracle unrolls the fixed iteration count into chained CTEs; because
 # the operator is pure int64 arithmetic, the oracle is exact — no

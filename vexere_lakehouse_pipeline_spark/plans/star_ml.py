@@ -435,6 +435,57 @@ def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multi-table sign-LSH top-k — the recall lever over the single-table
+# row above: candidates are the UNION over independent hash tables
+# (disjoint dim slices), each surviving pair scored once.  Recall vs
+# brute force rises with n_tables (pinned in tests); cost is a linear
+# n_tables multiplier on bucket-join volume.
+# ---------------------------------------------------------------------------
+_TOPK_TABLES = 4
+
+
+@_register(
+    "sim_topk_lsh_multitable",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ts AS (SELECT unnest(range(0, {_TOPK_TABLES})) AS t),
+    eb AS (SELECT vec_id, ts.t AS t,
+                  array_to_string(list_transform(v[ts.t*4+1 : ts.t*4+4],
+                      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')
+                      AS bucket
+           FROM e CROSS JOIN ts),
+    qb AS (SELECT vec_id AS query_id, t, bucket FROM eb WHERE vec_id < 10),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT qb.query_id, c.vec_id
+             FROM eb c JOIN qb
+               ON c.t = qb.t AND c.bucket = qb.bucket
+              AND c.vec_id <> qb.query_id),
+    scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               {_DUCK_COS.format(a="qv.qv", b="e.v")} AS cos_sim
+        FROM cand JOIN qv USING (query_id)
+                  JOIN e ON e.vec_id = cand.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_lsh_bucketed(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=4,
+        n_tables=_TOPK_TABLES,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: quality features
 # ---------------------------------------------------------------------------
 @_register(
