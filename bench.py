@@ -166,6 +166,8 @@ def main() -> None:
         "sim_recall_knn_lsh_vs_exact",
         "sim_topk_lsh_multitable",
         "sim_recall_knn_lsh_multitable",
+        "sim_topk_hamming",
+        "sim_recall_hamming_vs_bruteforce",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

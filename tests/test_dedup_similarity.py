@@ -746,3 +746,49 @@ def test_multitable_lsh_lifts_recall(spark):
     assert recall[1] < recall[4] < recall[8]
     assert recall[4] >= 0.35
     assert recall[8] >= 0.6
+
+
+def test_topk_hamming_contract_and_shortlist_recall(spark):
+    """Binary sign-sketch top-k: integer Hamming scores, zero/NULL
+    vectors excluded, identical-direction vectors rank first (hamming
+    0), and the tier's actual contract — candidate GENERATION — holds
+    on real data: a hamming top-50 shortlist (10% of the corpus)
+    captures >= 55% of the true cosine top-5 (measured 0.72 at
+    sf0.001), ~6x the 10% random baseline.  Exact per-query values are
+    pinned cross-engine by the sim_topk_hamming oracle row."""
+    import pyspark.sql.types as T
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cands = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 4.0]), (3, [0.0, 0.0]),
+         (4, None), (5, [-1.0, -2.0])],
+        schema,
+    )
+    out = similarity.topk_hamming(cands, cands.filter("vec_id = 1"), k=5,
+                                  n_bits=2)
+    rows = sorted((r["rank"], r["vec_id"], r["hamming"])
+                  for r in out.collect())
+    # same-direction vector 2 has hamming 0; zero/null never appear;
+    # opposite-sign vector has hamming 2 (both sign bits flip)
+    assert rows[0][1] == 2 and rows[0][2] == 0
+    ids = [v for _, v, _ in rows]
+    assert 3 not in ids and 4 not in ids
+    assert rows[-1][1] == 5 and rows[-1][2] == 2
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.topk_bruteforce(emb, qs, k=5).collect()
+    }
+    short = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.topk_hamming(emb, qs, k=50).collect()
+    }
+    assert len(truth & short) / len(truth) >= 0.55

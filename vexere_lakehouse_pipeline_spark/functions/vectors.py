@@ -50,6 +50,43 @@ def cosine_from_norms(a: Column | str, b: Column | str,
     return dot_product(a, b) / F.nullif(_c(norm_a) * _c(norm_b), F.lit(0.0))
 
 
+def sign_sketch(a: Column | str, n_bits: int = 63) -> Column:
+    """Pack the signs of the first ``n_bits`` components into ONE
+    bigint — a binary embedding sketch (64-dim float64 → 8 bytes).
+    Hamming distance between two sketches approximates angular
+    distance (the SimHash/binary-embedding identity: P[sign bits
+    differ] = angle/pi per hyperplane), so ``bit_count(xor(a, b))``
+    ranks like cosine at 1/64th the bytes and pure int64 arithmetic —
+    bit-portable across engines, unlike any float score.
+
+    NULL and zero vectors get a NULL sketch (cosine undefined — the
+    same exclusion contract as every similarity path).  ``n_bits`` is
+    capped at 63 so the sketch stays a non-negative int64.
+    """
+    if not 1 <= n_bits <= 63:
+        raise ValueError(f"n_bits must be in [1, 63], got {n_bits}")
+    c = _c(a)
+    terms = [
+        F.when(
+            F.element_at(c, i + 1).cast("double") >= 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(n_bits)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    nonzero = l2_norm(c) > 0
+    return F.when(c.isNull() | ~nonzero, F.lit(None).cast("long")).otherwise(
+        acc
+    )
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """bit_count(a XOR b) over two int64 sign sketches."""
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
 def sign_lsh_bucket(a: Column | str, n_bits: int = 8,
                     offset: int = 0) -> Column:
     """Random-hyperplane-style LSH bucket from the signs of components

@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.functions.vectors import (
     cosine_from_norms,
+    hamming_distance,
     l2_norm,
     sign_lsh_bucket,
+    sign_sketch,
 )
 
 # Hard ceiling on the Arrow brute-force path's query-set size: the set
@@ -252,6 +254,52 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
     # must not occupy ranks (they would sort last but still emit).
     scored = scored.filter(F.col("cos_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_hamming(candidates: DataFrame, queries: DataFrame, k: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_bits: int = 63) -> DataFrame:
+    """Approximate cosine top-k over int64 sign sketches — the binary-
+    embedding sibling of :func:`topk_int8`, one notch further down the
+    compression ladder.
+
+    Each vector becomes ONE bigint (``sign_sketch``); scoring is
+    ``bit_count(xor)`` ascending — pure int64 arithmetic, so the
+    DuckDB oracle verifies the ranking bit-for-bit (sim_topk_hamming),
+    and the sketch column is 8 bytes vs 512 for a 64-dim float64 array
+    (64x smaller scan than floats, ~8x smaller than int8 codes).
+    Recall vs the float ranking is pinned by
+    sim_recall_hamming_vs_bruteforce — coarser than int8 (1 bit/dim vs
+    8), it is the candidate-GENERATION tier: sketch-rank a cheap
+    shortlist, re-score survivors with int8 or float.
+
+    Returns (query_id, vec_id, hamming, rank), ranked by
+    (hamming asc, vec_id).  Zero/NULL vectors are excluded on both
+    sides (NULL sketch).  Same scale contract as topk_bruteforce:
+    bounded candidate sets, or compose with IVF/LSH blocking.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        sign_sketch(vec_col, n_bits).alias("q_sk"),
+    ).filter(F.col("q_sk").isNotNull())
+    c = candidates.select(
+        F.col(id_col).alias("vec_id"),
+        sign_sketch(vec_col, n_bits).alias("c_sk"),
+    ).filter(F.col("c_sk").isNotNull())
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            hamming_distance("c_sk", "q_sk").cast("long").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

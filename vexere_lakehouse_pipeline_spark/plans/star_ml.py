@@ -1265,3 +1265,93 @@ ORACLE_SQL["sim_recall_int8_vs_bruteforce"] = f"""
       ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
     GROUP BY bf.query_id ORDER BY bf.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: binary sign-sketch + Hamming ranking — one notch
+# below int8 on the compression ladder (functions/vectors.sign_sketch:
+# 64-dim float64 -> ONE bigint, 64x smaller scan).  bit_count(xor) is
+# pure int64 arithmetic, so the ranking is bit-portable and fully
+# oracle-gated, like int8 and unlike any float score.  The recall gate
+# below pins the quality cost of 1-bit-per-dim quantization; the tier's
+# role is candidate GENERATION (shortlist by Hamming, re-score
+# survivors with int8/float).
+# ---------------------------------------------------------------------------
+_SKETCH_BITS = 63
+
+
+@_register(
+    "sim_topk_hamming",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    sk AS (SELECT vec_id,
+                  CAST(list_sum(list_transform(
+                      list_zip(v[1:{_SKETCH_BITS}], range(0, {_SKETCH_BITS})),
+                      p -> CASE WHEN p[1] >= 0
+                                THEN CAST(1 AS BIGINT) << CAST(p[2] AS INTEGER)
+                                ELSE 0 END)) AS BIGINT) AS s
+           FROM n WHERE nrm > 0),
+    q AS (SELECT vec_id AS query_id, s AS qs FROM sk WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(bit_count(xor(c.s, q.qs)) AS BIGINT) AS hamming
+        FROM sk c, q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, hamming, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_hamming(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_bits=_SKETCH_BITS
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_hamming_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_hamming_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = sim_topk_hamming(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["a_query"])
+        & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_vec").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_SQL["sim_recall_hamming_vs_bruteforce"] = f"""
+    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
+    ap AS ({ORACLE_SQL["sim_topk_hamming"]})
+    SELECT bf.query_id,
+           COUNT(ap.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM bf LEFT JOIN ap
+      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
