@@ -113,6 +113,14 @@ PROBES = [
     ("events_watermark_discard_twin", {"events": ["event_id", "user_id"]}),
     ("asof_join_error_next_click", {"events": ["event_id", "user_id"]}),
     ("text_script_mix", {"documents": ["doc_id"]}),
+    # round 4: the stateful dedup twin's applyInPandas key walk (16x
+    # data arrives as 16x user keys of unchanged history length —
+    # should be ~linear), and the two new similarity tiers (sketch
+    # build is scan-linear; the broadcast query side is fixed)
+    ("events_dedup_within_watermark_twin",
+     {"events": ["event_id", "user_id"]}),
+    ("sim_topk_hamming", {"embeddings": ["vec_id"]}),
+    ("sim_topk_lsh_multitable", {"embeddings": ["vec_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
     # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
     # row ceiling); the scale path is knn_graph(strategy='lsh'), whose
@@ -144,13 +152,29 @@ def replicate(spark, out_dir: str, k: int, remap: dict[str, list[str]]) -> None:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 8
+    # --only=name1,name2 runs just those PROBES rows and prints them
+    # WITHOUT rewriting SCALE.md (sanity-check mode for new probes);
+    # the special skew/degenerate/salted sections are skipped too.
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    probes = (
+        [(n, r) for n, r in PROBES if n in only] if only is not None
+        else list(PROBES)
+    )
+    if only is not None:
+        missing = only - {n for n, _ in probes}
+        if missing:
+            raise SystemExit(f"--only names not in PROBES: {sorted(missing)}")
     spark = build_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     needed: dict[str, list[str]] = {}
-    for _, remap in PROBES:
+    for _, remap in probes:
         for t, cols in remap.items():
             # UNION column lists — setdefault would silently drop a
             # second probe's remap and corrupt its key spaces
@@ -172,7 +196,7 @@ def main() -> None:
     def force(df):  # noop sink evaluates all columns (see bench.py)
         df.write.format("noop").mode("overwrite").save()
 
-    for name, _ in PROBES:
+    for name, _ in probes:
         fn = ALL_QUERIES[name]
         force(fn(spark, BASE))  # warm codegen/JVM for this plan shape
         times = {}
@@ -189,6 +213,11 @@ def main() -> None:
             f"| {name} | {times['1x']:.2f} | {times[f'{k}x']:.2f} | {exp:.2f} |"
         )
         print(lines[-1])
+
+    if only is not None:
+        shutil.rmtree(tmp, ignore_errors=True)
+        print("(--only mode: SCALE.md NOT rewritten)")
+        return
 
     # Skewed-corpus probe (VERDICT r1): 20% of documents share ONE
     # boilerplate text, so every replica adds ~N/5 docs to the same
