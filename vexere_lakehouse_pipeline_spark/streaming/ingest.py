@@ -315,12 +315,17 @@ def dedup_within_watermark_flags(events: DataFrame, id_cols: list[str],
 
     The per-key state walk is a chain recurrence (each acceptance
     depends on the previous accepted row), which no window function
-    expresses — it runs as an ``applyInPandas`` over the key groups,
-    rows canonically ordered by (batch, ts, ``order_col``) so the twin
-    is deterministic where the real engine's within-batch order is not.
+    expresses — it runs as an ``applyInPandas``, rows canonically
+    ordered by (batch, ts, ``order_col``) per key so the twin is
+    deterministic where the real engine's within-batch order is not.
     Scale shape: the census is metadata-sized and broadcast; the walk
-    shuffles once on ``id_cols`` and each group is one user-key's
-    history (small by construction).
+    shuffles once on a HASH BUCKET of ``id_cols`` (not the raw key —
+    one pandas call per key pays ~0.5 ms of fixed overhead, which at
+    ~50k distinct user keys dominated the whole query 10:1; bucketing
+    amortizes that to ``n_buckets`` calls) and each bucket walks its
+    keys as contiguous runs of one sorted numpy pass.  Work per bucket
+    is O(rows/n_buckets); n_buckets scales with shuffle partitions so
+    buckets stay executor-memory-sized at any data scale.
 
     Returns ``events`` + ``_batch``, ``_wm`` and ``status`` in
     ('kept', 'dup', 'late'); the stream's output is status = 'kept'.
@@ -340,24 +345,52 @@ def dedup_within_watermark_flags(events: DataFrame, id_cols: list[str],
         (F.max("_bmax").over(w) - F.expr(f"INTERVAL {delay}")).alias("_wm"),
     )
     joined = e2.join(F.broadcast(wm), on="_batch")
-    delay_td = pd.Timedelta(delay)
+    delay64 = pd.Timedelta(delay).to_timedelta64()
     out_schema = StructType(
         list(joined.schema.fields) + [StructField("status", StringType())]
     )
+    n_buckets = 8 * int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    bucketed = joined.withColumn(
+        "_kb", F.pmod(F.xxhash64(*id_cols), F.lit(n_buckets))
+    )
 
-    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_batch", ts_col, order_col]).copy()
-        status: list[str] = []
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            [*id_cols, "_batch", ts_col, order_col]
+        ).drop(columns=["_kb"])
+        n = len(pdf)
+        if n == 0:
+            pdf["status"] = pd.Series([], dtype=object)
+            return pdf
+        # contiguous runs of one key after the sort; .values normalizes
+        # tz-aware timestamps to datetime64[ns] UTC consistently for
+        # both ts and wm, so comparisons and +delay are exact
+        new_key = np.zeros(n, dtype=bool)
+        new_key[0] = True
+        for c in id_cols:
+            v = pdf[c].values
+            new_key[1:] |= v[1:] != v[:-1]
+        ts_arr = pdf[ts_col].values
+        wm_arr = pdf["_wm"].values
+        status = np.empty(n, dtype=object)
         expiry = None
-        for ts, wm_val in zip(pdf[ts_col], pdf["_wm"]):
-            if pd.notna(wm_val) and ts < wm_val:
-                status.append("late")
-            elif expiry is not None and (pd.isna(wm_val) or wm_val < expiry):
-                status.append("dup")
+        for i in range(n):
+            if new_key[i]:
+                expiry = None
+            wmv, tsv = wm_arr[i], ts_arr[i]
+            wm_live = not np.isnat(wmv)
+            if wm_live and tsv < wmv:
+                status[i] = "late"
+            elif expiry is not None and (not wm_live or wmv < expiry):
+                status[i] = "dup"
             else:
-                status.append("kept")
-                expiry = ts + delay_td
+                status[i] = "kept"
+                expiry = tsv + delay64
         pdf["status"] = status
         return pdf
 
-    return joined.groupBy(*id_cols).applyInPandas(per_key, schema=out_schema)
+    return bucketed.groupBy("_kb").applyInPandas(per_bucket, schema=out_schema)
