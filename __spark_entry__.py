@@ -16,6 +16,7 @@ from vexere_lakehouse_pipeline_spark.plans import (
     corpus_ext,
     governance,
     mining,
+    sketch_gates,
     star,
     star_ext,
     star_ml,
@@ -33,9 +34,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator cluster from SURVEY.md §2."""
-    return {**star.QUERIES, **star_ml.QUERIES, **star_ext.QUERIES, **star_tpch2.QUERIES, **corpus.QUERIES, **corpus_ext.QUERIES, **governance.QUERIES, **mining.QUERIES, **webcur.QUERIES}
+    return {**star.QUERIES, **star_ml.QUERIES, **star_ext.QUERIES, **star_tpch2.QUERIES, **corpus.QUERIES, **corpus_ext.QUERIES, **governance.QUERIES, **mining.QUERIES, **sketch_gates.QUERIES, **webcur.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names/types)."""
-    return {**star.ORACLE_SQL, **star_ml.ORACLE_SQL, **star_ext.ORACLE_SQL, **star_tpch2.ORACLE_SQL, **corpus.ORACLE_SQL, **corpus_ext.ORACLE_SQL, **governance.ORACLE_SQL, **mining.ORACLE_SQL, **webcur.ORACLE_SQL}
+    return {**star.ORACLE_SQL, **star_ml.ORACLE_SQL, **star_ext.ORACLE_SQL, **star_tpch2.ORACLE_SQL, **corpus.ORACLE_SQL, **corpus_ext.ORACLE_SQL, **governance.ORACLE_SQL, **mining.ORACLE_SQL, **sketch_gates.ORACLE_SQL, **webcur.ORACLE_SQL}

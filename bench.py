@@ -168,6 +168,8 @@ def main() -> None:
         "sim_recall_knn_lsh_multitable",
         "sim_topk_hamming",
         "sim_recall_hamming_vs_bruteforce",
+        "sketch_cms_heavy_hitters",
+        "sketch_bloom_decontam_gate",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

@@ -17,6 +17,7 @@ from vexere_lakehouse_pipeline_spark.plans import (
     corpus,
     corpus_ext,
     governance,
+    sketch_gates,
     star,
     star_ext,
     star_ml,
@@ -24,8 +25,8 @@ from vexere_lakehouse_pipeline_spark.plans import (
     webcur,
 )
 
-ALL_QUERIES = {**star.QUERIES, **star_ml.QUERIES, **star_ext.QUERIES, **star_tpch2.QUERIES, **corpus.QUERIES, **corpus_ext.QUERIES, **governance.QUERIES, **webcur.QUERIES}
-ALL_ORACLES = {**star.ORACLE_SQL, **star_ml.ORACLE_SQL, **star_ext.ORACLE_SQL, **star_tpch2.ORACLE_SQL, **corpus.ORACLE_SQL, **corpus_ext.ORACLE_SQL, **governance.ORACLE_SQL, **webcur.ORACLE_SQL}
+ALL_QUERIES = {**star.QUERIES, **star_ml.QUERIES, **star_ext.QUERIES, **star_tpch2.QUERIES, **corpus.QUERIES, **corpus_ext.QUERIES, **governance.QUERIES, **sketch_gates.QUERIES, **webcur.QUERIES}
+ALL_ORACLES = {**star.ORACLE_SQL, **star_ml.ORACLE_SQL, **star_ext.ORACLE_SQL, **star_tpch2.ORACLE_SQL, **corpus.ORACLE_SQL, **corpus_ext.ORACLE_SQL, **governance.ORACLE_SQL, **sketch_gates.ORACLE_SQL, **webcur.ORACLE_SQL}
 
 SF_DIR = "/root/testdata/sf0.001"
 

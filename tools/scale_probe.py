@@ -121,6 +121,12 @@ PROBES = [
      {"events": ["event_id", "user_id"]}),
     ("sim_topk_hamming", {"embeddings": ["vec_id"]}),
     ("sim_topk_lsh_multitable", {"embeddings": ["vec_id"]}),
+    # round 4: sketch gates — CMS build is one scan-linear groupBy
+    # into a FIXED cell grid; the bloom probe is scan-linear with a
+    # broadcast word table (benchmark side grows too: more distinct
+    # shingles -> more set bits, but the table stays <= n_words rows)
+    ("sketch_cms_heavy_hitters", {"documents": ["doc_id"]}),
+    ("sketch_bloom_decontam_gate", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
     # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
     # row ceiling); the scale path is knn_graph(strategy='lsh'), whose

@@ -1,0 +1,234 @@
+"""Count-min and Bloom sketch gates over the documents corpus.
+
+North-star surface (no reference analog — SURVEY.md §2 ends at exact
+aggregation): the mergeable-summary layer for 100 TB frequency and
+membership questions, following mining.py's sketch-gate pattern — the
+scalable estimator runs NEXT TO the exact answer and the result rows
+carry booleans asserting the estimate stayed inside its envelope.
+Unlike the HLL gates (engine-specific estimators, only the exact twin
+is compared), the CMS/Bloom sketches here are DETERMINISTIC md5
+constructions reproduced cell-for-cell in the DuckDB oracle, so the
+gate checks both cross-engine portability AND the error envelope
+against an independently aggregated exact count.
+
+Scale shapes (see operators/sketches.py): the CMS build is one
+map-side-combinable groupBy with depth*width output cells regardless
+of token cardinality; the Bloom decontamination probe broadcasts a
+kilobyte word table and never shuffles the corpus side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.functions.text import (
+    tokenize,
+    word_shingles,
+)
+from vexere_lakehouse_pipeline_spark.operators import sketches
+from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
+from vexere_lakehouse_pipeline_spark.plans.star_ml import (
+    _DUCK_TOKENS,
+    _duck_shingles,
+)
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters — estimate the top-15 tokens' frequencies
+# from a 3x1024-cell sketch and gate the one-sided error: est >= exact
+# always (CMS guarantee), and overcount <= 4 * N / width (4x the
+# expected colliding mass per row; deterministic for fixed salts, so
+# the gate cannot flap).  The bound compare is exact integer math:
+# (est - exact) * width <= 4 * N.
+# ---------------------------------------------------------------------------
+_CMS_DEPTH, _CMS_WIDTH = 3, 1024
+
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT {r} AS cms_row, "
+    f"{sketches.cms_bucket_sql('token', r, _CMS_WIDTH)} AS cms_bucket, "
+    "token FROM toks"
+    for r in range(_CMS_DEPTH)
+)
+
+
+@_register(
+    "sketch_cms_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM toks GROUP BY token),
+    total AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_total FROM exact),
+    cells AS ({_CMS_CELLS_SQL}),
+    cms AS (SELECT cms_row, cms_bucket, CAST(COUNT(*) AS BIGINT) AS cms_count
+            FROM cells GROUP BY cms_row, cms_bucket),
+    top AS (SELECT token, n_exact FROM exact
+            ORDER BY n_exact DESC, token LIMIT 15),
+    probe AS ({" UNION ALL ".join(
+        f"SELECT token, n_exact, {r} AS cms_row, "
+        f"{sketches.cms_bucket_sql('token', r, _CMS_WIDTH)} AS cms_bucket "
+        "FROM top" for r in range(_CMS_DEPTH))}),
+    est AS (SELECT p.token, p.n_exact,
+                   CAST(MIN(COALESCE(c.cms_count, 0)) AS BIGINT) AS cms_est
+            FROM probe p LEFT JOIN cms c
+              ON c.cms_row = p.cms_row AND c.cms_bucket = p.cms_bucket
+            GROUP BY p.token, p.n_exact)
+    SELECT e.token, e.n_exact, e.cms_est,
+           e.cms_est >= e.n_exact AS est_ge_exact,
+           (e.cms_est - e.n_exact) * {_CMS_WIDTH} <= 4 * t.n_total
+               AS overcount_in_bound
+    FROM est e CROSS JOIN total t
+    ORDER BY e.n_exact DESC, e.token
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokenize("text")).alias("token"))
+    exact = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    total = exact.agg(F.sum("n_exact").cast("long").alias("n_total"))
+    top = exact.orderBy(F.desc("n_exact"), "token").limit(15)
+    cms = sketches.cms_build(tok, "token", _CMS_DEPTH, _CMS_WIDTH)
+    est = sketches.cms_lookup(cms, top, "token", _CMS_DEPTH, _CMS_WIDTH)
+    return (
+        est.join(F.broadcast(total))
+        .select(
+            "token",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") >= F.col("n_exact")).alias("est_ge_exact"),
+            (
+                (F.col("cms_est") - F.col("n_exact")) * _CMS_WIDTH
+                <= 4 * F.col("n_total")
+            ).alias("overcount_in_bound"),
+        )
+        .orderBy(F.desc("n_exact"), "token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination gate — the production benchmark-leak filter
+# shape: build a Bloom filter over the benchmark partition's DISTINCT
+# 8-gram shingles (source = 'src0' stands in for the eval set), probe
+# every other document's shingles against the broadcast word table,
+# and verify per source: the bloom NEVER misses a true member shingle
+# (no false negatives — the property decontamination relies on), with
+# the hit / exact-member / flagged-doc censuses alongside so the
+# false-positive cost is visible.  8-gram membership (not whole-text
+# md5) because that is what leak-checking actually tests — the corpus
+# has zero exact-duplicate texts but ~100 leaked 8-grams at sf0.01
+# (consistent with dedup_contamination_flags's containment hits).
+# ---------------------------------------------------------------------------
+# 8192 x 32-bit words = 256 Kbit (64 KB broadcast): ~12k benchmark
+# shingles at sf0.1 load kn/m ~ 0.18 -> fpr ~ 8e-4; production sizes m
+# from the benchmark count the same way (1.44 * n * log2(1/fpr) bits).
+_BLOOM_WORDS, _BLOOM_K = 8192, 4
+_DECON_N = 8
+
+_BLOOM_POS = [
+    sketches.bloom_position_sql("shingle", j, _BLOOM_WORDS)
+    for j in range(_BLOOM_K)
+]
+_BPW = sketches.BLOOM_BITS_PER_WORD
+
+
+@_register(
+    "sketch_bloom_decontam_gate",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_DUCK_TOKENS} AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  unnest({_duck_shingles(_DECON_N)}) AS shingle
+           FROM tok),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, source, shingle FROM sh
+               WHERE source <> 'src0'),
+    bpos AS ({" UNION ALL ".join(
+        f"SELECT {p} AS pos FROM bench" for p in _BLOOM_POS)}),
+    bloom AS (SELECT CAST(pos // {_BPW} AS BIGINT) AS widx,
+                     bit_or(CAST(1 AS BIGINT)
+                            << CAST(pos % {_BPW} AS INTEGER)) AS word
+              FROM bpos GROUP BY 1),
+    cpos AS ({" UNION ALL ".join(
+        f"SELECT doc_id, source, shingle, {p} AS pos FROM corpus"
+        for p in _BLOOM_POS)}),
+    probed AS (SELECT c.doc_id, c.source, c.shingle,
+                      bool_and((COALESCE(b.word, 0)
+                                & (CAST(1 AS BIGINT)
+                                   << CAST(c.pos % {_BPW} AS INTEGER)))
+                               <> 0) AS bloom_hit
+               FROM cpos c LEFT JOIN bloom b
+                 ON b.widx = CAST(c.pos // {_BPW} AS BIGINT)
+               GROUP BY c.doc_id, c.source, c.shingle),
+    flagged AS (SELECT p.doc_id, p.source, p.bloom_hit,
+                       (m.shingle IS NOT NULL) AS is_member
+                FROM probed p LEFT JOIN bench m ON m.shingle = p.shingle)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(COUNT(*) FILTER (WHERE is_member) AS BIGINT)
+               AS n_exact_member,
+           CAST(COUNT(DISTINCT doc_id) FILTER (WHERE bloom_hit) AS BIGINT)
+               AS n_docs_flagged,
+           CAST(COUNT(DISTINCT doc_id) FILTER (WHERE is_member) AS BIGINT)
+               AS n_docs_contaminated,
+           bool_and(bloom_hit OR NOT is_member) AS no_false_negatives
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def sketch_bloom_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles("text", _DECON_N)).alias("shingle"),
+    ).distinct()
+    bench = (
+        sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    )
+    corpus = sh.filter(F.col("source") != "src0")
+    bloom = sketches.bloom_build(bench, "shingle", _BLOOM_WORDS, _BLOOM_K)
+    probed = sketches.bloom_probe(
+        bloom, corpus, "shingle", _BLOOM_WORDS, _BLOOM_K
+    )
+    flagged = probed.join(
+        F.broadcast(bench.withColumn("is_member", F.lit(True))),
+        on="shingle",
+        how="left",
+    ).withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count(F.when(F.col("bloom_hit"), 1))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            F.count(F.when(F.col("is_member"), 1))
+            .cast("long")
+            .alias("n_exact_member"),
+            F.countDistinct(F.when(F.col("bloom_hit"), F.col("doc_id")))
+            .cast("long")
+            .alias("n_docs_flagged"),
+            F.countDistinct(F.when(F.col("is_member"), F.col("doc_id")))
+            .cast("long")
+            .alias("n_docs_contaminated"),
+            F.every(F.col("bloom_hit") | ~F.col("is_member")).alias(
+                "no_false_negatives"
+            ),
+        )
+        .orderBy("source")
+    )
