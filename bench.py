@@ -170,6 +170,8 @@ def main() -> None:
         "sim_recall_hamming_vs_bruteforce",
         "sketch_cms_heavy_hitters",
         "sketch_bloom_decontam_gate",
+        "quality_fk_integrity",
+        "corpus_temperature_mix",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

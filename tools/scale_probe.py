@@ -127,6 +127,9 @@ PROBES = [
     # shingles -> more set bits, but the table stays <= n_words rows)
     ("sketch_cms_heavy_hitters", {"documents": ["doc_id"]}),
     ("sketch_bloom_decontam_gate", {"documents": ["doc_id"]}),
+    ("quality_fk_integrity",
+     {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"]}),
+    ("corpus_temperature_mix", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
     # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
     # row ceiling); the scale path is knn_graph(strategy='lsh'), whose

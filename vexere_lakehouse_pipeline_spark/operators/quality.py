@@ -189,3 +189,45 @@ def enforce_schema(df: DataFrame, contract: T.StructType,
     if problems:
         raise QualityError(f"schema contract violation: {'; '.join(problems)}")
     return df
+
+
+def fk_orphan_audit(child: DataFrame, child_key: str, parent: DataFrame,
+                    parent_key: str, edge: str) -> DataFrame:
+    """Referential-integrity audit for one declared FK edge.
+
+    One row: (edge, n_rows, n_null_keys, n_orphan_rows, n_orphan_keys)
+    where an orphan is a non-null child key with no parent match — the
+    data-contract check every warehouse load runs before publishing.
+
+    Scale shape: the child is first reduced to DISTINCT keys with
+    per-key row counts (map-side combinable; the shuffle moves keys,
+    not rows), then anti-joined against the parent's distinct key set —
+    for dimension-sized parents Spark broadcasts that side; for
+    fact-to-fact edges it is a key-vs-key shuffle, never row-vs-row.
+    """
+    keyed = child.select(F.col(child_key).alias("_k"))
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("_k").isNull(), 1)).alias("n_null_keys"),
+    )
+    key_counts = (
+        keyed.filter(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    orphans = key_counts.join(
+        parent.select(F.col(parent_key).alias("_k")).distinct(),
+        on="_k",
+        how="left_anti",
+    )
+    orphan_stats = orphans.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_orphan_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_orphan_keys"),
+    )
+    return stats.crossJoin(orphan_stats).select(
+        F.lit(edge).alias("edge"),
+        F.col("n_rows").cast("long"),
+        F.col("n_null_keys").cast("long"),
+        "n_orphan_rows",
+        "n_orphan_keys",
+    )

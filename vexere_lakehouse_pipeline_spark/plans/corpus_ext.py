@@ -770,3 +770,117 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / cnt, 6) AS DOUBLE)"
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling-temperature mixture (alpha = 0.5) — the standard
+# multilingual/multi-domain rebalance: domain weights proportional to
+# n_tokens^alpha flatten the size distribution (big domains
+# down-weighted, small ones boosted), then a token budget of half the
+# corpus is allotted per domain and realized as a deterministic
+# hash-sample at rate min(1, target/n).  Per-lang census of the
+# planned rate and what the sample actually drew.
+#
+# Portability: sqrt on exact BIGINT inputs is IEEE-identical; the
+# per-domain sqrt is rounded to 6dp and summed as decimal(18,6) so the
+# normalizer is order-independent; the rate expression is the same
+# textual double tree on both engines; thresholds are floor'd to
+# integer bucket space before the hash compare.
+# ---------------------------------------------------------------------------
+from vexere_lakehouse_pipeline_spark.functions.text import (  # noqa: E402
+    whitespace_token_count,
+)
+from vexere_lakehouse_pipeline_spark.operators import sampling  # noqa: E402
+from vexere_lakehouse_pipeline_spark.plans.corpus import (  # noqa: E402
+    _DUCK_WS_TOKENS,
+)
+
+_TEMP_RATE_SQL = (
+    "LEAST(1.0, CAST(rd AS DOUBLE) / CAST(s_dec AS DOUBLE)"
+    " * (CAST(n_all AS DOUBLE) / 2.0) / CAST(n_tokens AS DOUBLE))"
+)
+
+
+@_register(
+    "corpus_temperature_mix",
+    f"""
+    WITH d AS (SELECT doc_id, lang,
+                      CAST({_DUCK_WS_TOKENS} AS BIGINT) AS n_tok
+               FROM documents),
+    per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM d GROUP BY lang),
+    per2 AS (SELECT *, CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS rd FROM per),
+    tot AS (SELECT SUM(rd) AS s_dec,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_all FROM per2),
+    rates AS (SELECT lang, n_docs, n_tokens, {_TEMP_RATE_SQL} AS rate
+              FROM per2 CROSS JOIN tot),
+    thr AS (SELECT lang, n_docs, n_tokens,
+                   CAST(FLOOR(rate * 1000.0) AS BIGINT) AS rate_permille,
+                   CAST(FLOOR(rate * 65536.0) AS INTEGER) AS t
+            FROM rates),
+    samp AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS sd,
+                    CAST(SUM(d.n_tok) AS BIGINT) AS st
+             FROM d JOIN thr ON thr.lang = d.lang
+             WHERE {sampling.hash_bucket_sql('doc_id', 'tempmix')} < thr.t
+             GROUP BY d.lang)
+    SELECT t.lang, t.n_docs, t.n_tokens, t.rate_permille,
+           COALESCE(s.sd, 0) AS n_docs_sampled,
+           COALESCE(s.st, 0) AS n_tokens_sampled
+    FROM thr t LEFT JOIN samp s ON s.lang = t.lang ORDER BY t.lang
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", whitespace_token_count("text").alias("n_tok")
+    )
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    per2 = per.withColumn(
+        "rd",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(18,6)"),
+    )
+    tot = per2.agg(
+        F.sum("rd").alias("s_dec"),
+        F.sum("n_tokens").cast("long").alias("n_all"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("rd").cast("double")
+        / F.col("s_dec").cast("double")
+        * (F.col("n_all").cast("double") / F.lit(2.0))
+        / F.col("n_tokens").cast("double"),
+    )
+    thr = per2.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(rate * F.lit(1000.0)).cast("long").alias("rate_permille"),
+        F.floor(rate * F.lit(65536.0)).cast("int").alias("t"),
+    )
+    samp = (
+        d.join(F.broadcast(thr.select("lang", "t")), on="lang")
+        .filter(sampling.hash_bucket("doc_id", "tempmix") < F.col("t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sd"),
+            F.sum("n_tok").cast("long").alias("st"),
+        )
+    )
+    return (
+        thr.join(samp, on="lang", how="left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "rate_permille",
+            F.coalesce("sd", F.lit(0)).cast("long").alias("n_docs_sampled"),
+            F.coalesce("st", F.lit(0)).cast("long").alias("n_tokens_sampled"),
+        )
+        .orderBy("lang")
+    )

@@ -1070,3 +1070,65 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mi").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (operators/quality.fk_orphan_audit): every
+# declared FK edge of the star schema in one report — rows, null keys,
+# orphan rows/keys per edge.  The publish-gate a warehouse load runs
+# after ingest; at scale each edge is a distinct-key anti-join (keys
+# shuffle, rows never do; dimension parents broadcast).
+# ---------------------------------------------------------------------------
+_FK_EDGES = [
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+_FK_SQL = " UNION ALL ".join(
+    f"""SELECT '{edge}' AS edge,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}) AS n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}
+        WHERE {ck} IS NULL) AS n_null_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {c}
+        WHERE {ck} IS NOT NULL AND {ck} NOT IN
+              (SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL))
+           AS n_orphan_rows,
+       (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {c}
+        WHERE {ck} IS NOT NULL AND {ck} NOT IN
+              (SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL))
+           AS n_orphan_keys"""
+    for edge, c, ck, p, pk in _FK_EDGES
+)
+
+
+@_register(
+    "quality_fk_integrity",
+    f"SELECT * FROM ({_FK_SQL}) ORDER BY edge",
+)
+def quality_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.quality import (
+        fk_orphan_audit,
+    )
+
+    reports = None
+    for edge, child, ck, parent, pk in _FK_EDGES:
+        r = fk_orphan_audit(
+            load_table(spark, sf_dir, child), ck,
+            load_table(spark, sf_dir, parent), pk, edge,
+        )
+        reports = r if reports is None else reports.unionByName(r)
+    return reports.orderBy("edge")
