@@ -22,11 +22,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vexere_lakehouse_pipeline_spark.plans import corpus, corpus_ext, governance, mining, star, star_ext, star_ml, star_tpch2, webcur  # noqa: E402
+from vexere_lakehouse_pipeline_spark.plans import corpus, corpus_ext, governance, mining, sketch_gates, star, star_ext, star_ml, star_tpch2, webcur  # noqa: E402
 from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
 
 ALL_QUERIES = {
     **star.QUERIES,
+    **sketch_gates.QUERIES,
     **star_ml.QUERIES,
     **star_ext.QUERIES,
     **star_tpch2.QUERIES,
@@ -177,9 +178,9 @@ def main() -> None:
         # correctness at sf0.01; timing it at sf0.1 would measure the
         # documented quadratic, not a pipeline regression.
     ]
-    extra: dict[str, float] = {
-        name: time_query(name) for name in extra_names if name in ALL_QUERIES
-    }
+    missing = [n for n in extra_names if n not in ALL_QUERIES]
+    assert not missing, f"extras not registered (module missing from ALL_QUERIES?): {missing}"
+    extra: dict[str, float] = {name: time_query(name) for name in extra_names}
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
