@@ -116,3 +116,38 @@ def test_sketches_empty_inputs(spark):
         sketches.cms_build(empty, "token"), probe, "token"
     ).collect()
     assert [r["cms_est"] for r in got] == [0]
+
+
+def test_bloom_semi_join_equals_exact(spark):
+    fact = spark.createDataFrame(
+        [(i % 40, f"r{i}") for i in range(400)] + [(7, "dup")] * 3,
+        "k long, payload string",
+    )
+    dim = spark.createDataFrame(
+        [(i,) for i in range(0, 40, 3)], "k long"
+    )
+    got = sketches.bloom_semi_join(fact, dim, "k", "k", n_words=8, k=3)
+    want = fact.join(dim, on="k", how="left_semi")
+    # exact multiset equality, duplicates included
+    g = sorted((r["k"], r["payload"]) for r in got.collect())
+    w = sorted((r["k"], r["payload"]) for r in want.collect())
+    assert g == w
+    assert len(g) > 0
+
+
+def test_bloom_probe_rowwise_matches_grouped(spark):
+    df = spark.createDataFrame([(w,) for w in WORDS * 2], "key string")
+    members = spark.createDataFrame([(w,) for w in WORDS[:4]], "key string")
+    bloom = sketches.bloom_build(members, "key", n_words=8, k=3)
+    grouped = {
+        r["key"]: r["bloom_hit"]
+        for r in sketches.bloom_probe(
+            bloom, df.distinct(), "key", n_words=8, k=3
+        ).collect()
+    }
+    rowwise = sketches.bloom_probe_rowwise(
+        bloom, df, "key", n_words=8, k=3
+    ).collect()
+    assert len(rowwise) == 20  # duplicates preserved
+    for r in rowwise:
+        assert r["bloom_hit"] == grouped[r["key"]]

@@ -167,6 +167,10 @@ def bloom_probe(bloom: DataFrame, df: DataFrame, col: str,
     n_words/k vs member count.  The filter table joins BROADCAST on
     word index — the probe side (the 100 TB corpus) never shuffles,
     which is the entire point of the shape.
+
+    The regroup over ``df``'s columns collapses fully-duplicate input
+    rows — fine for keyed tables; use :func:`bloom_probe_rowwise`
+    where row multiplicity must survive (e.g. inside a semi-join).
     """
     keyed = df.select(
         "*",
@@ -186,4 +190,78 @@ def bloom_probe(bloom: DataFrame, df: DataFrame, col: str,
     return (
         hit.groupBy(*df.columns)
         .agg(F.every(bit_set).alias("bloom_hit"))
+    )
+
+
+def bloom_probe_rowwise(bloom: DataFrame, df: DataFrame, col: str,
+                        n_words: int = 2048, k: int = 4,
+                        salt: str = "bloom") -> DataFrame:
+    """Row-preserving :func:`bloom_probe`: k broadcast lookups instead
+    of explode + regroup, so duplicate input rows keep their
+    multiplicity (bloom_probe's groupBy over all columns collapses
+    them — fine for keyed tables, wrong inside a semi-join)."""
+    out = df
+    hits = []
+    for j in range(k):
+        out = out.withColumn(f"_p{j}", bloom_position(col, j, n_words, salt))
+        out = out.withColumn(
+            f"_w{j}",
+            F.floor(F.col(f"_p{j}") / BLOOM_BITS_PER_WORD).cast("long"),
+        ).withColumn(
+            f"_m{j}",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(_p{j}, {BLOOM_BITS_PER_WORD}) AS INT))"
+            ),
+        )
+        b = bloom.select(
+            F.col("bloom_word_idx").alias(f"_w{j}"),
+            F.col("bloom_word").alias(f"_bw{j}"),
+        )
+        out = out.join(F.broadcast(b), on=f"_w{j}", how="left")
+        hits.append(
+            F.coalesce(f"_bw{j}", F.lit(0)).bitwiseAND(F.col(f"_m{j}")) != 0
+        )
+    cond = hits[0]
+    for h in hits[1:]:
+        cond = cond & h
+    drop = [c for j in range(k)
+            for c in (f"_p{j}", f"_w{j}", f"_m{j}", f"_bw{j}")]
+    return out.withColumn("bloom_hit", cond).drop(*drop)
+
+
+def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                    dim_key: str, n_words: int = 8192, k: int = 4,
+                    salt: str = "bsj") -> DataFrame:
+    """Exact semi-join with a Bloom pre-filter on the fact side.
+
+    Semantically IDENTICAL to ``fact.join(dim, on=key, 'left_semi')``
+    (equality pinned in tests/test_sketches.py): the bloom pass keeps
+    every true match (no false negatives) plus a small false-positive
+    residue that the exact semi-join then removes.
+
+    Why at 100 TB: when the dim key set is too big to broadcast as a
+    hash relation but its BLOOM fits in kilobytes, the pre-filter
+    drops most non-matching fact rows map-side BEFORE the shuffle the
+    exact semi-join pays — the hand-rolled equivalent of Spark's
+    runtime row-level filters, usable where AQE doesn't inject one
+    (non-equi stages, unions, custom sources).  For broadcast-sized
+    dims, skip this and let the planner broadcast.
+    """
+    bloom = bloom_build(
+        dim.select(F.col(dim_key).alias("_bk")).distinct(), "_bk",
+        n_words, k, salt,
+    )
+    probed = bloom_probe_rowwise(
+        bloom,
+        fact.withColumn(
+            "_bk", F.col(fact_key).cast(dim.schema[dim_key].dataType)
+        ),
+        "_bk", n_words, k, salt,
+    )
+    prefiltered = probed.filter(F.col("bloom_hit")).drop("bloom_hit", "_bk")
+    return prefiltered.join(
+        dim.select(F.col(dim_key).alias(fact_key)),
+        on=fact_key,
+        how="left_semi",
     )
