@@ -558,3 +558,127 @@ def test_dedup_within_watermark_twin_matches_real_engine(spark, tmp_path):
         for r in flags.groupBy("status").agg(F.count("*").alias("n")).collect()
     }
     assert by_status == {"kept": 6, "dup": 1, "late": 1}
+
+
+def test_attribution_outer_twin_matches_real_engine(spark, tmp_path):
+    """The LEFT OUTER stream-stream join twin must reproduce the real
+    engine's emission rules: inner pairs as they match; a NULL row for
+    an unmatched click only after the watermark passes its join-window
+    end; nothing for late clicks or still-open clicks.
+
+    Harness nuances this test encodes (both probed on Spark 4.1):
+    * the global watermark is the MIN over the two inputs' own
+      watermarks, so each intended micro-batch writes exactly one file
+      PER SIDE (empty parquet via pyarrow when a side has no rows) and
+      the query runs ONCE with maxFilesPerTrigger=1 — availableNow
+      restart chains never emit the outer NULL rows;
+    * mtime ordering pins file->batch assignment (sleep between
+      writes).
+
+    Timeline (horizon 1h, delay 2h): c1 matches p1 in-batch; c2 never
+    matches and its window closes under the advancing min-side wm ->
+    NULL row; c4 arrives when wm = 08:31 with ts 00:05 -> probed: the
+    join ACCEPTS late input (no aggregation-style late filter), so c4
+    buffers and null-emits on eviction like any expired click; c3/c5
+    are young -> withheld."""
+    import datetime as dt
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vexere_lakehouse_pipeline_spark.streaming import ingest
+
+    base = dt.datetime(2024, 1, 1, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # (event_id, event_type, user, ts, arrival_batch)
+    rows = [
+        (1, "click", "a", t(0), 0),        # matched by p1 (same batch)
+        (2, "click", "b", t(10), 0),       # never matches -> NULL row
+        (101, "purchase", "a", t(30), 0),
+        (3, "click", "d", t(631), 1),      # young: window 11:31 > final wm
+        (102, "purchase", "z", t(780), 1),  # drives purchase-side wm up
+        (4, "click", "e", t(5), 2),        # late: global wm 08:31 by now
+        (103, "purchase", "z2", t(810), 2),
+        (5, "click", "f", t(640), 3),      # young unmatched -> withheld
+    ]
+    sch = "event_id long, event_type string, user_id string, ts timestamp"
+    src_c = str(tmp_path / "oc_src")
+    src_p = str(tmp_path / "op_src")
+    out = str(tmp_path / "oj_out")
+    ckpt = str(tmp_path / "oj_ckpt")
+    (tmp_path / "oc_src").mkdir()
+    (tmp_path / "op_src").mkdir()
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "user_id": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us", tz="UTC")),
+        }
+    )
+    full = spark.createDataFrame(rows, sch + ", b int")
+    for b in sorted({r[4] for r in rows}):
+        batch = full.filter(F.col("b") == b).drop("b")
+        for et, src in (("click", src_c), ("purchase", src_p)):
+            side = batch.filter(F.col("event_type") == et)
+            if side.isEmpty():
+                pq.write_table(empty, f"{src}/pad-{b}.parquet")
+            else:
+                side.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)  # distinct mtimes: file order == batch order
+    joined = ingest.stream_stream_attribution_join_outer(
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_c),
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_p),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(1, 101), (2, None), (4, None)]
+
+    # twin over the same arrival timeline
+    seeded = full.withColumn(
+        "arrival_ts",
+        F.to_timestamp(F.lit(str(base)))
+        + F.col("b") * F.expr("INTERVAL 1 HOUR"),
+    ).drop("b")
+    flags = ingest.attribution_outer_flags(
+        seeded.filter(F.col("event_type") == "click"),
+        seeded.filter(F.col("event_type") == "purchase"),
+    )
+    by_click = {
+        r["click_id"]: (r["status"], r["n_matches"])
+        for r in flags.collect()
+    }
+    assert by_click == {
+        1: ("matched", 1),
+        2: ("expired_unmatched", 0),
+        3: ("open", 0),
+        4: ("expired_unmatched", 0),  # late input: buffered, not dropped
+        5: ("open", 0),
+    }
+    assert {
+        r["click_id"] for r in flags.collect() if r["is_late_input"]
+    } == {4}
+    # stream emissions == twin's matched pairs + expired NULL rows
+    want_emitted = sorted(
+        [(cid, 101 if st == "matched" else None)
+         for cid, (st, _) in by_click.items() if st != "open"]
+    )
+    assert got == want_emitted

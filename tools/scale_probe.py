@@ -130,6 +130,8 @@ PROBES = [
     ("quality_fk_integrity",
      {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"]}),
     ("corpus_temperature_mix", {"documents": ["doc_id"]}),
+    ("events_attribution_outer_twin",
+     {"events": ["event_id", "user_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
     # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
     # row ceiling); the scale path is knn_graph(strategy='lsh'), whose

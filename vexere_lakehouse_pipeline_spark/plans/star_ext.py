@@ -1132,3 +1132,96 @@ def quality_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         reports = r if reports is None else reports.unionByName(r)
     return reports.orderBy("edge")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join twin (streaming/ingest.attribution_
+# outer_flags): per-click emission classification of the watermarked
+# outer interval join — matched / expired_unmatched (NULL row emitted
+# once the min-of-inputs watermark passes the join window) / open
+# (withheld).  Same seeded arrival timeline as the discard twin; the
+# twin's three rules are probed against the real engine in
+# tests/test_joins_stateful.py::test_attribution_outer_twin_*.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_attribution_outer_twin",
+    f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN {sampling.hash_bucket_sql('event_id', 'late')}
+                         < {_LATE_BOUND}
+                    THEN ts + INTERVAL 3 HOUR ELSE ts END AS arrival_ts
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    e2 AS (SELECT *, date_trunc('hour', arrival_ts) AS batch FROM e),
+    grid AS (SELECT DISTINCT batch FROM e2),
+    bc AS (SELECT batch, MAX(ts) AS cmax FROM e2
+           WHERE event_type = 'click' GROUP BY batch),
+    bp AS (SELECT batch, MAX(ts) AS pmax FROM e2
+           WHERE event_type = 'purchase' GROUP BY batch),
+    g2 AS (SELECT g.batch, bc.cmax, bp.pmax FROM grid g
+           LEFT JOIN bc USING (batch) LEFT JOIN bp USING (batch)),
+    wmx AS (SELECT batch,
+                   MAX(cmax) OVER (ORDER BY batch
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS wc,
+                   MAX(pmax) OVER (ORDER BY batch
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS wp
+            FROM g2),
+    wm AS (SELECT batch,
+                  CASE WHEN wc IS NOT NULL AND wp IS NOT NULL
+                       THEN LEAST(wc, wp) - INTERVAL 2 HOUR END AS wm
+           FROM wmx),
+    fw AS (SELECT CASE WHEN MAX(cmax) IS NOT NULL AND MAX(pmax) IS NOT NULL
+                       THEN LEAST(MAX(cmax), MAX(pmax)) - INTERVAL 2 HOUR
+                  END AS final_wm FROM g2),
+    c AS (SELECT e2.event_id AS click_id, e2.user_id,
+                 e2.ts AS click_ts,
+                 (wm.wm IS NOT NULL AND e2.ts < wm.wm) AS is_late_input
+          FROM e2 JOIN wm USING (batch) WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM e2 WHERE event_type = 'purchase'),
+    j AS (SELECT c.click_id, c.user_id, c.click_ts, c.is_late_input,
+                 CAST(COUNT(p.purchase_id) AS BIGINT) AS n_matches
+          FROM c LEFT JOIN p ON p.user_id = c.user_id
+                AND p.purchase_ts > c.click_ts
+                AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+          GROUP BY 1, 2, 3, 4)
+    SELECT j.click_id, j.user_id, j.is_late_input, j.n_matches,
+           CASE WHEN j.n_matches > 0 THEN 'matched'
+                WHEN fw.final_wm > j.click_ts + INTERVAL 1 HOUR
+                     THEN 'expired_unmatched'
+                ELSE 'open' END AS status
+    FROM j CROSS JOIN fw ORDER BY click_id
+    """,
+)
+def events_attribution_outer_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        attribution_outer_flags,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    seeded = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            sampling.hash_bucket("event_id", "late") < _LATE_BOUND,
+            F.col("ts") + F.expr("INTERVAL 3 HOURS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("arrival_ts"),
+    )
+    flags = attribution_outer_flags(
+        seeded.filter(F.col("event_type") == "click"),
+        seeded.filter(F.col("event_type") == "purchase"),
+    )
+    return flags.select(
+        "click_id", "user_id", "is_late_input", "n_matches", "status"
+    ).orderBy("click_id")

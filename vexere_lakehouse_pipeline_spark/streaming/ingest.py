@@ -394,3 +394,168 @@ def dedup_within_watermark_flags(events: DataFrame, id_cols: list[str],
         return pdf
 
     return bucketed.groupBy("_kb").applyInPandas(per_bucket, schema=out_schema)
+
+
+def stream_stream_attribution_join_outer(clicks: DataFrame,
+                                         purchases: DataFrame,
+                                         horizon: str = "1 hour",
+                                         watermark: str = "2 hours"
+                                         ) -> DataFrame:
+    """LEFT OUTER variant of :func:`stream_stream_attribution_join`:
+    clicks that never matched emit once with NULL purchase columns —
+    but only after the watermark passes the end of their join window
+    (state eviction is what licenses the "no match will ever come"
+    claim), which is the subtle emission rule the batch twin
+    :func:`attribution_outer_flags` reproduces."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
+def attribution_outer_flags(clicks: DataFrame, purchases: DataFrame,
+                            horizon: str = "1 hour",
+                            delay: str = "2 hours",
+                            batch_granularity: str = "hour",
+                            ts_col: str = "ts",
+                            arrival_ts_col: str = "arrival_ts",
+                            id_col: str = "event_id",
+                            user_col: str = "user_id") -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER interval join, given
+    an explicit arrival timeline.
+
+    Models the real engine's three emission rules (probed in
+    tests/test_joins_stateful.py::test_attribution_outer_twin_matches_
+    real_engine):
+
+    1. GLOBAL WATERMARK = the MIN over the two inputs' watermarks,
+       each advancing independently as running-max of its OWN prior
+       batches' event times minus delay; an input that has seen no
+       data holds the global wm down entirely (probed: a union-census
+       wm flags rows late that the real engine accepts while the
+       slower side lags).
+    2. NO INPUT LATE FILTER: unlike watermarked aggregations and
+       dedup, the interval join ACCEPTS rows behind the watermark
+       (probed: a click arriving with ts 8h behind wm still buffered,
+       joined, and null-emitted on eviction).  Such rows are flagged
+       ``is_late_input`` here because they are the one modeled-scope
+       edge: a late row only pairs against OTHER-side state that has
+       not yet been evicted, so a twin pair whose late click's matches
+       were already evicted would overcount the engine — keep
+       timelines late-free (or late rows matchless, as the test does)
+       for exact equivalence.
+    3. INNER pairs: rows join on (user, interval) exactly as the
+       batch join does.
+    4. NULL EMISSION: an unmatched click emits its NULL row only once
+       the FINAL watermark passes click_ts + horizon (state eviction);
+       younger unmatched clicks are withheld ('open').  Engine nuance
+       (probed on 4.1): eviction-triggered NULL emission only happens
+       while a query instance is RUNNING — an availableNow restart
+       chain replays inner pairs fine but never emits the outer NULL
+       rows, so the equivalence test drives ONE continuous query with
+       per-micro-batch file alignment.
+
+    Returns one row per click: (click_id, user_col, click_ts,
+    is_late_input, n_matches, status in 'matched' |
+    'expired_unmatched' | 'open').
+
+    Scale shape: the batch/watermark census is metadata-sized and
+    broadcast; the join shuffles on user exactly like the production
+    join; no driver data.
+    """
+    from pyspark.sql import Window
+
+    g = batch_granularity
+    cb = clicks.withColumn(
+        "_batch", F.date_trunc(g, F.col(arrival_ts_col))
+    )
+    pb = purchases.withColumn(
+        "_batch", F.date_trunc(g, F.col(arrival_ts_col))
+    )
+    # per-input watermark census over the global batch grid; global wm
+    # per batch = LEAST of the two sides (NULL while either side has
+    # seen nothing)
+    bc = cb.groupBy("_batch").agg(F.max(ts_col).alias("_cmax"))
+    bp = pb.groupBy("_batch").agg(F.max(ts_col).alias("_pmax"))
+    grid = (
+        cb.select("_batch").unionByName(pb.select("_batch")).distinct()
+        .join(bc, on="_batch", how="left")
+        .join(bp, on="_batch", how="left")
+    )
+    w = Window.orderBy("_batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm_c = F.max("_cmax").over(w)
+    wm_p = F.max("_pmax").over(w)
+    wm = grid.select(
+        "_batch",
+        F.when(
+            wm_c.isNotNull() & wm_p.isNotNull(),
+            F.least(wm_c, wm_p) - F.expr(f"INTERVAL {delay}"),
+        ).alias("_wm"),
+    )
+    fw = grid.agg(
+        F.when(
+            F.max("_cmax").isNotNull() & F.max("_pmax").isNotNull(),
+            F.least(F.max("_cmax"), F.max("_pmax"))
+            - F.expr(f"INTERVAL {delay}"),
+        ).alias("_final_wm")
+    )
+    c = cb.join(F.broadcast(wm), on="_batch").select(
+        F.col(id_col).alias("click_id"),
+        F.col(user_col).alias("_cu"),
+        F.col(ts_col).alias("click_ts"),
+        (F.col("_wm").isNotNull() & (F.col(ts_col) < F.col("_wm"))).alias(
+            "is_late_input"
+        ),
+    )
+    p = pb.select(
+        F.col(id_col).alias("purchase_id"),
+        F.col(user_col).alias("_pu"),
+        F.col(ts_col).alias("purchase_ts"),
+    )
+    j = (
+        c.join(
+            p,
+            (F.col("_cu") == F.col("_pu"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+            "left",
+        )
+        .groupBy("click_id", "_cu", "click_ts", "is_late_input")
+        .agg(F.count("purchase_id").alias("n_matches"))
+    )
+    return j.crossJoin(F.broadcast(fw)).select(
+        "click_id",
+        F.col("_cu").alias(user_col),
+        "click_ts",
+        "is_late_input",
+        F.col("n_matches").cast("long").alias("n_matches"),
+        F.when(F.col("n_matches") > 0, "matched")
+        .when(
+            F.col("_final_wm")
+            > F.col("click_ts") + F.expr(f"INTERVAL {horizon}"),
+            "expired_unmatched",
+        )
+        .otherwise("open")
+        .alias("status"),
+    )
