@@ -174,6 +174,7 @@ def main() -> None:
         "quality_fk_integrity",
         "corpus_temperature_mix",
         "events_attribution_outer_twin",
+        "sketch_kmv_overlap_gate",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

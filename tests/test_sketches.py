@@ -151,3 +151,47 @@ def test_bloom_probe_rowwise_matches_grouped(spark):
     assert len(rowwise) == 20  # duplicates preserved
     for r in rowwise:
         assert r["bloom_hit"] == grouped[r["key"]]
+
+
+def test_kmv_two_phase_equals_direct_bottom_m(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    random.seed(7)
+    rows = [(f"g{i%3}", f"user{random.randrange(500)}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, u string")
+    sk = sketches.kmv_sketch(df, "u", ["g"], m=32)
+    got = {
+        (r["g"], r["kmv_h"]) for r in sk.collect()
+    }
+    # direct: one window over all distinct hashes per group
+    direct = (
+        df.select("g", sketches.kmv_hash("u").alias("h"))
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("h"))
+        )
+        .filter(F.col("rn") <= 32)
+    )
+    want = {(r["g"], r["h"]) for r in direct.collect()}
+    assert got == want
+    # merge = union-then-keep-m-smallest is a valid KMV of the union
+    merged = (
+        sk.filter(F.col("g").isin("g0", "g1"))
+        .select("kmv_h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy("kmv_h")))
+        .filter(F.col("rn") <= 32)
+    )
+    union_direct = (
+        df.filter(F.col("g").isin("g0", "g1"))
+        .select(sketches.kmv_hash("u").alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= 32)
+    )
+    assert {r["kmv_h"] for r in merged.collect()} == {
+        r["h"] for r in union_direct.collect()
+    }

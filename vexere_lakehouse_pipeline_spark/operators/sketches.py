@@ -265,3 +265,63 @@ def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
         on=fact_key,
         how="left_semi",
     )
+
+
+# --- KMV (k-minimum-values / bottom-m) distinct sketch ---------------------
+# The third leg of the sketch suite: CMS answers frequency, Bloom
+# answers membership, KMV answers DISTINCT COUNT **and set overlap** —
+# the one the HLL gates can't do (HLL unions but never intersects).
+# K(A) = the m smallest distinct 48-bit md5 hashes of A's keys; merge =
+# union-then-keep-m-smallest; D ~ (m-1) * 2^48 / h_(m); Jaccard ~ the
+# fraction of K(A u B) present in both K(A) and K(B) (Beyer et al.,
+# SIGMOD'07).  Deterministic given the salt -> bit-identical in DuckDB.
+
+KMV_HASH_SPACE = float(1 << 48)  # 12 md5 nibbles
+
+
+def kmv_hash(col: Column | str, salt: str = "kmv") -> Column:
+    """Deterministic 48-bit hash in [1, 2^48] (shifted by +1 so the
+    estimator's divisor can never be zero)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(F.concat(F.lit(f"{salt}:"), c.cast("string")))
+    return (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") + 1)
+
+
+def kmv_hash_sql(key_sql: str, salt: str = "kmv") -> str:
+    """DuckDB mirror of :func:`kmv_hash`."""
+    return (
+        f"(CAST('0x' || substr(md5('{salt}:' || CAST({key_sql} AS STRING)),"
+        f" 1, 12) AS BIGINT) + 1)"
+    )
+
+
+def kmv_sketch(df: DataFrame, key: str, group_cols: list[str], m: int = 256,
+               salt: str = "kmv") -> DataFrame:
+    """Per-group KMV sketch: (*group_cols, kmv_h, kmv_rnk<=m).
+
+    Scale shape: the m smallest DISTINCT hashes per group are selected
+    in two phases so no single task ever sorts a whole group — local
+    min-m inside 64 hash sub-buckets (each window partition holds
+    ~1/64th of the group's distinct keys), then a final min-m over the
+    <= 64*m survivors per group.  The result is identical to a direct
+    per-group bottom-m (pure set-of-smallest semantics), which is what
+    the DuckDB oracle computes with one window.
+    """
+    from pyspark.sql import Window
+
+    h = df.select(
+        *group_cols, kmv_hash(key, salt).alias("kmv_h")
+    ).distinct()
+    local = Window.partitionBy(
+        *group_cols, F.pmod("kmv_h", F.lit(64))
+    ).orderBy("kmv_h")
+    cand = (
+        h.withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= m)
+        .drop("_lr")
+    )
+    final = Window.partitionBy(*group_cols).orderBy("kmv_h")
+    return (
+        cand.withColumn("kmv_rnk", F.row_number().over(final))
+        .filter(F.col("kmv_rnk") <= m)
+    )

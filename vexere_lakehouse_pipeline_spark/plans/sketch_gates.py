@@ -232,3 +232,206 @@ def sketch_bloom_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV audience-overlap gate — per event-type PAIR, estimate the
+# distinct-user union and Jaccard overlap from two merged 256-value
+# KMV sketches and gate both against the exact answers.  This is the
+# sketch the HLL rollup can't be: HLL unions but never intersects;
+# KMV sketches merge (keep the m smallest of the union) AND estimate
+# Jaccard as the fraction of the merged sketch present in both sides
+# (Beyer et al., SIGMOD'07).  At 100 TB the per-group sketch is 256
+# int64s — every pairwise overlap question is then answered from
+# kilobytes without re-scanning events.
+# ---------------------------------------------------------------------------
+_KMV_M = 256
+_KMV_EST = (
+    f"CAST(ROUND({_KMV_M - 1} * POWER(2.0, 48) / CAST(h_m AS DOUBLE), 0)"
+    " AS BIGINT)"
+)
+
+
+@_register(
+    "sketch_kmv_overlap_gate",
+    f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    dh AS (SELECT DISTINCT event_type,
+                  {sketches.kmv_hash_sql('user_id')} AS h
+           FROM du),
+    sk AS (SELECT event_type, h FROM (
+               SELECT event_type, h,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY h) AS rn
+               FROM dh) WHERE rn <= {_KMV_M}),
+    d_exact AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d
+                FROM du GROUP BY event_type),
+    prs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM du) a
+            JOIN (SELECT DISTINCT event_type FROM du) b
+              ON a.event_type < b.event_type),
+    inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM du a JOIN du b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+    exact AS (SELECT p.type_a, p.type_b,
+                     da.d + db.d - COALESCE(i.n_inter, 0) AS d_union_exact,
+                     COALESCE(i.n_inter, 0) AS n_inter
+              FROM prs p
+              JOIN d_exact da ON da.event_type = p.type_a
+              JOIN d_exact db ON db.event_type = p.type_b
+              LEFT JOIN inter i ON i.type_a = p.type_a
+                   AND i.type_b = p.type_b),
+    merged AS (SELECT p.type_a, p.type_b, s.h,
+                      MAX(CASE WHEN s.event_type = p.type_a
+                               THEN 1 ELSE 0 END) AS in_a,
+                      MAX(CASE WHEN s.event_type = p.type_b
+                               THEN 1 ELSE 0 END) AS in_b
+               FROM prs p JOIN sk s
+                 ON s.event_type IN (p.type_a, p.type_b)
+               GROUP BY 1, 2, 3),
+    usk AS (SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                             ORDER BY h) AS rn
+                FROM merged) WHERE rn <= {_KMV_M}),
+    est AS (SELECT type_a, type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_sk,
+                   MAX(h) AS h_m,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+            FROM usk GROUP BY 1, 2),
+    scored AS (SELECT e.type_a, e.type_b, x.d_union_exact,
+                      CASE WHEN e.n_sk < {_KMV_M} THEN e.n_sk
+                           ELSE {_KMV_EST} END AS d_union_est,
+                      CAST(FLOOR(1000.0 * x.n_inter
+                                 / CAST(x.d_union_exact AS DOUBLE))
+                           AS BIGINT) AS jacc_exact_permille,
+                      CAST(FLOOR(1000.0 * e.n_both
+                                 / CAST(e.n_sk AS DOUBLE))
+                           AS BIGINT) AS jacc_est_permille
+               FROM est e JOIN exact x
+                 ON x.type_a = e.type_a AND x.type_b = e.type_b)
+    SELECT type_a, type_b, d_union_exact, d_union_est,
+           jacc_exact_permille, jacc_est_permille,
+           ABS(d_union_est - d_union_exact) * 4 <= d_union_exact
+               AS union_within_25pct,
+           ABS(jacc_est_permille - jacc_exact_permille) <= 100
+               AS jaccard_within_100pm
+    FROM scored ORDER BY type_a, type_b
+    """,
+)
+def sketch_kmv_overlap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    d_exact = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    types = du.select("event_type").distinct()
+    prs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    inter = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    exact = (
+        prs.join(
+            d_exact.select(
+                F.col("event_type").alias("type_a"), F.col("d").alias("_da")
+            ),
+            on="type_a",
+        )
+        .join(
+            d_exact.select(
+                F.col("event_type").alias("type_b"), F.col("d").alias("_db")
+            ),
+            on="type_b",
+        )
+        .join(inter, on=["type_a", "type_b"], how="left")
+        .select(
+            "type_a",
+            "type_b",
+            (
+                F.col("_da") + F.col("_db")
+                - F.coalesce("n_inter", F.lit(0))
+            ).alias("d_union_exact"),
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+        )
+    )
+    sk = sketches.kmv_sketch(ev, "user_id", ["event_type"], m=_KMV_M)
+    merged = (
+        F.broadcast(prs)
+        .join(
+            sk.select("event_type", F.col("kmv_h").alias("h")),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    usk = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_M)
+    )
+    est = usk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sk"),
+        F.max("h").alias("h_m"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    scored = est.join(exact, on=["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "d_union_exact",
+        F.when(F.col("n_sk") < _KMV_M, F.col("n_sk"))
+        .otherwise(F.expr(_KMV_EST))
+        .alias("d_union_est"),
+        F.floor(
+            F.lit(1000.0) * F.col("n_inter")
+            / F.col("d_union_exact").cast("double")
+        )
+        .cast("long")
+        .alias("jacc_exact_permille"),
+        F.floor(
+            F.lit(1000.0) * F.col("n_both") / F.col("n_sk").cast("double")
+        )
+        .cast("long")
+        .alias("jacc_est_permille"),
+    )
+    return scored.select(
+        "*",
+        (
+            F.abs(F.col("d_union_est") - F.col("d_union_exact")) * 4
+            <= F.col("d_union_exact")
+        ).alias("union_within_25pct"),
+        (
+            F.abs(F.col("jacc_est_permille") - F.col("jacc_exact_permille"))
+            <= 100
+        ).alias("jaccard_within_100pm"),
+    ).orderBy("type_a", "type_b")
