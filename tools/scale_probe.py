@@ -133,6 +133,7 @@ PROBES = [
     ("events_attribution_outer_twin",
      {"events": ["event_id", "user_id"]}),
     ("sketch_kmv_overlap_gate", {"events": ["event_id", "user_id"]}),
+    ("search_hybrid_rrf", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
     # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
     # row ceiling); the scale path is knn_graph(strategy='lsh'), whose

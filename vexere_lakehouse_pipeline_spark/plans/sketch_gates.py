@@ -435,3 +435,126 @@ def sketch_kmv_overlap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 100
         ).alias("jaccard_within_100pm"),
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via reciprocal-rank fusion — the lexical channel
+# (BM25 over the corpus_ext fixture query terms) and the semantic
+# channel (exact cosine top-20 from the query embedding, vec_id 0)
+# each produce a ranking; RRF fuses them as sum over channels of
+# floor(1e6 / (60 + rank)) — the standard k=60 formula in INTEGER
+# micro-units, so the fusion itself is exact cross-engine (no float
+# sum-order anywhere).  This is the two-tower + keyword ensemble every
+# retrieval-backed data pipeline runs; at 100 TB each channel is its
+# own pruned top-k (BM25 touches only posting rows of the query terms,
+# the ANN channel swaps in topk_lsh/topk_hamming), and the fusion is a
+# k-row full-outer join.
+# ---------------------------------------------------------------------------
+from vexere_lakehouse_pipeline_spark.plans.corpus_ext import (  # noqa: E402
+    _BM25_B,
+    _BM25_K1,
+    _BM25_TERMS,
+)
+from vexere_lakehouse_pipeline_spark.plans.star_ml import (  # noqa: E402
+    _DUCK_COS,
+    _DUCK_EMB,
+)
+
+_RRF_K = 60
+_RRF_TOPK = 10
+_RRF_CAND = 20
+_RRF_QUERY_VEC = 0  # fixture query embedding (aligned with doc_id 0)
+
+# the Spark side reuses corpus_bm25_search (top _BM25_TOPK rows) as
+# the lexical channel, so the oracle's candidate depth must match it
+from vexere_lakehouse_pipeline_spark.plans.corpus_ext import (  # noqa: E402
+    _BM25_TOPK,
+)
+
+assert _RRF_CAND == _BM25_TOPK, "lexical channel depth drifted"
+_RRF_COS = _DUCK_COS.format(a="e.v", b="q.v")
+
+_RRF_SQL = f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS dl
+           FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                 ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                          / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                 / (CAST(tf.tf AS DOUBLE)
+                    + {_BM25_K1} * ({1.0 - _BM25_B}
+                                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl))),
+                 6) AS DECIMAL(18,6)) AS c
+        FROM tf JOIN dfreq ON tf.token = dfreq.token
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s
+    ),
+    lex AS (SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+            FROM (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+                  FROM contrib GROUP BY doc_id
+                  ORDER BY score DESC, doc_id LIMIT {_RRF_CAND})),
+    e AS ({_DUCK_EMB}),
+    q AS (SELECT v FROM e WHERE vec_id = {_RRF_QUERY_VEC}),
+    sem AS (SELECT vec_id AS doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
+                       AS sem_rank
+            FROM (SELECT e.vec_id, {_RRF_COS} AS cos_sim
+                  FROM e CROSS JOIN q
+                  WHERE e.vec_id <> {_RRF_QUERY_VEC}
+                    AND {_RRF_COS} IS NOT NULL
+                  ORDER BY cos_sim DESC, e.vec_id LIMIT {_RRF_CAND})),
+    fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                     l.lex_rank, s.sem_rank,
+                     COALESCE(CAST(FLOOR(1000000 / ({_RRF_K} + l.lex_rank))
+                                   AS BIGINT), 0)
+                     + COALESCE(CAST(FLOOR(1000000 / ({_RRF_K} + s.sem_rank))
+                                     AS BIGINT), 0) AS rrf_micro
+              FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOPK}
+    """
+
+
+@_register("search_hybrid_rrf", _RRF_SQL)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+    from vexere_lakehouse_pipeline_spark.plans.corpus_ext import (
+        corpus_bm25_search,
+    )
+
+    lex = corpus_bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = similarity.topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == _RRF_QUERY_VEC), k=_RRF_CAND
+    ).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    rrf = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1000000) / (F.lit(_RRF_K) + F.col(r))).cast("long"),
+        F.lit(0),
+    )
+    fused = lex.join(sem, on="doc_id", how="full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (rrf("lex_rank") + rrf("sem_rank")).cast("long").alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_RRF_TOPK)
