@@ -551,10 +551,28 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(1000000) / (F.lit(_RRF_K) + F.col(r))).cast("long"),
         F.lit(0),
     )
-    fused = lex.join(sem, on="doc_id", how="full_outer").select(
-        "doc_id",
-        "lex_rank",
-        "sem_rank",
-        (rrf("lex_rank") + rrf("sem_rank")).cast("long").alias("rrf_micro"),
+    # union + groupBy instead of a full-outer join: a full outer can't
+    # broadcast, so Spark planned the only sort-merge join in the repo
+    # for two 20-row rankings; the union agg keeps it all map-side
+    both = lex.select(
+        "doc_id", "lex_rank", F.lit(None).cast("int").alias("sem_rank")
+    ).unionByName(
+        sem.select(
+            "doc_id", F.lit(None).cast("int").alias("lex_rank"), "sem_rank"
+        )
+    )
+    fused = (
+        both.groupBy("doc_id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("sem_rank").alias("sem_rank"),
+        )
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (rrf("lex_rank") + rrf("sem_rank")).cast("long")
+            .alias("rrf_micro"),
+        )
     )
     return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_RRF_TOPK)
