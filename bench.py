@@ -176,6 +176,7 @@ def main() -> None:
         "events_attribution_outer_twin",
         "sketch_kmv_overlap_gate",
         "search_hybrid_rrf",
+        "events_gap_fill_ffill",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

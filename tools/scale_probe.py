@@ -134,6 +134,10 @@ PROBES = [
      {"events": ["event_id", "user_id"]}),
     ("sketch_kmv_overlap_gate", {"events": ["event_id", "user_id"]}),
     ("search_hybrid_rrf", {"documents": ["doc_id"]}),
+    # gap-fill: replication multiplies rows per (type, hour) cell but
+    # NOT the time range, so the grid is constant and the hourly agg is
+    # the only growing stage — expect scan-linear
+    ("events_gap_fill_ffill", {"events": ["event_id", "user_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
     # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
     # row ceiling); the scale path is knn_graph(strategy='lsh'), whose

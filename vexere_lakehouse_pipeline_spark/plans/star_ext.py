@@ -1225,3 +1225,85 @@ def events_attribution_outer_twin(
     return flags.select(
         "click_id", "user_id", "is_late_input", "n_matches", "status"
     ).orderBy("click_id")
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill — densify the sparse hourly
+# revenue series per event_type onto the full hour grid (generated
+# from the observed min/max, no driver scalars) and carry the last
+# known hourly total forward across gaps (LAST_VALUE ... IGNORE
+# NULLS).  The dashboard/feature-store shape for "value as of hour h";
+# gaps get n_events = 0 and the carried value, leading gaps stay NULL.
+# Scale: the hour grid is metadata-sized (one row per hour) and
+# broadcast against the aggregated series; the ffill window partitions
+# by event_type — bounded state per partition, never a global sort.
+# Hourly totals aggregate as decimal(18,2) so the filled value is
+# bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_gap_fill_ffill",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+              FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, h.hr FROM types t CROSS JOIN hours h),
+    joined AS (SELECT g.event_type, g.hr,
+                      COALESCE(h.n_events, 0) AS n_events,
+                      h.sum_value
+               FROM grid g LEFT JOIN hourly h
+                 ON h.event_type = g.event_type AND h.hr = g.hr)
+    SELECT event_type, hr, n_events,
+           (n_events = 0) AS is_gap,
+           LAST_VALUE(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill
+    FROM joined ORDER BY event_type, hr
+    """,
+)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    bounds = hourly.agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    joined = grid.join(hourly, on=["event_type", "hr"], how="left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select(
+            "event_type",
+            "hr",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            (F.coalesce("n_events", F.lit(0)) == 0).alias("is_gap"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+        .orderBy("event_type", "hr")
+    )
