@@ -177,6 +177,11 @@ def main() -> None:
         "sketch_kmv_overlap_gate",
         "search_hybrid_rrf",
         "events_gap_fill_ffill",
+        "quality_label_noise",
+        "corpus_group_split_assign",
+        "agg_incremental_merge",
+        "search_phrase_match",
+        "search_mmr_rerank",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

@@ -138,11 +138,21 @@ PROBES = [
     # NOT the time range, so the grid is constant and the hourly agg is
     # the only growing stage — expect scan-linear
     ("events_gap_fill_ffill", {"events": ["event_id", "user_id"]}),
-    # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts are
-    # NOT probed: the exact kNN strategy is O(N²) by contract (enforced
-    # row ceiling); the scale path is knn_graph(strategy='lsh'), whose
-    # bucket self-join shape is already covered by
-    # dedup_minhash_lsh_pairs above.
+    # round 4b: the MV merge is two scan-linear partial aggs + one
+    # combine groupBy; phrase search scans only two posting lists; the
+    # leakage-free split is the duplicate_clusters CC pipeline plus a
+    # map-side hash
+    ("agg_incremental_merge", {"orders": ["o_orderkey", "o_custkey"]}),
+    ("search_phrase_match", {"documents": ["doc_id"]}),
+    ("corpus_group_split_assign", {"documents": ["doc_id"]}),
+    # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts /
+    # quality_label_noise are NOT probed: the exact kNN strategy is
+    # O(N²) by contract (enforced row ceiling); the scale path is
+    # knn_graph(strategy='lsh') (recall-gated), whose bucket self-join
+    # shape is already covered by dedup_minhash_lsh_pairs above.
+    # search_mmr_rerank is NOT probed: its candidate tier is the
+    # already-probed top-k generators and the greedy stage is fixed-k
+    # over a fixed-N candidate set — replication would time constants.
 ]
 
 ALL_TABLES = list(TESTDATA_TABLES)  # single source of truth (catalog)

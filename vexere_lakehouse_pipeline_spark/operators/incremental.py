@@ -312,13 +312,17 @@ def incremental_rollup(delta: DataFrame, path: str, group_keys: list[str],
 
 def partials_union_combine(a: DataFrame, b: DataFrame, group_keys: list[str],
                            measures: dict[str, tuple[str, str]]) -> DataFrame:
-    """Combine two partial-aggregate frames: union then SUM each
-    measure (sums and counts both merge by addition)."""
-    return (
-        a.unionByName(b)
-        .groupBy(*group_keys)
-        .agg(*[F.sum(out).alias(out) for out in measures])
-    )
+    """Combine two partial-aggregate frames: union then merge each
+    measure by its algebra — sums and counts merge by addition,
+    max/min by max/min.  (avg is derived downstream as sum/count;
+    holistic aggs like median have no mergeable state.)"""
+    _merge = {"sum": F.sum, "count": F.sum, "max": F.max, "min": F.min}
+    aggs = []
+    for out, (how, _col) in measures.items():
+        if how not in _merge:
+            raise ValueError(f"non-combinable aggregate: {how}")
+        aggs.append(_merge[how](out).alias(out))
+    return a.unionByName(b).groupBy(*group_keys).agg(*aggs)
 
 
 def upsert(df: DataFrame, path: str, merge_keys: list[str],

@@ -1787,3 +1787,152 @@ def cdc_apply_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hard_negative_candidates(emb, k=2).orderBy("src", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Label-noise detection via k-NN disagreement — for every vector,
+# count how many of its k=10 nearest cosine neighbors carry a
+# DIFFERENT label; a majority of disagreeing neighbors flags the row
+# as likely mislabeled (the Confident-Learning / Deep-kNN screen every
+# labeled training set runs before fine-tuning).  Exact graph on the
+# gate corpus (same O(N^2)-with-ceiling contract as sim_knn_graph);
+# at 100 TB the edge generator swaps to knn_graph(strategy='lsh'),
+# which is recall-gated by sim_recall_knn_lsh_vs_exact.  The score is
+# integer permille and the flag an exact integer compare, so the row
+# is bit-portable cross-engine.
+# ---------------------------------------------------------------------------
+_NOISE_K = 10
+
+@_register(
+    "quality_label_noise",
+    f"""
+    WITH e AS ({_DUCK_EMB}),
+    scored AS (
+        SELECT a.vec_id AS src, a.label AS src_label,
+               b.vec_id AS dst, b.label AS dst_label,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cos_sim DESC, dst) AS rnk
+        FROM scored
+    )
+    SELECT src AS vec_id, src_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN dst_label <> src_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_diff,
+           CAST(FLOOR(1000.0
+                * SUM(CASE WHEN dst_label <> src_label THEN 1 ELSE 0 END)
+                / COUNT(*)) AS BIGINT) AS noise_permille,
+           (2 * SUM(CASE WHEN dst_label <> src_label THEN 1 ELSE 0 END)
+            > COUNT(*)) AS is_suspect
+    FROM ranked WHERE rnk <= {_NOISE_K}
+    GROUP BY src, src_label ORDER BY vec_id
+    """,
+)
+def quality_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = similarity.knn_graph(emb, k=_NOISE_K, strategy="exact")
+    lab = emb.select("vec_id", "label")
+    joined = (
+        edges.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("src"),
+                                   F.col("label").alias("src_label"))),
+            on="src",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("dst"),
+                                   F.col("label").alias("dst_label"))),
+            on="dst",
+        )
+    )
+    diff = F.sum(
+        (F.col("dst_label") != F.col("src_label")).cast("long")
+    )
+    return (
+        joined.groupBy(
+            F.col("src").alias("vec_id"),
+            F.col("src_label").alias("label"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            diff.alias("n_diff"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_neighbors",
+            "n_diff",
+            F.floor(
+                F.lit(1000.0) * F.col("n_diff")
+                / F.col("n_neighbors").cast("double")
+            ).cast("long").alias("noise_permille"),
+            (F.lit(2) * F.col("n_diff") > F.col("n_neighbors"))
+            .alias("is_suspect"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/val/test assignment — split by DUPLICATE CLUSTER,
+# not by document: every doc inherits its connected component's
+# deterministic hash bucket, so near-duplicates can never straddle
+# splits (the contamination mode corpus_split_leakage DETECTS, this
+# op PREVENTS).  Clusters come from the LSH->CC pipeline
+# (dedup.duplicate_clusters); the bucket is the portable md5 hash of
+# the component id (sampling.hash_bucket % 10: 0-7 train, 8 val,
+# 9 test), so the assignment is retry-stable and identical on any
+# cluster layout.  At 100 TB this is one map-side hash after the CC
+# join — no extra shuffle beyond the dedup pipeline itself.
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_group_split_assign",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_CTES},
+    undirected AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM undirected)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN undirected e ON e.u = r.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u),
+    assigned AS (
+        SELECT d.doc_id,
+               COALESCE(c.component_id, d.doc_id) AS component_id
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    bucketed AS (
+        SELECT doc_id, component_id,
+               {sampling.hash_bucket_sql("component_id", "split")} % 10
+                   AS bucket
+        FROM assigned
+    )
+    SELECT doc_id, component_id, bucket,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed ORDER BY doc_id
+    """,
+)
+def corpus_group_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(docs).select(
+        "doc_id", "component_id"
+    )
+    bucket = F.pmod(
+        sampling.hash_bucket("component_id", salt="split"), F.lit(10)
+    )
+    return clusters.select(
+        "doc_id",
+        "component_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -576,3 +576,184 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search over a positional inverted index — posting rows
+# (token, doc_id, position) for the two query terms are joined on
+# doc_id with the adjacency predicate pos2 = pos1 + 1; a doc matches
+# where the terms are ADJACENT IN ORDER, not merely co-occurring
+# (the precision tier BM25's bag-of-words scoring cannot express).
+# At 100 TB the positional index is materialized once, partitioned by
+# token, so a phrase query scans exactly its terms' posting lists —
+# the fact table is never touched at query time.  Positions are
+# 0-based on both engines (posexplode / unnest(range)-1).
+# ---------------------------------------------------------------------------
+_PHRASE = ("spark", "hash")
+
+_PHRASE_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    pos AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+                   t[CAST(i AS BIGINT)] AS token
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+    p1 AS (SELECT doc_id, pos FROM pos WHERE token = '{_PHRASE[0]}'),
+    p2 AS (SELECT doc_id, pos FROM pos WHERE token = '{_PHRASE[1]}'),
+    hits AS (SELECT p1.doc_id, p1.pos FROM p1
+             JOIN p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           MIN(pos) AS first_pos
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@_register("search_phrase_match", _PHRASE_SQL)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokenize("text")).alias("pos", "token"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    p1 = pos.filter(F.col("token") == _PHRASE[0]).select("doc_id", "pos")
+    p2 = pos.filter(F.col("token") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    hits = p1.join(
+        p2,
+        (F.col("doc_id") == F.col("doc_id2"))
+        & (F.col("pos2") == F.col("pos") + F.lit(1)),
+    ).select("doc_id", "pos")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking — greedy maximal-marginal-relevance over
+# the exact top-20 cosine candidates of the fixture query (vec_id 0):
+# each of the 5 steps picks argmax of lambda*rel - (1-lambda)*max
+# similarity to the already-selected set, lambda = 0.7.  All scores
+# are INTEGER micro-units (round(cos6 * 1e6)) and the combine is
+# 7*rel - 3*max_sim in exact int64, so every greedy pick is bit-
+# portable — no float sum-order anywhere.  The greedy loop is k
+# unrolled dataframe steps over a 20-row broadcastable candidate set:
+# at 100 TB candidate generation is the ANN tier's job (topk_lsh /
+# topk_hamming, recall-gated); MMR itself always runs on a top-N that
+# fits in one partition, which is why unrolling is the RIGHT
+# distributed shape, not a compromise.
+# ---------------------------------------------------------------------------
+_MMR_K = 5
+_MMR_CAND = 20
+_MMR_QUERY_VEC = 0
+_MMR_COS_Q = _DUCK_COS.format(a="e.v", b="q.v")
+_MMR_COS_P = _DUCK_COS.format(a="a.v", b="b.v")
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        f"e AS ({_DUCK_EMB})",
+        f"q AS (SELECT v FROM e WHERE vec_id = {_MMR_QUERY_VEC})",
+        f"""cand AS (
+            SELECT e.vec_id,
+                   CAST(ROUND({_MMR_COS_Q} * 1000000, 0) AS BIGINT) AS rel
+            FROM e CROSS JOIN q
+            WHERE e.vec_id <> {_MMR_QUERY_VEC} AND {_MMR_COS_Q} IS NOT NULL
+            ORDER BY {_MMR_COS_Q} DESC, e.vec_id LIMIT {_MMR_CAND})""",
+        "ce AS (SELECT e.vec_id, e.v FROM e JOIN cand c"
+        " ON c.vec_id = e.vec_id)",
+        f"""pair AS (
+            SELECT a.vec_id AS pa, b.vec_id AS pb,
+                   CAST(ROUND({_MMR_COS_P} * 1000000, 0) AS BIGINT) AS sim
+            FROM ce a JOIN ce b ON a.vec_id <> b.vec_id)""",
+        "sel1 AS (SELECT CAST(1 AS INTEGER) AS step, vec_id, rel,"
+        " 7 * rel AS mmr FROM cand ORDER BY rel DESC, vec_id LIMIT 1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        parts.append(
+            f"""s{i} AS (
+            SELECT CAST({i} AS INTEGER) AS step, c.vec_id, c.rel,
+                   7 * c.rel - 3 * MAX(p.sim) AS mmr
+            FROM cand c JOIN pair p ON p.pa = c.vec_id
+                 AND p.pb IN (SELECT vec_id FROM sel{i - 1})
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+            GROUP BY c.vec_id, c.rel
+            ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+        )
+        parts.append(
+            f"sel{i} AS (SELECT * FROM sel{i - 1}"
+            f" UNION ALL SELECT * FROM s{i})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""" SELECT step, vec_id, rel AS rel_micro,
+               CAST(mmr AS BIGINT) AS mmr_score
+           FROM sel{_MMR_K} ORDER BY step"""
+    )
+
+
+@_register("search_mmr_rerank", _mmr_oracle())
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # cand and pair are reused by every unrolled greedy step; without a
+    # checkpoint the deep final plan recomputes the full-table top-k
+    # once per step (measured 22s -> 3s at sf0.01).  Both frames are
+    # tiny (<= N and N(N-1) rows, N = _MMR_CAND).
+    cand = similarity.topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == _MMR_QUERY_VEC), k=_MMR_CAND
+    ).select(
+        "vec_id",
+        F.round(F.col("cos_sim") * 1000000, 0).cast("long").alias("rel"),
+    ).localCheckpoint(eager=True)
+    ce = emb.join(cand.select("vec_id"), on="vec_id")
+    pair = similarity.topk_bruteforce(ce, ce, k=_MMR_CAND - 1).select(
+        F.col("query_id").alias("pa"),
+        F.col("vec_id").alias("pb"),
+        F.round(F.col("cos_sim") * 1000000, 0).cast("long").alias("sim"),
+    ).localCheckpoint(eager=True)
+    selected = (
+        cand.orderBy(F.desc("rel"), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("step"),
+            "vec_id",
+            "rel",
+            (F.lit(7) * F.col("rel")).alias("mmr"),
+        )
+    )
+    for step in range(2, _MMR_K + 1):
+        chosen = selected.select("vec_id")
+        max_sim = (
+            pair.join(chosen.withColumnRenamed("vec_id", "pb"), on="pb")
+            .groupBy("pa")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        pick = (
+            cand.join(chosen, on="vec_id", how="left_anti")
+            .join(max_sim, cand["vec_id"] == max_sim["pa"])
+            .select(
+                F.lit(step).alias("step"),
+                "vec_id",
+                "rel",
+                (F.lit(7) * F.col("rel") - F.lit(3) * F.col("max_sim"))
+                .alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+        )
+        # keep the greedy chain linear: without this, step i's plan
+        # embeds step i-1's twice (anti-join + max-sim join), doubling
+        # subtrees per step
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "step",
+        "vec_id",
+        F.col("rel").alias("rel_micro"),
+        F.col("mmr").cast("long").alias("mmr_score"),
+    ).orderBy("step")

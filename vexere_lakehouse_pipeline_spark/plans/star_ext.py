@@ -1307,3 +1307,69 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the materialized-view merge
+# proven against a full recompute.  The customer order rollup is built
+# as TWO independent partial-aggregate states (history before the
+# cutoff date, delta after it) merged by
+# operators/incremental.partials_union_combine: counts and sums merge
+# by addition, last-order-date by max.  The oracle is a one-shot
+# GROUP BY over all orders, so a green row proves the maintenance
+# algebra loses nothing — the property that lets a 100 TB rollup fold
+# in a daily delta for O(delta + touched partitions) instead of
+# rescanning history (incremental_rollup wraps the same combine with
+# dynamic-partition-overwrite persistence).  Money merges as
+# decimal(18,2) partials, so addition is associative and the merged
+# total is bit-identical to the recompute.
+# ---------------------------------------------------------------------------
+_MV_CUTOFF = "1997-01-01"
+
+@_register(
+    "agg_incremental_merge",
+    f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_total,
+           MAX(o_orderdate) AS last_order_date
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.incremental import (
+        partials_union_combine,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    measures = {
+        "n_orders": ("count", "o_orderkey"),
+        "sum_total": ("sum", "price_dec"),
+        "last_order_date": ("max", "o_orderdate"),
+    }
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "price_dec",
+                F.round("o_totalprice", 2).cast("decimal(18,2)"),
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.count("o_orderkey").cast("long").alias("n_orders"),
+                F.sum("price_dec").alias("sum_total"),
+                F.max("o_orderdate").alias("last_order_date"),
+            )
+        )
+
+    cutoff = F.lit(_MV_CUTOFF).cast("date")
+    base = partials(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = partials_union_combine(base, delta, ["o_custkey"], measures)
+    return merged.select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("sum_total").cast("double").alias("sum_total"),
+        "last_order_date",
+    ).orderBy("o_custkey")
