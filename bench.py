@@ -182,6 +182,8 @@ def main() -> None:
         "agg_incremental_merge",
         "search_phrase_match",
         "search_mmr_rerank",
+        "corpus_bigram_pmi",
+        "corpus_intradoc_sentence_dedup",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

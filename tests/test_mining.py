@@ -340,3 +340,28 @@ def test_bpe_apply_survives_sub_k_merge_corpus(spark, tmp_path):
     ).fetchall())
     assert got == want
     assert len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# corpus_bigram_pmi — oracle parity (mining is not in the
+# test_star_oracle auto-sweep) + the integer-membership contract
+# ---------------------------------------------------------------------------
+def test_corpus_bigram_pmi_oracle_parity(spark):
+    import duckdb
+
+    from vexere_lakehouse_pipeline_spark.catalog import TESTDATA_TABLES
+
+    got = sorted(_rows(mining.QUERIES["corpus_bigram_pmi"](spark, SF)))
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = sorted(
+        tuple(r) for r in
+        con.execute(mining.ORACLE_SQL["corpus_bigram_pmi"]).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]          # w1, w2, c_ab exact
+        assert abs(g[3] - w[3]) < 1e-9  # pmi at 6dp both engines
+    # membership is integer-only: every row meets the min count
+    assert all(g[2] >= mining._PMI_MIN_COUNT for g in got)

@@ -145,6 +145,10 @@ PROBES = [
     ("agg_incremental_merge", {"orders": ["o_orderkey", "o_custkey"]}),
     ("search_phrase_match", {"documents": ["doc_id"]}),
     ("corpus_group_split_assign", {"documents": ["doc_id"]}),
+    # bigram PMI: two scan-linear groupBys + vocab-sized joins; the
+    # intra-doc dedup is one doc-local shuffle (no cross-doc state)
+    ("corpus_bigram_pmi", {"documents": ["doc_id"]}),
+    ("corpus_intradoc_sentence_dedup", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts /
     # quality_label_noise are NOT probed: the exact kNN strategy is
     # O(N²) by contract (enforced row ceiling); the scale path is

@@ -996,3 +996,90 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations — pointwise mutual information of adjacent
+# token pairs over the whole corpus: PMI = log10(P(ab) / (P(a)P(b)))
+# computed as ONE log of an explicitly parenthesized double ratio
+# (((c_ab*Nu)*Nu) / ((Nb*c_a)*c_b)), rounded to 6dp — the same
+# single-log-of-a-ratio pattern the green unigram/ppl queries use, so
+# cross-engine float drift is confined below the rounding floor.  Row
+# MEMBERSHIP is integer-only (c_ab >= min count), so the result set
+# never depends on a float compare.  The collocation table is the
+# phrase-mining / tokenizer-merge-candidate primitive; at 100 TB it is
+# two scan-linear map-side-combinable groupBys (bigrams, unigrams)
+# plus a join against the (vocab-sized, distributed) count tables.
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+
+@_register(
+    "corpus_bigram_pmi",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    uni AS (SELECT unnest(w) AS tokn FROM t),
+    ucnt AS (SELECT tokn, CAST(COUNT(*) AS BIGINT) AS c
+             FROM uni GROUP BY tokn),
+    nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+    bi AS (SELECT w[CAST(i AS BIGINT)] AS w1, w[CAST(i AS BIGINT) + 1] AS w2
+           FROM t, UNNEST(range(1, len(w))) AS u(i)),
+    bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+             FROM bi GROUP BY w1, w2),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bi)
+    SELECT w1, w2, c_ab,
+           ROUND(LOG10(((CAST(c_ab AS DOUBLE) * nu.n) * nu.n)
+                       / ((CAST(nb.n AS DOUBLE) * ca.c) * cb.c)), 6) AS pmi
+    FROM bcnt
+    JOIN ucnt ca ON ca.tokn = w1
+    JOIN ucnt cb ON cb.tokn = w2
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY w1, w2
+    """,
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize("text").alias("w"))
+    uni = t.select(F.explode("w").alias("tokn"))
+    ucnt = uni.groupBy("tokn").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nu = uni.agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
+    n1 = F.greatest(F.size("w") - 1, F.lit(0))
+    bi = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n1),
+                F.slice("w", 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    nb = bi.agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+    ca = ucnt.select(F.col("tokn").alias("w1"), F.col("c").alias("c_a"))
+    cb = ucnt.select(F.col("tokn").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bcnt.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(ca, on="w1")
+        .join(cb, on="w2")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log10(
+                    (F.col("c_ab").cast("double") * F.col("n_uni"))
+                    * F.col("n_uni")
+                    / (
+                        (F.col("n_bi").cast("double") * F.col("c_a"))
+                        * F.col("c_b")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )

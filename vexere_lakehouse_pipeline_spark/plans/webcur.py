@@ -1039,3 +1039,95 @@ def text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cyrillic",
         dominant.alias("dominant_script"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# INTRA-doc sentence dedup — keep the FIRST occurrence of each
+# distinct pseudo-sentence within a document and rebuild the text in
+# original order.  The self-repetition scrubber (boilerplate chorus
+# removal) complementing corpus_sentence_dedup, which drops sentences
+# that are over-frequent ACROSS the corpus: that one needs a global
+# frequency table, this one is per-doc — groupBy (doc, sentence) ->
+# min index, no cross-doc state at all, so at 100 TB it is perfectly
+# data-parallel with one doc-local shuffle.  Same fixed-width
+# _SENT_W-token pseudo-sentences; docs with zero tokens are excluded
+# (same contract as corpus_sentence_dedup).
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_intradoc_sentence_dedup",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                  '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') AS w
+               FROM documents),
+    nc AS (SELECT doc_id, w,
+                  CAST(ceil(len(w) * 1.0 / {_SENT_W}) AS BIGINT) AS n_sents
+           FROM t WHERE len(w) > 0),
+    ex AS (SELECT doc_id, n_sents,
+                  CAST(unnest(range(0, n_sents)) AS BIGINT) AS sent_idx,
+                  array_to_string(
+                      w[CAST(unnest(range(0, n_sents)) AS BIGINT) * {_SENT_W} + 1
+                        : CAST(unnest(range(0, n_sents)) AS BIGINT) * {_SENT_W} + {_SENT_W}],
+                      ' ') AS sent
+           FROM nc),
+    kept AS (SELECT doc_id, sent, MIN(sent_idx) AS sent_idx
+             FROM ex GROUP BY doc_id, sent),
+    re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  string_agg(sent, ' ' ORDER BY sent_idx) AS clean_text
+           FROM kept GROUP BY doc_id)
+    SELECT nc.doc_id, nc.n_sents, re.n_kept,
+           nc.n_sents - re.n_kept AS n_dropped, re.clean_text
+    FROM nc JOIN re ON re.doc_id = nc.doc_id
+    ORDER BY nc.doc_id
+    """,
+)
+def corpus_intradoc_sentence_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", tokenize("text").alias("w"))
+        .withColumn("n", F.size("w").cast("long"))
+        .filter(F.col("n") > 0)
+    )
+    nc = t.withColumn(
+        "n_sents", F.ceil(F.col("n") * 1.0 / _SENT_W).cast("long")
+    )
+    ex = nc.select(
+        "doc_id",
+        "n_sents",
+        F.explode(F.expr("sequence(0, n_sents - 1)")).alias("sent_idx"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "n_sents",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("sent_idx") * _SENT_W + 1, _SENT_W), " "
+        ).alias("sent"),
+    )
+    kept = ex.groupBy("doc_id", "sent").agg(
+        F.min("sent_idx").alias("sent_idx")
+    )
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_idx", "sent"))),
+                lambda s: s.sent,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        nc.select("doc_id", "n_sents")
+        .join(re, on="doc_id")
+        .select(
+            "doc_id",
+            "n_sents",
+            "n_kept",
+            (F.col("n_sents") - F.col("n_kept")).alias("n_dropped"),
+            "clean_text",
+        )
+        .orderBy("doc_id")
+    )
