@@ -184,6 +184,7 @@ def main() -> None:
         "search_mmr_rerank",
         "corpus_bigram_pmi",
         "corpus_intradoc_sentence_dedup",
+        "multimodal_wav_downsample",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

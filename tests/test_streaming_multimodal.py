@@ -338,3 +338,36 @@ def test_wav_decode_rejects_overrun_data_chunk():
         wav_decode(bytes(wav))
     # the intact encoding still decodes
     assert wav_decode(encode_wav(8000, list(range(64))))[3] == 64
+
+
+def test_downsample_audio_decimation_and_quarantine(spark):
+    import pandas as pd
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        downsample_audio,
+        encode_wav,
+    )
+
+    samples = [(i * 7) % 256 for i in range(65)]  # odd length
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2],
+            "payload": [encode_wav(8000, samples), b""],
+        })
+    )
+    rows = {r.media_id: r for r in downsample_audio(media, 2).collect()}
+    kept = samples[::2]
+    assert rows[1].n_in == 65 and rows[1].n_out == 33
+    assert rows[1].sum_out == sum(kept) and rows[1].peak_out == max(kept)
+    assert rows[1].out_rate == 4000
+    # empty payload -> zero row, never an abort
+    assert tuple(rows[2])[1:] == (0, 0, 0, 0, 0)
+    # malformed payloads raise for quarantine routing
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [3], "payload": [b"not a riff at all..." * 4]})
+    )
+    with pytest.raises(Exception):
+        downsample_audio(bad, 2).collect()
+    with pytest.raises(ValueError):
+        downsample_audio(media, 0)

@@ -149,6 +149,8 @@ PROBES = [
     # intra-doc dedup is one doc-local shuffle (no cross-doc state)
     ("corpus_bigram_pmi", {"documents": ["doc_id"]}),
     ("corpus_intradoc_sentence_dedup", {"documents": ["doc_id"]}),
+    # decimation is one Arrow-batched map stage — scan-linear
+    ("multimodal_wav_downsample", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts /
     # quality_label_noise are NOT probed: the exact kNN strategy is
     # O(N²) by contract (enforced row ceiling); the scale path is

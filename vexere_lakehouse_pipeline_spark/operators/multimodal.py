@@ -289,10 +289,25 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     never abort a 100 TB job); malformed non-empty payloads raise
     ValueError for quarantine routing.
     """
-    import struct
-
     if not payload:
         return (0, 0, 0, 0, 0, 0, 0)
+    rate, channels, bits, data = _wav_parse(payload)
+    if bits != 8 or channels != 1:
+        raise ValueError(f"unsupported WAV: bits={bits} channels={channels}")
+    n = len(data)
+    return (
+        rate, channels, bits, n, n * 1000 // rate if rate else 0,
+        sum(data), max(data) if n else 0,
+    )
+
+
+def _wav_parse(payload: bytes) -> tuple[int, int, int, bytes]:
+    """RIFF chunk walk shared by :func:`wav_decode` and
+    :func:`downsample_audio`: returns (rate, channels, bits, data
+    bytes) or raises ValueError (quarantine contract) on malformed
+    non-empty payloads."""
+    import struct
+
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     # walk chunks: fmt then data (generators may emit extra chunks)
@@ -327,12 +342,56 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
     if rate is None or data is None:
         raise ValueError("not a WAV payload: missing fmt/data chunk")
-    if bits != 8 or channels != 1:
-        raise ValueError(f"unsupported WAV: bits={bits} channels={channels}")
-    n = len(data)
-    return (
-        rate, channels, bits, n, n * 1000 // rate if rate else 0,
-        sum(data), max(data) if n else 0,
+    return rate, channels, bits, data
+
+
+AUDIO_DOWNSAMPLE_SCHEMA = (
+    "media_id long, n_in long, n_out long, sum_out long, "
+    "peak_out int, out_rate int"
+)
+
+
+def downsample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """mapInPandas decimation stage — the audio analog of video
+    frame-sampling: decode the 8-bit PCM stream, keep every
+    ``factor``-th sample, and emit integer stats of the decimated
+    stream (n_in/n_out/sum/peak + the reduced rate).
+
+    Same Arrow-batched plumbing as :func:`extract_audio_stats` (bytes
+    cross JVM→Python once per batch, empty payload → zero row,
+    malformed raises for quarantine).  A production resampler
+    (windowed-sinc via torchaudio/ffmpeg) drops into the same stage —
+    the decimator keeps the whole pipeline integer-exact and therefore
+    oracle-checkable offline.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if not b:
+                    rows.append((mid, 0, 0, 0, 0, 0))
+                    continue
+                rate, channels, bits, data = _wav_parse(b)
+                if bits != 8 or channels != 1:
+                    raise ValueError(
+                        f"unsupported WAV: bits={bits} channels={channels}"
+                    )
+                kept = data[::factor]
+                rows.append((
+                    mid, len(data), len(kept), sum(kept),
+                    max(kept) if kept else 0, rate // factor,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_in", "n_out", "sum_out",
+                         "peak_out", "out_rate"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_DOWNSAMPLE_SCHEMA
     )
 
 

@@ -1131,3 +1131,66 @@ def corpus_intradoc_sentence_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio decimation (frame-sample) stage through the oracle gate — the
+# synthesized 8-bit PCM payloads of multimodal_wav_stats run through
+# encode_wav -> _wav_parse -> keep-every-2nd-sample
+# (operators/multimodal.downsample_audio, a mapInPandas stage), and
+# the oracle regenerates the KEPT samples directly with a stride-2
+# range — so a green row proves the real RIFF round-trip plus the
+# decimation arithmetic end-to-end in exact integers.  This is the
+# "resample / frame-sample" slot of the multimodal contract: a real
+# resampler (ffmpeg/torchaudio) swaps into the same stage signature.
+# ---------------------------------------------------------------------------
+_DS_FACTOR = 2
+
+@_register(
+    "multimodal_wav_downsample",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS media_id,
+               64 + doc_id % 64 AS n,
+               list_transform(range(0, 64 + doc_id % 64, {_DS_FACTOR}),
+                              i -> (doc_id * 31 + i * 7) % 256) AS kept
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_in,
+           CAST(len(kept) AS BIGINT) AS n_out,
+           CAST(list_aggregate(kept, 'sum') AS BIGINT) AS sum_out,
+           CAST(list_aggregate(kept, 'max') AS INTEGER) AS peak_out,
+           {_WAV_RATE // _DS_FACTOR} AS out_rate
+    FROM t ORDER BY media_id
+    """,
+)
+def multimodal_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        downsample_audio,
+        encode_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = [
+                encode_wav(
+                    _WAV_RATE,
+                    [(int(d) * 31 + i * 7) % 256
+                     for i in range(64 + int(d) % 64)],
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return downsample_audio(media, factor=_DS_FACTOR).orderBy("media_id")
