@@ -185,6 +185,8 @@ def main() -> None:
         "corpus_bigram_pmi",
         "corpus_intradoc_sentence_dedup",
         "multimodal_wav_downsample",
+        "sim_topk_pq_adc",
+        "sim_recall_pq_vs_bruteforce",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

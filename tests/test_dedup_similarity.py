@@ -792,3 +792,55 @@ def test_topk_hamming_contract_and_shortlist_recall(spark):
         for r in similarity.topk_hamming(emb, qs, k=50).collect()
     }
     assert len(truth & short) / len(truth) >= 0.55
+
+
+def test_topk_pq_adc_contract_and_recall(spark):
+    """PQ/ADC top-k: m integer codes per vector (codebook-lossless on a
+    tiny fixture, so the same-direction candidate scores adc exactly
+    0), zero/NULL vectors excluded on both sides, opposite direction
+    ranks last, and real-data recall vs the float truth stays above
+    the measured floor (the oracle row pins the exact values)."""
+    import pyspark.sql.types as T
+
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 0.0]),
+         (4, None), (5, [0.7, 0.7]), (6, [-1.0, 0.0])],
+        schema,
+    )
+    # every distinct subvector fits in the codebook (ksub=8 > 4 valid
+    # vectors) -> encode is lossless and ADC equals the exact d2
+    cb = similarity.pq_sampled_codebooks(cands, m=2, ksub=8)
+    enc = similarity.pq_encode(cands, cb, m=2, dsub=1).collect()
+    by_vec = {}
+    for r in enc:
+        by_vec.setdefault(r["vec_id"], []).append(r["code"])
+    assert set(by_vec) == {1, 2, 5, 6}          # zero/null never encoded
+    assert all(len(v) == 2 for v in by_vec.values())
+    assert all(0 <= c < 8 for v in by_vec.values() for c in v)
+
+    out = similarity.topk_pq_adc(
+        cands, cands.filter("vec_id = 1"), k=5, m=2, ksub=8, dsub=1
+    )
+    rows = sorted((r["rank"], r["vec_id"], r["adc_d2_micro"])
+                  for r in out.collect())
+    assert [v for _, v, _ in rows] == [2, 5, 6]
+    assert rows[0][2] == 0                      # same unit vector: d2=0
+    assert rows[-1][2] == 4_000_000             # opposite: (1-(-1))^2
+
+    # real-data recall@5 against the float truth (measured 0.64 mean at
+    # sf0.001 for m=32/ksub=64 sampled codebooks; floor set below it)
+    from vexere_lakehouse_pipeline_spark.plans import star_ml
+
+    rec = [
+        r["recall"]
+        for r in star_ml.QUERIES["sim_recall_pq_vs_bruteforce"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert sum(rec) / len(rec) >= 0.5

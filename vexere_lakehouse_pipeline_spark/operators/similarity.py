@@ -855,3 +855,271 @@ def topk_int8(candidates: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the classic ANN compression path
+# (Jégou et al. 2011; the FAISS `PQ`/`IVFPQ` family): split each unit
+# vector into m subvectors, replace every subvector by the id of its
+# nearest codebook entry, and score queries against the CODES with an
+# asymmetric-distance lookup table (ADC).  Codes are m small ints per
+# vector (m=8 vs 64 float64s = 64x fewer raw bytes before parquet's
+# dictionary/RLE even starts), so the corpus scan that dominates
+# serving moves ~two orders of magnitude less data than the float
+# path — the same memory-bandwidth play the int8 rows measure, taken
+# further at the cost of more ranking error (pinned by the
+# sim_recall_pq_vs_bruteforce gate).
+# ---------------------------------------------------------------------------
+
+
+def _unit_subvectors(df: DataFrame, m: int, vec_col: str, id_col: str,
+                     out_id: str, n_parts: int | None = None) -> DataFrame:
+    """(out_id, s, sv): the m per-subspace slices of the UNIT vector.
+
+    Vectors are L2-normalized first so squared-L2 ADC ranking equals
+    cosine ranking (d² = 2 − 2·cos on the unit sphere); zero/NULL
+    vectors are excluded (cosine undefined — the exclusion contract
+    every similarity path shares).  The subspace width is
+    ``size(vec) DIV m`` per row; trailing remainder dims are truncated
+    (PQ's standard pad-or-truncate choice, mirrored in the oracle).
+
+    The exchange between normalization and explode is load-bearing
+    twice over: (1) it MATERIALIZES the unit vector, so the interpreted
+    higher-order transform+fold runs once per INPUT row — without the
+    barrier, CollapseProject inlines that fold into every post-explode
+    reference and the codebook build alone burned ~18 s CPU at sf0.1;
+    (2) its explicit partition count pins the fan-out stages'
+    parallelism against AQE's small-bytes coalescing (the rows are
+    tiny but each carries ksub distance evals downstream).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = l2_norm(F.col(vec_col))
+    u = F.transform(v, lambda x: x / nrm)
+    dsub = F.floor(F.size(v) / m).cast("int")
+    pre = (
+        df.filter(F.col(vec_col).isNotNull() & (nrm > 0))
+        .select(
+            F.col(id_col).alias(out_id),
+            u.alias("_u"),
+            dsub.alias("_dsub"),
+        )
+    )
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    pre = pre.repartition(n_parts, F.col(out_id))
+    return (
+        pre.select(
+            out_id, "_u", "_dsub",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        )
+        .select(
+            out_id,
+            F.col("s").cast("int").alias("s"),
+            F.slice(
+                "_u", F.col("s") * F.col("_dsub") + 1, F.col("_dsub")
+            ).alias("sv"),
+        )
+    )
+
+
+def _d2_micro(a, b, dsub: int | None = None) -> "F.Column":
+    """Squared L2 distance between two double arrays in integer
+    MICRO-units: round(1e6 · (a·a − 2·a·b + b·b)) as int64.
+
+    The expansion (never elementwise (x−y)²) and the left-to-right
+    ``(aa − 2·ab) + bb`` association are load-bearing: the DuckDB twin
+    computes the same three list_dot_product folds in the same order,
+    so both engines see identical doubles before the single round() —
+    the same already-gated portability argument as quantize_int8_unit.
+    Integer distances make every downstream sum/argmin/rank exact and
+    order-independent.
+
+    When the subspace width is statically known (``dsub``), the three
+    dot products UNROLL into plain element_at arithmetic: higher-order
+    array folds are codegen-EXCLUDED in Spark (interpreted per
+    element, per row), and PQ evaluates this expression n·m·ksub
+    times — unrolling measured ~8x on the encode stage.  The unrolled
+    left-associated chain is bit-identical to the fold except that the
+    fold's leading ``0.0 + x`` can flip a −0.0 to +0.0 — unobservable
+    after the micro-unit round.
+    """
+    def dot(x, y, n):
+        acc = F.element_at(x, 1) * F.element_at(y, 1)
+        for i in range(2, n + 1):
+            acc = acc + F.element_at(x, i) * F.element_at(y, i)
+        return acc
+
+    if dsub is not None:
+        aa, ab, bb = dot(a, a, dsub), dot(a, b, dsub), dot(b, b, dsub)
+    else:
+        aa = F.aggregate(
+            F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        ab = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bb = F.aggregate(
+            F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    return F.round(F.lit(1000000.0) * (aa - F.lit(2.0) * ab + bb), 0).cast(
+        "long"
+    )
+
+
+def pq_sampled_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Deterministic SAMPLED codebooks: per subspace ``s``, the ``ksub``
+    unit subvectors whose owners rank first by md5("<id>:<s>") become
+    codes 0..ksub−1 (0-iteration k-means — sample-init without the
+    averaging steps).  Selection-only training keeps the codebook
+    bit-portable, which is what lets the whole PQ pipeline be
+    oracle-gated; production swaps in trained centroids through the
+    same (s, code, cv) contract (pluggable exactly like topk_ivf's
+    ``centroids``).
+
+    Scale: one narrow shuffle of n·m (id, hash-key) rows into m
+    subspace partitions, top-ksub window each.  At corpus scale,
+    hash-prefilter the training rows first (the rank key IS a uniform
+    hash, so `md5 < threshold` preselects a superset of the winners
+    without changing them).
+    """
+    sub = _unit_subvectors(emb, m, vec_col, id_col, "vec_id")
+    rank_key = F.md5(
+        F.concat_ws(":", F.col("vec_id").cast("string"),
+                    F.col("s").cast("string"))
+    )
+    w = Window.partitionBy("s").orderBy(rank_key, "vec_id")
+    return (
+        sub.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ksub)
+        .select(
+            "s", (F.col("_rn") - 1).cast("int").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id",
+              dsub: int | None = None) -> DataFrame:
+    """(vec_id, s, code): each subvector replaced by its nearest
+    codebook entry (argmin of integer micro-d², ties to the lower
+    code).
+
+    Plan shape: broadcast the (m·ksub)-row codebook, score every
+    (row, s, code) triple inside codegen, then groupBy(vec_id, s) with
+    ``min(struct(d2, code))`` — the argmin completes MAP-SIDE (all
+    ksub candidates for a key live in the partition that exploded the
+    row), so the shuffle carries exactly one narrow row per (vec, s).
+    Linear n·m·ksub distance evals — the standard PQ encode cost
+    (parallelism + fold materialization pinned by _unit_subvectors's
+    explicit exchange — see its docstring).
+    """
+    sub = _unit_subvectors(emb, m, vec_col, id_col, "vec_id")
+    scored = sub.join(F.broadcast(codebooks), on="s").select(
+        "vec_id", "s", "code",
+        _d2_micro(F.col("sv"), F.col("cv"), dsub).alias("d2"),
+    )
+    # min_by over the (d2, code) struct = argmin with ties to the lower
+    # code; unlike min(struct(...)) it stays hash-aggregable (no sort
+    # of the n·m·ksub scored rows), and the partial agg still completes
+    # map-side so the shuffle is one narrow row per (vec, s).
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(
+            F.min_by(
+                "code", F.struct(F.col("d2"), F.col("code"))
+            ).alias("code")
+        )
+    )
+
+
+def topk_pq_adc(candidates: DataFrame, queries: DataFrame, k: int = 5,
+                m: int = 8, ksub: int = 16,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                codebooks: DataFrame | None = None,
+                dsub: int | None = None) -> DataFrame:
+    """Approximate cosine top-k via PQ codes + asymmetric distance
+    (ADC): candidates are scanned as CODES ONLY; each float query
+    precomputes a (m × ksub) lookup table of micro-d² contributions,
+    and a candidate's distance is the integer sum of m table lookups.
+
+    Returns (query_id, vec_id, adc_d2_micro, rank), ranked ascending
+    (smaller d² = more similar), ties to the lower vec_id.  Exact
+    int64 arithmetic end-to-end from the per-cell round — bit-portable
+    ranking, like topk_int8.
+
+    Plan shape mirrors topk_bruteforce: the packed code table
+    crossJoins the BROADCAST packed LUTs, and the m lookups run inside
+    a codegen'd aggregate over the code array — no per-(pair, s) row
+    blowup, no join-key shuffle; the candidate side never moves.  At
+    100 TB the scan reads m small ints per vector instead of the float
+    array, and the same codes serve every query batch.
+    """
+    if codebooks is None:
+        codebooks = pq_sampled_codebooks(candidates, m, ksub, vec_col, id_col)
+    # pack candidate codes: one row per vector, codes[s] ordered by s
+    packed = (
+        pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+    )
+    # per-query LUT: lut[s][code] = micro-d²(query subvector, codebook cv)
+    qsub = _unit_subvectors(queries, m, vec_col, id_col, "query_id")
+    cells = qsub.join(F.broadcast(codebooks), on="s").select(
+        "query_id", "s", "code",
+        _d2_micro(F.col("sv"), F.col("cv"), dsub).alias("d2"),
+    )
+    lut = (
+        cells.groupBy("query_id", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d2"))),
+                lambda x: x["d2"],
+            ).alias("row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "row"))),
+                lambda x: x["row"],
+            ).alias("lut")
+        )
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            # statically unrolled integer sum (exact, order-free) —
+            # keeps the whole ADC scan inside whole-stage codegen
+            sum(
+                (
+                    F.element_at(
+                        F.element_at("lut", s + 1),
+                        F.element_at("codes", s + 1) + 1,
+                    )
+                    for s in range(1, m)
+                ),
+                start=F.element_at(
+                    F.element_at("lut", 1), F.element_at("codes", 1) + 1
+                ),
+            ).alias("adc_d2_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2_micro", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
