@@ -187,6 +187,8 @@ def main() -> None:
         "multimodal_wav_downsample",
         "sim_topk_pq_adc",
         "sim_recall_pq_vs_bruteforce",
+        "sim_topk_ivfpq",
+        "sim_recall_ivfpq_vs_bruteforce",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

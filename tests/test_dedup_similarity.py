@@ -844,3 +844,46 @@ def test_topk_pq_adc_contract_and_recall(spark):
         ).collect()
     ]
     assert sum(rec) / len(rec) >= 0.5
+
+
+def test_topk_ivfpq_pruning_and_recall(spark):
+    """IVF-PQ: assignment is one deterministic list per vector, a
+    query's result set lives entirely inside its probed lists (nprobe=1
+    on a separable fixture keeps only the query's own cluster), and
+    real-data recall of the composed approximation stays above the
+    measured floor (0.70 mean at sf0.001 for nprobe=8/32)."""
+    import pyspark.sql.types as T
+
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    # two well-separated direction clusters; centroids = first 2 by id
+    cands = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1]),
+         (4, [0.1, 0.9]), (5, [1.0, 0.05]), (6, [0.05, 1.0])],
+        schema,
+    )
+    lists = {r["vec_id"]: r["cid"]
+             for r in similarity.assign_ivf_lists(
+                 cands, n_centroids=2, dim=2).collect()}
+    assert lists == {1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 2}
+
+    out = similarity.topk_ivfpq(
+        cands, cands.filter("vec_id = 1"), k=5,
+        n_centroids=2, nprobe=1, m=2, ksub=8, dsub=1, dim=2,
+    ).collect()
+    got = {r["vec_id"] for r in out}
+    assert got == {3, 5}          # own list only; list 2 never scanned
+
+    from vexere_lakehouse_pipeline_spark.plans import star_ml
+
+    rec = [
+        r["recall"]
+        for r in star_ml.QUERIES["sim_recall_ivfpq_vs_bruteforce"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert sum(rec) / len(rec) >= 0.5

@@ -154,6 +154,8 @@ PROBES = [
     # PQ: codebook window is n*m narrow rows; encode is linear n*m*ksub;
     # the ADC scan is linear n*q over 32-int codes
     ("sim_topk_pq_adc", {"embeddings": ["vec_id"]}),
+    # IVF-PQ adds the broadcast centroid assign (linear) + list pruning
+    ("sim_topk_ivfpq", {"embeddings": ["vec_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts /
     # quality_label_noise are NOT probed: the exact kNN strategy is
     # O(N²) by contract (enforced row ceiling); the scale path is

@@ -1123,3 +1123,158 @@ def topk_pq_adc(candidates: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composition that actually serves billion-vector ANN in
+# production (FAISS IVFPQ): a coarse quantizer prunes WHICH vectors to
+# score (inverted lists, nprobe of n_centroids), PQ codes shrink WHAT
+# gets scanned per survivor (m small ints + m LUT lookups).  The two
+# knobs multiply: nprobe/n_centroids cuts rows, PQ cuts bytes/row.
+# This variant scores PQ codes of the raw unit vectors (no residual
+# re-encoding, FAISS's "IVF,PQ" without OPQ/residuals) so the codes
+# are shared with topk_pq_adc and the whole path stays oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+def _unit_vecs(df: DataFrame, vec_col: str, id_col: str,
+               out_id: str) -> DataFrame:
+    """(out_id, u): the L2-normalized vector, zero/NULL excluded —
+    same contract and same materialization barrier as
+    :func:`_unit_subvectors` (the interpreted normalize fold runs once
+    per row, behind an explicit exchange)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = l2_norm(F.col(vec_col))
+    u = F.transform(v, lambda x: x / nrm)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.filter(F.col(vec_col).isNotNull() & (nrm > 0))
+        .select(F.col(id_col).alias(out_id), u.alias("u"))
+        .repartition(n_parts, F.col(out_id))
+    )
+
+
+def assign_ivf_lists(candidates: DataFrame, n_centroids: int = 32,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     dim: int | None = None) -> DataFrame:
+    """(vec_id, cid): nearest coarse centroid per candidate (argmin of
+    integer micro-d² on unit vectors, ties to the lower centroid id).
+
+    Centroids are the first ``n_centroids`` candidates BY ID — the
+    same deterministic coarse quantizer topk_ivf documents (pluggable
+    for trained centers in production; the list id is the column a
+    100 TB table is partitioned/bucketed by, so probes touch only
+    matching partitions).  ``dim`` statically unrolls the full-width
+    distance (codegen) — pass it when the embedding width is known.
+    """
+    u = _unit_vecs(candidates, vec_col, id_col, "vec_id")
+    cents = F.broadcast(
+        u.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+    )
+    scored = u.join(cents).select(
+        "vec_id", "cid",
+        _d2_micro(F.col("u"), F.col("cu"), dim).alias("d2"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cid")
+        )
+    )
+
+
+def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
+               n_centroids: int = 32, nprobe: int = 8,
+               m: int = 8, ksub: int = 16,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               codebooks: DataFrame | None = None,
+               dsub: int | None = None,
+               dim: int | None = None) -> DataFrame:
+    """IVF-pruned PQ/ADC top-k: each query probes its ``nprobe``
+    nearest inverted lists and ADC-scores ONLY those lists' codes.
+
+    Returns (query_id, vec_id, adc_d2_micro, rank) like topk_pq_adc;
+    results differ from the unpruned scan exactly where the true
+    neighbor lives in an unprobed list — that loss is the recall gate's
+    to measure.  Scan work: |C|·nprobe/n_centroids rows × m ints.
+    """
+    if codebooks is None:
+        codebooks = pq_sampled_codebooks(candidates, m, ksub, vec_col, id_col)
+    lists = assign_ivf_lists(candidates, n_centroids, vec_col, id_col, dim)
+    # queries probe their nprobe nearest centroids
+    qu = _unit_vecs(queries, vec_col, id_col, "query_id")
+    cents = F.broadcast(
+        _unit_vecs(candidates, vec_col, id_col, "vec_id")
+        .orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+    )
+    qd = qu.join(cents).select(
+        "query_id", "cid",
+        _d2_micro(F.col("u"), F.col("cu"), dim).alias("d2"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probed = (
+        qd.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "cid")
+    )
+    # packed codes + list id, pruned to probed (query, list) pairs
+    packed = (
+        pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+        .join(lists, on="vec_id")
+    )
+    qsub = _unit_subvectors(queries, m, vec_col, id_col, "query_id")
+    cells = qsub.join(F.broadcast(codebooks), on="s").select(
+        "query_id", "s", "code",
+        _d2_micro(F.col("sv"), F.col("cv"), dsub).alias("d2"),
+    )
+    lut = (
+        cells.groupBy("query_id", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d2"))),
+                lambda x: x["d2"],
+            ).alias("row")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "row"))),
+                lambda x: x["row"],
+            ).alias("lut")
+        )
+        .join(probed, on="query_id")  # fan LUTs out per probed list
+    )
+    scored = (
+        packed.join(F.broadcast(lut), on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            sum(
+                (
+                    F.element_at(
+                        F.element_at("lut", s + 1),
+                        F.element_at("codes", s + 1) + 1,
+                    )
+                    for s in range(1, m)
+                ),
+                start=F.element_at(
+                    F.element_at("lut", 1), F.element_at("codes", 1) + 1
+                ),
+            ).alias("adc_d2_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2_micro", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1382,11 +1382,11 @@ _PQ_D2U = (
 # PQ's worst case, trained codebooks only improve on this).
 _PQ_M, _PQ_KSUB, _PQ_DSUB = 32, 64, 2
 
-
-@_register(
-    "sim_topk_pq_adc",
-    f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+# Shared CTE prefix: normalize -> subvectors -> sampled codebooks ->
+# encoded corpus -> per-query LUT cells.  One string feeds BOTH the
+# flat-PQ and the IVF-PQ oracles, so the two stay literally in sync.
+_PQ_BASE = f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                FROM embeddings),
     n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
           FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
@@ -1408,7 +1408,13 @@ _PQ_M, _PQ_KSUB, _PQ_DSUB = 32, 64, 2
                FROM sub JOIN cb USING (s)) WHERE rn = 1),
     lut AS (SELECT q.vec_id AS query_id, s, cb.code,
                    {_PQ_D2U.format(a="q.sv", b="cb.cv")} AS d2u
-            FROM sub q JOIN cb USING (s) WHERE q.vec_id < 10),
+            FROM sub q JOIN cb USING (s) WHERE q.vec_id < 10)"""
+
+
+@_register(
+    "sim_topk_pq_adc",
+    f"""
+    WITH {_PQ_BASE},
     scored AS (SELECT lut.query_id, enc.vec_id,
                       CAST(SUM(lut.d2u) AS BIGINT) AS adc_d2_micro
                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
@@ -1467,3 +1473,103 @@ ORACLE_SQL["sim_recall_pq_vs_bruteforce"] = f"""
       ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
     GROUP BY bf.query_id ORDER BY bf.query_id
 """.format(bf=ORACLE_SQL["sim_topk_bruteforce"], ap=ORACLE_SQL["sim_topk_pq_adc"])
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed billion-scale serving architecture (FAISS
+# IVFPQ): the deterministic coarse quantizer (first 32 candidates by
+# id, same as topk_ivf) prunes WHICH rows each query scores (nprobe=8
+# of 32 lists -> 75% of the corpus never touched), PQ codes shrink
+# WHAT the survivors' scan reads (32 ints vs 64 floats).  Unlike
+# sim_topk_ivf_trained (where nprobe == n_centroids makes the path
+# exact), the pruning here is REAL — the oracle reproduces
+# assignment, probing and ADC bit-for-bit, and the recall gate pins
+# what the combined approximation costs vs the float truth.
+# ---------------------------------------------------------------------------
+_IVFPQ_NCENT, _IVFPQ_NPROBE = 32, 8
+
+
+@_register(
+    "sim_topk_ivfpq",
+    f"""
+    WITH {_PQ_BASE},
+    cents AS (SELECT vec_id AS cid, u AS cu FROM (
+                 SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                 FROM n) WHERE rn <= {_IVFPQ_NCENT}),
+    assign AS (SELECT vec_id, cid FROM (
+                 SELECT n.vec_id, cents.cid,
+                        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                            {_PQ_D2U.format(a="n.u", b="cents.cu")},
+                            cents.cid) AS rn
+                 FROM n, cents) WHERE rn = 1),
+    probe AS (SELECT query_id, cid FROM (
+                 SELECT n.vec_id AS query_id, cents.cid,
+                        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                            {_PQ_D2U.format(a="n.u", b="cents.cu")},
+                            cents.cid) AS rn
+                 FROM n, cents WHERE n.vec_id < 10) WHERE rn <= {_IVFPQ_NPROBE}),
+    scored AS (SELECT probe.query_id, enc.vec_id,
+                      CAST(SUM(lut.d2u) AS BIGINT) AS adc_d2_micro
+               FROM enc
+               JOIN assign ON assign.vec_id = enc.vec_id
+               JOIN probe ON probe.cid = assign.cid
+               JOIN lut ON lut.query_id = probe.query_id
+                       AND lut.s = enc.s AND lut.code = enc.code
+               WHERE enc.vec_id <> probe.query_id
+               GROUP BY probe.query_id, enc.vec_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adc_d2_micro, vec_id) AS rnk
+               FROM scored)
+    SELECT query_id, vec_id, adc_d2_micro, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        n_centroids=_IVFPQ_NCENT, nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M, ksub=_PQ_KSUB, dsub=_PQ_DSUB,
+        dim=64,  # static width -> unrolled codegen'd full-dim distance
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_ivfpq_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_ivfpq_vs_bruteforce(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = sim_topk_ivfpq(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["a_query"])
+        & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_vec").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_SQL["sim_recall_ivfpq_vs_bruteforce"] = f"""
+    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
+    ap AS ({ORACLE_SQL["sim_topk_ivfpq"]})
+    SELECT bf.query_id,
+           COUNT(ap.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM bf LEFT JOIN ap
+      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
