@@ -505,3 +505,45 @@ def test_hard_negatives_cross_label_and_ceiling(spark):
             similarity.hard_negative_candidates(emb, k=2)
     finally:
         similarity.MAX_EXACT_KNN_ROWS = big
+
+
+def test_quality_drift_ks_exact_integer_statistic(spark):
+    """KS drift on a hand-checkable fixture: src0 lengths {1,2,3},
+    src1 lengths {3,4,5} -> inclusive CDF gaps peak at v=2..3 with
+    |ca*t_b - cb*t_a| = 2*3 - 0*3 = 6 (D = 2/3); the tiny samples sit
+    below the 5% critical value, so drift_flag is 0 even though the
+    raw statistic is large — exactly the n-awareness PSI lacks."""
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.plans.governance import (
+        _DRIFT_A,
+        _DRIFT_B,
+        quality_drift_ks,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(6),
+        "source": [_DRIFT_A] * 3 + [_DRIFT_B] * 3,
+        "text": ["x", "xx", "xxx", "xxx", "xxxx", "xxxxx"],
+    }))
+    import vexere_lakehouse_pipeline_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda s, d, t: docs  # noqa: E731
+        import vexere_lakehouse_pipeline_spark.plans.governance as gov
+
+        gov_orig = gov.load_table
+        gov.load_table = cat.load_table
+        try:
+            row = quality_drift_ks(spark, "unused").collect()[0]
+        finally:
+            gov.load_table = gov_orig
+    finally:
+        cat.load_table = orig
+    assert (row["t_a"], row["t_b"]) == (3, 3)
+    assert row["d_num"] == 6            # max |ca*t_b - cb*t_a|
+    assert row["ks_permille"] == 666    # floor(1000*6/9)
+    # crit = round(1358*sqrt(6/9)) = round(1108.9) = 1109 > 666
+    assert row["crit_permille_05"] == 1109
+    assert row["drift_flag"] == 0

@@ -156,6 +156,8 @@ PROBES = [
     ("sim_topk_pq_adc", {"embeddings": ["vec_id"]}),
     # IVF-PQ adds the broadcast centroid assign (linear) + list pruning
     ("sim_topk_ivfpq", {"embeddings": ["vec_id"]}),
+    # KS drift: one groupBy over lengths + metadata-scale prefix sums
+    ("quality_drift_ks", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts /
     # quality_label_noise are NOT probed: the exact kNN strategy is
     # O(N²) by contract (enforced row ceiling); the scale path is

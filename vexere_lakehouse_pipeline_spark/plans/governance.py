@@ -1936,3 +1936,98 @@ def corpus_group_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift test — the nonparametric
+# complement to quality_drift_psi: PSI needs a bucketing choice, KS
+# compares the full empirical CDFs of doc length between two sources
+# and reports the max gap.  Everything is EXACT integers: the CDF gap
+# at value v is |ca·t_b − cb·t_a| (cross-multiplied — never a float
+# division), so the statistic is bit-portable; only the 5% critical
+# value touches a double (one sqrt + one round, computed inside the
+# engines with identical expressions).  The CDFs come from the
+# distributed prefix-sum operator over the per-value counts table
+# (bounded by DISTINCT lengths, tiny forever after the first groupBy),
+# so no single-partition window touches data-scale rows.
+# ---------------------------------------------------------------------------
+@_register(
+    "quality_drift_ks",
+    f"""
+    WITH lens AS (
+        SELECT source, length(text) AS v FROM documents
+        WHERE source IN ('{_DRIFT_A}', '{_DRIFT_B}') AND text IS NOT NULL
+    ),
+    counts AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN source = '{_DRIFT_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN source = '{_DRIFT_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM lens GROUP BY v
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(n_a) OVER (ORDER BY v) AS BIGINT) AS ca,
+               CAST(SUM(n_b) OVER (ORDER BY v) AS BIGINT) AS cb
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+                   CAST(SUM(n_b) AS BIGINT) AS t_b FROM counts)
+    SELECT t_a, t_b,
+           CAST(MAX(ABS(ca * t_b - cb * t_a)) AS BIGINT) AS d_num,
+           CAST((1000 * MAX(ABS(ca * t_b - cb * t_a))) // (t_a * t_b) AS BIGINT)
+               AS ks_permille,
+           CAST(ROUND(1358 * sqrt(CAST(t_a + t_b AS DOUBLE)
+                                  / CAST(t_a * t_b AS DOUBLE)), 0) AS BIGINT)
+               AS crit_permille_05,
+           CAST(CASE WHEN (1000 * MAX(ABS(ca * t_b - cb * t_a))) // (t_a * t_b)
+                       > ROUND(1358 * sqrt(CAST(t_a + t_b AS DOUBLE)
+                                           / CAST(t_a * t_b AS DOUBLE)), 0)
+                     THEN 1 ELSE 0 END AS INTEGER) AS drift_flag
+    FROM cum CROSS JOIN tot
+    GROUP BY t_a, t_b
+    """,
+)
+def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.packing import (
+        ordered_prefix_sum_with_total,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.filter(
+        F.col("source").isin(_DRIFT_A, _DRIFT_B) & F.col("text").isNotNull()
+    ).select("source", F.length("text").alias("v"))
+    counts = lens.groupBy("v").agg(
+        F.sum(F.when(F.col("source") == _DRIFT_A, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("source") == _DRIFT_B, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    # inclusive CDF counts = exclusive prefix + own count; totals come
+    # back as driver ints for free (metadata scale, like packing)
+    with_a, t_a = ordered_prefix_sum_with_total(counts, "v", "n_a", "_pa")
+    with_b, t_b = ordered_prefix_sum_with_total(with_a, "v", "n_b", "_pb")
+    diff = F.abs(
+        (F.col("_pa") + F.col("n_a")) * F.lit(t_b)
+        - (F.col("_pb") + F.col("n_b")) * F.lit(t_a)
+    )
+    crit = (
+        f"CAST(ROUND(1358 * sqrt(CAST({t_a} + {t_b} AS DOUBLE)"
+        f" / CAST({t_a} * {t_b} AS DOUBLE)), 0) AS BIGINT)"
+    )
+    return with_b.agg(
+        F.lit(t_a).cast("long").alias("t_a"),
+        F.lit(t_b).cast("long").alias("t_b"),
+        F.max(diff).cast("long").alias("d_num"),
+        F.expr(f"CAST((1000 * {{d}}) DIV ({t_a} * {t_b}) AS BIGINT)".format(
+            d="max(abs((_pa + n_a) * " + str(t_b)
+              + " - (_pb + n_b) * " + str(t_a) + "))"
+        )).alias("ks_permille"),
+        F.expr(crit).alias("crit_permille_05"),
+        F.expr(
+            f"CAST(CASE WHEN (1000 * max(abs((_pa + n_a) * {t_b}"
+            f" - (_pb + n_b) * {t_a}))) DIV ({t_a} * {t_b})"
+            f" > ROUND(1358 * sqrt(CAST({t_a} + {t_b} AS DOUBLE)"
+            f" / CAST({t_a} * {t_b} AS DOUBLE)), 0)"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("drift_flag"),
+    )
