@@ -190,6 +190,7 @@ def main() -> None:
         "sim_topk_ivfpq",
         "sim_recall_ivfpq_vs_bruteforce",
         "quality_drift_ks",
+        "events_journey_paths",
         # sim_hard_negatives is NOT tracked: exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the

@@ -158,6 +158,8 @@ PROBES = [
     ("sim_topk_ivfpq", {"embeddings": ["vec_id"]}),
     # KS drift: one groupBy over lengths + metadata-scale prefix sums
     ("quality_drift_ks", {"documents": ["doc_id"]}),
+    # journey paths: sessionization window + two hash aggs
+    ("events_journey_paths", {"events": ["event_id", "user_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts /
     # quality_label_noise are NOT probed: the exact kNN strategy is
     # O(N²) by contract (enforced row ceiling); the scale path is

@@ -1,6 +1,7 @@
 """Similarity search over embedding columns.
 
-Four strategies:
+Strategies, in increasing scale ambition (every approximate path has
+an oracle-gated recall row against the brute-force truth):
 
 - **Brute force (column fold)** — broadcast the (small) query set
   against the full candidate table, score with a JVM-side cosine fold,
@@ -10,12 +11,22 @@ Four strategies:
   numpy matmul per Arrow batch inside ``mapInPandas``.  Exact; wins
   for wide vectors (d ≳ a few hundred) where BLAS beats the
   interpreted higher-order-function fold.
-- **LSH-bucketed** — sign-bucket both sides (random-hyperplane-style),
+- **LSH-bucketed** (single + multi-table) — sign-bucket both sides,
   equi-join on the bucket, rank within.  Approximate; the join prunes
-  the score count by ~2^bits.
+  the score count by ~2^bits, extra tables buy recall linearly.
+- **Hamming / binary sketch** — 63 sign bits packed into ONE int64;
+  xor+bit_count ranks like cosine at 1/64th the bytes.
+- **int8 codes** — unit vectors quantized to ±127; integer dot
+  products, 28x measured scan-byte reduction (SCALE.md).
 - **IVF** — coarse-quantize into inverted lists, probe the nprobe
-  nearest lists per query.  Approximate; the list id doubles as a
-  partition/bucket key at 100 TB.
+  nearest lists per query; the list id doubles as a partition/bucket
+  key at 100 TB.  Pluggable centroids (deterministic first-n default,
+  train_kmeans for quality).
+- **PQ / ADC** — m-subspace product quantization with sampled
+  codebooks; candidates scanned as m small ints, scored by integer
+  LUT lookups (20x measured scan-byte reduction, SCALE.md).
+- **IVF-PQ** — the composed production architecture: IVF prunes rows,
+  PQ shrinks bytes per surviving row.
 """
 
 from __future__ import annotations

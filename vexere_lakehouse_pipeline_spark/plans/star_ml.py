@@ -1573,3 +1573,99 @@ ORACLE_SQL["sim_recall_ivfpq_vs_bruteforce"] = f"""
       ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
     GROUP BY bf.query_id ORDER BY bf.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Session journey paths — sequence-pattern mining over the sessionized
+# event stream: the ordered event_type path of each session (first 8
+# steps — the cap bounds the path string and is mirrored in the
+# oracle), then the top-20 most frequent journeys with session and
+# user counts.  The classic product-analytics "top user flows" rollup;
+# one window + two hash aggregations, all deterministic (ties broken
+# by (ts, event_id) inside the path, by path text at the top-k cut).
+# ---------------------------------------------------------------------------
+_JOURNEY_STEPS, _JOURNEY_TOPK = 8, 20
+
+
+@_register(
+    "events_journey_paths",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM ordered
+    ),
+    sess AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               array_to_string(
+                   (list(event_type ORDER BY ts, event_id))[1:{_JOURNEY_STEPS}],
+                   '>') AS path
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_JOURNEY_TOPK}
+    """,
+)
+def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda x: x["event_type"],
+                    ),
+                    1, _JOURNEY_STEPS,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_JOURNEY_TOPK)
+    )
