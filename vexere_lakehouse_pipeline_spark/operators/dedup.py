@@ -286,7 +286,13 @@ def overlap_counts(pairs: DataFrame, sh: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        pairs.join(inter, on=["doc_a", "doc_b"], how="left")
+        # candidate-scale x candidate-scale on the same (doc_a, doc_b)
+        # key: shuffle_hash over the default sort-merge — unique keys
+        # on both sides make the two full sorts pure overhead, and the
+        # build side (inter) is never larger than the probe side
+        pairs.join(
+            inter.hint("shuffle_hash"), on=["doc_a", "doc_b"], how="left"
+        )
         .na.fill({"n_inter": 0})
         .join(
             sizes.withColumnsRenamed({"doc_id": "doc_a", "n_shingles": "n_a"}),

@@ -1240,7 +1240,13 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
                 lambda x: x["code"],
             ).alias("codes")
         )
-        .join(lists, on="vec_id")
+        # codes ⋈ lists is the one data-scale x data-scale join in the
+        # similarity family (neither side broadcasts at 100 TB — both
+        # have one row per corpus vector).  shuffle_hash beats the
+        # default sort-merge: the key is unique on both sides, so the
+        # two full sorts buy nothing; at scale both tables would be
+        # bucketed by vec_id and the shuffle disappears entirely.
+        .join(lists.hint("shuffle_hash"), on="vec_id")
     )
     qsub = _unit_subvectors(queries, m, vec_col, id_col, "query_id")
     cells = qsub.join(F.broadcast(codebooks), on="s").select(
@@ -1262,7 +1268,9 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
                 lambda x: x["row"],
             ).alias("lut")
         )
-        .join(probed, on="query_id")  # fan LUTs out per probed list
+        # fan LUTs out per probed list — both sides are query-scale
+        # (|Q| and |Q|·nprobe rows), broadcast explicitly
+        .join(F.broadcast(probed), on="query_id")
     )
     scored = (
         packed.join(F.broadcast(lut), on="cid")

@@ -463,20 +463,20 @@ def split_leakage(docs: DataFrame,
     tests craft cross-split near-dups directly; the registered query
     below binds it to the sf_dir documents table)."""
     pairs = dedup.ngram_jaccard_pairs(docs, min_jaccard=min_jaccard)
-    splits = docs.select(
-        "doc_id", sampling.split_column("doc_id", _SPLIT_WEIGHTS).alias("split")
-    )
+    # the split label is a PURE hash of the doc id, so it is computed
+    # inline on the pair's own columns — no join back to a data-scale
+    # splits table (the previous two joins were this plan's only
+    # sort-merge joins, and they bought nothing: every pair id comes
+    # from docs by construction)
     return (
-        pairs.join(
-            splits.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"}),
-            on="doc_a",
-        )
-        .join(
-            splits.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"}),
-            on="doc_b",
+        pairs.select(
+            "doc_a",
+            sampling.split_column("doc_a", _SPLIT_WEIGHTS).alias("split_a"),
+            "doc_b",
+            sampling.split_column("doc_b", _SPLIT_WEIGHTS).alias("split_b"),
+            "jaccard",
         )
         .filter(F.col("split_a") != F.col("split_b"))
-        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
