@@ -191,7 +191,8 @@ def main() -> None:
         "sim_recall_ivfpq_vs_bruteforce",
         "quality_drift_ks",
         "events_journey_paths",
-        # sim_hard_negatives is NOT tracked: exact cross-label mining is
+        # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
+        # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
         # correctness at sf0.01; timing it at sf0.1 would measure the
         # documented quadratic, not a pipeline regression.

@@ -1669,3 +1669,84 @@ def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(_JOURNEY_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training triples — the deliverable an embedding-finetune
+# job consumes: per anchor, its best same-label semantic near-dup as
+# the POSITIVE (from the blocked cosine generator, split-cap semantics
+# and all) and its most-confusable different-label vector as the hard
+# NEGATIVE (from the exact miner; at corpus scale both generators
+# swap to their blocked variants through the same contracts).  The
+# oracle composes the already-gated near-dup SQL, so the triple
+# builder inherits the split-cap fidelity instead of re-deriving it.
+# ---------------------------------------------------------------------------
+@_register(
+    "corpus_contrastive_triples",
+    None,  # composed below from the registered near-dup oracle
+)
+def corpus_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.3)
+    sym = pairs.select(
+        F.col("vec_a").alias("anchor"),
+        F.col("vec_b").alias("partner"),
+        "cos_sim",
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("anchor"),
+            F.col("vec_a").alias("partner"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos_sim"), "partner")
+    best_pos = (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor",
+            F.col("partner").alias("pos_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    negs = similarity.hard_negative_candidates(emb, k=1).select(
+        F.col("src").alias("anchor"),
+        F.col("neg").alias("neg_id"),
+        F.col("cos_sim").alias("neg_sim"),
+    )
+    return best_pos.join(negs, on="anchor").orderBy("anchor")
+
+
+ORACLE_SQL["corpus_contrastive_triples"] = f"""
+    WITH pos_pairs AS ({ORACLE_SQL["dedup_embedding_neardup_pairs"]}),
+    sym AS (
+        SELECT vec_a AS anchor, vec_b AS partner, cos_sim FROM pos_pairs
+        UNION ALL
+        SELECT vec_b AS anchor, vec_a AS partner, cos_sim FROM pos_pairs
+    ),
+    best_pos AS (
+        SELECT anchor, partner AS pos_id, cos_sim AS pos_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+                          ORDER BY cos_sim DESC, partner) AS rn
+            FROM sym) WHERE rn = 1
+    ),
+    e AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    neg_scored AS (
+        SELECT a.vec_id AS anchor, b.vec_id AS neg_id,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS neg_sim
+        FROM e a JOIN e b ON a.label <> b.label
+    ),
+    negs AS (
+        SELECT anchor, neg_id, neg_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+                          ORDER BY neg_sim DESC, neg_id) AS rn
+            FROM neg_scored WHERE neg_sim IS NOT NULL) WHERE rn = 1
+    )
+    SELECT p.anchor, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+    FROM best_pos p JOIN negs n USING (anchor)
+    ORDER BY anchor
+"""
