@@ -191,6 +191,7 @@ def main() -> None:
         "sim_recall_ivfpq_vs_bruteforce",
         "quality_drift_ks",
         "events_journey_paths",
+        "window_next_order_gap",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

@@ -160,6 +160,8 @@ PROBES = [
     ("quality_drift_ks", {"documents": ["doc_id"]}),
     # journey paths: sessionization window + two hash aggs
     ("events_journey_paths", {"events": ["event_id", "user_id"]}),
+    # lead window: one partition-local window + hash agg
+    ("window_next_order_gap", {"orders": ["o_orderkey", "o_custkey"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts /
     # quality_label_noise are NOT probed: the exact kNN strategy is
     # O(N²) by contract (enforced row ceiling); the scale path is

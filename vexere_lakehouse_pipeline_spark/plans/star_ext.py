@@ -1373,3 +1373,61 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_total").cast("double").alias("sum_total"),
         "last_order_date",
     ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Inter-order gaps via LEAD — the forward-looking window twin of the
+# lag()-based sessionizer: per customer, the day gaps between
+# consecutive orders (repurchase-cadence analysis).  Integer day
+# arithmetic end-to-end (both engines CAST to DATE first, so the diff
+# is exact calendar days, not boundary-sensitive timestamp math).
+# ---------------------------------------------------------------------------
+@_register(
+    "window_next_order_gap",
+    """
+    WITH g AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS d,
+               lead(CAST(o_orderdate AS DATE)) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS next_d
+        FROM orders
+    ),
+    gaps AS (
+        SELECT o_custkey, date_diff('day', d, next_d) AS gap
+        FROM g WHERE next_d IS NOT NULL
+    )
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS total_gap_days,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days
+    FROM gaps GROUP BY o_custkey ORDER BY custkey
+    """,
+)
+def window_next_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.withColumn("next_d", F.lead("d").over(w))
+        .filter(F.col("next_d").isNotNull())
+        .select(
+            "o_custkey", F.datediff("next_d", "d").cast("long").alias("gap")
+        )
+    )
+    return (
+        gaps.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap").alias("total_gap_days"),
+            F.min("gap").alias("min_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+        .orderBy("custkey")
+    )
