@@ -887,3 +887,36 @@ def test_topk_ivfpq_pruning_and_recall(spark):
         ).collect()
     ]
     assert sum(rec) / len(rec) >= 0.5
+
+
+def test_pq_trained_codebooks_beat_sampled(spark):
+    """pq_train_codebooks is the quality path the PQ docstrings promise
+    ("production swaps in trained centroids"): 3 Lloyd's iterations
+    over the sampled init must strictly improve recall@5 vs the float
+    truth (measured 0.64 sampled -> 0.80 trained at sf0.001), and the
+    output keeps the (s, code, cv) contract so it drops into
+    topk_pq_adc unchanged."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.vec_id)
+             for r in sim.topk_bruteforce(emb, q, k=5).collect()}
+
+    def recall(cbs):
+        got = {(r.query_id, r.vec_id)
+               for r in sim.topk_pq_adc(emb, q, k=5, m=32, ksub=64,
+                                        codebooks=cbs, dsub=2).collect()}
+        return len(got & truth) / len(truth)
+
+    r_sampled = recall(sim.pq_sampled_codebooks(emb, m=32, ksub=64))
+    trained = sim.pq_train_codebooks(emb, m=32, ksub=64, iters=3, dsub=2)
+    assert {tuple(r) for r in trained.select("s").distinct().collect()} \
+        == {(s,) for s in range(32)}
+    r_trained = recall(trained)
+    assert r_trained > r_sampled
+    assert r_trained >= 0.7

@@ -1297,3 +1297,59 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_train_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
+                       iters: int = 3,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       dsub: int | None = None) -> DataFrame:
+    """k-means-trained PQ codebooks (Lloyd's, all m subspaces jointly):
+    init from the deterministic sampled codebooks, then iterate
+    assign (pq_encode's integer argmin — bit-stable) / update (mean of
+    assigned subvectors per (s, code)).  Returns the same (s, code,
+    cv) contract as pq_sampled_codebooks, so it drops into
+    topk_pq_adc/topk_ivfpq unchanged — this is the quality path whose
+    recall improvement over sampled init is pinned in
+    tests/test_dedup_similarity.py (the float means are not
+    engine-portable, so the ORACLE rows stay on sampled codebooks —
+    same split as train_kmeans vs the first-k IVF default).
+
+    Cost per iteration: one n·m·ksub encode + one per-dimension mean
+    over n·m·dsub narrow rows — both map-side-partial, both linear.  A
+    code that loses all its members keeps its previous centroid (no
+    empty-cluster collapse).
+    """
+    cbs = pq_sampled_codebooks(emb, m, ksub, vec_col, id_col)
+    sub = _unit_subvectors(emb, m, vec_col, id_col, "vec_id")
+    sub = sub.localCheckpoint(eager=True)  # reuse across iterations
+    for _ in range(iters):
+        assigned = pq_encode(emb, cbs, m, vec_col, id_col, dsub)
+        # distributed mean: per-dimension partial-aggregable avg (never
+        # collect_list of member vectors — that would buffer whole
+        # clusters per task), then rebuild the dsub-wide array
+        means = (
+            sub.join(assigned, on=["vec_id", "s"])
+            .select(
+                "s", "code",
+                F.posexplode(F.col("sv")).alias("pos", "x"),
+            )
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda e: e["mx"],
+                ).alias("new_cv")
+            )
+        )
+        cbs = (
+            cbs.join(means, on=["s", "code"], how="left")
+            .select(
+                "s", "code",
+                F.coalesce("new_cv", "cv").alias("cv"),
+            )
+            .localCheckpoint(eager=True)  # pin; avoid lineage explosion
+        )
+    return cbs
