@@ -371,3 +371,41 @@ def test_downsample_audio_decimation_and_quarantine(spark):
         downsample_audio(bad, 2).collect()
     with pytest.raises(ValueError):
         downsample_audio(media, 0)
+
+
+def test_downsample_image_nn_and_quarantine(spark):
+    import pandas as pd
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        downsample_image,
+        encode_bmp,
+    )
+
+    # 5x3 image, channel value = r*10 + c (distinct per pixel)
+    pixels = [(r * 10 + c, r * 10 + c, r * 10 + c)
+              for r in range(3) for c in range(5)]
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2],
+            "payload": [encode_bmp(5, 3, pixels), b""],
+        })
+    )
+    rows = {r.media_id: r for r in downsample_image(media, 2).collect()}
+    r1 = rows[1]
+    # kept pixels: rows {0,2} x cols {0,2,4} -> values 0,2,4,20,22,24
+    kept = [0, 2, 4, 20, 22, 24]
+    assert (r1.width_in, r1.height_in) == (5, 3)
+    assert (r1.width_out, r1.height_out) == (3, 2)
+    assert r1.sum_r == r1.sum_g == r1.sum_b == sum(kept)
+    assert r1.peak_luma_milli == (299 + 587 + 114) * 24
+    # empty payload -> zero row
+    assert tuple(rows[2])[1:] == (0,) * 8
+    # malformed raises for quarantine; factor validated
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [3], "payload": [b"BMnot really a bmp" * 8]})
+    )
+    with pytest.raises(Exception):
+        downsample_image(bad, 2).collect()
+    with pytest.raises(ValueError):
+        downsample_image(media, 0)

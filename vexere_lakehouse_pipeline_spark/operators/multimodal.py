@@ -485,3 +485,74 @@ def extract_image_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_SCHEMA
     )
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "media_id long, width_in int, height_in int, width_out int, "
+    "height_out int, sum_r bigint, sum_g bigint, sum_b bigint, "
+    "peak_luma_milli bigint"
+)
+
+
+def bmp_resize_nn_stats(payload: bytes,
+                        factor: int) -> tuple[int, ...]:
+    """Nearest-neighbor downscale of an uncompressed 24-bit BMP by an
+    integer ``factor`` — the image "resize" slot of the multimodal
+    contract — returning integer-exact stats of the RESIZED image
+    (channel sums + peak BT.601 milli-luma), which is what keeps the
+    whole stage oracle-checkable offline (a real bilinear/Lanczos
+    resampler swaps into the same stage signature on clusters with
+    PIL/torch; nearest-neighbor is pure index selection, so no float
+    ever enters).
+
+    Output pixel (R, C) samples source pixel (R·factor, C·factor);
+    out dims are ceil(in/factor).  Same quarantine contract as every
+    decoder here: empty payload → zero row, malformed raises.
+    """
+    if not payload:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    pix_off, width, height, row_stride, bottom_up = _bmp_parse_header(payload)
+    out_w = (width + factor - 1) // factor
+    out_h = (height + factor - 1) // factor
+    sums = [0, 0, 0]
+    peak = 0
+    for orow in range(out_h):
+        row = orow * factor
+        src_row = (height - 1 - row) if bottom_up else row
+        base = pix_off + src_row * row_stride
+        for ocol in range(out_w):
+            off = base + ocol * factor * 3
+            b, g, r = payload[off], payload[off + 1], payload[off + 2]
+            sums[0] += r
+            sums[1] += g
+            sums[2] += b
+            luma = 299 * r + 587 * g + 114 * b
+            if luma > peak:
+                peak = luma
+    return (width, height, out_w, out_h, sums[0], sums[1], sums[2], peak)
+
+
+def downsample_image(media: DataFrame, factor: int = 2) -> DataFrame:
+    """mapInPandas image-resize stage — the visual analog of
+    :func:`downsample_audio`: decode the BMP, keep every
+    ``factor``-th pixel in both axes, emit integer stats of the
+    resized image.  Bytes cross JVM→Python once per Arrow batch."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid, *bmp_resize_nn_stats(b, factor))
+                for mid, b in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width_in", "height_in", "width_out",
+                         "height_out", "sum_r", "sum_g", "sum_b",
+                         "peak_luma_milli"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=IMAGE_RESIZE_SCHEMA
+    )

@@ -1194,3 +1194,79 @@ def multimodal_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, payload binary"
     )
     return downsample_audio(media, factor=_DS_FACTOR).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Image resize (nearest-neighbor 2x downscale) through the oracle gate
+# — completes the multimodal contract's decode / frame-sample / RESIZE
+# triple: the synthesized BMPs of multimodal_bmp_stats run through
+# encode_bmp -> header parse -> keep-every-2nd-pixel-in-both-axes
+# (operators/multimodal.downsample_image), and the oracle regenerates
+# the KEPT pixels directly by filtering even (row, col) — a green row
+# proves the real BMP round-trip (bottom-up storage, 4-byte row
+# padding) plus the stride arithmetic end-to-end in exact integers.
+# ---------------------------------------------------------------------------
+_RS_FACTOR = 2
+
+@_register(
+    "multimodal_bmp_resize",
+    f"""
+    WITH t AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM t),
+    kept AS (SELECT doc_id, w, h,
+                    (doc_id * 7 + (k // w) * 5 + (k % w) * 3) % 256 AS vr,
+                    (doc_id * 7 + (k // w) * 5 + (k % w) * 3 + 11) % 256 AS vg,
+                    (doc_id * 7 + (k // w) * 5 + (k % w) * 3 + 22) % 256 AS vb
+             FROM px
+             WHERE (k // w) % {_RS_FACTOR} = 0 AND (k % w) % {_RS_FACTOR} = 0)
+    SELECT doc_id AS media_id,
+           CAST(MIN(w) AS INTEGER) AS width_in,
+           CAST(MIN(h) AS INTEGER) AS height_in,
+           CAST((MIN(w) + {_RS_FACTOR - 1}) // {_RS_FACTOR} AS INTEGER)
+               AS width_out,
+           CAST((MIN(h) + {_RS_FACTOR - 1}) // {_RS_FACTOR} AS INTEGER)
+               AS height_out,
+           CAST(SUM(vr) AS BIGINT) AS sum_r,
+           CAST(SUM(vg) AS BIGINT) AS sum_g,
+           CAST(SUM(vb) AS BIGINT) AS sum_b,
+           CAST(MAX(299 * vr + 587 * vg + 114 * vb) AS BIGINT)
+               AS peak_luma_milli
+    FROM kept GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        downsample_image,
+        encode_bmp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                pixels = [
+                    (
+                        (d * 7 + r * 5 + c * 3) % 256,
+                        (d * 7 + r * 5 + c * 3 + 11) % 256,
+                        (d * 7 + r * 5 + c * 3 + 22) % 256,
+                    )
+                    for r in range(h)
+                    for c in range(w)
+                ]
+                payloads.append(encode_bmp(w, h, pixels))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return downsample_image(media, factor=_RS_FACTOR).orderBy("media_id")
