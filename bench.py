@@ -193,6 +193,7 @@ def main() -> None:
         "events_journey_paths",
         "window_next_order_gap",
         "multimodal_bmp_resize",
+        "multimodal_avi_framesample",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

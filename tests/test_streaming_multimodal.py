@@ -409,3 +409,37 @@ def test_downsample_image_nn_and_quarantine(spark):
         downsample_image(bad, 2).collect()
     with pytest.raises(ValueError):
         downsample_image(media, 0)
+
+
+def test_framesample_video_stride_and_quarantine(spark):
+    import pandas as pd
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_avi,
+        framesample_video,
+    )
+
+    # 5 frames of 2x1; pixel value = frame*10 + col (all channels)
+    frames = [[(f * 10 + c,) * 3 for c in range(2)] for f in range(5)]
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2],
+            "payload": [encode_avi(2, 1, frames), b""],
+        })
+    )
+    rows = {r.media_id: r for r in framesample_video(media, 2).collect()}
+    r1 = rows[1]
+    assert (r1.n_frames_in, r1.n_frames_out) == (5, 3)
+    assert (r1.width, r1.height) == (2, 1)
+    kept = [0, 1, 20, 21, 40, 41]  # frames 0, 2, 4
+    assert r1.sum_r == r1.sum_g == r1.sum_b == sum(kept)
+    assert r1.peak_luma_milli == (299 + 587 + 114) * 41
+    assert tuple(rows[2])[1:] == (0,) * 8  # empty -> zero row
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [3], "payload": [b"RIFFxxxxAVI corrupt"]})
+    )
+    with pytest.raises(Exception):
+        framesample_video(bad, 2).collect()
+    with pytest.raises(ValueError):
+        framesample_video(media, 0)

@@ -556,3 +556,151 @@ def downsample_image(media: DataFrame, factor: int = 2) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=IMAGE_RESIZE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: minimal AVI (RIFF) container with uncompressed DIB frames —
+# the same zero-dependency realism strategy as the WAV and BMP
+# decoders: a real container layout (RIFF 'AVI ', LIST hdrl with an
+# avih main header carrying dims, LIST movi with one '00db' chunk of
+# raw bottom-up BGR rows per frame) parsed with the same chunk walk,
+# so the frame-sampling stage exercises genuine container arithmetic
+# (chunk padding, row stride) rather than a made-up format.  Real
+# codecs (ffmpeg/pyav) swap into the same stage signature.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(width: int, height: int,
+               frames: list[list[tuple[int, int, int]]]) -> bytes:
+    """Minimal uncompressed AVI encoder (test fixture / round-trip
+    partner for :func:`_avi_parse`).  Each frame is row-major top-down
+    RGB; stored as a '00db' DIB chunk (bottom-up BGR, 4-byte row
+    stride) inside LIST movi."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    movi = bytearray(b"movi")
+    for pix in frames:
+        dib = bytearray()
+        for row in range(height - 1, -1, -1):  # bottom-up storage
+            for col in range(width):
+                r, g, b = pix[row * width + col]
+                dib += bytes((b, g, r))
+            dib += b"\x00" * (row_stride - width * 3)
+        movi += b"00db" + struct.pack("<I", len(dib)) + dib
+        if len(dib) & 1:
+            movi += b"\x00"  # RIFF chunks pad to even offsets
+    # avih main header: 56 bytes; dwWidth/dwHeight at offsets 32/36
+    avih = bytearray(56)
+    struct.pack_into("<I", avih, 16, len(frames))  # dwTotalFrames
+    struct.pack_into("<II", avih, 32, width, height)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + bytes(avih)
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_parse(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """RIFF walk for the minimal AVI layout: returns (width, height,
+    [frame DIB bytes...]) or raises ValueError (quarantine contract)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos, width, height, frames = 12, None, None, []
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("not an AVI payload: truncated chunk")
+        if cid == b"LIST" and body[:4] == b"hdrl":
+            sub = body[4:]
+            if sub[:4] == b"avih":
+                (alen,) = struct.unpack_from("<I", sub, 4)
+                if alen < 40:
+                    raise ValueError("not an AVI payload: short avih")
+                width, height = struct.unpack_from("<II", sub, 8 + 32)
+        elif cid == b"LIST" and body[:4] == b"movi":
+            spos = 4
+            while spos + 8 <= len(body):
+                scid, ssize = struct.unpack_from("<4sI", body, spos)
+                if scid == b"00db":
+                    frame = body[spos + 8: spos + 8 + ssize]
+                    if len(frame) < ssize:
+                        raise ValueError(
+                            "not an AVI payload: truncated frame"
+                        )
+                    frames.append(frame)
+                spos += 8 + ssize + (ssize & 1)
+        pos += 8 + size + (size & 1)
+    if width is None or not width or not height:
+        raise ValueError("not an AVI payload: missing avih dims")
+    row_stride = (width * 3 + 3) & ~3
+    for f in frames:
+        if len(f) != row_stride * height:
+            raise ValueError("not an AVI payload: frame size mismatch")
+    return width, height, frames
+
+
+VIDEO_FRAMESAMPLE_SCHEMA = (
+    "media_id long, n_frames_in int, n_frames_out int, width int, "
+    "height int, sum_r bigint, sum_g bigint, sum_b bigint, "
+    "peak_luma_milli bigint"
+)
+
+
+def framesample_video(media: DataFrame, step: int = 2) -> DataFrame:
+    """mapInPandas video frame-sampling stage — keep every ``step``-th
+    frame of each AVI payload and emit integer-exact stats over the
+    KEPT frames' pixels (channel sums + peak BT.601 milli-luma).  The
+    canonical pre-processing cut for video training data: most
+    pipelines score/caption a strided subset of frames, never all of
+    them.  Same contracts as every decoder stage here: bytes cross
+    JVM→Python once per Arrow batch, empty payload → zero row,
+    malformed raises for quarantine routing.
+    """
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+
+    def stats(payload: bytes) -> tuple[int, ...]:
+        if not payload:
+            return (0, 0, 0, 0, 0, 0, 0, 0)
+        width, height, frames = _avi_parse(payload)
+        kept = frames[::step]
+        row_stride = (width * 3 + 3) & ~3
+        sums = [0, 0, 0]
+        peak = 0
+        for dib in kept:
+            for row in range(height):
+                base = (height - 1 - row) * row_stride  # bottom-up
+                for col in range(width):
+                    off = base + col * 3
+                    b, g, r = dib[off], dib[off + 1], dib[off + 2]
+                    sums[0] += r
+                    sums[1] += g
+                    sums[2] += b
+                    luma = 299 * r + 587 * g + 114 * b
+                    if luma > peak:
+                        peak = luma
+        return (len(frames), len(kept), width, height,
+                sums[0], sums[1], sums[2], peak)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid, *stats(b))
+                for mid, b in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames_in", "n_frames_out",
+                         "width", "height", "sum_r", "sum_g", "sum_b",
+                         "peak_luma_milli"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_FRAMESAMPLE_SCHEMA
+    )

@@ -1270,3 +1270,85 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, payload binary"
     )
     return downsample_image(media, factor=_RS_FACTOR).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Video frame-sampling through the oracle gate — the third multimodal
+# modality: per doc a synthesized AVI-style RIFF container ((2+id%5)
+# frames of (3+id%3)x(2+id%2) DIB pixels, channels (id*7 + f*13 + r*5
+# + c*3 + {0,11,22}) % 256) runs through encode_avi -> _avi_parse ->
+# keep-every-2nd-frame (operators/multimodal.framesample_video), and
+# the oracle regenerates the KEPT frames' pixels directly — a green
+# row proves the real container walk (LIST hdrl/movi, chunk padding,
+# bottom-up DIB stride) plus the stride sampling in exact integers.
+# ---------------------------------------------------------------------------
+_VFS_STEP = 2
+
+@_register(
+    "multimodal_avi_framesample",
+    f"""
+    WITH t AS (SELECT doc_id, 2 + doc_id % 5 AS nf,
+                      3 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+               FROM documents),
+    fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM t
+           ),
+    kept AS (SELECT doc_id, nf, w, h, f FROM fr WHERE f % {_VFS_STEP} = 0),
+    px AS (SELECT doc_id, nf, w, h, f, unnest(range(0, w * h)) AS k
+           FROM kept),
+    v AS (SELECT doc_id, nf, w, h,
+                 (doc_id * 7 + f * 13 + (k // w) * 5 + (k % w) * 3) % 256 AS vr,
+                 (doc_id * 7 + f * 13 + (k // w) * 5 + (k % w) * 3 + 11) % 256 AS vg,
+                 (doc_id * 7 + f * 13 + (k // w) * 5 + (k % w) * 3 + 22) % 256 AS vb
+          FROM px)
+    SELECT doc_id AS media_id,
+           CAST(MIN(nf) AS INTEGER) AS n_frames_in,
+           CAST((MIN(nf) + {_VFS_STEP - 1}) // {_VFS_STEP} AS INTEGER)
+               AS n_frames_out,
+           CAST(MIN(w) AS INTEGER) AS width,
+           CAST(MIN(h) AS INTEGER) AS height,
+           CAST(SUM(vr) AS BIGINT) AS sum_r,
+           CAST(SUM(vg) AS BIGINT) AS sum_g,
+           CAST(SUM(vb) AS BIGINT) AS sum_b,
+           CAST(MAX(299 * vr + 587 * vg + 114 * vb) AS BIGINT)
+               AS peak_luma_milli
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_avi_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_avi,
+        framesample_video,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                nf, w, h = 2 + d % 5, 3 + d % 3, 2 + d % 2
+                frames = [
+                    [
+                        (
+                            (d * 7 + f * 13 + r * 5 + c * 3) % 256,
+                            (d * 7 + f * 13 + r * 5 + c * 3 + 11) % 256,
+                            (d * 7 + f * 13 + r * 5 + c * 3 + 22) % 256,
+                        )
+                        for r in range(h)
+                        for c in range(w)
+                    ]
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi(w, h, frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return framesample_video(media, step=_VFS_STEP).orderBy("media_id")
