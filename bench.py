@@ -236,7 +236,7 @@ def main() -> None:
         "dedup_editdist_verify",
     ]
     headline2 = {
-        name: extra.get(name, time_query(name))
+        name: (extra[name] if name in extra else time_query(name))
         for name in headline2_names
         if name in ALL_QUERIES
     }

@@ -49,6 +49,39 @@ from vexere_lakehouse_pipeline_spark.functions.vectors import (
 MAX_ARROW_QUERIES = 100_000
 
 
+def _two_stage_topk(scored: DataFrame, order_by: list, k: int,
+                    rank_col: str = "rank") -> DataFrame:
+    """Distributed top-k over a (query_id, vec_id, score…) stream.
+
+    Stage 1: ``row_number`` over (query_id, spark_partition_id())
+    capped at k — the shuffle spreads each query's candidates across
+    (query, input-partition) keys, so NO single task ever receives a
+    query's full candidate list (the 100×-scale hazard of the naive
+    per-query window: one task sorts O(|C|) rows, spills, straggles).
+    Stage 2: the final rank runs over the ≤ n_partitions·k survivors —
+    tiny.
+
+    Bit-identical to the single-window rank for ANY grouping of the
+    input: ``order_by`` must be a total order (callers always break
+    ties on vec_id), and every row in the global top-k is necessarily
+    in the top-k of whichever group contains it, so stage 1 can never
+    drop a winner.  Non-determinism of spark_partition_id() under
+    retries/AQE is therefore harmless here.
+    """
+    pre = scored.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy("query_id", "_pid").orderBy(*order_by)
+    survivors = (
+        pre.withColumn("_prn", F.row_number().over(w1))
+        .filter(F.col("_prn") <= k)
+        .drop("_pid", "_prn")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order_by)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def topk_bruteforce(candidates: DataFrame, queries: DataFrame, k: int = 5,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k per query vector.
@@ -81,11 +114,7 @@ def topk_bruteforce(candidates: DataFrame, queries: DataFrame, k: int = 5,
     # are EXCLUDED from ranking, not padded in as null rows — the same
     # contract the Arrow path implements by dropping them per batch.
     scored = scored.filter(F.col("cos_sim").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _two_stage_topk(scored, [F.desc("cos_sim"), "vec_id"], k)
 
 
 def topk_ivf(candidates: DataFrame, queries: DataFrame, k: int = 5,
@@ -171,11 +200,7 @@ def topk_ivf(candidates: DataFrame, queries: DataFrame, k: int = 5,
     # bruteforce parity: zero-norm/null vectors are unscoreable and
     # must not occupy ranks (they would sort last but still emit).
     scored = scored.filter(F.col("cos_sim").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _two_stage_topk(scored, [F.desc("cos_sim"), "vec_id"], k)
 
 
 def _table_buckets(vec_col: str, n_bits: int, n_tables: int):
@@ -264,11 +289,7 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
     # bruteforce parity: zero-norm/null vectors are unscoreable and
     # must not occupy ranks (they would sort last but still emit).
     scored = scored.filter(F.col("cos_sim").isNotNull())
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _two_stage_topk(scored, [F.desc("cos_sim"), "vec_id"], k)
 
 
 def topk_hamming(candidates: DataFrame, queries: DataFrame, k: int = 5,
@@ -310,11 +331,7 @@ def topk_hamming(candidates: DataFrame, queries: DataFrame, k: int = 5,
             hamming_distance("c_sk", "q_sk").cast("long").alias("hamming"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _two_stage_topk(scored, ["hamming", "vec_id"], k)
 
 
 def topk_bruteforce_arrow(candidates: DataFrame, queries: DataFrame,
@@ -861,11 +878,7 @@ def topk_int8(candidates: DataFrame, queries: DataFrame, k: int = 5,
             ).alias("dot_q"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _two_stage_topk(scored, [F.desc("dot_q"), "vec_id"], k)
 
 
 # ---------------------------------------------------------------------------
@@ -1032,6 +1045,17 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int = 8,
     explicit exchange — see its docstring).
     """
     sub = _unit_subvectors(emb, m, vec_col, id_col, "vec_id")
+    return pq_encode_from_sub(sub, codebooks, dsub)
+
+
+def pq_encode_from_sub(sub: DataFrame, codebooks: DataFrame,
+                       dsub: int | None = None) -> DataFrame:
+    """pq_encode's argmin stage over PRECOMPUTED (vec_id, s, sv)
+    subvectors — lets callers that already hold (and e.g.
+    localCheckpointed) the _unit_subvectors output reuse it instead of
+    re-deriving the normalize+explode work per call
+    (pq_train_codebooks iterates the encode; the slice is the
+    expensive half)."""
     scored = sub.join(F.broadcast(codebooks), on="s").select(
         "vec_id", "s", "code",
         _d2_micro(F.col("sv"), F.col("cv"), dsub).alias("d2"),
@@ -1129,11 +1153,7 @@ def topk_pq_adc(candidates: DataFrame, queries: DataFrame, k: int = 5,
             ).alias("adc_d2_micro"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("adc_d2_micro", "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _two_stage_topk(scored, ["adc_d2_micro", "vec_id"], k)
 
 
 # ---------------------------------------------------------------------------
@@ -1292,11 +1312,7 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
             ).alias("adc_d2_micro"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy("adc_d2_micro", "vec_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _two_stage_topk(scored, ["adc_d2_micro", "vec_id"], k)
 
 
 def pq_train_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
@@ -1324,7 +1340,9 @@ def pq_train_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
     sub = _unit_subvectors(emb, m, vec_col, id_col, "vec_id")
     sub = sub.localCheckpoint(eager=True)  # reuse across iterations
     for _ in range(iters):
-        assigned = pq_encode(emb, cbs, m, vec_col, id_col, dsub)
+        # encode from the CHECKPOINTED subvectors — the normalize +
+        # slice work runs once, not once per iteration
+        assigned = pq_encode_from_sub(sub, cbs, dsub)
         # distributed mean: per-dimension partial-aggregable avg (never
         # collect_list of member vectors — that would buffer whole
         # clusters per task), then rebuild the dsub-wide array

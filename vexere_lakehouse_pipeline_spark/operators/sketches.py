@@ -88,6 +88,12 @@ def cms_lookup(cms: DataFrame, probes: DataFrame, col: str, depth: int = 3,
     Adds ``cms_est`` = min over the depth rows' counters (0 if a cell
     is empty).  The sketch side is depth*width rows — broadcast; the
     probe side never shuffles.
+
+    NOTE: the final groupBy is over ALL probe columns, so fully
+    duplicate probe rows collapse to one output row (same hazard
+    :func:`bloom_probe` documents and solves with
+    ``bloom_probe_rowwise``).  Pass probes with a unique key column if
+    duplicate rows must be preserved.
     """
     keyed = probes.select(
         "*",

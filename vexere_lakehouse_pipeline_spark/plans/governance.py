@@ -1816,7 +1816,7 @@ _NOISE_K = 10
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY src
                                      ORDER BY cos_sim DESC, dst) AS rnk
-        FROM scored
+        FROM scored WHERE cos_sim IS NOT NULL
     )
     SELECT src AS vec_id, src_label AS label,
            CAST(COUNT(*) AS BIGINT) AS n_neighbors,

@@ -349,9 +349,13 @@ def dedup_within_watermark_flags(events: DataFrame, id_cols: list[str],
     out_schema = StructType(
         list(joined.schema.fields) + [StructField("status", StringType())]
     )
-    n_buckets = 8 * int(
-        events.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    try:
+        n_part = int(
+            events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except ValueError:  # conf may be non-numeric, e.g. "auto"
+        n_part = events.sparkSession.sparkContext.defaultParallelism
+    n_buckets = 8 * n_part
     bucketed = joined.withColumn(
         "_kb", F.pmod(F.xxhash64(*id_cols), F.lit(n_buckets))
     )
