@@ -318,6 +318,32 @@ def test_simhash_hot_bucket_split_bounds_degenerate_corpus(spark):
     assert uncapped_n >= 300 * 299 // 2
 
 
+def test_embedding_prefilter_equivalence(spark):
+    """The int8 two-pass verify (prefilter=True) must be bit-identical
+    to the one-pass float plan — the margin provably covers the
+    quantization error, including boundary-adversarial vectors and a
+    zero-norm row (excluded by BOTH plans)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"b{i % 5}", [rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(120)
+    ]
+    rows.append((120, "b0", [0.0] * 16))  # zero-norm: null cosine
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    for thr in (0.3, 0.0, 0.7):
+        fast = dedup.embedding_neardup_pairs(emb, threshold=thr)
+        slow = dedup.embedding_neardup_pairs(
+            emb, threshold=thr, prefilter=False
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+
+
 def test_embedding_block_split_finds_matches(spark):
     """Degenerate SemDeDup input (every vector shares one label):
     the split finds near-dup pairs inside bounded sub-blocks where the

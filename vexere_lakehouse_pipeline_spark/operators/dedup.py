@@ -561,11 +561,46 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 MAX_EMB_BLOCK_SIZE = 2048
 
 
+def _int8_unit_code(vec_col) -> Column:
+    """array<tinyint> code of the UNIT vector: round(v_i/|v|·127).
+
+    tinyint (not long) is load-bearing: Spark's UnsafeRow stores array
+    elements at their declared width, so the quadratic pair-verify
+    stream carries 1 byte/dim instead of 8 — the ~8x shuffle/memory
+    cut.  Zero/NULL vectors yield a NULL code (cosine undefined — the
+    shared exclusion contract)."""
+    v = F.transform(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                    lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+    return F.when(
+        nrm > 0,
+        F.transform(v, lambda x: F.round(x / nrm * 127, 0).cast("tinyint")),
+    )
+
+
+def _int8_margin(code_col) -> Column:
+    """Provable upper bound on |true_cos − int8_approx_cos| for unit
+    vectors coded by :func:`_int8_unit_code`.
+
+    With q/127 = u + e, |e_i| ≤ 0.5/127 = 1/254:
+    |u·v − (q_a·q_b)/127²| ≤ ‖u‖‖e_b‖ + ‖e_a‖‖v‖ + ‖e_a‖‖e_b‖
+                           ≤ 2·√d/254 + d/254².
+    The extra 1e-6 absorbs the exact pass's 6dp rounding plus float
+    evaluation noise (both ≪ 1e-6).  d=64 ⇒ margin ≈ 0.064."""
+    d = F.size(code_col).cast("double")
+    return (F.lit(2.0) * F.sqrt(d) / F.lit(254.0)
+            + d / F.lit(254.0 * 254.0) + F.lit(1e-6))
+
+
 def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", block_col: str = "label",
                             threshold: float = 0.3,
                             max_block_size: int | None = MAX_EMB_BLOCK_SIZE,
-                            stats: dict | None = None) -> DataFrame:
+                            stats: dict | None = None,
+                            prefilter: bool = True) -> DataFrame:
     """Blocked pairwise cosine near-dup: only pairs sharing ``block_col``
     are compared (at scale the block key is an LSH bucket or k-means
     cluster — see operators/similarity.py).  Returns
@@ -587,7 +622,12 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
     The 16x scale probe measured exponent 1.47 uncapped; the split
     keeps the degenerate input linear AND still finds matches, and the
     oversized-block census is reported via ``stats`` (no silent
-    caps)."""
+    caps).
+
+    ``prefilter=True`` (default) runs the quadratic stage over int8
+    codes with a provable error margin and fetches float vectors late,
+    only for survivor pairs — ~8x fewer bytes through the pair stream
+    at identical output (see _int8_unit_code/_int8_margin)."""
     base = emb.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("_id"),
@@ -597,6 +637,69 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
         base, max_block_size, keys=("block",), id_col="_id",
         stats=stats, stats_key="oversized_blocks",
     )
+    if prefilter:
+        # Two-pass verify (VERDICT r4 #2): the quadratic self-join runs
+        # over 1-byte/dim int8 codes with a PROVABLE margin (never the
+        # full float arrays), exact float cosine touches only the
+        # survivor pairs — vectors fetched late by id.  Results are
+        # bit-identical to the one-pass plan: the margin bounds the
+        # quantization error, so no pair with rounded exact cos ≥
+        # threshold can miss the prefilter.
+        base8 = base.select(
+            "block", "_sub", "_id", _int8_unit_code("_vec").alias("_q8")
+        )
+        a8 = base8.select(
+            "block", "_sub",
+            F.col("_id").alias("vec_a"), F.col("_q8").alias("_qa"),
+        )
+        b8 = base8.select(
+            "block", "_sub",
+            F.col("_id").alias("vec_b"), F.col("_q8").alias("_qb"),
+        )
+        approx = (
+            F.aggregate(
+                F.zip_with(
+                    "_qa", "_qb",
+                    lambda x, y: x.cast("long") * y.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double") / F.lit(127.0 * 127.0)
+        )
+        cand = (
+            a8.join(b8, on=["block", "_sub"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", approx.alias("_approx"),
+                    _int8_margin("_qa").alias("_margin"))
+            # NULL approx (zero-norm side) drops here, matching the
+            # exact pass's null-cosine exclusion.
+            .filter(F.col("_approx") >= F.lit(threshold) - F.col("_margin"))
+            .select("vec_a", "vec_b")
+        )
+        vecs = emb.select(
+            F.col(id_col).alias("_vid"),
+            F.col(vec_col).alias("_v"),
+            l2_norm(vec_col).alias("_n"),
+        )
+        va = vecs.select(F.col("_vid").alias("vec_a"),
+                         F.col("_v").alias("emb_a"),
+                         F.col("_n").alias("norm_a"))
+        vb = vecs.select(F.col("_vid").alias("vec_b"),
+                         F.col("_v").alias("emb_b"),
+                         F.col("_n").alias("norm_b"))
+        return (
+            cand.join(va, on="vec_a")
+            .join(vb, on="vec_b")
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(
+                    cosine_from_norms("emb_a", "emb_b", "norm_a", "norm_b"),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
     a = base.select(
         "block",
         "_sub",
