@@ -189,6 +189,8 @@ def main() -> None:
         "sim_recall_pq_vs_bruteforce",
         "sim_topk_ivfpq",
         "sim_recall_ivfpq_vs_bruteforce",
+        "sim_topk_ivfpq_residual",
+        "sim_recall_ivfpq_residual_vs_bruteforce",
         "quality_drift_ks",
         "events_journey_paths",
         "window_next_order_gap",

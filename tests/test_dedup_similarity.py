@@ -946,3 +946,38 @@ def test_pq_trained_codebooks_beat_sampled(spark):
     r_trained = recall(trained)
     assert r_trained > r_sampled
     assert r_trained >= 0.7
+
+
+def test_ivfpq_residual_trained_recall_floor(spark):
+    """Residual IVF-PQ (FAISS "IVF,PQ" proper) with trained residual
+    codebooks is the quality path: at IDENTICAL bytes (same
+    n_centroids/nprobe/m/ksub as sim_topk_ivfpq), 3 Lloyd's iterations
+    over the residual subvectors must reach recall@5 >= 0.80 vs the
+    float truth (measured exactly 0.80 at sf0.001 — deterministic
+    arithmetic end-to-end, so the floor is an equality in practice)
+    and beat the trained RAW-vector IVF-PQ (measured 0.78)."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {(r.query_id, r.vec_id)
+             for r in sim.topk_bruteforce(emb, q, k=5).collect()}
+
+    got = {(r.query_id, r.vec_id)
+           for r in sim.topk_ivfpq_residual(
+               emb, q, k=5, n_centroids=32, nprobe=8, m=32, ksub=64,
+               dsub=2, dim=64, train_iters=3).collect()}
+    r_residual = len(got & truth) / len(truth)
+    assert r_residual >= 0.80
+
+    raw_cbs = sim.pq_train_codebooks(emb, m=32, ksub=64, iters=3, dsub=2)
+    got_raw = {(r.query_id, r.vec_id)
+               for r in sim.topk_ivfpq(
+                   emb, q, k=5, n_centroids=32, nprobe=8, m=32, ksub=64,
+                   dsub=2, dim=64, codebooks=raw_cbs).collect()}
+    r_raw = len(got_raw & truth) / len(truth)
+    assert r_residual > r_raw

@@ -156,6 +156,8 @@ PROBES = [
     ("sim_topk_pq_adc", {"embeddings": ["vec_id"]}),
     # IVF-PQ adds the broadcast centroid assign (linear) + list pruning
     ("sim_topk_ivfpq", {"embeddings": ["vec_id"]}),
+    # residual variant: same corpus-side stages + per-(query,list) LUTs
+    ("sim_topk_ivfpq_residual", {"embeddings": ["vec_id"]}),
     # KS drift: one groupBy over lengths + metadata-scale prefix sums
     ("quality_drift_ks", {"documents": ["doc_id"]}),
     # journey paths: sessionization window + two hash aggs

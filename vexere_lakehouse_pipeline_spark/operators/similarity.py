@@ -1012,6 +1012,13 @@ def pq_sampled_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
     without changing them).
     """
     sub = _unit_subvectors(emb, m, vec_col, id_col, "vec_id")
+    return _sampled_codebooks_from_sub(sub, ksub)
+
+
+def _sampled_codebooks_from_sub(sub: DataFrame, ksub: int) -> DataFrame:
+    """The md5-ranked selection stage of :func:`pq_sampled_codebooks`
+    over an arbitrary (vec_id, s, sv) subvector table — shared with
+    the residual-PQ path, whose subvectors are u − coarse_centroid."""
     rank_key = F.md5(
         F.concat_ws(":", F.col("vec_id").cast("string"),
                     F.col("s").cast("string"))
@@ -1338,6 +1345,14 @@ def pq_train_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
     """
     cbs = pq_sampled_codebooks(emb, m, ksub, vec_col, id_col)
     sub = _unit_subvectors(emb, m, vec_col, id_col, "vec_id")
+    return _train_codebooks_from_sub(sub, cbs, iters, dsub)
+
+
+def _train_codebooks_from_sub(sub: DataFrame, cbs: DataFrame, iters: int,
+                              dsub: int | None = None) -> DataFrame:
+    """The Lloyd's assign/update loop of :func:`pq_train_codebooks`
+    over an arbitrary (vec_id, s, sv) subvector table and initial
+    (s, code, cv) codebooks — shared with the residual-PQ path."""
     sub = sub.localCheckpoint(eager=True)  # reuse across iterations
     for _ in range(iters):
         # encode from the CHECKPOINTED subvectors — the normalize +
@@ -1371,3 +1386,175 @@ def pq_train_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
             .localCheckpoint(eager=True)  # pin; avoid lineage explosion
         )
     return cbs
+
+
+def topk_ivfpq_residual(candidates: DataFrame, queries: DataFrame,
+                        k: int = 5, n_centroids: int = 32, nprobe: int = 8,
+                        m: int = 8, ksub: int = 16,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        dsub: int | None = None, dim: int | None = None,
+                        train_iters: int = 0) -> DataFrame:
+    """Residual IVF-PQ (FAISS "IVF,PQ" proper — Jégou et al. 2011 §III):
+    PQ encodes the RESIDUAL r = u − coarse_centroid instead of the raw
+    unit vector, and each query builds one LUT per probed list from its
+    own residual qr = qu − cu.
+
+    Why this beats raw-vector IVF-PQ at identical bytes: within a
+    list, ‖qr − r‖² = ‖qu − u‖² exactly (the shared centroid cancels),
+    but the residuals live in a ball of radius ≈ the cell size rather
+    than the unit sphere, so the same m×ksub codebook budget quantizes
+    a much smaller domain — finer cells, lower quantization error.
+    The byte cost is UNCHANGED: candidates still scan as m small ints
+    plus the list id (the coarse centroid is reconstructed from cid,
+    never stored per row).
+
+    ``train_iters > 0`` runs Lloyd's on the residual subvectors (the
+    quality path, float means — recall floor pinned in pytest);
+    ``train_iters = 0`` keeps the deterministic md5-sampled residual
+    codebooks, which is the ORACLE-portable configuration
+    (sim_topk_ivfpq_residual reproduces centroid assignment → residual
+    → codebook → encode → per-list LUT → ADC bit-for-bit in DuckDB).
+
+    Plan shape: the extra cost vs topk_ivfpq is the per-(query, list)
+    LUT build — nprobe LUTs per query instead of 1, each m×ksub
+    integer cells from broadcast codebooks — still query-scale, still
+    broadcast.  Corpus-side work is identical (one assignment argmin,
+    one PQ encode, codes ⋈ lists shuffle_hash join), and the final
+    ranking is the shared two-stage top-k.
+    """
+    u = _unit_vecs(candidates, vec_col, id_col, "vec_id")
+    cents = F.broadcast(
+        u.orderBy("vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+    )
+    # assignment keeps the winning centroid VECTOR too — the residual
+    # needs it, and min_by over the struct avoids a second join
+    best = (
+        u.join(cents)
+        .select(
+            "vec_id", "u", "cid", "cu",
+            _d2_micro(F.col("u"), F.col("cu"), dim).alias("d2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cid", "cu", "u"), F.struct(F.col("d2"), F.col("cid"))
+            ).alias("b")
+        )
+    )
+    res = best.select(
+        "vec_id",
+        F.col("b.cid").alias("cid"),
+        F.zip_with("b.u", "b.cu", lambda a, c: a - c).alias("r"),
+    )
+    n_parts = candidates.sparkSession.sparkContext.defaultParallelism
+    # same materialization barrier as _unit_subvectors: the zip_with
+    # residual is an interpreted HOF — pin it behind an exchange so it
+    # computes once per row, not once per post-explode reference
+    res = res.repartition(n_parts, F.col("vec_id"))
+    rdsub = F.floor(F.size("r") / m).cast("int")
+    rsub = (
+        res.select(
+            "vec_id", "r", rdsub.alias("_dsub"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        )
+        .select(
+            "vec_id",
+            F.col("s").cast("int").alias("s"),
+            F.slice(
+                "r", F.col("s") * F.col("_dsub") + 1, F.col("_dsub")
+            ).alias("sv"),
+        )
+    )
+    codebooks = _sampled_codebooks_from_sub(rsub, ksub)
+    if train_iters > 0:
+        codebooks = _train_codebooks_from_sub(rsub, codebooks, train_iters,
+                                              dsub)
+    codebooks = codebooks.localCheckpoint(eager=True)  # used by 2 arms
+    packed = (
+        pq_encode_from_sub(rsub, codebooks, dsub)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda x: x["code"],
+            ).alias("codes")
+        )
+        # codes ⋈ lists: both corpus-scale, key unique both sides —
+        # shuffle_hash (bucketed-by-vec_id tables kill this shuffle
+        # entirely at 100 TB); see topk_ivfpq
+        .join(res.select("vec_id", "cid").hint("shuffle_hash"),
+              on="vec_id")
+    )
+    # query side: probe nprobe nearest lists, carry the QUERY residual
+    # per probed list (qu − cu of THAT list, not of the query's own)
+    qu = _unit_vecs(queries, vec_col, id_col, "query_id")
+    qd = qu.join(cents).select(
+        "query_id", "u", "cid", "cu",
+        _d2_micro(F.col("u"), F.col("cu"), dim).alias("d2"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probed = (
+        qd.withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            "query_id", "cid",
+            F.zip_with("u", "cu", lambda a, c: a - c).alias("qr"),
+        )
+    )
+    qdsub = F.floor(F.size("qr") / m).cast("int")
+    qrsub = (
+        probed.select(
+            "query_id", "cid", "qr", qdsub.alias("_dsub"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        )
+        .select(
+            "query_id", "cid",
+            F.col("s").cast("int").alias("s"),
+            F.slice(
+                "qr", F.col("s") * F.col("_dsub") + 1, F.col("_dsub")
+            ).alias("sv"),
+        )
+    )
+    cells = qrsub.join(F.broadcast(codebooks), on="s").select(
+        "query_id", "cid", "s", "code",
+        _d2_micro(F.col("sv"), F.col("cv"), dsub).alias("d2"),
+    )
+    lut = (
+        cells.groupBy("query_id", "cid", "s")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d2"))),
+                lambda x: x["d2"],
+            ).alias("row")
+        )
+        .groupBy("query_id", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "row"))),
+                lambda x: x["row"],
+            ).alias("lut")
+        )
+    )
+    scored = (
+        packed.join(F.broadcast(lut), on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            # statically unrolled integer sum — see topk_pq_adc
+            sum(
+                (
+                    F.element_at(
+                        F.element_at("lut", s + 1),
+                        F.element_at("codes", s + 1) + 1,
+                    )
+                    for s in range(1, m)
+                ),
+                start=F.element_at(
+                    F.element_at("lut", 1), F.element_at("codes", 1) + 1
+                ),
+            ).alias("adc_d2_micro"),
+        )
+    )
+    return _two_stage_topk(scored, ["adc_d2_micro", "vec_id"], k)

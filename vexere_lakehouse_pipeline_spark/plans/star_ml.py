@@ -1576,6 +1576,141 @@ ORACLE_SQL["sim_recall_ivfpq_vs_bruteforce"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Residual IVF-PQ (FAISS "IVF,PQ" proper): PQ encodes r = u − coarse
+# centroid instead of the raw unit vector, and each query builds one
+# LUT per probed list from its own residual qu − cu.  Within a list
+# ‖qr − r‖² = ‖qu − u‖² exactly (the centroid cancels), but residuals
+# span the cell, not the sphere — the same m×ksub byte budget buys
+# finer cells.  Deterministic everywhere: sampled residual codebooks
+# (md5 rank), elementwise double subtraction mirrored by the index
+# lambda below, every distance micro-unit int64 — so the oracle
+# reproduces assignment → residual → codebook → encode → per-list LUT
+# → ADC bit-for-bit.  The recall gate measures the residual win at
+# identical bytes; the trained-residual floor lives in pytest (float
+# means are not engine-portable).
+# ---------------------------------------------------------------------------
+_PQR_BASE = f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+          FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+          WHERE nrm > 0),
+    cents AS (SELECT vec_id AS cid, u AS cu FROM (
+                 SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                 FROM n) WHERE rn <= {_IVFPQ_NCENT}),
+    assign AS (SELECT vec_id, cid, cu FROM (
+                 SELECT n.vec_id, cents.cid, cents.cu,
+                        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                            {_PQ_D2U.format(a="n.u", b="cents.cu")},
+                            cents.cid) AS rn
+                 FROM n, cents) WHERE rn = 1),
+    res AS (SELECT n.vec_id, a.cid,
+                   list_transform(range(1, len(n.u) + 1),
+                                  i -> n.u[i] - a.cu[i]) AS r
+            FROM n JOIN assign a USING (vec_id)),
+    rsub AS (SELECT vec_id, CAST(t.s AS INTEGER) AS s,
+                    r[CAST(t.s AS INTEGER) * {_PQ_DSUB} + 1 : CAST(t.s AS INTEGER) * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+             FROM res, range(0, {_PQ_M}) AS t(s)),
+    rcb AS (SELECT s, CAST(rn - 1 AS INTEGER) AS code, sv AS cv FROM (
+               SELECT s, sv,
+                      ROW_NUMBER() OVER (PARTITION BY s ORDER BY
+                          md5(CAST(vec_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)),
+                          vec_id) AS rn
+               FROM rsub) WHERE rn <= {_PQ_KSUB}),
+    renc AS (SELECT vec_id, s, code FROM (
+               SELECT rsub.vec_id, rsub.s, rcb.code,
+                      ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.s
+                          ORDER BY {_PQ_D2U.format(a="rsub.sv", b="rcb.cv")},
+                                   rcb.code) AS rn
+               FROM rsub JOIN rcb USING (s)) WHERE rn = 1),
+    probe AS (SELECT query_id, cid, cu FROM (
+                 SELECT n.vec_id AS query_id, cents.cid, cents.cu,
+                        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                            {_PQ_D2U.format(a="n.u", b="cents.cu")},
+                            cents.cid) AS rn
+                 FROM n, cents WHERE n.vec_id < 10) WHERE rn <= {_IVFPQ_NPROBE}),
+    qres AS (SELECT p.query_id, p.cid,
+                    list_transform(range(1, len(n.u) + 1),
+                                   i -> n.u[i] - p.cu[i]) AS qr
+             FROM probe p JOIN n ON n.vec_id = p.query_id),
+    qrsub AS (SELECT query_id, cid, CAST(t.s AS INTEGER) AS s,
+                     qr[CAST(t.s AS INTEGER) * {_PQ_DSUB} + 1 : CAST(t.s AS INTEGER) * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+              FROM qres, range(0, {_PQ_M}) AS t(s)),
+    lut AS (SELECT query_id, cid, s, rcb.code,
+                   {_PQ_D2U.format(a="qrsub.sv", b="rcb.cv")} AS d2u
+            FROM qrsub JOIN rcb USING (s))"""
+
+
+@_register(
+    "sim_topk_ivfpq_residual",
+    f"""
+    WITH {_PQR_BASE},
+    scored AS (SELECT lut.query_id, renc.vec_id,
+                      CAST(SUM(lut.d2u) AS BIGINT) AS adc_d2_micro
+               FROM renc
+               JOIN assign ON assign.vec_id = renc.vec_id
+               JOIN lut ON lut.cid = assign.cid
+                       AND lut.s = renc.s AND lut.code = renc.code
+               WHERE renc.vec_id <> lut.query_id
+               GROUP BY lut.query_id, renc.vec_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adc_d2_micro, vec_id) AS rnk
+               FROM scored)
+    SELECT query_id, vec_id, adc_d2_micro, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_ivfpq_residual(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        n_centroids=_IVFPQ_NCENT, nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M, ksub=_PQ_KSUB, dsub=_PQ_DSUB, dim=64,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_ivfpq_residual_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_ivfpq_residual_vs_bruteforce(spark: SparkSession,
+                                            sf_dir: str) -> DataFrame:
+    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = sim_topk_ivfpq_residual(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["a_query"])
+        & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_vec").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_SQL["sim_recall_ivfpq_residual_vs_bruteforce"] = f"""
+    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
+    ap AS ({ORACLE_SQL["sim_topk_ivfpq_residual"]})
+    SELECT bf.query_id,
+           COUNT(ap.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM bf LEFT JOIN ap
+      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Session journey paths — sequence-pattern mining over the sessionized
 # event stream: the ordered event_type path of each session (first 8
 # steps — the cap bounds the path string and is mirrored in the
