@@ -196,6 +196,7 @@ def main() -> None:
         "window_next_order_gap",
         "multimodal_bmp_resize",
         "multimodal_avi_framesample",
+        "multimodal_avi_framestride",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
@@ -236,6 +237,10 @@ def main() -> None:
         "dedup_semdedup_survivors",
         "corpus_final_training_set",
         "dedup_editdist_verify",
+        # VERDICT r4 #7: the flagship 100 TB ANN code paths, promoted
+        # from extras so regressions are driver-visible round-over-round
+        "sim_topk_pq_adc",
+        "sim_topk_ivfpq",
     ]
     headline2 = {
         name: (extra[name] if name in extra else time_query(name))

@@ -443,3 +443,106 @@ def test_framesample_video_stride_and_quarantine(spark):
         framesample_video(bad, 2).collect()
     with pytest.raises(ValueError):
         framesample_video(media, 0)
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-resume: the one streaming property the live tests never
+    pinned (VERDICT r4 #5).  A file stream with maxFilesPerTrigger=1 is
+    stopped MID-STREAM (after >=1 committed micro-batch, well before
+    the 24th), restarted from the same checkpoint, and run to
+    completion — the restarted query must resume from the offsets log
+    (not reprocess committed batches, not skip the aborted one), and
+    the file sink's _spark_metadata commit log must make the combined
+    output exactly equal the batch twin: nothing lost, nothing
+    duplicated."""
+    import time
+
+    from vexere_lakehouse_pipeline_spark.functions.cleaning import (
+        conform_ticket_columns,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n_rows, n_files = 600, 24
+    fixtures.raw_tickets(
+        spark, days=("01-05-2025",), rows_per_day=n_rows
+    ).repartition(n_files).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            conform_ticket_columns(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and q.isActive:
+        if len(q.recentProgress) >= 1:
+            break
+        time.sleep(0.05)
+    n_committed_at_stop = len(q.recentProgress)
+    q.stop()
+    q.awaitTermination()
+    # the kill must be genuinely mid-stream for the recovery claim
+    assert 1 <= n_committed_at_stop < n_files
+    mid = spark.read.parquet(out).count()
+    assert mid < n_rows
+
+    q2 = start()
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == n_rows
+    batch = conform_ticket_columns(spark.read.parquet(src))
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+    # third run with no new files: still exactly-once, a no-op
+    q3 = start()
+    q3.awaitTermination()
+    assert spark.read.parquet(out).count() == n_rows
+
+
+def test_framestride_video_reencode_roundtrip(spark):
+    import pandas as pd
+    import pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        _avi_parse,
+        encode_avi,
+        framestride_video,
+    )
+
+    # 5 frames of 2x1; pixel value = frame*10 + col (all channels)
+    frames = [[(f * 10 + c,) * 3 for c in range(2)] for f in range(5)]
+    payload = encode_avi(2, 1, frames)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [payload, b""]})
+    )
+    rows = {r.media_id: r for r in framestride_video(media, 2).collect()}
+    r1 = rows[1]
+    assert (r1.n_frames_in, r1.n_frames_out) == (5, 3)
+    assert (r1.width, r1.height) == (2, 1)
+    kept = [0, 1, 20, 21, 40, 41]  # frames 0, 2, 4
+    assert r1.sum_r == r1.sum_g == r1.sum_b == sum(kept)
+    assert r1.peak_luma_milli == (299 + 587 + 114) * 41
+    # closed-form size: row_stride=8 (2*3 padded to 4), 100 + 3*(8+8)
+    assert r1.out_bytes == 100 + 3 * (8 + 8)
+    # cross-check the formula against a real local re-encode
+    w, h, fr = _avi_parse(payload)
+    assert r1.out_bytes == len(encode_avi(
+        w, h, [[(f * 10 + c,) * 3 for c in range(2)] for f in (0, 2, 4)]
+    ))
+    assert tuple(rows[2])[1:] == (0,) * 9  # empty -> zero row
+    with pytest.raises(ValueError):
+        framestride_video(media, 0)

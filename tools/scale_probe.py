@@ -167,6 +167,8 @@ PROBES = [
     # image resize is one Arrow-batched map stage — scan-linear
     ("multimodal_bmp_resize", {"documents": ["doc_id"]}),
     ("multimodal_avi_framesample", {"documents": ["doc_id"]}),
+    # frame-stride re-encode is the same Arrow map-stage shape
+    ("multimodal_avi_framestride", {"documents": ["doc_id"]}),
     # graph_pagerank_knn / sim_knn_graph / graph_triangle_counts /
     # quality_label_noise are NOT probed: the exact kNN strategy is
     # O(N²) by contract (enforced row ceiling); the scale path is

@@ -282,6 +282,27 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-source recall@k of knn_graph(strategy='lsh') against the exact
 # graph; the floor is pinned in tests/test_dedup_similarity.py.
 # ---------------------------------------------------------------------------
+_EXACT_KNN_CACHE: dict = {}
+
+
+def _exact_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact k-NN truth arm SHARED by both LSH recall gates
+    (VERDICT r4 #3): computed once per (session, sf_dir) and pinned
+    with a lazy localCheckpoint, so a bench/gate run that evaluates
+    both gates pays for the O(n²) exact graph once.  The cache is
+    keyed by applicationId — a new session never sees another
+    session's (dead) checkpoint."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EXACT_KNN_CACHE.get(key)
+    if hit is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        hit = (
+            similarity.knn_graph(emb, k=_KNN_K, strategy="exact")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        _EXACT_KNN_CACHE[key] = hit
+    return hit
 @_register(
     "sim_recall_knn_lsh_vs_exact",
     f"""
@@ -321,9 +342,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_recall_knn_lsh_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    truth = similarity.knn_graph(emb, k=_KNN_K, strategy="exact").select(
-        "src", "dst"
-    )
+    truth = _exact_knn_edges(spark, sf_dir)
     approx = similarity.knn_graph(
         emb, k=_KNN_K, strategy="lsh", n_bits=4
     ).select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))
@@ -404,9 +423,7 @@ def sim_recall_knn_lsh_multitable(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    truth = similarity.knn_graph(emb, k=_KNN_K, strategy="exact").select(
-        "src", "dst"
-    )
+    truth = _exact_knn_edges(spark, sf_dir)
     approx = similarity.knn_graph(
         emb, k=_KNN_K, strategy="lsh", n_bits=4, n_tables=_KNN_TABLES
     ).select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))

@@ -1352,3 +1352,91 @@ def multimodal_avi_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, payload binary"
     )
     return framesample_video(media, step=_VFS_STEP).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Video frame-stride RE-ENCODE (the video analog of
+# multimodal_wav_downsample, VERDICT r4 #6): same synthetic AVI corpus
+# as the framesample row, but the operator re-ENCODES the kept frames
+# into a new AVI payload and reports stats of the RE-DECODED output
+# plus its byte size.  The oracle regenerates the kept frames' pixels
+# AND the encoder's closed-form RIFF size — a green row proves
+# decode → stride → encode → decode end-to-end, including the
+# 4-byte-row-stride layout arithmetic.  step=3 (vs framesample's 2)
+# so the two rows cannot shadow each other.
+# ---------------------------------------------------------------------------
+_VST_STEP = 3
+
+@_register(
+    "multimodal_avi_framestride",
+    f"""
+    WITH t AS (SELECT doc_id, 2 + doc_id % 5 AS nf,
+                      3 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+               FROM documents),
+    dims AS (SELECT doc_id, nf, w, h,
+                    ((w * 3 + 3) - ((w * 3 + 3) % 4)) AS row_stride,
+                    (nf + {_VST_STEP - 1}) // {_VST_STEP} AS nfo
+             FROM t),
+    fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS f FROM t),
+    kept AS (SELECT doc_id, nf, w, h, f FROM fr WHERE f % {_VST_STEP} = 0),
+    px AS (SELECT doc_id, nf, w, h, f, unnest(range(0, w * h)) AS k
+           FROM kept),
+    v AS (SELECT doc_id, nf, w, h,
+                 (doc_id * 7 + f * 13 + (k // w) * 5 + (k % w) * 3) % 256 AS vr,
+                 (doc_id * 7 + f * 13 + (k // w) * 5 + (k % w) * 3 + 11) % 256 AS vg,
+                 (doc_id * 7 + f * 13 + (k // w) * 5 + (k % w) * 3 + 22) % 256 AS vb
+          FROM px)
+    SELECT v.doc_id AS media_id,
+           CAST(MIN(v.nf) AS INTEGER) AS n_frames_in,
+           CAST(MIN(dims.nfo) AS INTEGER) AS n_frames_out,
+           CAST(MIN(v.w) AS INTEGER) AS width,
+           CAST(MIN(v.h) AS INTEGER) AS height,
+           CAST(MIN(100 + dims.nfo * (8 + dims.row_stride * dims.h))
+                AS BIGINT) AS out_bytes,
+           CAST(SUM(v.vr) AS BIGINT) AS sum_r,
+           CAST(SUM(v.vg) AS BIGINT) AS sum_g,
+           CAST(SUM(v.vb) AS BIGINT) AS sum_b,
+           CAST(MAX(299 * v.vr + 587 * v.vg + 114 * v.vb) AS BIGINT)
+               AS peak_luma_milli
+    FROM v JOIN dims ON dims.doc_id = v.doc_id
+    GROUP BY v.doc_id ORDER BY media_id
+    """,
+)
+def multimodal_avi_framestride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_avi,
+        framestride_video,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                nf, w, h = 2 + d % 5, 3 + d % 3, 2 + d % 2
+                frames = [
+                    [
+                        (
+                            (d * 7 + f * 13 + r * 5 + c * 3) % 256,
+                            (d * 7 + f * 13 + r * 5 + c * 3 + 11) % 256,
+                            (d * 7 + f * 13 + r * 5 + c * 3 + 22) % 256,
+                        )
+                        for r in range(h)
+                        for c in range(w)
+                    ]
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi(w, h, frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return framestride_video(media, step=_VST_STEP).orderBy("media_id")
