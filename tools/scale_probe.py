@@ -158,6 +158,8 @@ PROBES = [
     ("sim_topk_ivfpq", {"embeddings": ["vec_id"]}),
     # residual variant: same corpus-side stages + per-(query,list) LUTs
     ("sim_topk_ivfpq_residual", {"embeddings": ["vec_id"]}),
+    # two-tier: int64 sketch scan + shortlist-bounded float rerank
+    ("sim_topk_hamming_rerank", {"embeddings": ["vec_id"]}),
     # KS drift: one groupBy over lengths + metadata-scale prefix sums
     ("quality_drift_ks", {"documents": ["doc_id"]}),
     # journey paths: sessionization window + two hash aggs

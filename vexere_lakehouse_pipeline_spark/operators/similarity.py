@@ -1558,3 +1558,73 @@ def topk_ivfpq_residual(candidates: DataFrame, queries: DataFrame,
         )
     )
     return _two_stage_topk(scored, ["adc_d2_micro", "vec_id"], k)
+
+
+def topk_hamming_rerank(candidates: DataFrame, queries: DataFrame,
+                        k: int = 5, shortlist: int = 50,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        n_bits: int = 63) -> DataFrame:
+    """Two-tier ANN — the production serving composition: a Hamming
+    sign-sketch scan (ONE int64 per vector, 64x smaller than the
+    float array) generates a per-query ``shortlist``, then exact float
+    cosine reranks ONLY those shortlist rows (vectors fetched late by
+    id, never shuffled through the scan).
+
+    Returns (query_id, vec_id, cos_sim, rank) like topk_bruteforce —
+    identical results wherever the true top-k survives the shortlist;
+    the recall gate (sim_recall_hamming_rerank_vs_bruteforce) measures
+    exactly that survival.  Scan bytes: 8·|C| for tier 1 plus
+    8·d·shortlist·|Q| for tier 2 — at 100 TB the float table is
+    touched at ~shortlist/|C| selectivity.
+    """
+    short = topk_hamming(
+        candidates, queries, k=shortlist, vec_col=vec_col, id_col=id_col,
+        n_bits=n_bits,
+    ).select("query_id", "vec_id")
+    c = candidates.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(vec_col).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        l2_norm(vec_col).alias("q_norm"),
+    )
+    scored = (
+        short.join(c, on="vec_id")
+        .join(F.broadcast(q), on="query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_from_norms("q_emb", "emb", "q_norm", "c_norm"), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    return _two_stage_topk(scored, [F.desc("cos_sim"), "vec_id"], k)
+
+
+def topk_truncated(candidates: DataFrame, queries: DataFrame, k: int = 5,
+                   dims: int = 32, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka-style truncated-dimension top-k: rank by the cosine
+    of the FIRST ``dims`` coordinates only (MRL — Kusupati et al.
+    2022: embeddings trained so prefixes are themselves usable
+    representations).  Halving dims halves scan bytes and quarters
+    dot-product work with a measured (recall-gated) quality cost —
+    the cheapest knob on the ANN compression ladder because it needs
+    no codebooks, no training, no re-encoding.
+
+    Implemented as plain column slices feeding the shared brute-force
+    ranker, so it inherits the two-stage top-k plan and the null/zero
+    exclusion contract (a vector whose PREFIX is all-zero is
+    unscoreable at this tier and excluded, like any zero-norm input).
+    """
+    cut = lambda df: df.select(  # noqa: E731
+        F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    return topk_bruteforce(cut(candidates), cut(queries), k=k,
+                           vec_col=vec_col, id_col=id_col)

@@ -1885,3 +1885,189 @@ ORACLE_SQL["corpus_contrastive_triples"] = f"""
     FROM best_pos p JOIN negs n USING (anchor)
     ORDER BY anchor
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-tier ANN: Hamming shortlist -> exact float rerank — the
+# production serving composition (a 64x-smaller sketch scan generates
+# candidates; floats touch only shortlist rows, fetched late by id).
+# The oracle replays both tiers; the recall gate measures shortlist
+# survival of the true top-k (single-tier hamming recall ~0.42 at k=5;
+# the 50-wide shortlist + exact rerank recovers most of it).
+# ---------------------------------------------------------------------------
+_HRR_SHORTLIST = 50
+
+
+@_register(
+    "sim_topk_hamming_rerank",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    sk AS (SELECT vec_id,
+                  CAST(list_sum(list_transform(
+                      list_zip(v[1:{_SKETCH_BITS}], range(0, {_SKETCH_BITS})),
+                      p -> CASE WHEN p[1] >= 0
+                                THEN CAST(1 AS BIGINT) << CAST(p[2] AS INTEGER)
+                                ELSE 0 END)) AS BIGINT) AS s
+           FROM n WHERE nrm > 0),
+    q AS (SELECT vec_id AS query_id, s AS qs FROM sk WHERE vec_id < 10),
+    hscored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(bit_count(xor(c.s, q.qs)) AS BIGINT) AS hamming
+        FROM sk c, q WHERE c.vec_id <> q.query_id
+    ),
+    hranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, vec_id) AS rnk
+        FROM hscored
+    ),
+    short AS (SELECT query_id, vec_id FROM hranked
+              WHERE rnk <= {_HRR_SHORTLIST}),
+    rescored AS (
+        SELECT short.query_id, short.vec_id,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM short JOIN e a ON a.vec_id = short.query_id
+                   JOIN e b ON b.vec_id = short.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM rescored WHERE cos_sim IS NOT NULL
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_hamming_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        shortlist=_HRR_SHORTLIST, n_bits=_SKETCH_BITS,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_hamming_rerank_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_hamming_rerank_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = sim_topk_hamming_rerank(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["a_query"])
+        & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_vec").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_SQL["sim_recall_hamming_rerank_vs_bruteforce"] = f"""
+    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
+    ap AS ({ORACLE_SQL["sim_topk_hamming_rerank"]})
+    SELECT bf.query_id,
+           COUNT(ap.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM bf LEFT JOIN ap
+      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension search (MRL, Kusupati et al. 2022):
+# rank by the cosine of the FIRST 32 of 64 coordinates — the cheapest
+# ANN compression knob (half the scan bytes, quarter the dot-product
+# work, zero training/codebooks/re-encoding).  Recall-gated like every
+# approximate tier: 0.24 on THIS corpus — random embeddings are MRL's
+# worst case (no information concentrates in prefix dims; real MRL
+# models are trained so it does), so the row pins machinery + the
+# honest floor, not a quality claim.
+# ---------------------------------------------------------------------------
+_MRL_DIMS = 32
+
+
+@_register(
+    "sim_topk_matryoshka",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding[1:{_MRL_DIMS}],
+                                     x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DUCK_COS.format(a="qv", b="e.v")} AS cos_sim
+        FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored WHERE cos_sim IS NOT NULL
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_truncated(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, dims=_MRL_DIMS
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_matryoshka_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_matryoshka_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = sim_topk_matryoshka(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["a_query"])
+        & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_vec").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_SQL["sim_recall_matryoshka_vs_bruteforce"] = f"""
+    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
+    ap AS ({ORACLE_SQL["sim_topk_matryoshka"]})
+    SELECT bf.query_id,
+           COUNT(ap.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM bf LEFT JOIN ap
+      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
