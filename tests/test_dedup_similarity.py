@@ -335,12 +335,14 @@ def test_embedding_prefilter_equivalence(spark):
         rows, "vec_id long, label string, embedding array<double>"
     )
     for thr in (0.3, 0.0, 0.7):
-        fast = dedup.embedding_neardup_pairs(emb, threshold=thr)
-        slow = dedup.embedding_neardup_pairs(
+        two_pass = dedup.embedding_neardup_pairs(
+            emb, threshold=thr, prefilter=True
+        )
+        one_pass = dedup.embedding_neardup_pairs(
             emb, threshold=thr, prefilter=False
         )
-        assert sorted(map(tuple, fast.collect())) == sorted(
-            map(tuple, slow.collect())
+        assert sorted(map(tuple, two_pass.collect())) == sorted(
+            map(tuple, one_pass.collect())
         )
 
 

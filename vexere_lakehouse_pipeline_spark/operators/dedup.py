@@ -600,7 +600,7 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
                             threshold: float = 0.3,
                             max_block_size: int | None = MAX_EMB_BLOCK_SIZE,
                             stats: dict | None = None,
-                            prefilter: bool = True) -> DataFrame:
+                            prefilter: bool = False) -> DataFrame:
     """Blocked pairwise cosine near-dup: only pairs sharing ``block_col``
     are compared (at scale the block key is an LSH bucket or k-means
     cluster — see operators/similarity.py).  Returns
@@ -624,10 +624,18 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
     oversized-block census is reported via ``stats`` (no silent
     caps).
 
-    ``prefilter=True`` (default) runs the quadratic stage over int8
-    codes with a provable error margin and fetches float vectors late,
-    only for survivor pairs — ~8x fewer bytes through the pair stream
-    at identical output (see _int8_unit_code/_int8_margin)."""
+    ``prefilter=True`` runs the quadratic stage over int8 codes
+    (array<tinyint>, 1 byte/dim) with a PROVABLE error margin and
+    fetches float vectors late, only for survivor pairs — bit-identical
+    output (equivalence-tested), ~8x fewer bytes through the self-join
+    exchange and its build side (measured: tools/EMBPAIR_BYTES.md).
+    It is OFF by default because the regime decides the winner: on a
+    page-cache-resident single node the pair stage is COMPUTE-bound
+    (both modes pay one interpreted fold per pair, so the prefilter's
+    extra survivor-fetch joins make it ~2x slower at sf0.1 — measured
+    4.5 s vs 2.1 s), while on a bandwidth/memory-bound cluster the 8x
+    byte cut is what prevents build-side spill.  Flip it on when the
+    embedding column dominates shuffle volume."""
     base = emb.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("_id"),
@@ -648,6 +656,15 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
         base8 = base.select(
             "block", "_sub", "_id", _int8_unit_code("_vec").alias("_q8")
         )
+        # The exchange is load-bearing (same lesson as similarity.
+        # _unit_subvectors): the quantization is an interpreted HOF,
+        # and without a materialization barrier CollapseProject would
+        # inline it into EVERY downstream reference — with the unrolled
+        # dot that is 2·dims re-evaluations per PAIR.  Repartitioning
+        # on the join keys also pre-partitions both self-join sides, so
+        # the join reuses this one narrow-code shuffle.
+        n_parts = emb.sparkSession.sparkContext.defaultParallelism
+        base8 = base8.repartition(n_parts, F.col("block"), F.col("_sub"))
         a8 = base8.select(
             "block", "_sub",
             F.col("_id").alias("vec_a"), F.col("_q8").alias("_qa"),
@@ -666,6 +683,11 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
                 lambda acc, x: acc + x,
             ).cast("double") / F.lit(127.0 * 127.0)
         )
+        # NOTE: an element_at-unrolled dot was measured SLOWER here
+        # (6.6 s vs 4.5 s at sf0.1; the 64-term chain exceeds JIT
+        # method limits, and per-PAIR expressions cannot be
+        # materialized behind an exchange the way per-row ones can) —
+        # the fold is the right form for the quadratic stage.
         cand = (
             a8.join(b8, on=["block", "_sub"])
             .filter(F.col("vec_a") < F.col("vec_b"))
@@ -1081,7 +1103,8 @@ def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
                              block_col: str = "label",
                              threshold: float = 0.3,
                              max_block_size: int | None = MAX_EMB_BLOCK_SIZE,
-                             stats: dict | None = None) -> DataFrame:
+                             stats: dict | None = None,
+                             prefilter: bool = False) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): cluster-blocked pairwise cosine -> near-dup groups ->
     one survivor per group.
@@ -1103,6 +1126,7 @@ def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
     pairs = embedding_neardup_pairs(
         emb, vec_col=vec_col, id_col=id_col, block_col=block_col,
         threshold=threshold, max_block_size=max_block_size, stats=stats,
+        prefilter=prefilter,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     comp = connected_components(pairs)
     all_ids = emb.select(F.col(id_col).alias("vec_id"))
