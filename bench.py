@@ -182,6 +182,7 @@ def main() -> None:
         "agg_incremental_merge",
         "search_phrase_match",
         "search_mmr_rerank",
+        "search_retrieval_metrics",
         "corpus_bigram_pmi",
         "corpus_intradoc_sentence_dedup",
         "multimodal_wav_downsample",
@@ -196,6 +197,8 @@ def main() -> None:
         "sim_topk_matryoshka",
         "sim_recall_matryoshka_vs_bruteforce",
         "quality_drift_ks",
+        "quality_score_calibration",
+        "quality_cohens_kappa",
         "events_journey_paths",
         "window_next_order_gap",
         "multimodal_bmp_resize",

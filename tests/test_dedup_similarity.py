@@ -1009,3 +1009,42 @@ def test_hamming_rerank_recovers_recall(spark):
     r_two = recall(sim.topk_hamming_rerank(emb, q, k=5, shortlist=50))
     assert r_two >= 0.7
     assert r_two > r_one + 0.3
+
+
+def test_two_stage_topk_matches_single_window(spark):
+    """_two_stage_topk must be bit-identical to the naive single-window
+    rank for any partitioning of the scored stream — including ties on
+    the score (broken by vec_id) and k larger than some groups."""
+    import random
+
+    from pyspark.sql import Window
+    from vexere_lakehouse_pipeline_spark.operators.similarity import (
+        _two_stage_topk,
+    )
+
+    rng = random.Random(11)
+    rows = [(q, v, rng.randint(0, 5))  # heavy ties
+            for q in range(7) for v in range(200)]
+    scored = spark.createDataFrame(
+        rows, "query_id long, vec_id long, score long"
+    ).repartition(16)  # many input partitions -> many stage-1 groups
+    got = sorted(
+        tuple(r) for r in
+        _two_stage_topk(scored, [F.desc("score"), "vec_id"], 5).collect()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+    want = sorted(
+        tuple(r) for r in
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5).collect()
+    )
+    assert got == want
+    # k exceeding the candidate count: every row ranks, none duplicated
+    small = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 9)], "query_id long, vec_id long, score long"
+    ).repartition(8)
+    got2 = sorted(
+        (r.query_id, r.vec_id, r.rank) for r in
+        _two_stage_topk(small, [F.desc("score"), "vec_id"], 5).collect()
+    )
+    assert got2 == [(0, 1, 1), (0, 2, 2)]

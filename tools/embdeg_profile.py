@@ -159,15 +159,17 @@ def main() -> None:
         "All growth lives in the pair join, whose full-range exponent "
         f"1x->16x is **{full}** — linear, matching the work model "
         "(ceil(n/cap) sub-buckets x cap^2/2 pairs each = n*cap/2). "
-        "The round-3 SCALE.md row's 1.09 (t1=1.68, t16=34.56, "
-        "best-of-2) was run variance, not structure: this best-of-3 "
-        "re-measurement lands t16 ~29 s from the same code path, and "
-        "the endpoint exponent is noise-sensitive because a 16x t16 "
-        "wobble of a few seconds moves it by ~0.05. The intermediate "
-        "legs bracket 1.0 (1->4 ~0.8 as startup overhead amortizes, "
-        "4->16 ~1.1 as the pair stream's memory pressure shows — each "
-        "joined row carries two 64-double arrays), with no stage "
-        "growing superlinearly end-to-end.",
+        "Round-over-round t16 from the same code path: 34.56 s (r3, "
+        "best-of-2), 30.33 s (r4), 33.19 s (r5) — the endpoint "
+        "exponent is noise-sensitive (a few seconds of t16 wobble "
+        "moves it ~0.05), so the full-range slope is the number that "
+        "matters. The intermediate legs bracket 1.0 (1->4 ~0.8 as "
+        "startup overhead amortizes, 4->16 ~1.1 as the pair stream's "
+        "memory pressure shows — each joined row carries two "
+        "64-double arrays; the r4-suggested int8 two-pass verify was "
+        "implemented, equivalence-proven and MEASURED against this — "
+        "it loses end-to-end, see tools/EMBPAIR_BYTES.md), with no "
+        "stage growing superlinearly end-to-end.",
         "",
     ]
     md_path = os.path.join(

@@ -162,6 +162,10 @@ PROBES = [
     ("sim_topk_hamming_rerank", {"embeddings": ["vec_id"]}),
     # KS drift: one groupBy over lengths + metadata-scale prefix sums
     ("quality_drift_ks", {"documents": ["doc_id"]}),
+    # calibration/kappa: count-only aggregates, scan-bound
+    ("quality_score_calibration", {"documents": ["doc_id"]}),
+    # retrieval metrics: BM25 rollup + metadata-scale metric algebra
+    ("search_retrieval_metrics", {"documents": ["doc_id"]}),
     # journey paths: sessionization window + two hash aggs
     ("events_journey_paths", {"events": ["event_id", "user_id"]}),
     # lead window: one partition-local window + hash agg

@@ -884,3 +884,177 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics — the evaluation gate for the search family
+# (BM25 / hybrid RRF / MMR): MRR, nDCG@10 and recall@10 of the BM25
+# top-20 against deterministic graded qrels (relevance = number of
+# distinct query terms a document contains, 0-3 — a judgment column a
+# real eval set drops into unchanged).  DCG terms are rounded to 6dp
+# decimals before the order-free SUM (the same associativity trick as
+# the BM25 score itself), the final ratios round once to integer
+# micro/permille — bit-portable.  Everything is metadata-scale after
+# the BM25 ranking: the metrics touch top-20 rows plus one qrel
+# aggregate.
+# ---------------------------------------------------------------------------
+_NDCG_K = 10
+
+
+@_register(
+    "search_retrieval_metrics",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    dl AS (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS dl
+           FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                 ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+                          / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+                 / (CAST(tf.tf AS DOUBLE)
+                    + {_BM25_K1} * ({1.0 - _BM25_B}
+                                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl))),
+                 6) AS DECIMAL(18,6)) AS c
+        FROM tf JOIN dfreq ON tf.token = dfreq.token
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY SUM(CAST(c AS DOUBLE)) DESC,
+                                  doc_id) AS rnk
+        FROM contrib GROUP BY doc_id
+        ORDER BY rnk LIMIT {_BM25_TOPK}
+    ),
+    rel AS (SELECT doc_id, COUNT(DISTINCT token) AS rel
+            FROM tok WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id),
+    hits AS (
+        SELECT r.rnk, COALESCE(rel.rel, 0) AS rel
+        FROM ranked r LEFT JOIN rel ON rel.doc_id = r.doc_id
+    ),
+    dcg AS (SELECT CAST(SUM(CAST(ROUND(
+                       ((1 << rel) - 1) / log2(CAST(rnk + 1 AS DOUBLE)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+            FROM hits WHERE rnk <= {_NDCG_K} AND rel > 0),
+    grades AS (SELECT
+                   SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS g3,
+                   SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS g2,
+                   SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS g1
+               FROM rel),
+    ideal AS (
+        SELECT CAST(i.i AS BIGINT) AS irnk,
+               CASE WHEN i.i <= g.g3 THEN 3
+                    WHEN i.i <= g.g3 + g.g2 THEN 2
+                    WHEN i.i <= g.g3 + g.g2 + g.g1 THEN 1
+                    ELSE 0 END AS rel
+        FROM range(1, {_NDCG_K} + 1) AS i(i) CROSS JOIN grades g
+    ),
+    idcg AS (SELECT CAST(SUM(CAST(ROUND(
+                        ((1 << rel) - 1) / log2(CAST(irnk + 1 AS DOUBLE)), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+             FROM ideal WHERE rel > 0),
+    firstrel AS (SELECT MIN(rnk) AS fr FROM hits WHERE rel > 0),
+    totals AS (SELECT COUNT(*) AS n_rel FROM rel),
+    hits10 AS (SELECT COUNT(*) AS h FROM hits
+               WHERE rnk <= {_NDCG_K} AND rel > 0)
+    SELECT CAST(COALESCE(1000000 // firstrel.fr, 0) AS BIGINT)
+               AS mrr_micro,
+           CAST(ROUND(1000000 * dcg.dcg / idcg.idcg, 0) AS BIGINT)
+               AS ndcg10_micro,
+           CAST((1000 * hits10.h) // LEAST(totals.n_rel, {_NDCG_K})
+               AS BIGINT) AS recall10_permille,
+           CAST(hits10.h AS BIGINT) AS n_hits10,
+           CAST(totals.n_rel AS BIGINT) AS n_relevant
+    FROM dcg, idcg, firstrel, totals, hits10
+    """,
+)
+def search_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = (
+        corpus_bm25_search(spark, sf_dir)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), "doc_id")
+            ),
+        )
+        .select("doc_id", "rnk")
+    )
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    rel = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("rel"))
+    )
+    hits = ranked.join(F.broadcast(rel), on="doc_id", how="left").select(
+        "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    # F.shiftleft needs a literal shift — column shifts go via expr
+    term = F.round(
+        (F.expr("shiftleft(1, CAST(rel AS INT))") - 1)
+        / F.log2(F.col("rnk").cast("double") + 1.0),
+        6,
+    ).cast("decimal(18,6)")
+    dcg = (
+        hits.filter((F.col("rnk") <= _NDCG_K) & (F.col("rel") > 0))
+        .agg(F.sum(term).cast("double").alias("dcg"))
+    )
+    # IDCG without a global sort: the ideal ordering depends only on
+    # grade COUNTS (grades are 1..3), so build the 10 ideal terms from
+    # one count-aggregate crossed with a literal 1..10 sequence — no
+    # all-relevant-docs ordering at any corpus size.
+    grades = rel.agg(
+        F.sum(F.expr("CASE WHEN rel = 3 THEN 1 ELSE 0 END")).alias("g3"),
+        F.sum(F.expr("CASE WHEN rel = 2 THEN 1 ELSE 0 END")).alias("g2"),
+        F.sum(F.expr("CASE WHEN rel = 1 THEN 1 ELSE 0 END")).alias("g1"),
+    )
+    ideal = grades.select(
+        F.explode(F.sequence(F.lit(1), F.lit(_NDCG_K))).alias("irnk"),
+        "g3", "g2", "g1",
+    ).select(
+        F.col("irnk").cast("long").alias("irnk"),
+        F.expr(
+            "CASE WHEN irnk <= g3 THEN 3"
+            " WHEN irnk <= g3 + g2 THEN 2"
+            " WHEN irnk <= g3 + g2 + g1 THEN 1 ELSE 0 END"
+        ).alias("rel"),
+    )
+    iterm = F.round(
+        (F.expr("shiftleft(1, CAST(rel AS INT))") - 1)
+        / F.log2(F.col("irnk").cast("double") + 1.0),
+        6,
+    ).cast("decimal(18,6)")
+    idcg = (
+        ideal.filter(F.col("rel") > 0)
+        .agg(F.sum(iterm).cast("double").alias("idcg"))
+    )
+    firstrel = hits.filter(F.col("rel") > 0).agg(F.min("rnk").alias("fr"))
+    totals = rel.agg(F.count("*").alias("n_rel"))
+    hits10 = (
+        hits.filter((F.col("rnk") <= _NDCG_K) & (F.col("rel") > 0))
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        dcg.crossJoin(idcg).crossJoin(firstrel).crossJoin(totals)
+        .crossJoin(hits10)
+        .select(
+            F.coalesce(F.expr("1000000 DIV fr"), F.lit(0)).cast("long")
+            .alias("mrr_micro"),
+            F.round(F.lit(1000000.0) * F.col("dcg") / F.col("idcg"), 0)
+            .cast("long").alias("ndcg10_micro"),
+            F.expr(f"(1000 * h) DIV LEAST(n_rel, {_NDCG_K})").cast("long")
+            .alias("recall10_permille"),
+            F.col("h").cast("long").alias("n_hits10"),
+            F.col("n_rel").cast("long").alias("n_relevant"),
+        )
+    )

@@ -2048,3 +2048,141 @@ def quality_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier calibration report — the governance gate every
+# model-scored corpus filter needs before its threshold is trusted:
+# bucket the classifier score into deciles and compare each bucket's
+# predicted confidence (bin midpoint) against its observed positive
+# rate; the per-bin |gap| column is the ECE integrand.  The "model
+# score" here is a deterministic length-logistic surrogate
+# (1000·n/(n+400), integer division — the shape a fastText quality
+# scorer produces; a real model drops into the same column), the label
+# is an independent text property, and every number is exact integer
+# permille — bit-portable, like quality_drift_ks.  One narrow groupBy
+# over 10 keys: map-side partial, scan-bound at any corpus size.
+# ---------------------------------------------------------------------------
+@_register(
+    "quality_score_calibration",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               (n_chars * 1000) // (n_chars + 400) AS score_permille,
+               CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END
+                   AS is_pos
+        FROM documents
+    ),
+    binned AS (
+        SELECT LEAST(9, score_permille // 100) AS bin, score_permille,
+               is_pos
+        FROM scored
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(bin * 100 + 50 AS BIGINT) AS mid_permille,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+           CAST((1000 * SUM(is_pos)) // COUNT(*) AS BIGINT)
+               AS pos_rate_permille,
+           CAST(ABS(bin * 100 + 50 - (1000 * SUM(is_pos)) // COUNT(*))
+               AS BIGINT) AS gap_permille
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr("(n_chars * 1000) DIV (n_chars + 400)").alias("score_permille"),
+        F.when(F.lower(F.col("text")).like("% the %"), 1)
+        .otherwise(0).alias("is_pos"),
+    )
+    binned = scored.withColumn(
+        "bin", F.least(F.lit(9), F.expr("score_permille DIV 100"))
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("is_pos").alias("_np"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 100 + 50).cast("long").alias("mid_permille"),
+            F.col("_n").cast("long").alias("n_docs"),
+            F.col("_np").cast("long").alias("n_pos"),
+            F.expr("(1000 * _np) DIV _n").cast("long")
+            .alias("pos_rate_permille"),
+            F.abs(
+                F.col("bin") * 100 + 50 - F.expr("(1000 * _np) DIV _n")
+            ).cast("long").alias("gap_permille"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement (Cohen's kappa) — the label-quality gate
+# for any corpus with redundant annotations: chance-corrected
+# agreement between two labelers from the 2x2 contingency table,
+# kappa = (p_o − p_e)/(1 − p_e), computed as ONE exact integer
+# rational — numerator n·(n00+n11) − (r0·c0 + r1·c1), denominator
+# n² − (r0·c0 + r1·c1) — then floored to permille, so the statistic is
+# bit-portable (no float division until never).  The two "annotators"
+# here are deterministic heuristics (length >= 300; contains ' the ');
+# real annotation columns drop into the same contract.  One count-only
+# aggregate: scan-bound.
+# ---------------------------------------------------------------------------
+@_register(
+    "quality_cohens_kappa",
+    """
+    WITH lab AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+               CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        FROM lab
+    )
+    SELECT n, n00, n01, n10, n11,
+           CAST((1000 * (n * (n00 + n11)
+                         - ((n00 + n01) * (n00 + n10)
+                            + (n10 + n11) * (n01 + n11))))
+                // (n * n - ((n00 + n01) * (n00 + n10)
+                             + (n10 + n11) * (n01 + n11)))
+               AS BIGINT) AS kappa_permille
+    FROM c
+    """,
+)
+def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(F.lower(F.col("text")).like("% the %"), 1)
+        .otherwise(0).alias("b"),
+    )
+    c = lab.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n00"),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n01"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n10"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n11"),
+    )
+    return c.select(
+        "n", "n00", "n01", "n10", "n11",
+        F.expr(
+            "CAST((1000 * (n * (n00 + n11)"
+            " - ((n00 + n01) * (n00 + n10)"
+            " + (n10 + n11) * (n01 + n11))))"
+            " DIV (n * n - ((n00 + n01) * (n00 + n10)"
+            " + (n10 + n11) * (n01 + n11))) AS BIGINT)"
+        ).alias("kappa_permille"),
+    )
