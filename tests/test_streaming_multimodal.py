@@ -491,13 +491,23 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
         if len(q.recentProgress) >= 1:
             break
         time.sleep(0.05)
-    n_committed_at_stop = len(q.recentProgress)
     q.stop()
     q.awaitTermination()
-    # the kill must be genuinely mid-stream for the recovery claim
-    assert 1 <= n_committed_at_stop < n_files
+    # The kill must land mid-stream for the recovery claim.  Batches
+    # can keep committing between the poll-loop break and stop()
+    # taking effect, so on a fast-enough machine the first run may
+    # finish everything — that leaves nothing to recover and the test
+    # is INCONCLUSIVE, not failed (round-5 review: asserting
+    # mid < n_rows here was a latent flake).
     mid = spark.read.parquet(out).count()
-    assert mid < n_rows
+    if mid >= n_rows:
+        import pytest
+
+        pytest.skip(
+            "first run committed all batches before stop() landed — "
+            "no mid-stream state to recover this run"
+        )
+    assert mid > 0  # >=1 batch committed: the restart resumes, not replays
 
     q2 = start()
     q2.awaitTermination()

@@ -164,6 +164,9 @@ PROBES = [
     ("quality_drift_ks", {"documents": ["doc_id"]}),
     # calibration/kappa: count-only aggregates, scan-bound
     ("quality_score_calibration", {"documents": ["doc_id"]}),
+    ("quality_cohens_kappa", {"documents": ["doc_id"]}),
+    # matryoshka: brute-force ranker over sliced prefixes — linear scan
+    ("sim_topk_matryoshka", {"embeddings": ["vec_id"]}),
     # retrieval metrics: BM25 rollup + metadata-scale metric algebra
     ("search_retrieval_metrics", {"documents": ["doc_id"]}),
     # journey paths: sessionization window + two hash aggs

@@ -899,41 +899,25 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate.
 # ---------------------------------------------------------------------------
 _NDCG_K = 10
+# compose the REGISTERED BM25 oracle (star_ml recall-gate pattern) so
+# the metrics always score the exact ranking corpus_bm25_search defines
+# — the decimal contributions sum EXACTLY before the single cast to
+# double, so decimal ties order identically in both engines (a
+# copy-pasted float-associative SUM(CAST(c AS DOUBLE)) ranking was a
+# real cross-engine divergence, caught in round-5 code review)
+_BM25_ORACLE = ORACLE_SQL["corpus_bm25_search"]
 
 
 @_register(
     "search_retrieval_metrics",
     f"""
-    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
-    dl AS (SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS dl
-           FROM documents),
-    stats AS (SELECT COUNT(*) AS n_docs,
-                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-              FROM dl),
-    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
-           WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token),
-    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-    contrib AS (
-        SELECT tf.doc_id,
-               CAST(ROUND(
-                 ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
-                          / (CAST(dfreq.df AS DOUBLE) + 0.5))
-                 * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0})
-                 / (CAST(tf.tf AS DOUBLE)
-                    + {_BM25_K1} * ({1.0 - _BM25_B}
-                                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl))),
-                 6) AS DECIMAL(18,6)) AS c
-        FROM tf JOIN dfreq ON tf.token = dfreq.token
-                JOIN dl ON dl.doc_id = tf.doc_id
-                CROSS JOIN stats s
-    ),
+    WITH bm AS ({_BM25_ORACLE}),
     ranked AS (
         SELECT doc_id,
-               ROW_NUMBER() OVER (ORDER BY SUM(CAST(c AS DOUBLE)) DESC,
-                                  doc_id) AS rnk
-        FROM contrib GROUP BY doc_id
-        ORDER BY rnk LIMIT {_BM25_TOPK}
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM bm
     ),
+    tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
     rel AS (SELECT doc_id, COUNT(DISTINCT token) AS rel
             FROM tok WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id),
     hits AS (
@@ -996,7 +980,19 @@ def search_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("token").alias("rel"))
     )
-    hits = ranked.join(F.broadcast(rel), on="doc_id", how="left").select(
+    # qrels for the HIT join are computed only for the 20 ranked docs —
+    # the tiny ranked side broadcasts INTO the token stream (semi
+    # shape); broadcasting the corpus-scale rel table was the round-5
+    # review finding #2.  The full rel still feeds the count-only
+    # aggregates below (totals/grades) — plain map-side aggregation,
+    # nothing broadcast.
+    rel20 = (
+        tok.join(F.broadcast(ranked.select("doc_id")), on="doc_id")
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("token").alias("rel"))
+    )
+    hits = ranked.join(F.broadcast(rel20), on="doc_id", how="left").select(
         "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
     )
     # F.shiftleft needs a literal shift — column shifts go via expr

@@ -2124,10 +2124,12 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Inter-annotator agreement (Cohen's kappa) — the label-quality gate
 # for any corpus with redundant annotations: chance-corrected
 # agreement between two labelers from the 2x2 contingency table,
-# kappa = (p_o − p_e)/(1 − p_e), computed as ONE exact integer
-# rational — numerator n·(n00+n11) − (r0·c0 + r1·c1), denominator
-# n² − (r0·c0 + r1·c1) — then floored to permille, so the statistic is
-# bit-portable (no float division until never).  The two "annotators"
+# kappa = (p_o − p_e)/(1 − p_e), computed entirely in exact int64:
+# marginals quantized to micro-units (1e6·r DIV n), p_e in pico-units,
+# final permille division — every intermediate ≤ ~1e15, so no int64
+# overflow up to n ≈ 9.2e12 rows (the naive n²-scaled rational wraps
+# at n ≈ 9.6e7), and the ±1e-6 quantization is invisible at permille
+# resolution.  Bit-portable: both engines run the identical tree.  The two "annotators"
 # here are deterministic heuristics (length >= 300; contains ' the ');
 # real annotation columns drop into the same contract.  One count-only
 # aggregate: scan-bound.
@@ -2149,11 +2151,16 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lab
     )
     SELECT n, n00, n01, n10, n11,
-           CAST((1000 * (n * (n00 + n11)
-                         - ((n00 + n01) * (n00 + n10)
-                            + (n10 + n11) * (n01 + n11))))
-                // (n * n - ((n00 + n01) * (n00 + n10)
-                             + (n10 + n11) * (n01 + n11)))
+           CAST((1000 * ((1000000 * (n00 + n11)) // n * 1000000
+                         - (((1000000 * (n00 + n01)) // n)
+                            * ((1000000 * (n00 + n10)) // n)
+                            + ((1000000 * (n10 + n11)) // n)
+                              * ((1000000 * (n01 + n11)) // n))))
+                // (1000000000000
+                    - (((1000000 * (n00 + n01)) // n)
+                       * ((1000000 * (n00 + n10)) // n)
+                       + ((1000000 * (n10 + n11)) // n)
+                         * ((1000000 * (n01 + n11)) // n)))
                AS BIGINT) AS kappa_permille
     FROM c
     """,
@@ -2176,13 +2183,27 @@ def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END"))
         .cast("long").alias("n11"),
     )
+    # Overflow-safe exact-INTEGER evaluation (round-5 review finding:
+    # the naive 1000·(n·agree − Σ r·c) numerator exceeds int64 at
+    # n ≈ 9.6e7 rows — Spark would wrap silently, DuckDB would raise).
+    # Marginals and p_o are first quantized to MICRO-units (1e6·x DIV n
+    # — exact, fits int64 for n ≤ 9.2e12), p_e then lives in pico-units
+    # (≤ 1e12), and the final permille division peaks at 1e15.  The
+    # ±1e-6 marginal quantization moves kappa by ≤ ~2e-6 — invisible at
+    # permille resolution — and both engines compute the IDENTICAL
+    # integer tree, so the row stays bit-portable at any corpus size.
     return c.select(
         "n", "n00", "n01", "n10", "n11",
         F.expr(
-            "CAST((1000 * (n * (n00 + n11)"
-            " - ((n00 + n01) * (n00 + n10)"
-            " + (n10 + n11) * (n01 + n11))))"
-            " DIV (n * n - ((n00 + n01) * (n00 + n10)"
-            " + (n10 + n11) * (n01 + n11))) AS BIGINT)"
+            "CAST((1000 * ((1000000 * (n00 + n11)) DIV n * 1000000"
+            " - (((1000000 * (n00 + n01)) DIV n)"
+            " * ((1000000 * (n00 + n10)) DIV n)"
+            " + ((1000000 * (n10 + n11)) DIV n)"
+            " * ((1000000 * (n01 + n11)) DIV n))))"
+            " DIV (1000000000000"
+            " - (((1000000 * (n00 + n01)) DIV n)"
+            " * ((1000000 * (n00 + n10)) DIV n)"
+            " + ((1000000 * (n10 + n11)) DIV n)"
+            " * ((1000000 * (n01 + n11)) DIV n))) AS BIGINT)"
         ).alias("kappa_permille"),
     )

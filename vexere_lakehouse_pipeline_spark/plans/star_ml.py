@@ -1143,6 +1143,48 @@ def dedup_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neighbors the index misses entirely still reports recall 0, not a
 # dropped row.
 # ---------------------------------------------------------------------------
+def _recall_gate(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """Shared recall@k rollup every sim_recall_* gate uses: left-join
+    the approximate arm onto the brute-force truth and report per-query
+    hit counts (one definition — the round-5 review found six divergent
+    copies of this block)."""
+    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    approx = approx_fn(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
+    )
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["a_query"])
+        & (truth["vec_id"] == approx["a_vec"]),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("a_vec").alias("n_hit"),
+            F.count("*").alias("k"),
+            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _recall_oracle(approx_name: str) -> str:
+    """The DuckDB twin of :func:`_recall_gate`, composed from the two
+    registered topk oracles."""
+    return f"""
+    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
+    ap AS ({ORACLE_SQL[approx_name]})
+    SELECT bf.query_id,
+           COUNT(ap.vec_id) AS n_hit,
+           COUNT(*) AS k,
+           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM bf LEFT JOIN ap
+      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
+    GROUP BY bf.query_id ORDER BY bf.query_id
+"""
+
+
 @_register(
     "sim_recall_lsh_vs_bruteforce",
     None,  # composed below, after both source oracles are registered
@@ -1172,17 +1214,7 @@ def sim_recall_lsh_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SQL["sim_recall_lsh_vs_bruteforce"] = f"""
-    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
-    ap AS ({ORACLE_SQL["sim_topk_lsh_bucketed"]})
-    SELECT bf.query_id,
-           COUNT(ap.vec_id) AS n_hit,
-           COUNT(*) AS k,
-           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
-    FROM bf LEFT JOIN ap
-      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
-    GROUP BY bf.query_id ORDER BY bf.query_id
-"""
+ORACLE_SQL["sim_recall_lsh_vs_bruteforce"] = _recall_oracle("sim_topk_lsh_bucketed")
 
 
 # ---------------------------------------------------------------------------
@@ -1232,39 +1264,13 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_recall_int8_vs_bruteforce",
     None,  # composed below from the two registered oracles
 )
-def sim_recall_int8_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    approx = sim_topk_int8(spark, sf_dir).select(
-        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
-    )
-    joined = truth.join(
-        approx,
-        (truth["query_id"] == approx["a_query"])
-        & (truth["vec_id"] == approx["a_vec"]),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("a_vec").alias("n_hit"),
-            F.count("*").alias("k"),
-            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+def sim_recall_int8_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_int8)
 
 
-ORACLE_SQL["sim_recall_int8_vs_bruteforce"] = f"""
-    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
-    ap AS ({ORACLE_SQL["sim_topk_int8"]})
-    SELECT bf.query_id,
-           COUNT(ap.vec_id) AS n_hit,
-           COUNT(*) AS k,
-           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
-    FROM bf LEFT JOIN ap
-      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
-    GROUP BY bf.query_id ORDER BY bf.query_id
-"""
+ORACLE_SQL["sim_recall_int8_vs_bruteforce"] = _recall_oracle("sim_topk_int8")
 
 
 # ---------------------------------------------------------------------------
@@ -1323,38 +1329,10 @@ def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_hamming_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    approx = sim_topk_hamming(spark, sf_dir).select(
-        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
-    )
-    joined = truth.join(
-        approx,
-        (truth["query_id"] == approx["a_query"])
-        & (truth["vec_id"] == approx["a_vec"]),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("a_vec").alias("n_hit"),
-            F.count("*").alias("k"),
-            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_gate(spark, sf_dir, sim_topk_hamming)
 
 
-ORACLE_SQL["sim_recall_hamming_vs_bruteforce"] = f"""
-    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
-    ap AS ({ORACLE_SQL["sim_topk_hamming"]})
-    SELECT bf.query_id,
-           COUNT(ap.vec_id) AS n_hit,
-           COUNT(*) AS k,
-           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
-    FROM bf LEFT JOIN ap
-      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
-    GROUP BY bf.query_id ORDER BY bf.query_id
-"""
+ORACLE_SQL["sim_recall_hamming_vs_bruteforce"] = _recall_oracle("sim_topk_hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -1440,26 +1418,10 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_recall_pq_vs_bruteforce",
     None,  # composed below from the two registered oracles
 )
-def sim_recall_pq_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    approx = sim_topk_pq_adc(spark, sf_dir).select(
-        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
-    )
-    joined = truth.join(
-        approx,
-        (truth["query_id"] == approx["a_query"])
-        & (truth["vec_id"] == approx["a_vec"]),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("a_vec").alias("n_hit"),
-            F.count("*").alias("k"),
-            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+def sim_recall_pq_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_pq_adc)
 
 
 ORACLE_SQL["sim_recall_pq_vs_bruteforce"] = f"""
@@ -1539,40 +1501,13 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_recall_ivfpq_vs_bruteforce",
     None,  # composed below from the two registered oracles
 )
-def sim_recall_ivfpq_vs_bruteforce(spark: SparkSession,
-                                   sf_dir: str) -> DataFrame:
-    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    approx = sim_topk_ivfpq(spark, sf_dir).select(
-        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
-    )
-    joined = truth.join(
-        approx,
-        (truth["query_id"] == approx["a_query"])
-        & (truth["vec_id"] == approx["a_vec"]),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("a_vec").alias("n_hit"),
-            F.count("*").alias("k"),
-            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+def sim_recall_ivfpq_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_ivfpq)
 
 
-ORACLE_SQL["sim_recall_ivfpq_vs_bruteforce"] = f"""
-    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
-    ap AS ({ORACLE_SQL["sim_topk_ivfpq"]})
-    SELECT bf.query_id,
-           COUNT(ap.vec_id) AS n_hit,
-           COUNT(*) AS k,
-           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
-    FROM bf LEFT JOIN ap
-      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
-    GROUP BY bf.query_id ORDER BY bf.query_id
-"""
+ORACLE_SQL["sim_recall_ivfpq_vs_bruteforce"] = _recall_oracle("sim_topk_ivfpq")
 
 
 # ---------------------------------------------------------------------------
@@ -1674,40 +1609,13 @@ def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_recall_ivfpq_residual_vs_bruteforce",
     None,  # composed below from the two registered oracles
 )
-def sim_recall_ivfpq_residual_vs_bruteforce(spark: SparkSession,
-                                            sf_dir: str) -> DataFrame:
-    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    approx = sim_topk_ivfpq_residual(spark, sf_dir).select(
-        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
-    )
-    joined = truth.join(
-        approx,
-        (truth["query_id"] == approx["a_query"])
-        & (truth["vec_id"] == approx["a_vec"]),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("a_vec").alias("n_hit"),
-            F.count("*").alias("k"),
-            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+def sim_recall_ivfpq_residual_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_ivfpq_residual)
 
 
-ORACLE_SQL["sim_recall_ivfpq_residual_vs_bruteforce"] = f"""
-    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
-    ap AS ({ORACLE_SQL["sim_topk_ivfpq_residual"]})
-    SELECT bf.query_id,
-           COUNT(ap.vec_id) AS n_hit,
-           COUNT(*) AS k,
-           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
-    FROM bf LEFT JOIN ap
-      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
-    GROUP BY bf.query_id ORDER BY bf.query_id
-"""
+ORACLE_SQL["sim_recall_ivfpq_residual_vs_bruteforce"] = _recall_oracle("sim_topk_ivfpq_residual")
 
 
 # ---------------------------------------------------------------------------
@@ -1955,38 +1863,10 @@ def sim_topk_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_hamming_rerank_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    approx = sim_topk_hamming_rerank(spark, sf_dir).select(
-        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
-    )
-    joined = truth.join(
-        approx,
-        (truth["query_id"] == approx["a_query"])
-        & (truth["vec_id"] == approx["a_vec"]),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("a_vec").alias("n_hit"),
-            F.count("*").alias("k"),
-            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_gate(spark, sf_dir, sim_topk_hamming_rerank)
 
 
-ORACLE_SQL["sim_recall_hamming_rerank_vs_bruteforce"] = f"""
-    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
-    ap AS ({ORACLE_SQL["sim_topk_hamming_rerank"]})
-    SELECT bf.query_id,
-           COUNT(ap.vec_id) AS n_hit,
-           COUNT(*) AS k,
-           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
-    FROM bf LEFT JOIN ap
-      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
-    GROUP BY bf.query_id ORDER BY bf.query_id
-"""
+ORACLE_SQL["sim_recall_hamming_rerank_vs_bruteforce"] = _recall_oracle("sim_topk_hamming_rerank")
 
 
 # ---------------------------------------------------------------------------
@@ -2039,35 +1919,7 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_matryoshka_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    approx = sim_topk_matryoshka(spark, sf_dir).select(
-        F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
-    )
-    joined = truth.join(
-        approx,
-        (truth["query_id"] == approx["a_query"])
-        & (truth["vec_id"] == approx["a_vec"]),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("a_vec").alias("n_hit"),
-            F.count("*").alias("k"),
-            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_gate(spark, sf_dir, sim_topk_matryoshka)
 
 
-ORACLE_SQL["sim_recall_matryoshka_vs_bruteforce"] = f"""
-    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
-    ap AS ({ORACLE_SQL["sim_topk_matryoshka"]})
-    SELECT bf.query_id,
-           COUNT(ap.vec_id) AS n_hit,
-           COUNT(*) AS k,
-           ROUND(COUNT(ap.vec_id) * 1.0 / COUNT(*), 4) AS recall
-    FROM bf LEFT JOIN ap
-      ON ap.query_id = bf.query_id AND ap.vec_id = bf.vec_id
-    GROUP BY bf.query_id ORDER BY bf.query_id
-"""
+ORACLE_SQL["sim_recall_matryoshka_vs_bruteforce"] = _recall_oracle("sim_topk_matryoshka")
