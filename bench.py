@@ -185,6 +185,7 @@ def main() -> None:
         "search_retrieval_metrics",
         "corpus_bigram_pmi",
         "corpus_intradoc_sentence_dedup",
+        "corpus_exact_substring_dedup",
         "multimodal_wav_downsample",
         "sim_topk_pq_adc",
         "sim_recall_pq_vs_bruteforce",

@@ -1048,3 +1048,38 @@ def test_two_stage_topk_matches_single_window(spark):
         _two_stage_topk(small, [F.desc("score"), "vec_id"], 5).collect()
     )
     assert got2 == [(0, 1, 1), (0, 2, 2)]
+
+
+def test_exact_substring_clean_removes_duplicated_spans(spark):
+    """Lee et al. ExactSubstr semantics: a duplicated 8-token span is
+    removed from EVERY document containing it (including both copies
+    within one doc), non-duplicated text survives in order, and short
+    docs (< n tokens) pass through untouched."""
+    import hashlib
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _docs(spark, [
+        f"intro {span} outro",          # doc 0: span + 2 unique tokens
+        f"{span}",                       # doc 1: exactly the span
+        "totally unique words only here",  # doc 2: untouched
+        "tiny doc",                      # doc 3: < 8 tokens
+    ])
+    out = {r.doc_id: r for r in dedup.exact_substring_clean(docs).collect()}
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    # doc 0: "intro <span> outro" has 3 span-positions? no - 10 tokens,
+    # 3 windows; only the middle window (exact span) duplicates with
+    # doc 1, but windows overlap: positions 0..2 hash differently.
+    # Duplicated windows: (doc0, p=1) and (doc1, p=0) share the hash ->
+    # both removed; "intro"/"outro" survive only if not covered.
+    assert out[0].n_tokens == 10
+    assert out[0].n_removed == 8
+    assert out[0].clean_hash == md5("intro outro")
+    assert out[1].n_tokens == 8 and out[1].n_removed == 8
+    assert out[1].clean_hash == md5("")
+    assert out[2].n_removed == 0
+    assert out[2].clean_hash == md5("totally unique words only here")
+    assert out[3].n_tokens == 2 and out[3].n_removed == 0
+    # within-doc duplication also counts: one doc, same span twice
+    twice = _docs(spark, [f"{span} filler {span}"])
+    r = dedup.exact_substring_clean(twice).collect()[0]
+    assert r.n_removed == 16 and r.clean_hash == md5("filler")

@@ -1337,3 +1337,92 @@ def embedding_neardup_pairs_arrow(emb: DataFrame, vec_col: str = "embedding",
         per_group,
         schema=f"vec_a {id_type}, vec_b {id_type}, cos_sim double",
     )
+
+
+def exact_substring_clean(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 8,
+                          min_count: int = 2) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv 2107.06499 §4.1 —
+    their suffix-array ExactSubstr): every ``n``-token span that occurs
+    at least ``min_count`` times ANYWHERE in the corpus (across or
+    within documents) is removed from every document; the cleaned text
+    is the in-order concatenation of surviving tokens.
+
+    Returns (doc_id, n_tokens, n_removed, clean_hash) where clean_hash
+    is md5 of the cleaned token string — engine-portable evidence of
+    the exact reconstruction without shipping full texts through the
+    compare.
+
+    Spark-first shape (the suffix array is a single-machine
+    construction; the distributed equivalent is span hashing):
+    1. one explode to the ~total_tokens span stream, each span hashed
+       from its n-token window (md5 — portable);
+    2. duplicated span keys via ONE map-side-partial groupBy (the same
+       count shape as exact dedup — no self-join, no all-pairs);
+    3. covered positions: dup spans explode to n (doc, pos) marks;
+    4. surviving tokens: anti-join on (doc, pos), then per-doc ordered
+       rebuild (array_sort of (pos, token) structs — bounded by doc
+       length, no global sort).
+    Everything shuffles on hash/doc keys only — linear in corpus
+    tokens at any scale.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("_t")
+    )
+    spans = toks.filter(F.size("_t") >= n).select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("_t") - n)
+        ).alias("p"),
+        "_t",
+    ).select(
+        "doc_id", "p",
+        F.md5(F.concat_ws(" ", F.slice("_t", F.col("p") + 1, n)))
+        .alias("h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    covered = (
+        spans.join(dup, on="h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = toks.select(
+        "doc_id", F.posexplode("_t").alias("pos", "token")
+    )
+    kept = tok_pos.join(covered, on=["doc_id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+            )
+        ).alias("clean_hash"),
+    )
+    base = toks.select("doc_id", F.size("_t").cast("long").alias("n_tokens"))
+    empty_hash = F.md5(F.lit(""))
+    return (
+        base.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+            # a fully-covered doc rebuilds to the empty string
+            F.coalesce("clean_hash", empty_hash).alias("clean_hash"),
+        )
+    )

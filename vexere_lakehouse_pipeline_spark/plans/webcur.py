@@ -1440,3 +1440,62 @@ def multimodal_avi_framestride(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, payload binary"
     )
     return framestride_video(media, step=_VST_STEP).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022 ExactSubstr, arXiv 2107.06499):
+# every 8-token span occurring >= 2 times anywhere in the corpus is
+# REMOVED from every document (not the document dropped — the span).
+# The reference implementation builds a corpus suffix array on one
+# machine; the distributed re-expression is span hashing: one explode
+# to the token-linear span stream, one map-side-partial count, one
+# anti-join.  clean_hash = md5 of the rebuilt text proves the exact
+# in-order reconstruction cross-engine without shipping full texts.
+# ---------------------------------------------------------------------------
+_ESD_N = 8
+
+
+@_register(
+    "corpus_exact_substring_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    pidx AS (SELECT doc_id, toks,
+                    unnest(range(0, greatest(len(toks) - {_ESD_N - 1}, 0)))
+                        AS p
+             FROM t),
+    spans AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+                     md5(array_to_string(
+                         toks[CAST(p AS INTEGER) + 1
+                              : CAST(p AS INTEGER) + {_ESD_N}],
+                         ' ')) AS h
+              FROM pidx),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+    covered AS (SELECT DISTINCT doc_id, CAST(c AS BIGINT) AS pos
+                FROM (SELECT spans.doc_id,
+                             unnest(range(spans.p, spans.p + {_ESD_N})) AS c
+                      FROM spans JOIN dup USING (h))),
+    tokpos AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                      toks[CAST(p AS INTEGER) + 1] AS token
+               FROM (SELECT doc_id, toks,
+                            unnest(range(0, len(toks))) AS p
+                     FROM t)),
+    kept AS (SELECT tp.doc_id, tp.pos, tp.token FROM tokpos tp
+             LEFT JOIN covered c
+               ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+             WHERE c.pos IS NULL),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       md5(string_agg(token, ' ' ORDER BY pos))
+                           AS clean_hash
+                FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(clean_hash, md5('')) AS clean_hash
+    FROM t LEFT JOIN rebuilt USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def corpus_exact_substring_dedup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_clean(docs, n=_ESD_N).orderBy("doc_id")
