@@ -556,3 +556,29 @@ def test_framestride_video_reencode_roundtrip(spark):
     assert tuple(rows[2])[1:] == (0,) * 9  # empty -> zero row
     with pytest.raises(ValueError):
         framestride_video(media, 0)
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: a streaming fact enriched against
+    a static dimension produces exactly the batch twin's rows, and
+    unmatched facts survive a left join with null dim columns."""
+    src = str(tmp_path / "facts")
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ck")
+    facts = spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "fact_id long, dim_id long"
+    )
+    facts.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")],  # dim_id 3 missing -> null name
+        "dim_id long, dim_name string",
+    )
+    stream = spark.readStream.schema(facts.schema).parquet(src)
+    enriched = ingest.enrich_stream_with_dim(stream, dim, on="dim_id")
+    ingest.run_stream_to_sink(enriched, out, ckpt)
+    got = spark.read.parquet(out)
+    batch = facts.join(F.broadcast(dim), on="dim_id", how="left")
+    assert got.count() == 100
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    assert got.filter("dim_name IS NULL").count() == 25  # dim_id 3

@@ -200,6 +200,22 @@ def run_stream_with_quarantine(stream_df: DataFrame, expectations,
     q.awaitTermination()  # no timeout: wait for the full backlog
 
 
+def enrich_stream_with_dim(stream_df: DataFrame, dim: DataFrame,
+                           on: list[str] | str,
+                           how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment — the standard streaming
+    lookup-join: the static side is re-evaluated and BROADCAST into
+    every micro-batch (Structured Streaming executes the static plan
+    per batch, so a dim backed by a table/path picks up compactions
+    and slowly-changing updates between batches without restarting the
+    query).  Stateless — no watermark needed, unlike stream-stream
+    joins.  Inner and left_outer are the supported modes for a
+    streaming left side; right/full would need the stream on the
+    preserved side and raise in Spark.
+    """
+    return stream_df.join(F.broadcast(dim), on=on, how=how)
+
+
 def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session aggregation via the NATIVE ``F.session_window``
     — the one definition that serves batch and Structured Streaming
