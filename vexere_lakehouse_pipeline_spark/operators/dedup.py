@@ -635,7 +635,16 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
     extra survivor-fetch joins make it ~2x slower at sf0.1 — measured
     4.5 s vs 2.1 s), while on a bandwidth/memory-bound cluster the 8x
     byte cut is what prevents build-side spill.  Flip it on when the
-    embedding column dominates shuffle volume."""
+    embedding column dominates shuffle volume.
+
+    ``prefilter=True`` additionally REQUIRES ``id_col`` to be globally
+    unique: the survivor stage late-fetches float vectors by id alone
+    (the one-pass path only needs the per-row vector, so it carries no
+    such requirement).  The fetch side is defensively deduplicated on
+    id so a violation cannot fan the join out into wrong-block
+    cosines — but with duplicate ids "the vector for this id" is
+    ill-defined and the bit-identity guarantee vs the one-pass plan is
+    void.  All dedup callers key on a surrogate/primary id."""
     base = emb.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("_id"),
@@ -702,7 +711,7 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
             F.col(id_col).alias("_vid"),
             F.col(vec_col).alias("_v"),
             l2_norm(vec_col).alias("_n"),
-        )
+        ).dropDuplicates(["_vid"])
         va = vecs.select(F.col("_vid").alias("vec_a"),
                          F.col("_v").alias("emb_a"),
                          F.col("_n").alias("norm_a"))

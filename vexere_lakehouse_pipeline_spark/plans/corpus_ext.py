@@ -953,7 +953,7 @@ _BM25_ORACLE = ORACLE_SQL["corpus_bm25_search"]
                AS mrr_micro,
            CAST(ROUND(1000000 * dcg.dcg / idcg.idcg, 0) AS BIGINT)
                AS ndcg10_micro,
-           CAST((1000 * hits10.h) // LEAST(totals.n_rel, {_NDCG_K})
+           CAST((1000 * hits10.h) // NULLIF(LEAST(totals.n_rel, {_NDCG_K}), 0)
                AS BIGINT) AS recall10_permille,
            CAST(hits10.h AS BIGINT) AS n_hits10,
            CAST(totals.n_rel AS BIGINT) AS n_relevant
@@ -1048,8 +1048,11 @@ def search_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mrr_micro"),
             F.round(F.lit(1000000.0) * F.col("dcg") / F.col("idcg"), 0)
             .cast("long").alias("ndcg10_micro"),
-            F.expr(f"(1000 * h) DIV LEAST(n_rel, {_NDCG_K})").cast("long")
-            .alias("recall10_permille"),
+            # NULLIF guard: with zero relevant docs both engines must
+            # agree on NULL (DuckDB raises on integer div-by-zero,
+            # Spark DIV returns NULL — round-5 ADVICE divergence).
+            F.expr(f"(1000 * h) DIV NULLIF(LEAST(n_rel, {_NDCG_K}), 0)")
+            .cast("long").alias("recall10_permille"),
             F.col("h").cast("long").alias("n_hits10"),
             F.col("n_rel").cast("long").alias("n_relevant"),
         )

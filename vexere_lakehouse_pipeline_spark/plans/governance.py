@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.catalog import load_table
 from vexere_lakehouse_pipeline_spark.operators import dedup, privacy, sampling, similarity
+from vexere_lakehouse_pipeline_spark.operators.caching import CheckpointCache
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 from vexere_lakehouse_pipeline_spark.plans.star_ml import (
     _DUCK_BUCKET,
@@ -282,7 +283,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-source recall@k of knn_graph(strategy='lsh') against the exact
 # graph; the floor is pinned in tests/test_dedup_similarity.py.
 # ---------------------------------------------------------------------------
-_EXACT_KNN_CACHE: dict = {}
+_EXACT_KNN_CACHE = CheckpointCache(maxsize=4)
 
 
 def _exact_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,18 +292,17 @@ def _exact_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a lazy localCheckpoint, so a bench/gate run that evaluates
     both gates pays for the O(n²) exact graph once.  The cache is
     keyed by applicationId — a new session never sees another
-    session's (dead) checkpoint."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _EXACT_KNN_CACHE.get(key)
-    if hit is None:
+    session's (dead) checkpoint — and CAPPED with unpersist-on-evict
+    (round-5 ADVICE: unbounded entries pin dead checkpoint blocks when
+    one session walks many sf_dirs)."""
+
+    def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
-        hit = (
-            similarity.knn_graph(emb, k=_KNN_K, strategy="exact")
-            .select("src", "dst")
-            .localCheckpoint(eager=False)
+        return similarity.knn_graph(emb, k=_KNN_K, strategy="exact").select(
+            "src", "dst"
         )
-        _EXACT_KNN_CACHE[key] = hit
-    return hit
+
+    return _EXACT_KNN_CACHE.get(spark, "exact_knn_edges", sf_dir, build)
 @_register(
     "sim_recall_knn_lsh_vs_exact",
     f"""
@@ -2156,11 +2156,11 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * ((1000000 * (n00 + n10)) // n)
                             + ((1000000 * (n10 + n11)) // n)
                               * ((1000000 * (n01 + n11)) // n))))
-                // (1000000000000
+                // NULLIF(1000000000000
                     - (((1000000 * (n00 + n01)) // n)
                        * ((1000000 * (n00 + n10)) // n)
                        + ((1000000 * (n10 + n11)) // n)
-                         * ((1000000 * (n01 + n11)) // n)))
+                         * ((1000000 * (n01 + n11)) // n)), 0)
                AS BIGINT) AS kappa_permille
     FROM c
     """,
@@ -2200,10 +2200,10 @@ def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((1000000 * (n00 + n10)) DIV n)"
             " + ((1000000 * (n10 + n11)) DIV n)"
             " * ((1000000 * (n01 + n11)) DIV n))))"
-            " DIV (1000000000000"
+            " DIV NULLIF(1000000000000"
             " - (((1000000 * (n00 + n01)) DIV n)"
             " * ((1000000 * (n00 + n10)) DIV n)"
             " + ((1000000 * (n10 + n11)) DIV n)"
-            " * ((1000000 * (n01 + n11)) DIV n))) AS BIGINT)"
+            " * ((1000000 * (n01 + n11)) DIV n)), 0) AS BIGINT)"
         ).alias("kappa_permille"),
     )

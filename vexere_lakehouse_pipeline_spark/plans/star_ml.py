@@ -42,6 +42,7 @@ from vexere_lakehouse_pipeline_spark.functions.text import (
     whitespace_token_count,
 )
 from vexere_lakehouse_pipeline_spark.operators import dedup, sampling, similarity
+from vexere_lakehouse_pipeline_spark.operators.caching import CheckpointCache
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 
 QUERIES: dict[str, QueryFn] = {}
@@ -1143,12 +1144,32 @@ def dedup_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neighbors the index misses entirely still reports recall 0, not a
 # dropped row.
 # ---------------------------------------------------------------------------
+_BF_TRUTH_CACHE = CheckpointCache(maxsize=4)
+
+
+def _bruteforce_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact brute-force top-k truth arm shared by ALL
+    sim_recall_*_vs_bruteforce gates (round-5 verdict #2: eight gates
+    each recomputed it — ~8-10 s of redundant exact-arm work per bench
+    run).  Computed once per (session, sf_dir), pinned with a lazy
+    localCheckpoint, capped with unpersist-on-evict — the same
+    contract as governance._exact_knn_edges."""
+    return _BF_TRUTH_CACHE.get(
+        spark,
+        "sim_topk_bruteforce",
+        sf_dir,
+        lambda: sim_topk_bruteforce(spark, sf_dir).select(
+            "query_id", "vec_id"
+        ),
+    )
+
+
 def _recall_gate(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     """Shared recall@k rollup every sim_recall_* gate uses: left-join
     the approximate arm onto the brute-force truth and report per-query
     hit counts (one definition — the round-5 review found six divergent
     copies of this block)."""
-    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
+    truth = _bruteforce_truth(spark, sf_dir)
     approx = approx_fn(spark, sf_dir).select(
         F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
     )
@@ -1190,28 +1211,7 @@ def _recall_oracle(approx_name: str) -> str:
     None,  # composed below, after both source oracles are registered
 )
 def sim_recall_lsh_vs_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
-    approx = (
-        sim_topk_lsh_bucketed(spark, sf_dir)
-        .select(
-            F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
-        )
-    )
-    joined = truth.join(
-        approx,
-        (truth["query_id"] == approx["a_query"])
-        & (truth["vec_id"] == approx["a_vec"]),
-        "left",
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(
-            F.count("a_vec").alias("n_hit"),
-            F.count("*").alias("k"),
-            F.round(F.count("a_vec") * 1.0 / F.count("*"), 4).alias("recall"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_gate(spark, sf_dir, sim_topk_lsh_bucketed)
 
 
 ORACLE_SQL["sim_recall_lsh_vs_bruteforce"] = _recall_oracle("sim_topk_lsh_bucketed")
