@@ -22,6 +22,8 @@ as the portable default.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -560,6 +562,15 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
 
 MAX_EMB_BLOCK_SIZE = 2048
 
+# Engine for the exact-cosine pair stage (round-5 verdict #1: the
+# interpreted aggregate/zip_with fold is the single biggest wall-clock
+# lever left).  'arrow' = order-exact numpy kernel inside
+# applyInPandas — BIT-IDENTICAL to the JVM fold (see
+# _pairs_arrow_exact), so it is oracle-eligible; 'jvm' = the original
+# whole-plan Column-expression form.  Overridable per call via the
+# ``engine`` parameter or globally via SPARK_GRAFT_PAIR_ENGINE.
+DEFAULT_PAIR_ENGINE = os.environ.get("SPARK_GRAFT_PAIR_ENGINE", "arrow")
+
 
 def _int8_unit_code(vec_col) -> Column:
     """array<tinyint> code of the UNIT vector: round(v_i/|v|·127).
@@ -595,12 +606,96 @@ def _int8_margin(code_col) -> Column:
             + d / F.lit(254.0 * 254.0) + F.lit(1e-6))
 
 
+def _pairs_arrow_exact(base: DataFrame, id_type: str,
+                       threshold: float) -> DataFrame:
+    """Order-exact Arrow/numpy engine for the blocked pair-cosine stage.
+
+    BIT-IDENTICAL to the JVM ``cosine_from_norms`` plan, not merely
+    rows-equivalent: the kernel accumulates dot products and squared
+    norms with one vectorized multiply-add PER DIMENSION, in dimension
+    order — the same (round-to-double multiply, round-to-double add)
+    sequence the left-to-right ``aggregate``/``zip_with`` fold
+    executes — and IEEE sqrt/divide are correctly rounded on both
+    sides, so every raw cosine double matches the fold's bit-for-bit
+    (pinned exactly, not at 6dp, in tests/test_dedup_similarity.py).
+    The 6dp HALF_UP rounding and the threshold filter then run
+    JVM-SIDE on those identical doubles, so the gated queries keep
+    their oracle hashes by construction.  (The older
+    :func:`embedding_neardup_pairs_arrow` matmul engine trades this
+    for BLAS pairwise summation — fast but only rows-equivalent.)
+
+    Python pre-filters at ``threshold − 1e-6`` so only near-survivor
+    pairs cross Arrow (round(raw, 6) ≥ t implies raw > t − 5e-7): the
+    quadratic pair stream never materializes JVM-side at all, which is
+    also the at-scale win — per (block, sub) group the input is ≤ cap
+    rows and the output is survivors only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    margin = threshold - 1e-6
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="object"),
+             "vec_b": pd.Series(dtype="object"),
+             "_raw": pd.Series(dtype="float64")}
+        )
+        pdf = pdf[pdf["_vec"].notna()].sort_values("_id")
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        n, d = mat.shape
+        # Per-row norms: acc += x_i² in dimension order, then IEEE sqrt
+        # — the exact l2_norm fold.
+        nacc = np.zeros(n)
+        for j in range(d):
+            nacc += mat[:, j] * mat[:, j]
+        norms = np.sqrt(nacc)
+        keep = norms > 0.0
+        ids, mat, norms = ids[keep], mat[keep], norms[keep]
+        n = len(ids)
+        if n < 2:
+            return empty
+        # Pairwise dots: one rank-1 outer-product accumulate per
+        # dimension — element [i,j] sees the identical rounded
+        # multiply/add sequence as the scalar fold.
+        acc = np.zeros((n, n))
+        for j in range(d):
+            col = mat[:, j]
+            acc += col[:, None] * col[None, :]
+        iu, ju = np.triu_indices(n, k=1)
+        dots = acc[iu, ju]
+        dens = norms[iu] * norms[ju]
+        # dens can underflow to exactly 0 for subnormal norms; the JVM
+        # nullif(den, 0) drops such pairs — mirror that, never divide.
+        ok = dens > 0.0
+        iu, ju, dots, dens = iu[ok], ju[ok], dots[ok], dens[ok]
+        raw = dots / dens
+        m = raw >= margin
+        return pd.DataFrame(
+            {"vec_a": ids[iu[m]], "vec_b": ids[ju[m]], "_raw": raw[m]}
+        )
+
+    out = base.groupBy("block", "_sub").applyInPandas(
+        per_group, schema=f"vec_a {id_type}, vec_b {id_type}, _raw double"
+    )
+    return (
+        out.select(
+            "vec_a", "vec_b", F.round("_raw", 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", block_col: str = "label",
                             threshold: float = 0.3,
                             max_block_size: int | None = MAX_EMB_BLOCK_SIZE,
                             stats: dict | None = None,
-                            prefilter: bool = False) -> DataFrame:
+                            prefilter: bool = False,
+                            engine: str | None = None) -> DataFrame:
     """Blocked pairwise cosine near-dup: only pairs sharing ``block_col``
     are compared (at scale the block key is an LSH bucket or k-means
     cluster — see operators/similarity.py).  Returns
@@ -644,7 +739,20 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
     id so a violation cannot fan the join out into wrong-block
     cosines — but with duplicate ids "the vector for this id" is
     ill-defined and the bit-identity guarantee vs the one-pass plan is
-    void.  All dedup callers key on a surrogate/primary id."""
+    void.  All dedup callers key on a surrogate/primary id.
+
+    ``engine`` selects the exact-cosine kernel for the one-pass path:
+    ``'arrow'`` (order-exact numpy inside applyInPandas — bit-identical
+    doubles, see :func:`_pairs_arrow_exact`) or ``'jvm'`` (the
+    interpreted Column fold).  ``None`` resolves to
+    ``DEFAULT_PAIR_ENGINE`` (env ``SPARK_GRAFT_PAIR_ENGINE``).
+    ``prefilter=True`` keeps its own int8 two-pass plan regardless of
+    ``engine`` — that mode exists for the byte-bound regime where the
+    quadratic stage must stay JVM-side on 1-byte codes."""
+    if engine is None:
+        engine = DEFAULT_PAIR_ENGINE
+    if engine not in ("jvm", "arrow"):
+        raise ValueError(f"unknown pair engine {engine!r}")
     base = emb.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("_id"),
@@ -730,6 +838,14 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
                 ).alias("cos_sim"),
             )
             .filter(F.col("cos_sim") >= threshold)
+        )
+    if engine == "arrow":
+        # float→double is exact, so the up-cast before Arrow matches
+        # the fold's per-element cast("double") bit-for-bit.
+        id_type = emb.schema[id_col].dataType.simpleString()
+        return _pairs_arrow_exact(
+            base.withColumn("_vec", F.col("_vec").cast("array<double>")),
+            id_type, threshold,
         )
     a = base.select(
         "block",
@@ -1113,7 +1229,8 @@ def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
                              threshold: float = 0.3,
                              max_block_size: int | None = MAX_EMB_BLOCK_SIZE,
                              stats: dict | None = None,
-                             prefilter: bool = False) -> DataFrame:
+                             prefilter: bool = False,
+                             engine: str | None = None) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): cluster-blocked pairwise cosine -> near-dup groups ->
     one survivor per group.
@@ -1135,7 +1252,7 @@ def semantic_dedup_survivors(emb: DataFrame, vec_col: str = "embedding",
     pairs = embedding_neardup_pairs(
         emb, vec_col=vec_col, id_col=id_col, block_col=block_col,
         threshold=threshold, max_block_size=max_block_size, stats=stats,
-        prefilter=prefilter,
+        prefilter=prefilter, engine=engine,
     ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     comp = connected_components(pairs)
     all_ids = emb.select(F.col(id_col).alias("vec_id"))
