@@ -195,6 +195,8 @@ def main() -> None:
         "sim_recall_ivfpq_residual_vs_bruteforce",
         "sim_topk_hamming_rerank",
         "sim_recall_hamming_rerank_vs_bruteforce",
+        "sim_topk_ivfpq_rerank",
+        "sim_recall_ivfpq_rerank_vs_bruteforce",
         "sim_topk_matryoshka",
         "sim_recall_matryoshka_vs_bruteforce",
         "quality_drift_ks",

@@ -992,6 +992,48 @@ def test_topk_ivfpq_pruning_and_recall(spark):
     assert sum(rec) / len(rec) >= 0.5
 
 
+def test_topk_ivfpq_rerank_recovers_quantization_loss(spark):
+    """Two-tier IVFPQ + exact rerank (the FAISS refine serving shape):
+    the 50-deep ADC shortlist + exact cosine rerank must recover
+    STRICTLY more recall than the raw ADC ranking on the same
+    index parameters — the rerank erases per-vector quantization
+    error; what remains is pure nprobe pruning loss (the true
+    neighbor living in an unprobed list, which no rerank can fetch
+    back).  Measured at sf0.001: raw ADC 0.70 mean -> rerank 0.94;
+    floors pinned below with headroom."""
+    from vexere_lakehouse_pipeline_spark.plans import star_ml
+
+    sf = "/root/testdata/sf0.001"
+    rr = [
+        r["recall"]
+        for r in star_ml.QUERIES["sim_recall_ivfpq_rerank_vs_bruteforce"](
+            spark, sf
+        ).collect()
+    ]
+    raw = [
+        r["recall"]
+        for r in star_ml.QUERIES["sim_recall_ivfpq_vs_bruteforce"](
+            spark, sf
+        ).collect()
+    ]
+    mean_rr = sum(rr) / len(rr)
+    mean_raw = sum(raw) / len(raw)
+    assert mean_rr >= 0.85          # measured 0.94
+    assert mean_rr > mean_raw       # the rerank must actually pay rent
+    # identical output contract as bruteforce: (query_id, vec_id,
+    # cos_sim, rnk), exact cosine values — wherever the true top-k
+    # survived the shortlist the rows MATCH bruteforce exactly
+    bf = {
+        (r["query_id"], r["vec_id"]): (r["cos_sim"], r["rnk"])
+        for r in star_ml.QUERIES["sim_topk_bruteforce"](spark, sf).collect()
+    }
+    rrk = star_ml.QUERIES["sim_topk_ivfpq_rerank"](spark, sf).collect()
+    hits = [r for r in rrk if (r["query_id"], r["vec_id"]) in bf]
+    assert hits
+    for r in hits:
+        assert bf[(r["query_id"], r["vec_id"])][0] == r["cos_sim"]
+
+
 def test_pq_trained_codebooks_beat_sampled(spark):
     """pq_train_codebooks is the quality path the PQ docstrings promise
     ("production swaps in trained centroids"): 3 Lloyd's iterations

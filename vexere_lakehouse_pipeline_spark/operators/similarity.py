@@ -1582,6 +1582,18 @@ def topk_hamming_rerank(candidates: DataFrame, queries: DataFrame,
         candidates, queries, k=shortlist, vec_col=vec_col, id_col=id_col,
         n_bits=n_bits,
     ).select("query_id", "vec_id")
+    return _exact_rerank(candidates, queries, short, k, vec_col, id_col)
+
+
+def _exact_rerank(candidates: DataFrame, queries: DataFrame,
+                  short: DataFrame, k: int,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Tier 2 shared by every two-tier ANN composition: exact float
+    cosine over a (query_id, vec_id) shortlist, vectors LATE-FETCHED
+    by id (the float table is touched at shortlist/|C| selectivity,
+    never shuffled through the tier-1 scan), ranked by the shared
+    two-stage top-k.  Same output contract as topk_bruteforce."""
     c = candidates.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("emb"),
@@ -1605,6 +1617,38 @@ def topk_hamming_rerank(candidates: DataFrame, queries: DataFrame,
         .filter(F.col("cos_sim").isNotNull())
     )
     return _two_stage_topk(scored, [F.desc("cos_sim"), "vec_id"], k)
+
+
+def topk_ivfpq_rerank(candidates: DataFrame, queries: DataFrame,
+                      k: int = 5, shortlist: int = 50,
+                      n_centroids: int = 32, nprobe: int = 8,
+                      m: int = 8, ksub: int = 16,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      codebooks: DataFrame | None = None,
+                      dsub: int | None = None,
+                      dim: int | None = None) -> DataFrame:
+    """IVF-PQ shortlist + exact rerank — the production serving shape
+    FAISS deployments actually run (index=IVFPQ for the scan,
+    refine/rerank over the original vectors for the final order):
+    tier 1 ADC-scores only the probed lists' PQ codes and keeps
+    ``shortlist`` candidates per query; tier 2 late-fetches the float
+    vectors for those shortlist rows ONLY and reranks by exact cosine.
+
+    Why this dominates raw IVF-PQ at serving time: ADC error is a
+    per-vector quantization artifact — the true neighbor is almost
+    always INSIDE a 10·k shortlist even when it isn't ADC-rank-1 — so
+    the exact tier recovers near-bruteforce recall (gated:
+    sim_recall_ivfpq_rerank_vs_bruteforce, floor strictly above the
+    raw-ADC gate's) while scan bytes stay PQ-dominated:
+    m·|C|·nprobe/n_centroids code bytes + 8·d·shortlist·|Q| float
+    bytes, vs 8·d·|C| for brute force.  Returns (query_id, vec_id,
+    cos_sim, rank) like topk_bruteforce."""
+    short = topk_ivfpq(
+        candidates, queries, k=shortlist, n_centroids=n_centroids,
+        nprobe=nprobe, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col,
+        codebooks=codebooks, dsub=dsub, dim=dim,
+    ).select("query_id", "vec_id")
+    return _exact_rerank(candidates, queries, short, k, vec_col, id_col)
 
 
 def topk_truncated(candidates: DataFrame, queries: DataFrame, k: int = 5,

@@ -1923,3 +1923,90 @@ def sim_recall_matryoshka_vs_bruteforce(
 
 
 ORACLE_SQL["sim_recall_matryoshka_vs_bruteforce"] = _recall_oracle("sim_topk_matryoshka")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ shortlist + exact rerank — the production serving shape FAISS
+# deployments actually run (IVFPQ scan, refine over original floats;
+# round-5 verdict task #2).  Tier 1 is the REAL-pruning IVF-PQ above
+# (nprobe=8/32 — 75% of the corpus never ADC-scored) widened to a
+# 50-deep shortlist; tier 2 late-fetches floats for shortlist rows
+# only and reranks by exact cosine.  ADC error is per-vector
+# quantization noise, so the true top-5 almost always survives a 10·k
+# shortlist: the recall gate pins the recovery strictly above the
+# raw-ADC gate's floor while scan bytes stay PQ-dominated
+# (m·|C|·nprobe/n_centroids code bytes + 8·d·shortlist·|Q| floats).
+# ---------------------------------------------------------------------------
+_IVFPQ_RR_SHORTLIST = 50
+
+
+@_register(
+    "sim_topk_ivfpq_rerank",
+    f"""
+    WITH {_PQ_BASE},
+    cents AS (SELECT vec_id AS cid, u AS cu FROM (
+                 SELECT vec_id, u, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                 FROM n) WHERE rn <= {_IVFPQ_NCENT}),
+    assign AS (SELECT vec_id, cid FROM (
+                 SELECT n.vec_id, cents.cid,
+                        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                            {_PQ_D2U.format(a="n.u", b="cents.cu")},
+                            cents.cid) AS rn
+                 FROM n, cents) WHERE rn = 1),
+    probe AS (SELECT query_id, cid FROM (
+                 SELECT n.vec_id AS query_id, cents.cid,
+                        ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                            {_PQ_D2U.format(a="n.u", b="cents.cu")},
+                            cents.cid) AS rn
+                 FROM n, cents WHERE n.vec_id < 10) WHERE rn <= {_IVFPQ_NPROBE}),
+    scored AS (SELECT probe.query_id, enc.vec_id,
+                      CAST(SUM(lut.d2u) AS BIGINT) AS adc_d2_micro
+               FROM enc
+               JOIN assign ON assign.vec_id = enc.vec_id
+               JOIN probe ON probe.cid = assign.cid
+               JOIN lut ON lut.query_id = probe.query_id
+                       AND lut.s = enc.s AND lut.code = enc.code
+               WHERE enc.vec_id <> probe.query_id
+               GROUP BY probe.query_id, enc.vec_id),
+    short AS (SELECT query_id, vec_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_d2_micro, vec_id) AS srnk
+                 FROM scored) WHERE srnk <= {_IVFPQ_RR_SHORTLIST}),
+    rescored AS (
+        SELECT short.query_id, short.vec_id,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM short JOIN e a ON a.vec_id = short.query_id
+                   JOIN e b ON b.vec_id = short.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM rescored WHERE cos_sim IS NOT NULL
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_ivfpq_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        shortlist=_IVFPQ_RR_SHORTLIST,
+        n_centroids=_IVFPQ_NCENT, nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M, ksub=_PQ_KSUB, dsub=_PQ_DSUB,
+        dim=64,  # static width -> unrolled codegen'd full-dim distance
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_ivfpq_rerank_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_ivfpq_rerank_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_ivfpq_rerank)
+
+
+ORACLE_SQL["sim_recall_ivfpq_rerank_vs_bruteforce"] = _recall_oracle("sim_topk_ivfpq_rerank")
