@@ -186,6 +186,7 @@ def main() -> None:
         "corpus_bigram_pmi",
         "corpus_intradoc_sentence_dedup",
         "corpus_exact_substring_dedup",
+        "corpus_exact_substring_runs",
         "multimodal_wav_downsample",
         "sim_topk_pq_adc",
         "sim_recall_pq_vs_bruteforce",

@@ -1200,3 +1200,62 @@ def test_exact_substring_clean_removes_duplicated_spans(spark):
     twice = _docs(spark, [f"{span} filler {span}"])
     r = dedup.exact_substring_clean(twice).collect()[0]
     assert r.n_removed == 16 and r.clean_hash == md5("filler")
+
+
+def test_exact_substring_min_len_keeps_short_quotes(spark):
+    """The paper's length threshold (Lee et al. §4.1 remove maximal
+    duplicated substrings >= 50 tokens; round-5 verdict #3): with
+    min_len > n, a LONG shared passage is removed while a SHORT shared
+    quote (>= n but < min_len) SURVIVES — the fixed-n cover
+    (min_len=None) excises both."""
+    import hashlib
+
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    passage = " ".join(f"p{i}" for i in range(30))   # 30-token passage
+    quote = " ".join(f"q{i}" for i in range(10))     # 10-token quote
+    docs = _docs(spark, [
+        f"one {passage} tail1 {quote} end1",   # doc 0
+        f"two {passage} tail2 {quote} end2",   # doc 1
+        "independent text with no duplicates at all",  # doc 2
+    ])
+    # min_len=24: the 30-token passage run >= 24 -> removed;
+    # the 10-token quote run (10 < 24) -> SURVIVES
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substring_clean(docs, n=8, min_len=24).collect()
+    }
+    assert out[0].n_removed == 30
+    assert out[0].clean_hash == md5(f"one tail1 {quote} end1")
+    assert out[1].n_removed == 30
+    assert out[1].clean_hash == md5(f"two tail2 {quote} end2")
+    assert out[2].n_removed == 0
+    # default fixed-n cover removes BOTH (more aggressive than paper)
+    cover = {
+        r.doc_id: r
+        for r in dedup.exact_substring_clean(docs, n=8).collect()
+    }
+    assert cover[0].n_removed == 40
+    assert cover[0].clean_hash == md5("one tail1 end1")
+    # min_len <= n is the identity with the default cover
+    same = {
+        r.doc_id: r
+        for r in dedup.exact_substring_clean(docs, n=8, min_len=8).collect()
+    }
+    assert {d: (r.n_removed, r.clean_hash) for d, r in same.items()} == {
+        d: (r.n_removed, r.clean_hash) for d, r in cover.items()
+    }
+    # two overlapping/abutting sub-min_len duplicated substrings chain
+    # into one >= min_len run — removed (documented conservative
+    # divergence from the suffix-array formulation)
+    a = " ".join(f"a{i}" for i in range(14))
+    b = " ".join(f"b{i}" for i in range(14))
+    chain = _docs(spark, [
+        f"x {a} {b} y", f"left {a} r1", f"l2 {b} right",
+    ])
+    got = {
+        r.doc_id: r
+        for r in dedup.exact_substring_clean(chain, n=8, min_len=24).collect()
+    }
+    assert got[0].n_removed == 28          # the chained 28-token run
+    assert got[1].n_removed == 0           # isolated 14-token run < 24
+    assert got[2].n_removed == 0

@@ -151,6 +151,7 @@ PROBES = [
     ("corpus_intradoc_sentence_dedup", {"documents": ["doc_id"]}),
     # span stream is token-linear; dup count is one map-side groupBy
     ("corpus_exact_substring_dedup", {"documents": ["doc_id"]}),
+    ("corpus_exact_substring_runs", {"documents": ["doc_id"]}),
     # decimation is one Arrow-batched map stage — scan-linear
     ("multimodal_wav_downsample", {"documents": ["doc_id"]}),
     # PQ: codebook window is n*m narrow rows; encode is linear n*m*ksub;

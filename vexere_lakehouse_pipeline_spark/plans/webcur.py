@@ -1499,3 +1499,73 @@ def corpus_exact_substring_dedup(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_substring_clean(docs, n=_ESD_N).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr with the paper's length threshold (Lee et al. §4.1
+# remove MAXIMAL duplicated substrings >= 50 tokens; round-5 verdict
+# #3): covered positions are merged into maximal contiguous runs per
+# document (gaps-and-islands: pos - ROW_NUMBER within doc) and only
+# runs >= min_len are removed — a duplicated n-gram quote shorter
+# than the threshold SURVIVES where corpus_exact_substring_dedup
+# excises it.  min_len=24 (not 50) so the threshold is exercised on
+# this corpus's doc lengths; the short-quote-survival semantics are
+# pinned on a crafted fixture in tests/test_webcur.py.
+# ---------------------------------------------------------------------------
+_ESD_MIN_LEN = 24
+
+
+@_register(
+    "corpus_exact_substring_runs",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    pidx AS (SELECT doc_id, toks,
+                    unnest(range(0, greatest(len(toks) - {_ESD_N - 1}, 0)))
+                        AS p
+             FROM t),
+    spans AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+                     md5(array_to_string(
+                         toks[CAST(p AS INTEGER) + 1
+                              : CAST(p AS INTEGER) + {_ESD_N}],
+                         ' ')) AS h
+              FROM pidx),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+    covered AS (SELECT DISTINCT doc_id, CAST(c AS BIGINT) AS pos
+                FROM (SELECT spans.doc_id,
+                             unnest(range(spans.p, spans.p + {_ESD_N})) AS c
+                      FROM spans JOIN dup USING (h))),
+    runs AS (SELECT doc_id, pos,
+                    pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS grp
+             FROM covered),
+    long_runs AS (SELECT doc_id, pos FROM (
+                     SELECT doc_id, pos,
+                            COUNT(*) OVER (PARTITION BY doc_id, grp) AS rl
+                     FROM runs) WHERE rl >= {_ESD_MIN_LEN}),
+    tokpos AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                      toks[CAST(p AS INTEGER) + 1] AS token
+               FROM (SELECT doc_id, toks,
+                            unnest(range(0, len(toks))) AS p
+                     FROM t)),
+    kept AS (SELECT tp.doc_id, tp.pos, tp.token FROM tokpos tp
+             LEFT JOIN long_runs c
+               ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+             WHERE c.pos IS NULL),
+    rebuilt AS (SELECT doc_id, COUNT(*) AS n_kept,
+                       md5(string_agg(token, ' ' ORDER BY pos))
+                           AS clean_hash
+                FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(clean_hash, md5('')) AS clean_hash
+    FROM t LEFT JOIN rebuilt USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def corpus_exact_substring_runs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_clean(
+        docs, n=_ESD_N, min_len=_ESD_MIN_LEN
+    ).orderBy("doc_id")
