@@ -81,14 +81,41 @@ def main() -> None:
     # Warmup: run the first query once to absorb JVM startup / codegen.
     force(ALL_QUERIES[names[0]](spark, sf_dir))
 
+    # Fixed reference probe (VERDICT r5 #5): one CONSTANT scan-agg over
+    # lineitem, frozen forever, timed median-of-3 AFTER warmup.  This
+    # box drifts 25-40% day-to-day (BENCH_DRIFT.md); the probe runs
+    # code no round ever touches, so cross-round comparisons normalize
+    # by the probe ratio instead of being adjudicated by hand.  DO NOT
+    # edit this query in future rounds — its only value is constancy.
+    from pyspark.sql import functions as _F
+
+    def _noise_probe() -> float:
+        t0 = time.time()
+        force(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy("l_returnflag")
+            .agg(
+                _F.sum("l_quantity"),
+                _F.sum(_F.col("l_extendedprice") * (1 - _F.col("l_discount"))),
+                _F.count("*"),
+            )
+        )
+        return time.time() - t0
+
+    noise_ref = round(sorted(_noise_probe() for _ in range(3))[1], 3)
+
     # Best-of-N per query (N=2 default): the min over repetitions is
     # the standard noise-robust estimator of steady-state latency.
+    # The MEDIAN over the same reps is kept alongside (r5 #5): under
+    # co-tenant load min and median diverge, and the pair plus
+    # noise_ref_sec lets a later round tell host weather from a real
+    # regression without a manual rerun.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
-    def time_query(name: str) -> float:
-        """Best-of-reps wall time — ONE estimator for headline and
+    def time_query_all(name: str) -> list[float]:
+        """All rep wall times — one estimator family for headline and
         extra sets so the numbers stay comparable."""
-        best = float("inf")
+        out = []
         for _ in range(reps):
             # Drop cached data between reps: operators that persist()
             # internally would otherwise serve rep 2 from rep 1's cache
@@ -97,14 +124,26 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.time()
             force(ALL_QUERIES[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+            out.append(time.time() - t0)
+        return out
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    def time_query(name: str) -> float:
+        return round(min(time_query_all(name)), 3)
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        timings[name] = time_query(name)
+        rep_times = time_query_all(name)
+        timings[name] = round(min(rep_times), 3)
+        medians[name] = round(_median(rep_times), 3)
 
     total = round(sum(timings.values()), 3)
+    median_total = round(sum(medians.values()), 3)
 
     # Non-headline tracked numbers: round-2+ operators timed for
     # round-over-round continuity WITHOUT changing the headline set
@@ -278,6 +317,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # noise normalization (r5 #5): noise_ref_sec is the
+                # median-of-3 of a FROZEN lineitem scan-agg; compare
+                # rounds via value/noise_ref_sec (BENCH_DRIFT.md rule).
+                # median = sum of per-query median-of-reps — diverges
+                # from value (best-of-reps) under co-tenant load.
+                "noise_ref_sec": noise_ref,
+                "median": median_total,
             }
         )
     )

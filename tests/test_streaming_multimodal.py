@@ -582,3 +582,69 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
     assert got.filter("dim_name IS NULL").count() == 25  # dim_id 3
+
+
+def test_refreshed_dim_enrichment_mid_stream_update(spark, tmp_path):
+    """enrich_stream_with_refreshed_dim (round-5 verdict #6): the dim
+    snapshot CHANGES between micro-batches of ONE continuous query,
+    and each fact row must carry the dim version current at its batch
+    — batch-twin equivalence is facts_batch0 ⋈ dim_v1 ∪ facts_batch1 ⋈
+    dim_v2, which a frozen-dim join cannot produce."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    dim_dir = str(tmp_path / "dim")
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ck")
+
+    def write_dim(version: str) -> None:
+        spark.createDataFrame(
+            [(0, f"a_{version}"), (1, f"b_{version}")],
+            "dim_id long, dim_name string",
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    # one file per micro-batch (maxFilesPerTrigger=1), mtime-ordered
+    schema = pa.schema([("fact_id", pa.int64()), ("dim_id", pa.int64())])
+    pq.write_table(
+        pa.table({"fact_id": [0, 1], "dim_id": [0, 1]}, schema=schema),
+        str(src / "f0.parquet"),
+    )
+    import time as _time
+
+    _time.sleep(1.2)  # distinct mtimes -> deterministic batch order
+    pq.write_table(
+        pa.table({"fact_id": [2, 3], "dim_id": [0, 1]}, schema=schema),
+        str(src / "f1.parquet"),
+    )
+
+    write_dim("v1")
+    versions = []
+
+    def loader():
+        """Re-reads the snapshot, then (test-side side effect) bumps
+        it to v2 so the NEXT micro-batch sees the updated dim."""
+        dim = spark.read.parquet(dim_dir)
+        dim = dim.localCheckpoint(eager=True)  # pin rows BEFORE overwrite
+        versions.append(dim.collect())
+        write_dim("v2")
+        return dim
+
+    stream = (
+        spark.readStream.schema("fact_id long, dim_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ingest.enrich_stream_with_refreshed_dim(
+        stream, loader, on="dim_id", out_path=out, checkpoint=ckpt
+    )
+    got = {
+        (r["fact_id"], r["dim_name"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(versions) == 2  # loader ran once per micro-batch
+    # batch 0 (facts 0,1) saw v1; batch 1 (facts 2,3) saw v2
+    assert got == {
+        (0, "a_v1"), (1, "b_v1"), (2, "a_v2"), (3, "b_v2"),
+    }

@@ -216,6 +216,48 @@ def enrich_stream_with_dim(stream_df: DataFrame, dim: DataFrame,
     return stream_df.join(F.broadcast(dim), on=on, how=how)
 
 
+def enrich_stream_with_refreshed_dim(stream_df: DataFrame, dim_loader,
+                                     on: list[str] | str,
+                                     out_path: str, checkpoint: str,
+                                     how: str = "left") -> None:
+    """foreachBatch dimension enrichment with a PER-MICRO-BATCH
+    refreshed dim (round-5 verdict #6): ``dim_loader`` is a zero-arg
+    callable invoked at the START of every micro-batch, and the batch
+    joins against whatever snapshot it returns — each fact row is
+    enriched with the dim version CURRENT AT ITS BATCH (equivalence
+    across a mid-stream dim update is pinned in
+    tests/test_streaming_multimodal.py).
+
+    Why a loader hook when :func:`enrich_stream_with_dim` already
+    re-executes the static plan each batch: plan re-execution refreshes
+    the BYTES under a fixed path/plan, but cannot re-resolve a new
+    snapshot (a freshly-written overwrite directory, a Delta version,
+    the latest SCD2 slice) or run loader-side selection logic — the
+    production dim-refresh patterns.  foreachBatch makes the refresh
+    point explicit, testable, and free to call arbitrary reader code.
+
+    At-least-once like every foreachBatch sink: a crash between the
+    write and the checkpoint commit replays the batch into the plain
+    append below — route through operators.incremental.merge_append
+    on keys if downstream cannot dedup.  Blocks until the availableNow
+    backlog drains.
+    """
+
+    def route(batch_df: DataFrame, _batch_id: int) -> None:
+        dim = dim_loader()
+        batch_df.join(F.broadcast(dim), on=on, how=how).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session aggregation via the NATIVE ``F.session_window``
     — the one definition that serves batch and Structured Streaming
