@@ -237,6 +237,8 @@ def main() -> None:
         "sim_recall_hamming_rerank_vs_bruteforce",
         "sim_topk_ivfpq_rerank",
         "sim_recall_ivfpq_rerank_vs_bruteforce",
+        "sim_topk_sq8",
+        "sim_recall_sq8_vs_bruteforce",
         "sim_topk_matryoshka",
         "sim_recall_matryoshka_vs_bruteforce",
         "quality_drift_ks",

@@ -1034,6 +1034,52 @@ def test_topk_ivfpq_rerank_recovers_quantization_loss(spark):
         assert bf[(r["query_id"], r["vec_id"])][0] == r["cos_sim"]
 
 
+def test_topk_sq8_params_encode_and_recall(spark):
+    """Per-dimension affine SQ8 (FAISS ScalarQuantizer QT_8bit):
+    params are exact min/max per dimension of the unit vectors, codes
+    hit 0 and 255 at the range endpoints, zero/NULL vectors are
+    excluded, and real-data recall@5 stays above the floor (measured
+    1.0 at sf0.001, 0.98 at sf0.01 — per-dim ranges lose less than the
+    global-scale int8 code)."""
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),      # unit (0.6, 0.8)
+            (2, [-4.0, 3.0]),     # unit (-0.8, 0.6)
+            (3, [0.0, 1.0]),      # unit (0.0, 1.0)
+            (4, None),            # excluded
+            (5, [0.0, 0.0]),      # zero-norm: excluded
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    params = {r["pos"]: r for r in similarity.sq8_params(emb).collect()}
+    assert params[0]["mn"] == -0.8 and params[0]["mx"] == 0.6
+    assert params[1]["mn"] == 0.6 and params[1]["mx"] == 1.0
+    codes = {
+        r["vec_id"]: r["sq8"]
+        for r in similarity.sq8_encode(
+            emb, similarity.sq8_params(emb)
+        ).collect()
+    }
+    assert set(codes) == {1, 2, 3}  # null + zero-norm excluded
+    s0, s1 = params[0]["scale_micro"], params[1]["scale_micro"]
+    assert codes[1][0] == 255 * s0      # 0.6 is dim-0 max
+    assert codes[2][0] == 0             # -0.8 is dim-0 min
+    assert codes[3][1] == 255 * s1      # 1.0 is dim-1 max
+    # real-data recall floor
+    from vexere_lakehouse_pipeline_spark.plans import star_ml
+
+    rec = [
+        r["recall"]
+        for r in star_ml.QUERIES["sim_recall_sq8_vs_bruteforce"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    assert sum(rec) / len(rec) >= 0.9   # measured 1.0
+
+
 def test_pq_trained_codebooks_beat_sampled(spark):
     """pq_train_codebooks is the quality path the PQ docstrings promise
     ("production swaps in trained centroids"): 3 Lloyd's iterations

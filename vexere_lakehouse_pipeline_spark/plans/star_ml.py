@@ -2010,3 +2010,68 @@ def sim_recall_ivfpq_rerank_vs_bruteforce(
 
 
 ORACLE_SQL["sim_recall_ivfpq_rerank_vs_bruteforce"] = _recall_oracle("sim_topk_ivfpq_rerank")
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension affine scalar quantization (FAISS ScalarQuantizer
+# QT_8bit) — the compression-ladder rung between int8-unit (one global
+# 127 scale) and PQ (codebooks): each dimension codes into 0..255
+# against its OWN corpus min/max, so narrow dimensions lose less
+# precision.  Portability is STRONGER than the mean-based trainers:
+# MIN/MAX are order-insensitive exact double aggregates, codes are one
+# shared round() per cell, and the pair distance Σ(Δ·scale)² is exact
+# int64 (≤ 64·(255·7843)² ≈ 2.6e14) — DuckDB verifies the ranking
+# bit-for-bit.  Recall vs the float truth is gated like every
+# approximate tier.
+# ---------------------------------------------------------------------------
+@_register(
+    "sim_topk_sq8",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u
+          FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+          WHERE nrm > 0),
+    dims AS (SELECT vec_id, CAST(p AS INTEGER) AS pos,
+                    u[CAST(p AS INTEGER) + 1] AS x
+             FROM (SELECT vec_id, u, unnest(range(0, len(u))) AS p FROM n)),
+    params AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx,
+                      CAST(GREATEST(ROUND(1000000.0 * (MAX(x) - MIN(x)) / 255, 0),
+                                    1) AS BIGINT) AS scale_micro
+               FROM dims GROUP BY pos),
+    codes AS (SELECT d.vec_id, d.pos,
+                     CASE WHEN p.mx = p.mn THEN CAST(0 AS BIGINT)
+                          ELSE CAST(LEAST(GREATEST(
+                                   ROUND(255.0 * (d.x - p.mn) / (p.mx - p.mn), 0),
+                                   0), 255) AS BIGINT)
+                     END * p.scale_micro AS sc
+              FROM dims d JOIN params p USING (pos)),
+    q AS (SELECT vec_id AS query_id, pos, sc FROM codes WHERE vec_id < 10),
+    scored AS (SELECT q.query_id, c.vec_id,
+                      CAST(SUM((q.sc - c.sc) * (q.sc - c.sc)) AS BIGINT) AS d2_sq8
+               FROM codes c JOIN q ON q.pos = c.pos AND c.vec_id <> q.query_id
+               GROUP BY q.query_id, c.vec_id),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY d2_sq8, vec_id) AS rnk
+               FROM scored)
+    SELECT query_id, vec_id, d2_sq8, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_sq8(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_sq8_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_sq8_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_sq8)
+
+
+ORACLE_SQL["sim_recall_sq8_vs_bruteforce"] = _recall_oracle("sim_topk_sq8")
