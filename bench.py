@@ -102,7 +102,9 @@ def main() -> None:
         )
         return time.time() - t0
 
-    noise_ref = round(sorted(_noise_probe() for _ in range(3))[1], 3)
+    from statistics import median as _median
+
+    noise_ref = round(_median(_noise_probe() for _ in range(3)), 3)
 
     # Best-of-N per query (N=2 default): the min over repetitions is
     # the standard noise-robust estimator of steady-state latency.
@@ -126,11 +128,6 @@ def main() -> None:
             force(ALL_QUERIES[name](spark, sf_dir))
             out.append(time.time() - t0)
         return out
-
-    def _median(xs: list[float]) -> float:
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
     def time_query(name: str) -> float:
         return round(min(time_query_all(name)), 3)

@@ -719,6 +719,79 @@ def test_pairs_arrow_exact_bit_identical_to_jvm_fold(spark):
         dedup.embedding_neardup_pairs(synth, engine="blas")
 
 
+def test_pairs_arrow_jvm_parity_edge_cases(spark):
+    """Review-found divergences between the engines, now pinned: NULL
+    block keys never pair (the JVM equi-join is null-filtering, while
+    groupBy would keep NULL as a group), duplicate ids never self-pair
+    (the JVM vec_a < vec_b is a VALUE filter), NULL ids never pair
+    (NULL < x is NULL), and ragged vector lengths degrade gracefully
+    (JVM: zip_with pads -> NULL cosine -> pair drops; arrow must not
+    crash np.stack)."""
+    rows = [
+        # block "b": near-identical pair + a dup-id row + a ragged row
+        (1, "b", [1.0, 2.0, 3.0]),
+        (2, "b", [1.0, 2.0, 3.0001]),
+        (2, "b", [1.0, 2.0, 2.9999]),       # duplicate id 2
+        (7, "b", [1.0, 2.0]),               # ragged: 2-dim vs 3-dim
+        (8, "b", [1.0, 2.0001]),            # ragged partner
+        (None, "b", [1.0, 2.0, 3.0]),       # NULL id
+        # NULL block: two near-identical vectors that must NOT pair
+        (10, None, [5.0, 5.0, 5.0]),
+        (11, None, [5.0, 5.0, 5.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    jvm = sorted(
+        map(tuple, dedup.embedding_neardup_pairs(
+            emb, threshold=0.3, engine="jvm").collect())
+    )
+    arrow = sorted(
+        map(tuple, dedup.embedding_neardup_pairs(
+            emb, threshold=0.3, engine="arrow").collect())
+    )
+    assert arrow == jvm
+    got_pairs = {(a, b) for a, b, _ in arrow}
+    assert (10, 11) not in got_pairs        # NULL block never pairs
+    assert not any(a == b for a, b in got_pairs)   # no self-pairs
+    assert not any(a is None or b is None for a, b in got_pairs)
+    assert (7, 8) in got_pairs              # within-length class pairs
+    assert (1, 2) in got_pairs
+
+
+def test_checkpoint_cache_caps_and_releases(spark):
+    """CheckpointCache: same key hits the same frame, eviction beyond
+    maxsize actually FREES the checkpoint's storage blocks (review
+    finding: Dataset.unpersist is a no-op for localCheckpoint — the
+    release must go through the LogicalRDD's underlying RDD)."""
+    from vexere_lakehouse_pipeline_spark.operators.caching import (
+        CheckpointCache,
+    )
+
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    base = n_persistent()
+    cache = CheckpointCache(maxsize=2)
+
+    def build(tag: int):
+        return lambda: spark.range(1000 + tag).selectExpr("id", "id*2 as x")
+
+    a = cache.get(spark, "t", "sf_a", build(0))
+    assert cache.get(spark, "t", "sf_a", build(0)) is a  # hit, no rebuild
+    a.count()
+    cache.get(spark, "t", "sf_b", build(1)).count()
+    assert n_persistent() >= base + 2
+    # third insert evicts sf_a AND releases its blocks
+    cache.get(spark, "t", "sf_c", build(2)).count()
+    assert len(cache._entries) == 2
+    assert n_persistent() <= base + 2
+    cache.clear()
+    assert n_persistent() <= base
+
+
 def test_connected_components_warns_when_not_converged(spark):
     """No silent caps: running out of iterations must emit a warning
     (partial labels under-merge downstream); a converged run must not."""

@@ -29,6 +29,24 @@ class CheckpointCache:
         self.maxsize = maxsize
         self._entries: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 
+    @staticmethod
+    def _release(df: DataFrame) -> None:
+        """Free a localCheckpoint's storage blocks NOW (best-effort).
+
+        ``Dataset.unpersist()`` is a silent no-op here — it only clears
+        SQL CacheManager entries, and a checkpoint's persistence lives
+        on the underlying RDD (verified empirically: getPersistentRDDs
+        stays non-empty after Dataset.unpersist, drops to empty after
+        the RDD-level unpersist below).  A localCheckpointed frame's
+        analyzed plan is a LogicalRDD wrapping exactly that RDD.  If
+        the internal route ever breaks, dropping our reference still
+        lets driver GC + ContextCleaner reclaim the blocks eventually.
+        """
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     def get(
         self,
         spark: SparkSession,
@@ -42,20 +60,11 @@ class CheckpointCache:
             hit = builder().localCheckpoint(eager=False)
             while len(self._entries) >= self.maxsize:
                 _, old = self._entries.popitem(last=False)
-                try:
-                    # Frees the checkpoint's storage blocks for the
-                    # common case; a failure only means the blocks die
-                    # with the application instead of now.
-                    old.unpersist()
-                except Exception:
-                    pass
+                self._release(old)
             self._entries[key] = hit
         return hit
 
     def clear(self) -> None:
         while self._entries:
             _, old = self._entries.popitem(last=False)
-            try:
-                old.unpersist()
-            except Exception:
-                pass
+            self._release(old)

@@ -634,18 +634,11 @@ def _pairs_arrow_exact(base: DataFrame, id_type: str,
     import pandas as pd
 
     margin = threshold - 1e-6
+    empty_cols = {"vec_a": pd.Series(dtype="object"),
+                  "vec_b": pd.Series(dtype="object"),
+                  "_raw": pd.Series(dtype="float64")}
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"vec_a": pd.Series(dtype="object"),
-             "vec_b": pd.Series(dtype="object"),
-             "_raw": pd.Series(dtype="float64")}
-        )
-        pdf = pdf[pdf["_vec"].notna()].sort_values("_id")
-        if len(pdf) < 2:
-            return empty
-        ids = pdf["_id"].to_numpy()
-        mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+    def one_length_class(ids, mat) -> pd.DataFrame:
         n, d = mat.shape
         # Per-row norms: acc += x_i² in dimension order, then IEEE sqrt
         # — the exact l2_norm fold.
@@ -657,7 +650,7 @@ def _pairs_arrow_exact(base: DataFrame, id_type: str,
         ids, mat, norms = ids[keep], mat[keep], norms[keep]
         n = len(ids)
         if n < 2:
-            return empty
+            return pd.DataFrame(empty_cols)
         # Pairwise dots: one rank-1 outer-product accumulate per
         # dimension — element [i,j] sees the identical rounded
         # multiply/add sequence as the scalar fold.
@@ -666,6 +659,13 @@ def _pairs_arrow_exact(base: DataFrame, id_type: str,
             col = mat[:, j]
             acc += col[:, None] * col[None, :]
         iu, ju = np.triu_indices(n, k=1)
+        # JVM parity: the fold path filters vec_a < vec_b on VALUES, so
+        # duplicate ids (a < a is false) never self-pair — index-based
+        # triu over the id-sorted rows must re-apply the strict
+        # inequality (review finding: dup ids would have emitted
+        # (x, x) pairs here).
+        ok = ids[iu] != ids[ju]
+        iu, ju = iu[ok], ju[ok]
         dots = acc[iu, ju]
         dens = norms[iu] * norms[ju]
         # dens can underflow to exactly 0 for subnormal norms; the JVM
@@ -678,8 +678,44 @@ def _pairs_arrow_exact(base: DataFrame, id_type: str,
             {"vec_a": ids[iu[m]], "vec_b": ids[ju[m]], "_raw": raw[m]}
         )
 
-    out = base.groupBy("block", "_sub").applyInPandas(
-        per_group, schema=f"vec_a {id_type}, vec_b {id_type}, _raw double"
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL ids mirror the JVM path too: NULL < x is NULL there, so
+        # a null-id row never survives the pair filter.
+        pdf = pdf[pdf["_vec"].notna() & pdf["_id"].notna()].sort_values("_id")
+        if len(pdf) < 2:
+            return pd.DataFrame(empty_cols)
+        # Ragged vector lengths: zip_with pads the shorter side with
+        # NULL, so a cross-length pair's dot (hence cosine) is NULL on
+        # the JVM path and the pair drops — pair only within one
+        # length class (np.stack would otherwise raise on the whole
+        # group).
+        lens = pdf["_vec"].map(len)
+        outs = []
+        for _l, sub in pdf.groupby(lens, sort=False):
+            if len(sub) < 2:
+                continue
+            outs.append(
+                one_length_class(
+                    sub["_id"].to_numpy(),
+                    np.stack(sub["_vec"].to_numpy()).astype(np.float64),
+                )
+            )
+        if not outs:
+            return pd.DataFrame(empty_cols)
+        return pd.concat(outs, ignore_index=True)
+
+    # JVM parity: the equi-join on ['block', '_sub'] is null-filtering,
+    # so NULL-block rows never pair there — groupBy would keep NULL as
+    # a real group (review finding).  Filter AFTER the hot-block split
+    # so the census/sub-split assignment stays identical to the JVM
+    # plan's.
+    out = (
+        base.filter(F.col("block").isNotNull())
+        .groupBy("block", "_sub")
+        .applyInPandas(
+            per_group,
+            schema=f"vec_a {id_type}, vec_b {id_type}, _raw double",
+        )
     )
     return (
         out.select(

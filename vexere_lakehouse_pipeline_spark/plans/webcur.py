@@ -1510,7 +1510,8 @@ def corpus_exact_substring_dedup(spark: SparkSession,
 # than the threshold SURVIVES where corpus_exact_substring_dedup
 # excises it.  min_len=24 (not 50) so the threshold is exercised on
 # this corpus's doc lengths; the short-quote-survival semantics are
-# pinned on a crafted fixture in tests/test_webcur.py.
+# pinned on a crafted fixture in tests/test_dedup_similarity.py
+# (test_exact_substring_min_len_keeps_short_quotes).
 # ---------------------------------------------------------------------------
 _ESD_MIN_LEN = 24
 
