@@ -234,6 +234,8 @@ def main() -> None:
         "sim_recall_hamming_rerank_vs_bruteforce",
         "sim_topk_ivfpq_rerank",
         "sim_recall_ivfpq_rerank_vs_bruteforce",
+        "sim_topk_cascade",
+        "sim_recall_cascade_vs_bruteforce",
         "sim_topk_sq8",
         "sim_recall_sq8_vs_bruteforce",
         "sim_topk_matryoshka",

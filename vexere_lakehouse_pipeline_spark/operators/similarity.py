@@ -1776,6 +1776,58 @@ def topk_ivfpq_rerank(candidates: DataFrame, queries: DataFrame,
     return _exact_rerank(candidates, queries, short, k, vec_col, id_col)
 
 
+def topk_cascade(candidates: DataFrame, queries: DataFrame, k: int = 5,
+                 shortlist1: int = 100, shortlist2: int = 20,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_bits: int = 63) -> DataFrame:
+    """Three-tier ANN cascade — the full production funnel, each tier
+    touching ~an order of magnitude fewer rows at ~an order of
+    magnitude more bytes per row:
+
+    1. Hamming sign-sketch scan (8 B/vector, the whole corpus) keeps
+       ``shortlist1`` per query;
+    2. int8 dot product re-scores ONLY those survivors (1 B/dim,
+       codes late-fetched by id) down to ``shortlist2``;
+    3. exact float cosine reranks the final shortlist
+       (:func:`_exact_rerank` — 8 B/dim at shortlist2/|C|
+       selectivity).
+
+    Scan bytes: 8·|C| + d·shortlist1·|Q| + 8·d·shortlist2·|Q|, vs
+    8·d·|C| for brute force — at 64 dims the full-corpus tier is 64x
+    lighter than floats while the exact tier still fixes the final
+    order.  Tiers 1-2 are exact int64 arithmetic (bit-portable,
+    oracle-gated end-to-end); recall loss is shortlist survival only,
+    pinned by sim_recall_cascade_vs_bruteforce.  Returns (query_id,
+    vec_id, cos_sim, rank) like topk_bruteforce."""
+    t1 = topk_hamming(
+        candidates, queries, k=shortlist1, vec_col=vec_col, id_col=id_col,
+        n_bits=n_bits,
+    ).select("query_id", "vec_id")
+    c8 = quantize_int8_unit(candidates, vec_col).select(
+        F.col(id_col).alias("vec_id"), "q8"
+    ).filter(F.col("q8").isNotNull())
+    q8 = quantize_int8_unit(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("q8").alias("qq")
+    ).filter(F.col("qq").isNotNull())
+    t2_scored = (
+        t1.join(c8, on="vec_id")
+        .join(F.broadcast(q8), on="query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q8"), F.col("qq"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+    )
+    t2 = _two_stage_topk(
+        t2_scored, [F.desc("dot_q"), "vec_id"], shortlist2
+    ).select("query_id", "vec_id")
+    return _exact_rerank(candidates, queries, t2, k, vec_col, id_col)
+
+
 def topk_truncated(candidates: DataFrame, queries: DataFrame, k: int = 5,
                    dims: int = 32, vec_col: str = "embedding",
                    id_col: str = "vec_id") -> DataFrame:

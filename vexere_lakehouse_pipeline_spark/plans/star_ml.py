@@ -2075,3 +2075,92 @@ def sim_recall_sq8_vs_bruteforce(
 
 
 ORACLE_SQL["sim_recall_sq8_vs_bruteforce"] = _recall_oracle("sim_topk_sq8")
+
+
+# ---------------------------------------------------------------------------
+# Three-tier ANN cascade — the full production funnel: Hamming sketch
+# scan over the whole corpus (8 B/vec) -> int8 re-score of the
+# 100-deep survivors (1 B/dim, codes fetched late by id) -> exact
+# float rerank of the final 20 (8 B/dim at 20/|C| selectivity).
+# Tiers 1-2 are exact int64 arithmetic, so the WHOLE funnel is
+# oracle-reproduced bit-for-bit up to the gated 6dp float tier; the
+# recall gate pins shortlist-survival loss vs the float truth.
+# ---------------------------------------------------------------------------
+_CASCADE_L1, _CASCADE_L2 = 100, 20
+
+
+@_register(
+    "sim_topk_cascade",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    sk AS (SELECT vec_id,
+                  CAST(list_sum(list_transform(
+                      list_zip(v[1:{_SKETCH_BITS}], range(0, {_SKETCH_BITS})),
+                      p -> CASE WHEN p[1] >= 0
+                                THEN CAST(1 AS BIGINT) << CAST(p[2] AS INTEGER)
+                                ELSE 0 END)) AS BIGINT) AS s
+           FROM n WHERE nrm > 0),
+    hq AS (SELECT vec_id AS query_id, s AS qs FROM sk WHERE vec_id < 10),
+    hscored AS (
+        SELECT hq.query_id, c.vec_id,
+               CAST(bit_count(xor(c.s, hq.qs)) AS BIGINT) AS hamming
+        FROM sk c, hq WHERE c.vec_id <> hq.query_id
+    ),
+    short1 AS (SELECT query_id, vec_id FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY hamming, vec_id) AS rnk
+                  FROM hscored) WHERE rnk <= {_CASCADE_L1}),
+    qt AS (SELECT vec_id,
+                  list_transform(v, x ->
+                      CAST(least(greatest(round(x / nrm * 127), -127.0),
+                                 127.0) AS BIGINT)) AS q8
+           FROM n WHERE nrm > 0),
+    q8q AS (SELECT vec_id AS query_id, q8 AS qq FROM qt WHERE vec_id < 10),
+    t2scored AS (
+        SELECT short1.query_id, short1.vec_id,
+               CAST(list_dot_product(c.q8, q8q.qq) AS BIGINT) AS dot_q
+        FROM short1 JOIN qt c ON c.vec_id = short1.vec_id
+                    JOIN q8q ON q8q.query_id = short1.query_id
+    ),
+    short2 AS (SELECT query_id, vec_id FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY dot_q DESC, vec_id) AS rnk
+                  FROM t2scored) WHERE rnk <= {_CASCADE_L2}),
+    rescored AS (
+        SELECT short2.query_id, short2.vec_id,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM short2 JOIN e a ON a.vec_id = short2.query_id
+                    JOIN e b ON b.vec_id = short2.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM rescored WHERE cos_sim IS NOT NULL
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_topk_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_cascade(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        shortlist1=_CASCADE_L1, shortlist2=_CASCADE_L2,
+        n_bits=_SKETCH_BITS,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_cascade_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_cascade_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_cascade)
+
+
+ORACLE_SQL["sim_recall_cascade_vs_bruteforce"] = _recall_oracle("sim_topk_cascade")
