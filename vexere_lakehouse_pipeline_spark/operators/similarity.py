@@ -982,7 +982,11 @@ def topk_sq8(candidates: DataFrame, queries: DataFrame, k: int = 5,
     """
     if params is None:
         params = sq8_params(candidates, vec_col, id_col)
-    params = params.localCheckpoint(eager=False)  # dims-sized model state
+    # dims-sized model state (64 rows): pin so the corpus-scan
+    # aggregate behind it runs once, not once per encode side.  The
+    # pinned blocks are KBs and die with the app; callers that loop
+    # over many corpora should pass a precomputed `params` instead.
+    params = params.localCheckpoint(eager=False)
     q = sq8_encode(queries, params, vec_col, id_col, "query_id").select(
         "query_id", F.col("sq8").alias("qq")
     )
