@@ -243,6 +243,7 @@ def main() -> None:
         "quality_drift_ks",
         "quality_score_calibration",
         "quality_cohens_kappa",
+        "quality_classifier_scores",
         "events_journey_paths",
         "window_next_order_gap",
         "multimodal_bmp_resize",

@@ -256,3 +256,51 @@ def test_split_hot_buckets_partition_properties(spark, sizes, cap):
         for r in dedup._split_hot_buckets(bands, cap).collect()
     }
     assert again == {r["doc_id"]: r["_sub"] for r in out}
+
+
+# ---------------------------------------------------------------------------
+# Pair-engine bit-identity fuzz: the order-exact Arrow kernel must
+# equal the JVM fold EXACTLY (pairs AND cos_sim doubles) on arbitrary
+# inputs — random magnitudes (incl. huge/tiny values), duplicate and
+# NULL ids, NULL blocks, NULL/zero/ragged vectors, random thresholds.
+# The crafted-edge test pins known corners; this pins the ones nobody
+# crafted.
+# ---------------------------------------------------------------------------
+_VEC = st.one_of(
+    st.none(),
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False, width=64,
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+)
+_ROW = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=12)),  # id (dups!)
+    st.one_of(st.none(), st.sampled_from(["a", "b"])),             # block
+    _VEC,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_ROW, min_size=2, max_size=25),
+    st.sampled_from([0.0, 0.3, 0.9, -0.5]),
+)
+def test_pair_engines_bit_identical_fuzz(spark, rows, threshold):
+    from vexere_lakehouse_pipeline_spark.operators import dedup
+
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    jvm = sorted(
+        map(tuple, dedup.embedding_neardup_pairs(
+            emb, threshold=threshold, engine="jvm").collect())
+    )
+    arrow = sorted(
+        map(tuple, dedup.embedding_neardup_pairs(
+            emb, threshold=threshold, engine="arrow").collect())
+    )
+    assert arrow == jvm

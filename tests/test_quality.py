@@ -214,3 +214,50 @@ def test_schema_diff_flags_nullability_loosening(spark):
     df = spark.createDataFrame([(1,)], "id long")  # nullable by default
     with pytest.raises(QualityError, match="nullability"):
         enforce_schema(df, contract)
+
+
+def test_linear_text_classifier_exact_scores_and_edges(spark):
+    """Model-based quality gate: exact milli-unit scores against a
+    hand-built weight table, unseen buckets weigh 0, a token-less doc
+    scores the intercept with n_tokens=0 and NULL mean, and the weight
+    table is pluggable (the production contract — hashed_stub_weights
+    is just the oracle-friendly stand-in)."""
+    from vexere_lakehouse_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb aaa"), (2, "ccc"), (3, "")],
+        "doc_id long, text string",
+    )
+    k = 8
+    # find the actual buckets the tokens hash into, then weight them
+    b = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame(
+            [("aaa",), ("bbb",), ("ccc",)], "t string"
+        ).select("t", (hash_bucket("t", "qclf") % k).alias("b")).collect()
+    }
+    weights = spark.createDataFrame(
+        [(int(b["aaa"]), 500), (int(b["bbb"]), -2000)],
+        "bucket int, w_milli long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality.linear_text_classifier(
+            docs, weights, n_buckets=k, intercept_milli=100
+        ).collect()
+    }
+    if b["aaa"] != b["bbb"]:  # no hash collision in this fixture
+        assert out[1]["score_milli"] == 2 * 500 - 2000 + 100  # -900
+        assert out[1]["is_high_quality"] is False
+        # DIV truncates toward zero: -1000 DIV 3 = -333, not floor -334
+        assert out[1]["mean_w_milli"] == -333
+    assert out[1]["n_tokens"] == 3
+    # 'ccc' bucket has no weight row -> 0 (+ intercept)
+    if b["ccc"] not in (b["aaa"], b["bbb"]):
+        assert out[2]["score_milli"] == 100
+        assert out[2]["is_high_quality"] is True
+    # token-less doc: intercept score, zero tokens, NULL mean
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["score_milli"] == 100
+    assert out[3]["mean_w_milli"] is None
+    assert out[3]["is_high_quality"] is True

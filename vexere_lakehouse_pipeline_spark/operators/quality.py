@@ -231,3 +231,89 @@ def fk_orphan_audit(child: DataFrame, child_key: str, parent: DataFrame,
         "n_orphan_rows",
         "n_orphan_keys",
     )
+
+
+def hashed_stub_weights(spark, n_buckets: int = 1024,
+                        salt: str = "qclfw") -> DataFrame:
+    """Deterministic stand-in weight table for
+    :func:`linear_text_classifier` — (bucket, w_milli) with w_milli =
+    hash(bucket) % 2001 − 1000 ∈ [−1000, 1000] milli-units.  Plays the
+    role trained fasttext/logistic weights play in production (the
+    operator takes ANY (bucket, w_milli) table); being hash-derived,
+    selection-only, it keeps the whole inference path oracle-
+    reproducible, the same stand-in discipline as the sampled PQ
+    codebooks and the deterministic sentiment fake."""
+    from vexere_lakehouse_pipeline_spark.operators.sampling import hash_bucket
+
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (hash_bucket(F.col("id"), salt) % 2001 - 1000)
+        .cast("long").alias("w_milli"),
+    )
+
+
+def linear_text_classifier(docs: DataFrame, weights: DataFrame,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           n_buckets: int = 1024,
+                           intercept_milli: int = 0,
+                           salt: str = "qclf") -> DataFrame:
+    """Model-based quality filtering — the fasttext-style LINEAR
+    classifier inference stage every production corpus pipeline runs
+    (CCNet/LLaMA-style "quality classifier" gating), as one scan:
+
+    tokens → hashed feature bucket (md5, engine-portable) → broadcast
+    join against the K-row weight table → per-doc integer sum.  Score
+    is exact int64 milli-units (w ∈ milli-units, |score| ≤ n_tokens ·
+    1e3·max|w| ≪ 2⁶³); is_high_quality = score ≥ 0 is the gate bit.
+
+    ``weights`` is the model: (bucket, w_milli), trained offline in
+    production (fasttext → hashed-bucket projection) —
+    :func:`hashed_stub_weights` is the deterministic stand-in that
+    keeps the row oracle-gated.  Unseen buckets weigh 0 (left join +
+    coalesce), token-less docs score ``intercept_milli`` with
+    n_tokens = 0 and a NULL mean.
+
+    Scale shape: explode is the only fan-out (token-linear), the
+    weight table is K rows (model-state scale — ALWAYS broadcast), and
+    the per-doc rollup is one map-side-partial aggregation on doc_id.
+    No shuffle touches anything wider than (doc_id, bucket).
+    Returns (doc_id, n_tokens, score_milli, mean_w_milli,
+    is_high_quality).
+    """
+    from vexere_lakehouse_pipeline_spark.functions.text import tokenize
+    from vexere_lakehouse_pipeline_spark.operators.sampling import hash_bucket
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(text_col)).alias("token"),
+    )
+    feat = tok.select(
+        "doc_id", (hash_bucket("token", salt) % n_buckets).alias("bucket")
+    )
+    scored = (
+        feat.join(F.broadcast(weights), on="bucket", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(0)))
+            .cast("long").alias("_sum_w"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(scored, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.coalesce("_sum_w", F.lit(0)) + F.lit(intercept_milli))
+            .cast("long").alias("score_milli"),
+            # mean of the TOKEN weights (intercept excluded); NULL for
+            # token-less docs.  DIV truncates toward zero on both
+            # engines (DuckDB // matches — verified on negatives).
+            F.expr("_sum_w DIV NULLIF(n_tokens, 0)")
+            .cast("long").alias("mean_w_milli"),
+            (
+                F.coalesce("_sum_w", F.lit(0)) + F.lit(intercept_milli) >= 0
+            ).alias("is_high_quality"),
+        )
+    )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vexere_lakehouse_pipeline_spark.catalog import load_table
-from vexere_lakehouse_pipeline_spark.operators import dedup, privacy, sampling, similarity
+from vexere_lakehouse_pipeline_spark.operators import dedup, privacy, quality, sampling, similarity
 from vexere_lakehouse_pipeline_spark.operators.caching import CheckpointCache
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 from vexere_lakehouse_pipeline_spark.plans.star_ml import (
@@ -2207,3 +2207,56 @@ def quality_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((1000000 * (n01 + n11)) DIV n)), 0) AS BIGINT)"
         ).alias("kappa_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering — the fasttext-style linear-classifier
+# gate (CCNet / LLaMA-recipe "quality classifier" stage) as one scan:
+# tokens → hashed md5 feature buckets → broadcast join against the
+# K-row weight table → per-doc exact int64 milli-unit sum; the gate
+# bit is score >= 0.  The weight table is the pluggable model
+# (operators/quality.hashed_stub_weights is the deterministic stand-in
+# — same discipline as sampled PQ codebooks — so the WHOLE inference
+# path is oracle-reproduced; production swaps in trained weights with
+# the identical (bucket, w_milli) contract).  Scale: explode is
+# token-linear, weights are model-state scale (always broadcast), one
+# doc_id rollup; nothing wider than (doc_id, bucket) shuffles.
+# ---------------------------------------------------------------------------
+_QCLF_K = 1024
+
+from vexere_lakehouse_pipeline_spark.operators.sampling import hash_bucket_sql  # noqa: E402
+
+
+@_register(
+    "quality_classifier_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    w AS (SELECT CAST(r.b AS INTEGER) AS bucket,
+                 CAST({hash_bucket_sql('r.b', 'qclfw')} % 2001 - 1000
+                      AS BIGINT) AS w_milli
+          FROM range(0, {_QCLF_K}) AS r(b)),
+    feat AS (SELECT doc_id,
+                    {hash_bucket_sql('token', 'qclf')} % {_QCLF_K} AS bucket
+             FROM tok),
+    scored AS (SELECT feat.doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(COALESCE(w.w_milli, 0)) AS BIGINT) AS score_milli
+               FROM feat LEFT JOIN w USING (bucket)
+               GROUP BY feat.doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.score_milli, 0) AS score_milli,
+           CAST(s.score_milli // NULLIF(s.n_tokens, 0) AS BIGINT)
+               AS mean_w_milli,
+           COALESCE(s.score_milli, 0) >= 0 AS is_high_quality
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = quality.hashed_stub_weights(spark, n_buckets=_QCLF_K)
+    return quality.linear_text_classifier(
+        docs, weights, n_buckets=_QCLF_K
+    ).orderBy("doc_id")
