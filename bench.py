@@ -244,6 +244,7 @@ def main() -> None:
         "quality_score_calibration",
         "quality_cohens_kappa",
         "quality_classifier_scores",
+        "events_purged_time_split",
         "events_journey_paths",
         "window_next_order_gap",
         "multimodal_bmp_resize",

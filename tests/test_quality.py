@@ -261,3 +261,25 @@ def test_linear_text_classifier_exact_scores_and_edges(spark):
     assert out[3]["score_milli"] == 100
     assert out[3]["mean_w_milli"] is None
     assert out[3]["is_high_quality"] is True
+
+
+def test_purged_time_split_embargo_gap(spark):
+    """Purged/embargoed temporal split: no train event may sit within
+    the embargo of any test event — max(train ts) < t_split and
+    min(test ts) >= t_split + embargo, so the train→test gap is at
+    least the embargo width (the leakage the purge exists to stop)."""
+    from vexere_lakehouse_pipeline_spark.plans.star_ext import (
+        _EMBARGO_US,
+        events_purged_time_split,
+    )
+
+    out = events_purged_time_split(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], []).append(r["ts_us"])
+    assert set(by) == {"train", "purged", "test"}  # all classes present
+    assert max(by["train"]) + _EMBARGO_US <= min(by["test"])
+    for t in by["purged"]:
+        assert max(by["train"]) < t + 1 and t < min(by["test"])

@@ -1431,3 +1431,71 @@ def window_next_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Purged / embargoed time-series split (López de Prado, "Advances in
+# Financial Machine Learning" ch. 7 — the leakage-safe TEMPORAL
+# counterpart of the group-aware split in corpus_group_split_assign):
+# train = events before the split instant, test = events after an
+# EMBARGO gap, and everything inside the gap is PURGED — feature
+# windows that straddle the boundary would otherwise leak test-period
+# information into training rows.  The split instant is min_ts + 70%
+# of the corpus time range in exact integer microseconds (min/max are
+# order-insensitive aggregates, the integer arithmetic is identical
+# on both engines — no percentile, no float).  Scale: one metadata
+# aggregate broadcast into a scan-linear projection; nothing shuffles
+# but the two-row bounds frame.
+# ---------------------------------------------------------------------------
+_SPLIT_NUM, _SPLIT_DEN = 7, 10          # train fraction of the time range
+_EMBARGO_US = 7 * 86400 * 1000000       # 7-day embargo
+
+
+@_register(
+    "events_purged_time_split",
+    f"""
+    WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+               FROM events),
+    lab AS (
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+               b.mn + (b.mx - b.mn) * {_SPLIT_NUM} // {_SPLIT_DEN} AS t_split,
+               CASE
+                   WHEN epoch_us(e.ts)
+                        < b.mn + (b.mx - b.mn) * {_SPLIT_NUM} // {_SPLIT_DEN}
+                       THEN 'train'
+                   WHEN epoch_us(e.ts)
+                        < b.mn + (b.mx - b.mn) * {_SPLIT_NUM} // {_SPLIT_DEN}
+                          + {_EMBARGO_US}
+                       THEN 'purged'
+                   ELSE 'test'
+               END AS split
+        FROM events e, b
+    )
+    SELECT event_id, user_id, ts_us, split FROM lab ORDER BY event_id
+    """,
+)
+def events_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    t_split = (
+        F.col("mn")
+        + F.expr(f"(mx - mn) * {_SPLIT_NUM} DIV {_SPLIT_DEN}")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.when(F.unix_micros("ts") < t_split, "train")
+            .when(
+                F.unix_micros("ts") < t_split + F.lit(_EMBARGO_US), "purged"
+            )
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("event_id")
+    )
