@@ -196,6 +196,7 @@ def main() -> None:
         "events_watermark_discard_twin",
         "events_dedup_within_watermark_twin",
         "multimodal_bmp_stats",
+        "multimodal_png_stats",
         "text_repetition_scores",
         "corpus_bpe_apply",
         "sim_topk_int8",

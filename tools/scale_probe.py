@@ -168,6 +168,7 @@ PROBES = [
     ("sim_topk_cascade", {"embeddings": ["vec_id"]}),
     ("quality_classifier_scores", {"documents": ["doc_id"]}),
     ("events_purged_time_split", {"events": ["event_id"]}),
+    ("multimodal_png_stats", {"documents": ["doc_id"]}),
     # KS drift: one groupBy over lengths + metadata-scale prefix sums
     ("quality_drift_ks", {"documents": ["doc_id"]}),
     # calibration/kappa: count-only aggregates, scan-bound

@@ -157,6 +157,182 @@ def encode_bmp(width: int, height: int,
     return bytes(header) + bytes(pix_bytes)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int,
+               pixels: list[tuple[int, int, int]],
+               filters: list[int] | None = None) -> bytes:
+    """Real 8-bit RGB PNG encoder (color type 2): signature + IHDR +
+    one zlib IDAT + IEND, CRC32 per chunk — a standards-valid file any
+    viewer opens.  ``pixels`` is row-major top-down RGB.  ``filters``
+    picks each row's filter type 0-4; the default cycles through all
+    five so a round-trip exercises every reconstruction path in
+    :func:`png_stats`.  PNG is the COMPRESSED member of the multimodal
+    fixture family (BMP/WAV/AVI are raw): zlib is stdlib, so the
+    decode stage stays zero-dependency while being a genuine
+    inflate + unfilter, not a header walk."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    bpp = 3
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for r in range(height):
+        row = bytes(
+            v for px in pixels[r * width:(r + 1) * width] for v in px
+        )
+        f = filters[r] if filters is not None else r % 5
+        raw.append(f)
+        if f == 0:
+            out = row
+        elif f == 1:
+            out = bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(row))
+            )
+        elif f == 2:
+            out = bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        elif f == 3:
+            out = bytes(
+                (row[i]
+                 - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(len(row))
+            )
+        elif f == 4:
+            out = bytes(
+                (row[i] - paeth(
+                    row[i - bpp] if i >= bpp else 0,
+                    prev[i],
+                    prev[i - bpp] if i >= bpp else 0,
+                )) & 0xFF
+                for i in range(len(row))
+            )
+        else:
+            raise ValueError(f"PNG filter type {f} out of range 0-4")
+        raw += out
+        prev = row
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
+    """Integer-exact image statistics from an 8-bit RGB PNG — the
+    compressed-format sibling of :func:`bmp_stats`, same output
+    contract (width, height, n_pixels, sum_r, sum_g, sum_b,
+    min_luma_milli, max_luma_milli) so both feed IMAGE_SCHEMA.
+
+    A genuine decode: chunk walk (signature + IHDR validation, IDAT
+    concatenation in order), zlib inflate, and full filter
+    reconstruction (None/Sub/Up/Average/Paeth — the inverse of
+    :func:`encode_png`'s five paths).  Scope guard: 8-bit color type 2
+    (truecolor), no interlace — anything else raises ValueError for
+    quarantine routing, the shared malformed-payload contract.  Empty
+    payload → all-zero row."""
+    import struct
+    import zlib
+
+    if not payload:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = -1
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit RGB, "
+                    f"got depth={depth} color={ctype} interlace={inter})"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if width < 0:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    sr = sg = sb = 0
+    min_l, max_l = 255_000, 0
+    prev = bytes(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        f = raw[base]
+        line = raw[base + 1:base + 1 + stride]
+        row = bytearray(stride)
+        for i in range(stride):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            x = line[i]
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = (x + left) & 0xFF
+            elif f == 2:
+                v = (x + up) & 0xFF
+            elif f == 3:
+                v = (x + ((left + up) >> 1)) & 0xFF
+            elif f == 4:
+                v = (x + paeth(left, up, ul)) & 0xFF
+            else:
+                raise ValueError(f"PNG filter type {f} out of range 0-4")
+            row[i] = v
+        prev = bytes(row)
+        for c in range(width):
+            pr, pg, pb_ = row[c * 3], row[c * 3 + 1], row[c * 3 + 2]
+            sr += pr
+            sg += pg
+            sb += pb_
+            luma = 299 * pr + 587 * pg + 114 * pb_
+            if luma < min_l:
+                min_l = luma
+            if luma > max_l:
+                max_l = luma
+    return (width, height, width * height, sr, sg, sb, min_l, max_l)
+
+
 def extract_features(media: DataFrame,
                      decode_fn: DecodeFn | None = None) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
@@ -460,17 +636,21 @@ def bmp_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
     return (width, height, width * height, sr, sg, sb, min_l, max_l)
 
 
-def extract_image_stats(media: DataFrame) -> DataFrame:
+def extract_image_stats(media: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas image feature extraction: (media_id, payload) →
-    IMAGE_SCHEMA rows via :func:`bmp_stats`.  Same Arrow-batched shape
-    as :func:`extract_audio_stats` — bytes cross JVM→Python once per
+    IMAGE_SCHEMA rows via ``decoder`` (default :func:`bmp_stats`;
+    :func:`png_stats` for the compressed fixture family — both share
+    the stats contract).  Same Arrow-batched shape as
+    :func:`extract_audio_stats` — bytes cross JVM→Python once per
     batch; swap in PIL/torch decoders on clusters that have them, the
     plumbing is identical."""
+    if decoder is None:
+        decoder = bmp_stats
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = [
-                (mid,) + bmp_stats(b if b is not None else b"")
+                (mid,) + decoder(b if b is not None else b"")
                 for mid, b in zip(pdf["media_id"], pdf["payload"])
             ]
             yield pd.DataFrame(

@@ -864,6 +864,84 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# COMPRESSED-format sibling of multimodal_bmp_stats: the same
+# deterministic pixels, but PNG-encoded (zlib IDAT, per-row filters
+# cycling None/Sub/Up/Average/Paeth) and run through the genuine
+# inflate + filter-reconstruction decoder
+# (operators/multimodal.py:png_stats).  The oracle is the SAME
+# closed-form pixel formula — so a hash match proves the compressed
+# decode path reconstructs every byte the raw BMP path reads, across
+# all five PNG filter types.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_png_stats",
+    """
+    WITH t AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM t),
+    v AS (SELECT doc_id, w, h,
+                 (doc_id * 7 + (k // w) * 5 + (k % w) * 3) % 256 AS vr,
+                 (doc_id * 7 + (k // w) * 5 + (k % w) * 3 + 11) % 256 AS vg,
+                 (doc_id * 7 + (k // w) * 5 + (k % w) * 3 + 22) % 256 AS vb
+          FROM px)
+    SELECT doc_id AS media_id,
+           CAST(MIN(w) AS INTEGER) AS width,
+           CAST(MIN(h) AS INTEGER) AS height,
+           CAST(MIN(w) * MIN(h) AS BIGINT) AS n_pixels,
+           CAST(SUM(vr) AS BIGINT) AS sum_r,
+           CAST(SUM(vg) AS BIGINT) AS sum_g,
+           CAST(SUM(vb) AS BIGINT) AS sum_b,
+           CAST(MIN(299 * vr + 587 * vg + 114 * vb) AS BIGINT)
+               AS min_luma_milli,
+           CAST(MAX(299 * vr + 587 * vg + 114 * vb) AS BIGINT)
+               AS max_luma_milli
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_png,
+        extract_image_stats,
+        png_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                pixels = [
+                    (
+                        (d * 7 + r * 5 + c * 3) % 256,
+                        (d * 7 + r * 5 + c * 3 + 11) % 256,
+                        (d * 7 + r * 5 + c * 3 + 22) % 256,
+                    )
+                    for r in range(h)
+                    for c in range(w)
+                ]
+                # row filters cycle offset by id so every doc mixes
+                # several of the five reconstruction paths
+                filters = [(d + r) % 5 for r in range(h)]
+                payloads.append(encode_png(w, h, pixels, filters=filters))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return extract_image_stats(media, decoder=png_stats).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # Unicode scrub — zero-width characters, typographic quotes/dashes,
 # NBSP: the invisible noise a web crawl carries that silently breaks
 # tokenization and dedup hashing.  A deterministic noisy wrapper is
