@@ -784,9 +784,12 @@ def test_checkpoint_cache_caps_and_releases(spark):
     a.count()
     cache.get(spark, "t", "sf_b", build(1)).count()
     assert n_persistent() >= base + 2
-    # third insert evicts sf_a AND releases its blocks
+    # LRU (round-6 ADVICE): a hit refreshes recency, so after touching
+    # sf_a the third insert evicts sf_b — not the sf_a we just used.
+    assert cache.get(spark, "t", "sf_a", build(0)) is a
     cache.get(spark, "t", "sf_c", build(2)).count()
     assert len(cache._entries) == 2
+    assert cache.get(spark, "t", "sf_a", build(0)) is a  # survived
     assert n_persistent() <= base + 2
     cache.clear()
     assert n_persistent() <= base

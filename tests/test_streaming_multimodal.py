@@ -691,3 +691,7 @@ def test_png_roundtrip_all_filters_and_contracts(spark):
         png_stats(b"not a png at all")
     with _pytest.raises(ValueError, match="truncated|IHDR|mismatch"):
         png_stats(encode_png(w, h, pixels)[:20])
+    # encoder input contract: wrong filters length is a ValueError,
+    # not an IndexError (round-6 ADVICE)
+    with _pytest.raises(ValueError, match="one entry per row"):
+        encode_png(w, h, pixels, filters=[0] * (h - 1))

@@ -9,9 +9,17 @@ and every later gate reuses the blocks.
 The cache is CAPPED (round-5 ADVICE: an unbounded dict pins dead
 checkpoint blocks in executor storage for the application lifetime
 when one long-lived session walks many sf_dirs).  Insertion beyond
-``maxsize`` evicts the oldest entry FIFO and best-effort-unpersists
-its blocks; keys embed ``applicationId`` so a new session never sees
-another session's dead checkpoint.
+``maxsize`` evicts the least-recently-used entry (hits refresh
+recency, so round-robin access over >maxsize keys does not thrash)
+and best-effort-unpersists its blocks; keys embed ``applicationId``
+so a new session never sees another session's dead checkpoint.
+
+CONTRACT: a DataFrame returned by :meth:`get` is only guaranteed
+valid until ``maxsize`` *newer distinct keys* have been inserted —
+eviction force-unpersists its blocks, after which the frame
+recomputes from scratch (correct, just slow).  Callers that hold a
+frame across many other cache interactions should re-``get`` it
+rather than keep a long-lived reference.
 """
 
 from __future__ import annotations
@@ -62,6 +70,10 @@ class CheckpointCache:
                 _, old = self._entries.popitem(last=False)
                 self._release(old)
             self._entries[key] = hit
+        else:
+            # LRU: refresh recency on hit so cycling over >maxsize keys
+            # evicts the stalest entry, not the next one we will ask for.
+            self._entries.move_to_end(key)
         return hit
 
     def clear(self) -> None:

@@ -679,8 +679,12 @@ def _pairs_arrow_exact(base: DataFrame, id_type: str,
         )
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # NULL ids mirror the JVM path too: NULL < x is NULL there, so
-        # a null-id row never survives the pair filter.
+        # NULL ids were dropped JVM-side (see the pre-groupBy filter):
+        # a NULL in an Arrow int64 batch would upcast the whole id
+        # column to float64 in pandas, silently losing precision for
+        # ids above 2^53 and voiding the bit-identity guarantee.  The
+        # belt-and-braces notna() stays for callers feeding the kernel
+        # directly.
         pdf = pdf[pdf["_vec"].notna() & pdf["_id"].notna()].sort_values("_id")
         if len(pdf) < 2:
             return pd.DataFrame(empty_cols)
@@ -706,11 +710,14 @@ def _pairs_arrow_exact(base: DataFrame, id_type: str,
 
     # JVM parity: the equi-join on ['block', '_sub'] is null-filtering,
     # so NULL-block rows never pair there — groupBy would keep NULL as
-    # a real group (review finding).  Filter AFTER the hot-block split
-    # so the census/sub-split assignment stays identical to the JVM
-    # plan's.
+    # a real group (review finding).  NULL ids likewise never pair on
+    # the JVM path (NULL < x is NULL) AND must be dropped BEFORE Arrow:
+    # one NULL in an int64 batch upcasts the pandas id column to
+    # float64, corrupting ids above 2^53 (round-6 ADVICE).  Filter
+    # AFTER the hot-block split so the census/sub-split assignment
+    # stays identical to the JVM plan's.
     out = (
-        base.filter(F.col("block").isNotNull())
+        base.filter(F.col("block").isNotNull() & F.col("_id").isNotNull())
         .groupBy("block", "_sub")
         .applyInPandas(
             per_group,
@@ -1531,6 +1538,11 @@ def exact_substring_clean(docs: DataFrame, text_col: str = "text",
       where the suffix-array formulation (which measures each maximal
       duplicated substring separately) would keep both — the union-
       cover run is a conservative (more aggressive) approximation.
+      This chain-merge edge is pinned as intended behavior in
+      tests/test_dedup_similarity.py
+      (test_exact_substring_min_len_keeps_short_quotes: two abutting
+      14-token duplicates chain into one 28-token run, removed at
+      min_len=24 while each isolated 14-token copy survives).
       ``min_len <= n`` is the identity (every run is ≥ n by
       construction) and equals the default.
 

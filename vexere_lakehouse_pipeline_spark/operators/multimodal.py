@@ -188,6 +188,11 @@ def encode_png(width: int, height: int,
             return a
         return b if pb <= pc else c
 
+    if filters is not None and len(filters) != height:
+        raise ValueError(
+            f"filters must have one entry per row: got {len(filters)} "
+            f"for height {height}"
+        )
     bpp = 3
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     raw = bytearray()

@@ -238,9 +238,14 @@ def enrich_stream_with_refreshed_dim(stream_df: DataFrame, dim_loader,
 
     At-least-once like every foreachBatch sink: a crash between the
     write and the checkpoint commit replays the batch into the plain
-    append below — route through operators.incremental.merge_append
-    on keys if downstream cannot dedup.  Blocks until the availableNow
-    backlog drains.
+    append below.  NOTE the refresh interaction (round-6 ADVICE):
+    ``dim_loader()`` runs on every ATTEMPT, so a replayed micro-batch
+    may join a NEWER dim snapshot than its first attempt did — the
+    duplicate fact rows can then carry CONFLICTING dim columns, not
+    just repeated ones.  If the dim is mutable and downstream cannot
+    tolerate that, route through operators.incremental.merge_append
+    keyed on the FACT keys (last write wins per fact row) instead of
+    the plain append.  Blocks until the availableNow backlog drains.
     """
 
     def route(batch_df: DataFrame, _batch_id: int) -> None:
