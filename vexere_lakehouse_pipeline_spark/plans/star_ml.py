@@ -59,6 +59,31 @@ def _register(name: str, oracle: str | None = None):
     return deco
 
 
+# One materialization per approximate top-k arm (round-6 verdict #2):
+# every sim_topk_X row has a sim_recall_X_vs_bruteforce sibling that
+# re-ran the identical approximate arm it had just produced — ~15-20 s
+# of duplicated index-build + scan work per bench/gate sweep.  The
+# decorator pins the arm's RESULT (|Q|·k rows — trivially small) with
+# a lazy localCheckpoint keyed (session, query_name, sf_dir), so
+# whichever of the pair runs first materializes it and the other
+# reuses the blocks.  Row values are unchanged by construction
+# (checkpointing is a barrier, not a transformation), so every oracle
+# hash survives.  LRU-capped like every CheckpointCache.
+_APPROX_ARM_CACHE = CheckpointCache(maxsize=24)
+
+
+def _shared_arm(fn: QueryFn) -> QueryFn:
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _APPROX_ARM_CACHE.get(
+            spark, fn.__name__, sf_dir, lambda: fn(spark, sf_dir)
+        )
+
+    return wrapped
+
+
 # DuckDB mirror of functions.text.tokenize (lowercase word tokens).
 from vexere_lakehouse_pipeline_spark.functions.text import LANG_TOKEN_SPLIT_RE
 
@@ -391,6 +416,7 @@ def dedup_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -427,6 +453,7 @@ _DUCK_BUCKET = (
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_lsh_bucketed(
@@ -1144,24 +1171,15 @@ def dedup_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neighbors the index misses entirely still reports recall 0, not a
 # dropped row.
 # ---------------------------------------------------------------------------
-_BF_TRUTH_CACHE = CheckpointCache(maxsize=4)
-
-
 def _bruteforce_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact brute-force top-k truth arm shared by ALL
     sim_recall_*_vs_bruteforce gates (round-5 verdict #2: eight gates
     each recomputed it — ~8-10 s of redundant exact-arm work per bench
-    run).  Computed once per (session, sf_dir), pinned with a lazy
-    localCheckpoint, capped with unpersist-on-evict — the same
-    contract as governance._exact_knn_edges."""
-    return _BF_TRUTH_CACHE.get(
-        spark,
-        "sim_topk_bruteforce",
-        sf_dir,
-        lambda: sim_topk_bruteforce(spark, sf_dir).select(
-            "query_id", "vec_id"
-        ),
-    )
+    run).  Since round 7 the materialization lives in the SAME
+    per-arm cache the sim_topk_bruteforce row uses (``_shared_arm``),
+    so the row, this truth arm, and every gate all hit one
+    localCheckpoint; this helper is just the 2-column projection."""
+    return sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
 
 
 def _recall_gate(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
@@ -1254,6 +1272,7 @@ ORACLE_SQL["sim_recall_lsh_vs_bruteforce"] = _recall_oracle("sim_topk_lsh_bucket
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_int8(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -1314,6 +1333,7 @@ _SKETCH_BITS = 63
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_hamming(
@@ -1405,6 +1425,7 @@ _PQ_BASE = f"""
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_pq_adc(
@@ -1486,6 +1507,7 @@ _IVFPQ_NCENT, _IVFPQ_NPROBE = 32, 8
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_ivfpq(
@@ -1595,6 +1617,7 @@ _PQR_BASE = f"""
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_ivfpq_residual(
@@ -1847,6 +1870,7 @@ _HRR_SHORTLIST = 50
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_hamming_rerank(
@@ -1904,6 +1928,7 @@ _MRL_DIMS = 32
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_truncated(
@@ -1987,6 +2012,7 @@ _IVFPQ_RR_SHORTLIST = 50
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_ivfpq_rerank(
@@ -2058,6 +2084,7 @@ ORACLE_SQL["sim_recall_ivfpq_rerank_vs_bruteforce"] = _recall_oracle("sim_topk_i
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_sq8(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -2143,6 +2170,7 @@ _CASCADE_L1, _CASCADE_L2 = 100, 20
     ORDER BY query_id, rnk
     """,
 )
+@_shared_arm
 def sim_topk_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.topk_cascade(
