@@ -1,0 +1,152 @@
+"""ANN index build/serve separation (operators/ann_index.py).
+
+The contract under test: an index built ONCE and materialized as
+parquet serves every later top-k call with output HASH-IDENTICAL to
+the inline (train+encode on the fly) path, while the serve itself
+never scans the candidate corpus.  The oracle rows
+sim_topk_ivfpq_rerank_prebuilt / sim_topk_sq8_prebuilt pin the same
+identity against DuckDB at sf0.01; these tests pin it row-for-row
+(exact doubles, not rounded) on sf0.001 plus the serve-side
+guarantees the oracle can't see (candidates untouched, build-once /
+serve-many with different serve-time knobs, save/load meta adoption).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table
+from vexere_lakehouse_pipeline_spark.operators import ann_index, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _rows(df):
+    """Fully-ordered plain tuples — exact equality, no rounding."""
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def ivfpq_idx(spark, tmp_path_factory):
+    """Build+save+load ONCE for the module — every ivfpq test below is
+    a 'serve-many' consumer of this single artifact."""
+    path = str(tmp_path_factory.mktemp("ann") / "ivfpq")
+    built = ann_index.ann_index_build(_emb(spark), kind="ivfpq",
+                                      n_centroids=16, m=8, ksub=16)
+    ann_index.ann_index_save(built, path)
+    return ann_index.ann_index_load(spark, path)
+
+
+@pytest.fixture(scope="module")
+def sq8_idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "sq8")
+    built = ann_index.ann_index_build(_emb(spark), kind="sq8")
+    ann_index.ann_index_save(built, path)
+    return ann_index.ann_index_load(spark, path)
+
+
+def test_save_load_roundtrip_meta_and_parts(spark, ivfpq_idx, sq8_idx):
+    assert ivfpq_idx.kind == "ivfpq"
+    assert ivfpq_idx.meta["n_centroids"] == 16
+    assert ivfpq_idx.meta["m"] == 8 and ivfpq_idx.meta["ksub"] == 16
+    assert set(ivfpq_idx.parts) == {"centroids", "codebooks", "coded"}
+    assert ivfpq_idx.parts["centroids"].count() == 16
+    # one coded row per non-zero corpus vector, carrying its list id
+    coded = ivfpq_idx.parts["coded"]
+    assert coded.columns == ["vec_id", "cid", "codes"]
+    assert coded.count() == _emb(spark).count()
+    assert sq8_idx.kind == "sq8"
+    assert set(sq8_idx.parts) == {"params", "codes"}
+    assert sq8_idx.parts["params"].count() == 64  # one row per dim
+
+
+def test_ivfpq_rerank_prebuilt_equals_inline(spark, ivfpq_idx):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=5, shortlist=20, n_centroids=16, nprobe=4, m=8, ksub=16)
+    inline = similarity.topk_ivfpq_rerank(emb, q, **kw)
+    served = similarity.topk_ivfpq_rerank(emb, q, k=5, shortlist=20,
+                                          nprobe=4, index=ivfpq_idx)
+    assert _rows(served) == _rows(inline)
+
+
+def test_pq_adc_prebuilt_equals_inline(spark, ivfpq_idx):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = similarity.topk_pq_adc(emb, q, k=5, m=8, ksub=16)
+    served = similarity.topk_pq_adc(emb, q, k=5, index=ivfpq_idx)
+    assert _rows(served) == _rows(inline)
+
+
+def test_sq8_prebuilt_equals_inline(spark, sq8_idx):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = similarity.topk_sq8(emb, q, k=5)
+    served = similarity.topk_sq8(emb, q, k=5, index=sq8_idx)
+    assert _rows(served) == _rows(inline)
+
+
+def test_serve_never_scans_candidates(spark, ivfpq_idx, sq8_idx):
+    """The serving guarantee the bench split measures: with a prebuilt
+    index, the candidate table is NOT an input to the tier-1 scan —
+    an EMPTY candidates frame must serve identically, because
+    centroids/codes come from the artifact."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    empty = emb.limit(0)
+    got = similarity.topk_ivfpq(empty, q, k=5, nprobe=4, index=ivfpq_idx)
+    want = similarity.topk_ivfpq(emb, q, k=5, n_centroids=16, nprobe=4,
+                                 m=8, ksub=16)
+    assert _rows(got) == _rows(want)
+    got8 = similarity.topk_sq8(empty, q, k=5, index=sq8_idx)
+    want8 = similarity.topk_sq8(emb, q, k=5)
+    assert _rows(got8) == _rows(want8)
+
+
+def test_serve_many_knobs_from_one_artifact(spark, ivfpq_idx):
+    """Serve-time knobs (k, nprobe) stay free: one artifact answers
+    both a shallow and a deep probe, each matching its inline twin."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    for k, nprobe in ((3, 2), (8, 16)):
+        served = similarity.topk_ivfpq(emb, q, k=k, nprobe=nprobe,
+                                       index=ivfpq_idx)
+        inline = similarity.topk_ivfpq(emb, q, k=k, n_centroids=16,
+                                       nprobe=nprobe, m=8, ksub=16)
+        assert _rows(served) == _rows(inline)
+
+
+def test_kind_mismatch_raises(spark, ivfpq_idx, sq8_idx):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="ivfpq"):
+        similarity.topk_ivfpq(emb, q, index=sq8_idx)
+    with pytest.raises(ValueError, match="sq8"):
+        similarity.topk_sq8(emb, q, index=ivfpq_idx)
+    with pytest.raises(ValueError, match="sq8"):
+        similarity.topk_pq_adc(emb, q, index=sq8_idx)
+    with pytest.raises(ValueError, match="unknown"):
+        ann_index.ann_index_build(emb, kind="hnsw")
+
+
+def test_saved_layout_is_plain_parquet(spark, tmp_path):
+    """The artifact is engine-agnostic: plain parquet subdirs + a JSON
+    meta sidecar (Delta lands via the same layout per the runbook)."""
+    path = str(tmp_path / "idx")
+    built = ann_index.ann_index_build(_emb(spark), kind="sq8")
+    ann_index.ann_index_save(built, path)
+    assert os.path.isfile(os.path.join(path, ann_index.META_FILE))
+    for part in ("params", "codes"):
+        assert any(
+            f.endswith(".parquet")
+            for f in os.listdir(os.path.join(path, part))
+        )
+    # reopen with a plain reader outside our loader: parquet is parquet
+    assert spark.read.parquet(os.path.join(path, "codes")).count() > 0

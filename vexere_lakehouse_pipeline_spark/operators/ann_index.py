@@ -1,0 +1,162 @@
+"""ANN index build/serve separation — the production serving shape.
+
+Every ``topk_*`` tier in :mod:`operators.similarity` can derive its
+index state (coarse centroids, inverted-list assignments, PQ
+codebooks, PQ codes, SQ8 params/codes) inline from the candidate
+table — correct, but it re-trains and re-encodes the WHOLE corpus on
+every call.  At 100 TB that is never the serving shape: the index is
+built ONCE (a batch job that scans the corpus), persisted as plain
+tables, and then served MANY times, each serve touching only
+query-scale state plus the (already tiny) coded corpus columns.
+
+This module materializes exactly the intermediates the inline paths
+compute, with the same deterministic constructions, so a prebuilt
+serve is HASH-IDENTICAL to the inline call (gated:
+sim_topk_ivfpq_rerank_prebuilt / sim_topk_sq8_prebuilt reuse the
+inline rows' DuckDB oracles verbatim; equality is also pinned
+row-for-row in tests/test_dedup_similarity.py).  Why identity holds:
+every stored value is either an integer (codes, scale_micro, cid) or
+a double produced by the same IEEE expression tree the inline path
+evaluates (centroid/codebook components, SQ8 min/max), and parquet
+round-trips doubles bit-exactly.
+
+Index kinds:
+
+- ``ivfpq``: parts ``centroids`` (cid, cu), ``codebooks``
+  (s, code, cv), ``coded`` (vec_id, cid, codes).  The build pays the
+  corpus-scale codes ⋈ lists join ONCE — a served scan reads a single
+  table partitioned however the lakehouse likes (bucket by cid and
+  probes touch only matching files).  Serves ``topk_ivfpq``,
+  ``topk_ivfpq_rerank`` and (ignoring cid) ``topk_pq_adc``.
+- ``sq8``: parts ``params`` (pos, mn, mx, scale_micro), ``codes``
+  (vec_id, sq8).  Serves ``topk_sq8``.
+
+Reference parity note: the reference repo has no ANN tier at all —
+this is part of the LLM-data-pipeline extension surface; the shape
+follows FAISS's build-once / load / search lifecycle (public API:
+faiss.write_index / read_index / Index.search).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vexere_lakehouse_pipeline_spark.operators import similarity as sim
+
+META_FILE = "_ann_meta.json"
+
+
+def default_index_path(sf_dir: str, kind: str) -> str:
+    """Canonical on-disk home for the (corpus, kind) index artifact:
+    ``$VLPS_ANN_INDEX_DIR`` (or ``<repo>/.ann_index``, gitignored)
+    ``/<sf-tag>/<kind>``.  Keyed by the corpus directory's basename so
+    every scale factor keeps its own build, exactly like a lakehouse
+    would key the index table by corpus snapshot."""
+    root = os.environ.get("VLPS_ANN_INDEX_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".ann_index",
+    )
+    return os.path.join(root, os.path.basename(os.path.normpath(sf_dir)),
+                        kind)
+
+# part name -> subdirectory, per kind (also the load order)
+_KIND_PARTS = {
+    "ivfpq": ("centroids", "codebooks", "coded"),
+    "sq8": ("params", "codes"),
+}
+
+
+@dataclass
+class AnnIndex:
+    """A built ANN index: ``meta`` (the build-time hyperparameters a
+    serve call must adopt) + ``parts`` (plain DataFrames — parquet on
+    disk once saved, so any engine can read them)."""
+
+    kind: str
+    meta: dict
+    parts: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_centroids: int = 32, m: int = 8, ksub: int = 16,
+                    dsub: int | None = None,
+                    dim: int | None = None) -> AnnIndex:
+    """Build the index state for ``kind`` from the candidate table —
+    the one corpus-scale pass.  Constructions are identical to the
+    inline paths in :mod:`similarity` (same helpers, same order), so
+    serving from the result reproduces the inline output exactly."""
+    if kind == "ivfpq":
+        cents = (
+            sim._unit_vecs(candidates, vec_col, id_col, "vec_id")
+            .orderBy("vec_id").limit(n_centroids)
+            .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+        )
+        codebooks = sim.pq_sampled_codebooks(candidates, m, ksub,
+                                             vec_col, id_col)
+        lists = sim.assign_ivf_lists(candidates, n_centroids,
+                                     vec_col, id_col, dim)
+        coded = (
+            sim.pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
+            .groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda x: x["code"],
+                ).alias("codes")
+            )
+            # the one corpus × corpus join of the family — paid HERE,
+            # once, instead of on every serve (see topk_ivfpq's
+            # shuffle_hash note); the saved table carries cid inline
+            .join(lists.hint("shuffle_hash"), on="vec_id")
+            .select("vec_id", "cid", "codes")
+        )
+        meta = {"kind": kind, "n_centroids": n_centroids, "m": m,
+                "ksub": ksub, "dsub": dsub, "dim": dim}
+        return AnnIndex(kind, meta, {"centroids": cents,
+                                     "codebooks": codebooks,
+                                     "coded": coded})
+    if kind == "sq8":
+        params = sim.sq8_params(candidates, vec_col, id_col)
+        # dims-sized model state: pin so the corpus min/max aggregate
+        # behind it runs once, not once more inside the encode below
+        params = params.localCheckpoint(eager=False)
+        codes = sim.sq8_encode(candidates, params, vec_col, id_col,
+                               "vec_id")
+        return AnnIndex(kind, {"kind": kind},
+                        {"params": params, "codes": codes})
+    raise ValueError(f"unknown ANN index kind: {kind!r}")
+
+
+def ann_index_save(index: AnnIndex, path: str) -> None:
+    """Materialize every part as parquet under ``path`` (one
+    subdirectory per part) plus a JSON meta sidecar.  Overwrites —
+    rebuilds are idempotent.  Parquet now; the same layout lands as
+    Delta tables when the wheel is available (tools/delta_runbook.md).
+    """
+    for part in _KIND_PARTS[index.kind]:
+        index.parts[part].write.mode("overwrite").parquet(
+            os.path.join(path, part)
+        )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump(index.meta, fh)
+
+
+def ann_index_load(spark: SparkSession, path: str) -> AnnIndex:
+    """Reopen a saved index.  Parts are lazy parquet scans — a serve
+    plan prunes/pushes down into them like any other table."""
+    with open(os.path.join(path, META_FILE)) as fh:
+        meta = json.load(fh)
+    kind = meta["kind"]
+    parts = {
+        part: spark.read.parquet(os.path.join(path, part))
+        for part in _KIND_PARTS[kind]
+    }
+    return AnnIndex(kind, meta, parts)

@@ -963,7 +963,8 @@ def sq8_encode(df: DataFrame, params: DataFrame,
 
 def topk_sq8(candidates: DataFrame, queries: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             params: DataFrame | None = None) -> DataFrame:
+             params: DataFrame | None = None,
+             index=None) -> DataFrame:
     """Approximate cosine top-k over per-dimension affine SQ8 codes —
     the scalar-quantization rung of the compression ladder, between
     int8-unit (symmetric, global 127 scale) and PQ (codebooks): one
@@ -979,18 +980,31 @@ def topk_sq8(candidates: DataFrame, queries: DataFrame, k: int = 5,
     topk_bruteforce: bounded candidate sets, or compose with IVF/LSH
     blocking; codes store as array<smallint>-equivalent parquet with
     the measured ~20-28x column-chunk reduction of the integer tiers.
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``sq8`` — the SERVING path.  Params AND candidate codes come
+    from the saved tables, so ``candidates`` is never scanned at
+    serve time (pass it only for the id contract); only the |Q|-sized
+    query side encodes.  Output is hash-identical to the inline
+    build — gated by sim_topk_sq8_prebuilt.
     """
-    if params is None:
-        params = sq8_params(candidates, vec_col, id_col)
-    # dims-sized model state (64 rows): pin so the corpus-scan
-    # aggregate behind it runs once, not once per encode side.  The
-    # pinned blocks are KBs and die with the app; callers that loop
-    # over many corpora should pass a precomputed `params` instead.
-    params = params.localCheckpoint(eager=False)
+    if index is not None:
+        if index.kind != "sq8":
+            raise ValueError(f"need an sq8 index, got {index.kind!r}")
+        params = index.parts["params"]
+        c = index.parts["codes"]
+    else:
+        if params is None:
+            params = sq8_params(candidates, vec_col, id_col)
+        # dims-sized model state (64 rows): pin so the corpus-scan
+        # aggregate behind it runs once, not once per encode side.  The
+        # pinned blocks are KBs and die with the app; callers that loop
+        # over many corpora should pass a precomputed `params` instead.
+        params = params.localCheckpoint(eager=False)
+        c = sq8_encode(candidates, params, vec_col, id_col, "vec_id")
     q = sq8_encode(queries, params, vec_col, id_col, "query_id").select(
         "query_id", F.col("sq8").alias("qq")
     )
-    c = sq8_encode(candidates, params, vec_col, id_col, "vec_id")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1214,7 +1228,8 @@ def topk_pq_adc(candidates: DataFrame, queries: DataFrame, k: int = 5,
                 m: int = 8, ksub: int = 16,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 codebooks: DataFrame | None = None,
-                dsub: int | None = None) -> DataFrame:
+                dsub: int | None = None,
+                index=None) -> DataFrame:
     """Approximate cosine top-k via PQ codes + asymmetric distance
     (ADC): candidates are scanned as CODES ONLY; each float query
     precomputes a (m × ksub) lookup table of micro-d² contributions,
@@ -1231,20 +1246,35 @@ def topk_pq_adc(candidates: DataFrame, queries: DataFrame, k: int = 5,
     blowup, no join-key shuffle; the candidate side never moves.  At
     100 TB the scan reads m small ints per vector instead of the float
     array, and the same codes serve every query batch.
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``ivfpq`` — codebooks and packed codes come from the saved
+    tables (the cid column is simply ignored: an unpruned ADC scan is
+    IVF-PQ with nprobe = n_centroids), so ``candidates`` is never
+    scanned at serve time.
     """
-    if codebooks is None:
-        codebooks = pq_sampled_codebooks(candidates, m, ksub, vec_col, id_col)
-    # pack candidate codes: one row per vector, codes[s] ordered by s
-    packed = (
-        pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "code"))),
-                lambda x: x["code"],
-            ).alias("codes")
+    if index is not None:
+        if index.kind != "ivfpq":
+            raise ValueError(f"need an ivfpq index, got {index.kind!r}")
+        m, ksub = index.meta["m"], index.meta["ksub"]
+        dsub = index.meta["dsub"]
+        codebooks = index.parts["codebooks"]
+        packed = index.parts["coded"].select("vec_id", "codes")
+    else:
+        if codebooks is None:
+            codebooks = pq_sampled_codebooks(candidates, m, ksub,
+                                             vec_col, id_col)
+        # pack candidate codes: one row per vector, codes[s] ordered by s
+        packed = (
+            pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
+            .groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda x: x["code"],
+                ).alias("codes")
+            )
         )
-    )
     # per-query LUT: lut[s][code] = micro-d²(query subvector, codebook cv)
     qsub = _unit_subvectors(queries, m, vec_col, id_col, "query_id")
     cells = qsub.join(F.broadcast(codebooks), on="s").select(
@@ -1357,7 +1387,8 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
                vec_col: str = "embedding", id_col: str = "vec_id",
                codebooks: DataFrame | None = None,
                dsub: int | None = None,
-               dim: int | None = None) -> DataFrame:
+               dim: int | None = None,
+               index=None) -> DataFrame:
     """IVF-pruned PQ/ADC top-k: each query probes its ``nprobe``
     nearest inverted lists and ADC-scores ONLY those lists' codes.
 
@@ -1365,17 +1396,62 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
     results differ from the unpruned scan exactly where the true
     neighbor lives in an unprobed list — that loss is the recall gate's
     to measure.  Scan work: |C|·nprobe/n_centroids rows × m ints.
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``ivfpq`` — the SERVING path.  Centroids/codebooks/coded
+    vectors come from the saved tables (hyperparameters adopted from
+    ``index.meta``; ``nprobe``/``k`` stay serve-time knobs) and the
+    corpus-scale training/encode/join work is skipped entirely:
+    ``candidates`` is not touched at this tier (pass it for the
+    rerank tier or the ``vec_id != query_id`` contract only).  Output
+    is hash-identical to the inline build — gated by
+    sim_topk_ivfpq_rerank_prebuilt.
     """
-    if codebooks is None:
-        codebooks = pq_sampled_codebooks(candidates, m, ksub, vec_col, id_col)
-    lists = assign_ivf_lists(candidates, n_centroids, vec_col, id_col, dim)
+    if index is not None:
+        if index.kind != "ivfpq":
+            raise ValueError(f"need an ivfpq index, got {index.kind!r}")
+        n_centroids = index.meta["n_centroids"]
+        m, ksub = index.meta["m"], index.meta["ksub"]
+        dsub, dim = index.meta["dsub"], index.meta["dim"]
+        codebooks = index.parts["codebooks"]
+        cents = F.broadcast(index.parts["centroids"])
+        # codes + list id in ONE saved table: the corpus-scale
+        # codes ⋈ lists join was paid at build time, a serve just
+        # scans (and at 100 TB, cid-partition-prunes) this table
+        packed = index.parts["coded"]
+    else:
+        if codebooks is None:
+            codebooks = pq_sampled_codebooks(candidates, m, ksub,
+                                             vec_col, id_col)
+        lists = assign_ivf_lists(candidates, n_centroids, vec_col, id_col,
+                                 dim)
+        cents = F.broadcast(
+            _unit_vecs(candidates, vec_col, id_col, "vec_id")
+            .orderBy("vec_id").limit(n_centroids)
+            .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+        )
+        # packed codes + list id
+        packed = (
+            pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
+            .groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda x: x["code"],
+                ).alias("codes")
+            )
+            # codes ⋈ lists is the one data-scale x data-scale join in
+            # the similarity family (neither side broadcasts at 100 TB
+            # — both have one row per corpus vector).  shuffle_hash
+            # beats the default sort-merge: the key is unique on both
+            # sides, so the two full sorts buy nothing; at scale both
+            # tables would be bucketed by vec_id and the shuffle
+            # disappears entirely.  (The prebuilt-index path above
+            # removes the join from serving altogether.)
+            .join(lists.hint("shuffle_hash"), on="vec_id")
+        )
     # queries probe their nprobe nearest centroids
     qu = _unit_vecs(queries, vec_col, id_col, "query_id")
-    cents = F.broadcast(
-        _unit_vecs(candidates, vec_col, id_col, "vec_id")
-        .orderBy("vec_id").limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
-    )
     qd = qu.join(cents).select(
         "query_id", "cid",
         _d2_micro(F.col("u"), F.col("cu"), dim).alias("d2"),
@@ -1385,24 +1461,6 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
         qd.withColumn("_pr", F.row_number().over(wprobe))
         .filter(F.col("_pr") <= nprobe)
         .select("query_id", "cid")
-    )
-    # packed codes + list id, pruned to probed (query, list) pairs
-    packed = (
-        pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "code"))),
-                lambda x: x["code"],
-            ).alias("codes")
-        )
-        # codes ⋈ lists is the one data-scale x data-scale join in the
-        # similarity family (neither side broadcasts at 100 TB — both
-        # have one row per corpus vector).  shuffle_hash beats the
-        # default sort-merge: the key is unique on both sides, so the
-        # two full sorts buy nothing; at scale both tables would be
-        # bucketed by vec_id and the shuffle disappears entirely.
-        .join(lists.hint("shuffle_hash"), on="vec_id")
     )
     qsub = _unit_subvectors(queries, m, vec_col, id_col, "query_id")
     cells = qsub.join(F.broadcast(codebooks), on="s").select(
@@ -1755,7 +1813,8 @@ def topk_ivfpq_rerank(candidates: DataFrame, queries: DataFrame,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       codebooks: DataFrame | None = None,
                       dsub: int | None = None,
-                      dim: int | None = None) -> DataFrame:
+                      dim: int | None = None,
+                      index=None) -> DataFrame:
     """IVF-PQ shortlist + exact rerank — the production serving shape
     FAISS deployments actually run (index=IVFPQ for the scan,
     refine/rerank over the original vectors for the final order):
@@ -1771,11 +1830,16 @@ def topk_ivfpq_rerank(candidates: DataFrame, queries: DataFrame,
     raw-ADC gate's) while scan bytes stay PQ-dominated:
     m·|C|·nprobe/n_centroids code bytes + 8·d·shortlist·|Q| float
     bytes, vs 8·d·|C| for brute force.  Returns (query_id, vec_id,
-    cos_sim, rank) like topk_bruteforce."""
+    cos_sim, rank) like topk_bruteforce.
+
+    ``index``: a prebuilt ``ivfpq`` AnnIndex for tier 1 (see
+    :func:`topk_ivfpq`) — with it, ``candidates`` (the raw float
+    table) is touched ONLY by the tier-2 late fetch at shortlist/|C|
+    selectivity, which is exactly the production serving cost."""
     short = topk_ivfpq(
         candidates, queries, k=shortlist, n_centroids=n_centroids,
         nprobe=nprobe, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col,
-        codebooks=codebooks, dsub=dsub, dim=dim,
+        codebooks=codebooks, dsub=dsub, dim=dim, index=index,
     ).select("query_id", "vec_id")
     return _exact_rerank(candidates, queries, short, k, vec_col, id_col)
 

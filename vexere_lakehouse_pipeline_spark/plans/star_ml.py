@@ -16,6 +16,8 @@ Python and fed to both engines (Spark via ``F.expr``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,7 +43,12 @@ from vexere_lakehouse_pipeline_spark.functions.text import (
     quality_features,
     whitespace_token_count,
 )
-from vexere_lakehouse_pipeline_spark.operators import dedup, sampling, similarity
+from vexere_lakehouse_pipeline_spark.operators import (
+    ann_index,
+    dedup,
+    sampling,
+    similarity,
+)
 from vexere_lakehouse_pipeline_spark.operators.caching import CheckpointCache
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 
@@ -2102,6 +2109,80 @@ def sim_recall_sq8_vs_bruteforce(
 
 
 ORACLE_SQL["sim_recall_sq8_vs_bruteforce"] = _recall_oracle("sim_topk_sq8")
+
+
+# ---------------------------------------------------------------------------
+# ANN index build/serve separation (round-6 verdict #1 — the production
+# serving shape): the index state is built ONCE, materialized as plain
+# parquet tables (operators/ann_index.py), and every later top-k call
+# SERVES from the artifact — candidates are never re-trained or
+# re-encoded.  The rows below run the exact queries of their inline
+# siblings against the prebuilt artifact and reuse the siblings'
+# DuckDB oracles VERBATIM: a green hash is the machine-checked proof
+# that prebuilt ≡ inline, bit for bit.  bench.py reports build and
+# serve time separately for ivfpq (ann_build/ann_serve).
+# ---------------------------------------------------------------------------
+
+# Loaded-index memo, keyed (applicationId, sf_dir, kind).  Entries are
+# lazy parquet scans — no pinned executor blocks, so unlike the
+# CheckpointCaches an unbounded dict holds only driver-side plan
+# objects (a few per process: 2 kinds × the sf_dirs visited).
+_ANN_INDEX_MEMO: dict[tuple, ann_index.AnnIndex] = {}
+
+
+def _prebuilt_index(spark: SparkSession, sf_dir: str,
+                    kind: str, **build_kw) -> ann_index.AnnIndex:
+    """Build+save the (sf_dir, kind) index on first touch, then LOAD
+    it back so every serve genuinely reads the materialized parquet
+    (not the in-memory build plan); later calls reuse the loaded
+    artifact."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
+    idx = _ANN_INDEX_MEMO.get(key)
+    if idx is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        built = ann_index.ann_index_build(emb, kind=kind, **build_kw)
+        path = ann_index.default_index_path(sf_dir, kind)
+        ann_index.ann_index_save(built, path)
+        idx = ann_index.ann_index_load(spark, path)
+        _ANN_INDEX_MEMO[key] = idx
+    return idx
+
+
+@_register("sim_topk_ivfpq_rerank_prebuilt",
+           None)  # oracle aliased below: identical to the inline row's
+def sim_topk_ivfpq_rerank_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(
+        spark, sf_dir, "ivfpq",
+        n_centroids=_IVFPQ_NCENT, m=_PQ_M, ksub=_PQ_KSUB, dsub=_PQ_DSUB,
+        dim=64,
+    )
+    out = similarity.topk_ivfpq_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        shortlist=_IVFPQ_RR_SHORTLIST, nprobe=_IVFPQ_NPROBE,
+        index=idx,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+# prebuilt ≡ inline is the whole contract: same oracle text, so the
+# driver's value-hash compare enforces bit-identity with the inline row
+ORACLE_SQL["sim_topk_ivfpq_rerank_prebuilt"] = ORACLE_SQL["sim_topk_ivfpq_rerank"]
+
+
+@_register("sim_topk_sq8_prebuilt", None)  # oracle aliased below
+def sim_topk_sq8_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "sq8")
+    out = similarity.topk_sq8(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, index=idx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_sq8_prebuilt"] = ORACLE_SQL["sim_topk_sq8"]
 
 
 # ---------------------------------------------------------------------------
