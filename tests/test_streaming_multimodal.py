@@ -695,3 +695,122 @@ def test_png_roundtrip_all_filters_and_contracts(spark):
     # not an IndexError (round-6 ADVICE)
     with _pytest.raises(ValueError, match="one entry per row"):
         encode_png(w, h, pixels, filters=[0] * (h - 1))
+
+
+def test_jpeg_codec_roundtrip_and_contracts():
+    """Baseline JPEG codec (T.81): flat 8x8 tiles with q0=1 round-trip
+    pixel-EXACTLY (DC-only blocks survive quantization unchanged),
+    general images round-trip within a small lossy bound, non-multiple-
+    of-8 dimensions crop correctly, and the shared empty/malformed
+    quarantine contracts hold — including explicit scope-guard raises
+    for progressive SOF2, restart intervals, and multi-component scans."""
+    import struct
+
+    import pytest as _pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_coeffs,
+        jpeg_decode_gray,
+        jpeg_stats,
+    )
+
+    q1 = [1] * 64
+    # flat tiles: pixel-exact (DC-only, q0=1 -> coefficients exact)
+    flat = [37] * 64 + [201] * 0
+    pay = encode_jpeg(8, 8, [37] * 64, q1)
+    assert pay[:2] == b"\xff\xd8" and pay[-2:] == b"\xff\xd9"
+    w, h, rows = jpeg_decode_gray(pay)
+    assert (w, h) == (8, 8) and all(v == 37 for r in rows for v in r)
+    # two flat tiles side by side: DC differential prediction crosses
+    # the block boundary and must reconstruct both levels exactly
+    px2 = [(10 if c < 8 else 240) for r in range(8) for c in range(16)]
+    _, _, rows2 = jpeg_decode_gray(encode_jpeg(16, 8, px2, q1))
+    assert rows2[0][0] == 10 and rows2[0][15] == 240
+    assert [v for r in rows2 for v in r] == px2
+    # general content: lossy but tightly bounded at q=1
+    px3 = [(r * 31 + c * 57) % 256 for r in range(16) for c in range(16)]
+    _, _, rows3 = jpeg_decode_gray(encode_jpeg(16, 16, px3, q1))
+    dec3 = [v for r in rows3 for v in r]
+    assert max(abs(a - b) for a, b in zip(px3, dec3)) <= 2
+    # non-multiple-of-8 dims: encoder edge-replicates, decoder crops
+    px4 = [(3 * i) % 256 for i in range(13 * 5)]
+    w4, h4, rows4 = jpeg_decode_gray(encode_jpeg(13, 5, px4, q1))
+    assert (w4, h4) == (13, 5)
+    assert [v for r in rows4 for v in r] == px4  # q=1 exact here too
+    # stats contract: grayscale maps r=g=b=Y, luma = 1000*Y
+    st = jpeg_stats(encode_jpeg(8, 8, [37] * 64, q1))
+    assert st == (8, 8, 64, 37 * 64, 37 * 64, 37 * 64, 37_000, 37_000)
+    # empty payload -> zero row (never abort a 100 TB job on one NULL)
+    assert jpeg_stats(b"") == (0, 0, 0, 0, 0, 0, 0, 0)
+    # malformed / out-of-scope: ValueError for quarantine routing
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg_stats(b"not a jpeg")
+    with _pytest.raises(ValueError, match="truncated"):
+        jpeg_stats(pay[:-10])
+    sof2 = pay.replace(b"\xff\xc0", b"\xff\xc2")  # progressive
+    with _pytest.raises(ValueError, match="SOF2"):
+        jpeg_stats(sof2)
+    # inject a DRI segment right after SOI: restart intervals are the
+    # documented scope boundary
+    dri = pay[:2] + b"\xff\xdd" + struct.pack(">HH", 4, 8) + pay[2:]
+    with _pytest.raises(ValueError, match="restart"):
+        jpeg_stats(dri)
+
+
+def test_jpeg_zrl_and_integer_idct_pinned():
+    """The coefficient-driven fixture path: a 17-zero gap between AC
+    coefficients forces the ZRL (16-zero-run) escape through the
+    entropy coder, and the decode equals the pinned 13-bit integer
+    IDCT evaluated directly — floor((W'CW + 2^25)/2^26) + 128, the
+    exact contract the DuckDB oracle for multimodal_jpeg_stats
+    re-evaluates closed-form."""
+    import numpy as np
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        DEFAULT_JPEG_QTABLE,
+        JPEG_IDCT_W,
+        JPEG_ZIGZAG,
+        encode_jpeg_coeffs,
+        jpeg_decode_gray,
+    )
+
+    zz = [0] * 64
+    zz[0], zz[1], zz[2], zz[20], zz[40] = -61, 9, -4, 6, -3
+    pay = encode_jpeg_coeffs(8, 8, [zz])
+    _, _, rows = jpeg_decode_gray(pay)
+    wmat = np.array(JPEG_IDCT_W, dtype=np.int64).reshape(8, 8)
+    coef = np.zeros((8, 8), dtype=np.int64)
+    for i, raster in enumerate(JPEG_ZIGZAG):
+        coef[raster >> 3, raster & 7] = zz[i] * DEFAULT_JPEG_QTABLE[i]
+    want = np.clip(((wmat.T @ coef @ wmat + (1 << 25)) >> 26) + 128, 0, 255)
+    assert rows == [[int(v) for v in row] for row in want]
+    # the ZRL escape actually fired: zigzag 2 -> 20 is a 17-zero run,
+    # only encodable as ZRL + run-1, so the payload must be decodable
+    # (asserted above) AND re-encoding without position 20 must differ
+    zz_no20 = list(zz)
+    zz_no20[20] = 0
+    assert encode_jpeg_coeffs(8, 8, [zz_no20]) != pay
+
+
+def test_jpeg_stats_through_mapinpandas(spark):
+    """jpeg_stats rides the same extract_image_stats mapInPandas stage
+    as the BMP/PNG decoders — NULL payload rows become zero rows, real
+    payloads decode, all in one Arrow batch pass."""
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_jpeg,
+        extract_image_stats,
+        jpeg_stats,
+    )
+
+    pay = encode_jpeg(8, 8, [200] * 64, [1] * 64)
+    df = spark.createDataFrame(
+        [(1, bytearray(pay)), (2, None)],
+        "media_id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_image_stats(df, decoder=jpeg_stats).collect()
+    }
+    assert out[1]["sum_r"] == 200 * 64 and out[1]["n_pixels"] == 64
+    assert out[2]["n_pixels"] == 0 and out[2]["sum_r"] == 0

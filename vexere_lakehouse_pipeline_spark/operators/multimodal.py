@@ -970,3 +970,501 @@ def framestride_video(media: DataFrame, step: int = 2) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=VIDEO_FRAMESTRIDE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline (ITU-T T.81): the lossy compressed member of the
+# multimodal fixture family, completing the codec tier PNG started —
+# real JFIF marker structure, real DQT/DHT/SOF0/SOS segments, real
+# Huffman entropy coding with byte stuffing, real DC differential
+# prediction and AC run-length/ZRL/EOB coding.  Zero media libraries:
+# everything below is stdlib + the numpy already on every executor.
+#
+# The decode is made oracle-checkable despite JPEG being lossy by
+# pinning the IDCT to a fully-specified INTEGER transform (13-bit
+# fixed-point direct form, below) instead of "whatever libm produces":
+# given the quantized coefficients a file stores, the decoded pixels
+# are a pure integer function DuckDB can recompute bit-for-bit.  The
+# spec permits this — T.81 does not mandate one IDCT; conformance is
+# an accuracy corridor (ITU-T T.83), and a 13-bit direct form sits in
+# it (same constant precision as libjpeg's jpeg_idct_islow).
+#
+#   pixel[r][c] = clamp(floor((sum_{u,v} W[u][r]*W[v][c]*C[u][v]
+#                              + 2^25) / 2^26) + 128, 0, 255)
+#   W[u][x] = round(alpha(u)/2 * cos((2x+1)*u*pi/16) * 8192),
+#   alpha(0) = 1/sqrt(2), alpha(u>0) = 1.
+#
+# W is derived ONCE here in Python and injected into the oracle SQL as
+# integer literals — no float ever crosses the engine boundary.
+# Scope guard (quarantine contract like every decoder in this file):
+# baseline sequential SOF0, 8-bit, single grayscale component, 1x1
+# sampling, no restart intervals — anything else raises ValueError.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> list[int]:
+    """Raster index (u*8+v) for each zigzag position 0..63 — generated,
+    not transcribed, to rule out table typos."""
+    out = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if s - j < 8 and j < 8]
+        if s % 2 == 1:
+            diag = diag[::-1]
+        out.extend(u * 8 + v for u, v in diag)
+    return out
+
+
+JPEG_ZIGZAG = _zigzag_order()
+assert len(JPEG_ZIGZAG) == 64 and sorted(JPEG_ZIGZAG) == list(range(64))
+assert JPEG_ZIGZAG[:6] == [0, 1, 8, 16, 9, 2]  # T.81 Figure 5 prefix
+
+
+def _idct_weights() -> list[int]:
+    """Flat 64-entry W[u*8+x] for the fixed-point IDCT above."""
+    import math
+
+    out = []
+    for u in range(8):
+        alpha = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            out.append(
+                round(alpha / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16)
+                      * 8192)
+            )
+    return out
+
+
+JPEG_IDCT_W = _idct_weights()
+
+# Standard luminance Huffman tables (T.81 Annex K.3.3): BITS (codes per
+# length 1..16) + HUFFVAL.  They travel inside the file's DHT segments,
+# so encode/decode round-trips are self-consistent by construction; the
+# asserts pin the structural invariants the codec relies on.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+assert sum(_JPEG_DC_BITS) == len(_JPEG_DC_VALS) == 12
+assert sum(_JPEG_AC_BITS) == len(_JPEG_AC_VALS) == 162
+# every symbol the encoder can emit must be codable: (run 0..15) x
+# (size 1..10), plus EOB (0x00) and ZRL (0xF0)
+assert {(r << 4) | s for r in range(16) for s in range(1, 11)} | {0x00, 0xF0} \
+    == set(_JPEG_AC_VALS)
+
+
+def _huff_encode_table(bits: list[int],
+                       vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 Annex C): value -> (code, length)."""
+    table = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: list[int],
+                       vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical code assignment inverted: (length, code) -> value."""
+    table = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (an emitted
+    0xFF is followed by 0x00 so it never reads as a marker)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc, self._n = 0, 0
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; any other 0xFF-marker inside the stream raises (the
+    scope guard excludes restart markers)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("not a JPEG payload: entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError(
+                        "not a JPEG payload: entropy stream truncated"
+                    )
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        f"unsupported JPEG: marker 0xFF{nxt:02X} inside "
+                        "entropy stream (restart intervals out of scope)"
+                    )
+            self._acc, self._n = b, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("not a JPEG payload: invalid Huffman code")
+
+
+def _jpeg_category(v: int) -> int:
+    """Magnitude category (T.81 Table F.1): bits needed for |v|."""
+    return abs(v).bit_length()
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude code (T.81 F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+DEFAULT_JPEG_QTABLE = [1 + (i % 4) for i in range(64)]  # zigzag order
+
+
+def encode_jpeg_coeffs(width: int, height: int,
+                       blocks_zz: list[list[int]],
+                       qtable_zz: list[int] | None = None) -> bytes:
+    """Write a baseline JFIF file directly from QUANTIZED coefficient
+    blocks (each a 64-entry list in zigzag order; raster MCU order,
+    ceil(w/8)*ceil(h/8) blocks).  This is the deterministic fixture
+    path: a JPEG file *stores* quantized coefficients, so driving the
+    fixture from them makes the decoded output an exact integer
+    function of the inputs — which is what lets the DuckDB oracle
+    recompute the lossy codec's output closed-form."""
+    import struct
+
+    if qtable_zz is None:
+        qtable_zz = DEFAULT_JPEG_QTABLE
+    if len(qtable_zz) != 64 or any(not 1 <= q <= 255 for q in qtable_zz):
+        raise ValueError("qtable must be 64 entries in 1..255")
+    n_blocks = ((width + 7) // 8) * ((height + 7) // 8)
+    if len(blocks_zz) != n_blocks:
+        raise ValueError(
+            f"need {n_blocks} coefficient blocks for {width}x{height}, "
+            f"got {len(blocks_zz)}"
+        )
+
+    dc_codes = _huff_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in blocks_zz:
+        if len(blk) != 64:
+            raise ValueError("each coefficient block must have 64 entries")
+        diff = blk[0] - pred
+        pred = blk[0]
+        t = _jpeg_category(diff)
+        if t > 11:
+            raise ValueError(f"DC difference {diff} out of baseline range")
+        code, length = dc_codes[t]
+        w.put(code, length)
+        if t:
+            w.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = blk[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL: 16 zeros
+                w.put(code, length)
+                run -= 16
+            t = _jpeg_category(v)
+            if t > 10:
+                raise ValueError(f"AC coefficient {v} out of baseline range")
+            code, length = ac_codes[(run << 4) | t]
+            w.put(code, length)
+            w.put(v if v > 0 else v + (1 << t) - 1, t)
+            run = 0
+        if run:
+            code, length = ac_codes[0x00]  # EOB
+            w.put(code, length)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    return (
+        b"\xff\xd8"                                             # SOI
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xFFDB, bytes([0x00]) + bytes(qtable_zz))          # DQT
+        + seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes([1, 0x11, 0]))                             # SOF0
+        + seg(0xFFC4, dht)                                       # DHT
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))             # SOS
+        + bytes(w.out)
+        + b"\xff\xd9"                                            # EOI
+    )
+
+
+def encode_jpeg(width: int, height: int, pixels: list[int],
+                qtable_zz: list[int] | None = None) -> bytes:
+    """General grayscale baseline JPEG encoder: float forward DCT +
+    quantization over ``pixels`` (row-major, 0..255; edge-replicated
+    to full 8x8 blocks), then the shared JFIF writer.  decode(encode(x))
+    is close to x (lossy, like any JPEG); it is pixel-EXACT for images
+    that are flat per 8x8 tile with qtable[0] == 1 — the property the
+    round-trip test pins."""
+    import math
+
+    if qtable_zz is None:
+        qtable_zz = DEFAULT_JPEG_QTABLE
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+           for u in range(8)]
+    alpha = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    blocks = []
+    for brow in range(by):
+        for bcol in range(bx):
+            tile = [
+                [
+                    pixels[min(brow * 8 + r, height - 1) * width
+                           + min(bcol * 8 + c, width - 1)] - 128
+                    for c in range(8)
+                ]
+                for r in range(8)
+            ]
+            zz = [0] * 64
+            for i, raster in enumerate(JPEG_ZIGZAG):
+                u, v = raster >> 3, raster & 7
+                s = sum(
+                    tile[r][c] * cos[u][r] * cos[v][c]
+                    for r in range(8)
+                    for c in range(8)
+                )
+                s *= alpha[u] * alpha[v] / 4.0
+                zz[i] = int(round(s / qtable_zz[i]))
+            blocks.append(zz)
+    return encode_jpeg_coeffs(width, height, blocks, qtable_zz)
+
+
+def jpeg_decode_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Full baseline JPEG decode to pixels: marker walk (SOI/APPn/COM/
+    DQT/SOF0/DHT/SOS/EOI), Huffman entropy decode with byte unstuffing,
+    DC prediction + EXTEND, dequantization, zigzag placement, and the
+    pinned 13-bit integer IDCT.  Returns (width, height, rows) with
+    rows cropped to the declared dimensions.  Scope guard: SOF0
+    grayscale 1x1 only; progressive (SOF2), multi-component, restart
+    intervals (DRI), and 16-bit quant tables all raise ValueError for
+    quarantine routing."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload: missing SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = -1
+    comp_tq = 0
+    sos_pos = -1
+    td = ta = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("not a JPEG payload: bad marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("not a JPEG payload: truncated segment")
+        if marker == 0xDB:  # DQT
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 15
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit quant table")
+                qtables[tq] = list(body[bpos + 1:bpos + 65])
+                if len(qtables[tq]) != 64:
+                    raise ValueError("not a JPEG payload: short quant table")
+                bpos += 65
+        elif marker == 0xC4:  # DHT
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 15
+                bits = list(body[bpos + 1:bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17:bpos + 17 + n])
+                if len(bits) != 16 or len(vals) != n:
+                    raise ValueError("not a JPEG payload: short DHT")
+                (dc_tables if tc == 0 else ac_tables)[th] = \
+                    _huff_decode_table(bits, vals)
+                bpos += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG: {prec}-bit precision")
+            if nf != 1:
+                raise ValueError(
+                    f"unsupported JPEG: {nf} components (grayscale only)"
+                )
+            hv, comp_tq = body[7], body[8]  # body[6] is the component id
+            if hv != 0x11:
+                raise ValueError("unsupported JPEG: subsampled component")
+            if width == 0 or height == 0:
+                raise ValueError("not a JPEG payload: degenerate dimensions")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG: SOF{marker - 0xC0} (baseline SOF0 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            raise ValueError("unsupported JPEG: restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("unsupported JPEG: multi-component scan")
+            td, ta = body[2] >> 4, body[2] & 15
+            if (body[3], body[4], body[5]) != (0, 63, 0):
+                raise ValueError("unsupported JPEG: non-baseline scan params")
+            sos_pos = pos + 2 + length
+            break
+        # APPn / COM / anything else: skip
+        pos += 2 + length
+    if width < 0 or sos_pos < 0:
+        raise ValueError("not a JPEG payload: missing SOF0/SOS")
+    if comp_tq not in qtables or td not in dc_tables or ta not in ac_tables:
+        raise ValueError("not a JPEG payload: missing quant/Huffman table")
+    if payload[-2:] != b"\xff\xd9":
+        raise ValueError("not a JPEG payload: missing EOI")
+
+    q = qtables[comp_tq]
+    dct, act = dc_tables[td], ac_tables[ta]
+    reader = _JpegBitReader(payload[:-2], sos_pos)
+    bx, by = (width + 7) // 8, (height + 7) // 8
+    wmat = np.array(JPEG_IDCT_W, dtype=np.int64).reshape(8, 8)  # [u][x]
+    rows = [[0] * width for _ in range(height)]
+    pred = 0
+    for bi in range(bx * by):
+        zz = [0] * 64
+        t = reader.huff(dct)
+        if t > 11:
+            raise ValueError("not a JPEG payload: bad DC category")
+        diff = _jpeg_extend(reader.bits(t), t) if t else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = reader.huff(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("not a JPEG payload: AC index overrun")
+            zz[k] = _jpeg_extend(reader.bits(s), s)
+            k += 1
+        coef = np.zeros((8, 8), dtype=np.int64)  # [u][v]
+        for i, raster in enumerate(JPEG_ZIGZAG):
+            if zz[i]:
+                coef[raster >> 3, raster & 7] = zz[i] * q[i]
+        # pinned integer IDCT: direct form, single final rounding —
+        # exactly floor((sum + 2^25) / 2^26) + 128 per pixel
+        acc = wmat.T @ coef @ wmat                    # [r][c]
+        pix = np.clip(((acc + (1 << 25)) >> 26) + 128, 0, 255)
+        brow, bcol = bi // bx, bi % bx
+        for r in range(min(8, height - brow * 8)):
+            out_row = rows[brow * 8 + r]
+            for c in range(min(8, width - bcol * 8)):
+                out_row[bcol * 8 + c] = int(pix[r, c])
+    return width, height, rows
+
+
+def jpeg_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
+    """Integer-exact image statistics from a baseline grayscale JPEG —
+    the lossy-codec sibling of :func:`png_stats`, same IMAGE_SCHEMA
+    contract (width, height, n_pixels, sum_r, sum_g, sum_b,
+    min_luma_milli, max_luma_milli).  Grayscale maps r = g = b = Y, so
+    BT.601 milli-luma is exactly 1000*Y.  Empty payload → all-zero
+    row; malformed / out-of-scope payloads raise ValueError for
+    quarantine routing (the shared contract)."""
+    if not payload:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    width, height, rows = jpeg_decode_gray(payload)
+    s = 0
+    min_y, max_y = 255, 0
+    for row in rows:
+        for v in row:
+            s += v
+            if v < min_y:
+                min_y = v
+            if v > max_y:
+                max_y = v
+    return (width, height, width * height, s, s, s,
+            1000 * min_y, 1000 * max_y)

@@ -942,6 +942,114 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LOSSY-codec sibling of multimodal_png_stats: baseline JPEG (ITU-T
+# T.81) — real JFIF/DQT/DHT/SOF0/SOS structure, Huffman entropy
+# decode with byte unstuffing, DC differential prediction, AC
+# run-length/ZRL/EOB, dequantization, and the pinned 13-bit integer
+# IDCT (operators/multimodal.py:jpeg_decode_gray).  Lossy codecs are
+# normally oracle-hostile, so the fixture drives the encoder from
+# QUANTIZED COEFFICIENTS (what a JPEG file actually stores): per doc,
+# two horizontally adjacent 8x8 blocks (16x8 grayscale — two blocks so
+# DC prediction crosses a block boundary) carrying a deterministic DC
+# plus four ACs at zigzag 1/2/20/40 (the 2->20 gap is 17 zeros, so the
+# ZRL escape is exercised on every row where that AC is nonzero).  The
+# oracle regenerates the same coefficients, dequantizes with the same
+# q[zz] = 1 + zz%4 table, and evaluates the SAME integer IDCT —
+# W[u][x] constants injected as literals, floor((sum + 2^25)/2^26)
+# + 128 done in provably-nonnegative integer arithmetic — so a hash
+# match proves the ENTIRE decode chain: marker walk, DHT table build,
+# bitstream decode, EXTEND, zigzag, dequant, IDCT, level shift, clamp.
+# ---------------------------------------------------------------------------
+
+from vexere_lakehouse_pipeline_spark.operators.multimodal import (  # noqa: E402
+    JPEG_IDCT_W,
+    JPEG_ZIGZAG,
+)
+
+_JW = "[" + ",".join(str(v) for v in JPEG_IDCT_W) + "]"
+_JZZ = "[" + ",".join(str(v) for v in JPEG_ZIGZAG) + "]"
+
+
+@_register(
+    "multimodal_jpeg_stats",
+    f"""
+    WITH blocks AS (SELECT doc_id, unnest([0, 1]) AS k FROM documents),
+    coef AS (
+        SELECT doc_id, k, 0 AS zz,
+               (doc_id*5 + k*17) % 200 - 100 AS v FROM blocks
+        UNION ALL SELECT doc_id, k, 1,  (doc_id*3 + k*7)   % 21 - 10 FROM blocks
+        UNION ALL SELECT doc_id, k, 2,  (doc_id*11 + k*13) % 19 - 9  FROM blocks
+        UNION ALL SELECT doc_id, k, 20, (doc_id*7 + k*3)   % 15 - 7  FROM blocks
+        UNION ALL SELECT doc_id, k, 40, (doc_id*13 + k*5)  % 11 - 5  FROM blocks
+    ),
+    deq AS (
+        SELECT doc_id, k,
+               v * (1 + zz % 4) AS c,
+               {_JZZ}[zz + 1] // 8 AS fu,
+               {_JZZ}[zz + 1] % 8 AS fv
+        FROM coef
+    ),
+    px AS (
+        -- pinned integer IDCT; bias 1024*2^26 keeps the dividend
+        -- non-negative so // floors identically on both engines
+        SELECT doc_id, k, r, cc,
+               LEAST(255, GREATEST(0,
+                   (SUM({_JW}[fu*8 + r + 1] * {_JW}[fv*8 + cc + 1] * c)
+                    + 33554432 + 68719476736) // 67108864 - 1024 + 128))
+                   AS pv
+        FROM deq, unnest(range(8)) AS tr(r), unnest(range(8)) AS tc(cc)
+        GROUP BY doc_id, k, r, cc
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(128 AS BIGINT) AS n_pixels,
+           CAST(SUM(pv) AS BIGINT) AS sum_r,
+           CAST(SUM(pv) AS BIGINT) AS sum_g,
+           CAST(SUM(pv) AS BIGINT) AS sum_b,
+           CAST(MIN(1000 * pv) AS BIGINT) AS min_luma_milli,
+           CAST(MAX(1000 * pv) AS BIGINT) AS max_luma_milli
+    FROM px GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_jpeg_coeffs,
+        extract_image_stats,
+        jpeg_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                blks = []
+                for k in range(2):
+                    zz = [0] * 64
+                    zz[0] = (d * 5 + k * 17) % 200 - 100
+                    zz[1] = (d * 3 + k * 7) % 21 - 10
+                    zz[2] = (d * 11 + k * 13) % 19 - 9
+                    zz[20] = (d * 7 + k * 3) % 15 - 7
+                    zz[40] = (d * 13 + k * 5) % 11 - 5
+                    blks.append(zz)
+                payloads.append(encode_jpeg_coeffs(16, 8, blks))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return extract_image_stats(media, decoder=jpeg_stats).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # Unicode scrub — zero-width characters, typographic quotes/dashes,
 # NBSP: the invisible noise a web crawl carries that silently breaks
 # tokenization and dedup hashing.  A deterministic noisy wrapper is
