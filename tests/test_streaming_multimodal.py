@@ -814,3 +814,120 @@ def test_jpeg_stats_through_mapinpandas(spark):
     }
     assert out[1]["sum_r"] == 200 * 64 and out[1]["n_pixels"] == 64
     assert out[2]["n_pixels"] == 0 and out[2]["sum_r"] == 0
+
+
+def test_mulaw_codec_involution_and_stats(spark):
+    """G.711 mu-law: encode(decode(b)) == b for all 256 codes except
+    the canonical negative-zero collapse (0x7F -> 0 -> 0xFF), decode
+    range is the spec's +/-32124, the fmt-tag-7 WAV round-trips
+    through the mapInPandas stage, and a plain PCM WAV through the
+    mu-law decoder raises (the fmt tag IS the contract)."""
+    import pytest as _pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        encode_wav_mulaw,
+        extract_mulaw_stats,
+        mulaw_decode_sample,
+        mulaw_encode_sample,
+        wav_mulaw_stats,
+    )
+
+    for b in range(256):
+        pcm = mulaw_decode_sample(b)
+        back = mulaw_encode_sample(pcm)
+        if b == 0x7F:  # negative zero -> positive zero, per G.711
+            assert pcm == 0 and back == 0xFF
+        else:
+            assert back == b, f"code {b}: pcm {pcm} re-encoded {back}"
+    vals = [mulaw_decode_sample(b) for b in range(256)]
+    assert min(vals) == -32124 and max(vals) == 32124
+    # encode clips out-of-range linear inputs to the top segment
+    assert mulaw_encode_sample(32767) == mulaw_encode_sample(32635)
+    codes = [(7 * i + 3) % 256 for i in range(50)]
+    pay = encode_wav_mulaw(8000, codes)
+    rate, n, s, mn, mx = wav_mulaw_stats(pay)
+    pcms = [mulaw_decode_sample(c) for c in codes]
+    assert (rate, n, s, mn, mx) == (8000, 50, sum(pcms), min(pcms), max(pcms))
+    assert wav_mulaw_stats(b"") == (0, 0, 0, 0, 0)
+    with _pytest.raises(ValueError, match="fmt_tag=1"):
+        wav_mulaw_stats(encode_wav(8000, [1, 2, 3]))  # PCM into mu-law
+    df = spark.createDataFrame(
+        [(1, bytearray(pay)), (2, None)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in extract_mulaw_stats(df).collect()}
+    assert out[1]["sum_pcm"] == sum(pcms) and out[2]["n_samples"] == 0
+
+
+def test_gzip_text_stats_roundtrip_and_quarantine(spark):
+    """Gzip decompress stage: recovered bytes hash-match the source,
+    NULL payloads become zero rows, and corrupt streams (bad magic,
+    flipped payload byte breaking the CRC) raise ValueError."""
+    import gzip
+    import hashlib
+
+    import pytest as _pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        gzip_text_stats,
+    )
+
+    text = "xin chào thế giới — gzip round trip"  # multi-byte UTF-8
+    raw = text.encode("utf-8")
+    pay = gzip.compress(raw)
+    df = spark.createDataFrame(
+        [(1, bytearray(pay)), (2, None)], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in gzip_text_stats(df).collect()}
+    assert out[1]["n_raw_bytes"] == len(raw)
+    assert out[1]["raw_md5"] == hashlib.md5(raw).hexdigest()
+    assert out[2]["n_raw_bytes"] == 0 and out[2]["raw_md5"] is None
+    # corrupt payload -> ValueError via the Python worker
+    bad = bytearray(pay)
+    bad[-5] ^= 0xFF  # clobber the CRC32 trailer
+    df_bad = spark.createDataFrame(
+        [(3, bytes(bad))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="gzip"):
+        gzip_text_stats(df_bad).collect()
+
+
+def test_mjpeg_framesample_chains_container_and_codec(spark):
+    """MJPEG-in-AVI: stride keeps frames 0 and 2 of 3, each kept frame
+    runs the full JPEG decode with a FRESH DC predictor (frames are
+    independent files), stats equal the sum of per-frame jpeg_stats,
+    and a dims mismatch between container and frame raises."""
+    import pytest as _pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        framesample_mjpeg,
+        jpeg_stats,
+    )
+
+    q1 = [1] * 64
+    frames = [
+        encode_jpeg(8, 8, [(37 * (f + 1) + i) % 256 for i in range(64)], q1)
+        for f in range(3)
+    ]
+    pay = encode_avi_mjpeg(8, 8, frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(pay)), (2, None)], "media_id long, payload binary"
+    )
+    out = {
+        r["media_id"]: r for r in framesample_mjpeg(df, step=2).collect()
+    }
+    want = [jpeg_stats(frames[f]) for f in (0, 2)]
+    assert out[1]["n_frames_in"] == 3 and out[1]["n_frames_out"] == 2
+    assert out[1]["sum_y"] == sum(w[3] for w in want)
+    assert out[1]["min_y"] == min(w[6] // 1000 for w in want)
+    assert out[1]["max_y"] == max(w[7] // 1000 for w in want)
+    assert out[2]["n_frames_in"] == 0
+    # container says 16x8 but frames are 8x8 -> quarantine
+    bad = encode_avi_mjpeg(16, 8, frames)
+    df_bad = spark.createDataFrame(
+        [(3, bytes(bad))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="dims"):
+        framesample_mjpeg(df_bad, step=2).collect()

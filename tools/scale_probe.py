@@ -169,6 +169,13 @@ PROBES = [
     ("quality_classifier_scores", {"documents": ["doc_id"]}),
     ("events_purged_time_split", {"events": ["event_id"]}),
     ("multimodal_png_stats", {"documents": ["doc_id"]}),
+    # round 7: JPEG entropy-decode + integer IDCT, G.711 expansion,
+    # gzip decompress, MJPEG stride — all single Arrow-batched map
+    # stages over synthesized payloads, expect scan-linear
+    ("multimodal_jpeg_stats", {"documents": ["doc_id"]}),
+    ("multimodal_mulaw_stats", {"documents": ["doc_id"]}),
+    ("multimodal_gzip_text", {"documents": ["doc_id"]}),
+    ("multimodal_mjpeg_framesample", {"documents": ["doc_id"]}),
     # KS drift: one groupBy over lengths + metadata-scale prefix sums
     ("quality_drift_ks", {"documents": ["doc_id"]}),
     # calibration/kappa: count-only aggregates, scan-bound
@@ -199,6 +206,144 @@ PROBES = [
 
 ALL_TABLES = list(TESTDATA_TABLES)  # single source of truth (catalog)
 
+# ---------------------------------------------------------------------------
+# skew16 probes (VERDICT r6 #4): worst-case HOT-KEY growth.  The main
+# table's replication remaps keys per replica (healthy growth: 16x data
+# as 16x key spaces); these rows instead pin replicas 1..K-1 of the
+# probed table onto ONE hot key value, so 15/16 of the data lands in a
+# single shuffle partition / window group / LSH bucket — the worst case
+# a 100 TB job can meet.  Five queries chosen as the shuffle-heaviest
+# shapes a single hot ENTITY can concentrate (EXPLAIN.md shuffle
+# counts; the ANN rows shuffle on trained centroid ids, which no input
+# key skews): two user-partitioned window chains, a per-customer
+# aggregation + distributed ntile, the LSH bucket self-join, and the
+# 5-shuffle exploded-token aggregation.
+# (query, table, unique id cols remapped per replica, {hot col: value})
+SKEW16_HOT_TEXT = (
+    "shared boilerplate body every hot replica document carries word "
+    "for word so shingles minhash bands and term counts all collide"
+)
+SKEW16 = [
+    ("events_journey_paths", "events", ["event_id"], {"user_id": 1}),
+    ("asof_join_error_next_click", "events", ["event_id"], {"user_id": 1}),
+    ("customer_rfm_segments", "orders", ["o_orderkey"], {"o_custkey": 1}),
+    ("dedup_minhash_lsh_pairs", "documents", ["doc_id"],
+     {"text": SKEW16_HOT_TEXT}),
+    ("corpus_tfidf_top_terms", "documents", ["doc_id"],
+     {"text": SKEW16_HOT_TEXT}),
+]
+
+
+def replicate_hot(spark, out_dir: str, k: int, table: str,
+                  remap_cols: list[str], hot: dict) -> None:
+    """K-fold replica of one table where unique ids are remapped per
+    replica but the designated hot columns are OVERWRITTEN to a single
+    constant for replicas 1..K-1 (replica 0 keeps the real
+    distribution) — worst-case join/group/window skew."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ALL_TABLES:
+        src = f"{BASE}/{name}.parquet"
+        dst = f"{out_dir}/{name}.parquet"
+        if name != table:
+            if not os.path.exists(dst):
+                (shutil.copytree(src, dst) if os.path.isdir(src)
+                 else shutil.copy(src, dst))
+            continue
+        df = load_table(spark, BASE, name)
+        dtypes = dict(df.dtypes)
+        rep = df.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        for c in remap_cols:
+            rep = rep.withColumn(
+                c, F.col(c) + F.col("_r").cast("long") * 10_000_000_000
+            )
+        for c, v in hot.items():
+            rep = rep.withColumn(
+                c,
+                F.when(F.col("_r") > 0, F.lit(v).cast(dtypes[c]))
+                .otherwise(F.col(c)),
+            )
+        rep.drop("_r").write.mode("overwrite").parquet(dst)
+
+
+def run_skew16(spark, force, k: int) -> list[str]:
+    """Time each SKEW16 row at 1x (real distribution) vs hot-Kx and
+    report the exponent plus whether AQE's skew-join split fired in
+    the executed plan (detected by running the full query under a
+    count rollup — preserves every shuffle/join — and grepping the
+    final adaptive plan for the skew=true task-split marker)."""
+    lines = [
+        "",
+        "## skew16 — worst-case hot-key growth "
+        "(15/16 of rows on ONE key)",
+        "",
+        "Replication pins replicas 1..%d of the probed table onto a "
+        "single hot key (tools/scale_probe.py:SKEW16) — one user owns "
+        "15/16 of all events, one customer 15/16 of all orders, one "
+        "boilerplate text 15/16 of all documents.  exponent = "
+        "log(t_hot%d/t_1)/log(%d) against the UNSKEWED 1x time, so it "
+        "charges both growth and the skew penalty." % (k - 1, k, k),
+        "",
+        "| query | hot key | t_1x (s) | t_hot%dx (s) | skew16 exp "
+        "| AQE skew-join |" % k,
+        "|---|---|---|---|---|---|",
+    ]
+    for name, table, remap_cols, hot in SKEW16:
+        fn = ALL_QUERIES[name]
+        skdir = tempfile.mkdtemp(prefix=f"scale_skew16_{name[:12]}_")
+        try:
+            replicate_hot(spark, skdir, k, table, remap_cols, hot)
+            force(fn(spark, BASE))  # warm this plan shape
+            times = {}
+            for label, d in (("1x", BASE), ("kx", skdir)):
+                spark.catalog.clearCache()
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    force(fn(spark, d))
+                    best = min(best, time.time() - t0)
+                times[label] = best
+            exp = math.log(times["kx"] / times["1x"]) / math.log(k)
+            # AQE skew detection: a count() rollup over the full query
+            # keeps all joins/shuffles; the Dataset's own
+            # QueryExecution carries the final adaptive plan after
+            # collect(), where OptimizeSkewedJoin tags split joins
+            det = fn(spark, skdir).groupBy().count()
+            det.collect()
+            plan = det._jdf.queryExecution().executedPlan().toString()
+            aqe = "fired" if "skew=true" in plan else (
+                "not needed" if "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan
+                else "n/a (no shuffled join — dims broadcast)"
+            )
+            hot_desc = ", ".join(f"{table}.{c}" for c in hot)
+            lines.append(
+                f"| {name} | {hot_desc} | {times['1x']:.2f} "
+                f"| {times['kx']:.2f} | {exp:.2f} | {aqe} |"
+            )
+            print(lines[-1])
+        finally:
+            shutil.rmtree(skdir, ignore_errors=True)
+    lines += [
+        "",
+        "Reading the skew16 rows: the two window chains "
+        "(events_journey_paths, asof_join_error_next_click) process the "
+        "hot user's 15/16 share in ONE task — their defense is the "
+        "session/window semantics themselves (a real pipeline bounds "
+        "per-user history with the watermark/sessionization cut, and "
+        "the journey rollup caps paths at 8 steps), so the probe "
+        "records the honest single-task cost.  The aggregation rows "
+        "(customer_rfm_segments, corpus_tfidf_top_terms) stay near-"
+        "linear because partial aggregation combines the hot key "
+        "map-side before the exchange.  dedup_minhash_lsh_pairs holds "
+        "linear because the bucket cap splits the mega-bucket "
+        "(dedup._split_hot_buckets) — the same guard the degenerate "
+        "probes above exercise.  AQE skew-join applies only to "
+        "shuffled joins; these plans broadcast their dims, so the "
+        "column mostly records n/a — the salted-join rows above cover "
+        "the shape where a shuffled join must absorb the skew.",
+    ]
+    return lines
+
 
 def replicate(spark, out_dir: str, k: int, remap: dict[str, list[str]]) -> None:
     """K-fold replica with per-replica key offsets for the named columns
@@ -227,6 +372,7 @@ def main() -> None:
     # WITHOUT rewriting SCALE.md (sanity-check mode for new probes);
     # the special skew/degenerate/salted sections are skipped too.
     only: set[str] | None = None
+    skew_only = "--skew16" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
@@ -240,6 +386,17 @@ def main() -> None:
             raise SystemExit(f"--only names not in PROBES: {sorted(missing)}")
     spark = build_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if skew_only:
+        # sanity-check mode for the skew16 section: run it alone and
+        # print the rows WITHOUT rewriting SCALE.md
+        def force_(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        for line in run_skew16(spark, force_, k):
+            pass  # rows already printed as they complete
+        print("(--skew16 mode: SCALE.md NOT rewritten)")
+        return
 
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     needed: dict[str, list[str]] = {}
@@ -499,6 +656,8 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old_skew)
+
+    lines.extend(run_skew16(spark, force, k))
 
     for n in notes:
         lines.append("")

@@ -482,11 +482,14 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     )
 
 
-def _wav_parse(payload: bytes) -> tuple[int, int, int, bytes]:
-    """RIFF chunk walk shared by :func:`wav_decode` and
-    :func:`downsample_audio`: returns (rate, channels, bits, data
-    bytes) or raises ValueError (quarantine contract) on malformed
-    non-empty payloads."""
+def _wav_parse(payload: bytes,
+               accept_tags: tuple[int, ...] = (1,)) -> tuple[int, int, int, bytes]:
+    """RIFF chunk walk shared by :func:`wav_decode`,
+    :func:`downsample_audio` and :func:`wav_mulaw_stats`: returns
+    (rate, channels, bits, data bytes) or raises ValueError
+    (quarantine contract) on malformed non-empty payloads.
+    ``accept_tags`` lists the permitted fmt tags (1 = PCM by default;
+    7 = G.711 mu-law for the companded path)."""
     import struct
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -507,7 +510,7 @@ def _wav_parse(payload: bytes) -> tuple[int, int, int, bytes]:
                 )
             fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if fmt_tag != 1:
+            if fmt_tag not in accept_tags:
                 raise ValueError(f"unsupported WAV: fmt_tag={fmt_tag}")
         elif cid == b"data":
             # same guard as fmt: the slice silently truncates when the
@@ -1468,3 +1471,297 @@ def jpeg_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
                 max_y = v
     return (width, height, width * height, s, s, s,
             1000 * min_y, 1000 * max_y)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law: the companded-audio member of the multimodal family
+# (WAV/PCM is the raw tier, this is the telephony/voice-dataset codec
+# every ASR corpus eventually meets).  Integer-exact BY SPEC — the
+# mu-law transfer function is a table of 256 values defined with shifts
+# and a bias, so the decode is a closed-form integer expression DuckDB
+# can evaluate, and encode(decode(b)) == b is a provable involution
+# the pytest checks over all 256 codes — except code 0x7F ("negative
+# zero"), which decodes to 0 and canonically re-encodes as 0xFF
+# ("positive zero"): G.711 defines two zero codes, and every standard
+# implementation collapses them this way.
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_decode_sample(b: int) -> int:
+    """One mu-law code byte -> linear PCM16 (ITU-T G.711)."""
+    u = ~b & 0xFF
+    seg = (u >> 4) & 0x07
+    mant = u & 0x0F
+    val = (((mant << 3) + _MULAW_BIAS) << seg) - _MULAW_BIAS
+    return -val if u & 0x80 else val
+
+
+def mulaw_encode_sample(pcm: int) -> int:
+    """Linear PCM16 -> mu-law code byte (ITU-T G.711)."""
+    sign = 0x80 if pcm < 0 else 0
+    if pcm < 0:
+        pcm = -pcm
+    if pcm > _MULAW_CLIP:
+        pcm = _MULAW_CLIP
+    pcm += _MULAW_BIAS
+    seg = max(0, pcm.bit_length() - 8)
+    if seg > 7:
+        seg = 7
+    mant = (pcm >> (seg + 3)) & 0x0F
+    return ~(sign | (seg << 4) | mant) & 0xFF
+
+
+def encode_wav_mulaw(sample_rate: int, codes: list[int]) -> bytes:
+    """Minimal mono G.711 mu-law WAV (fmt tag 7, 8 bits/sample) — test
+    fixture / round-trip partner for :func:`wav_mulaw_stats`.
+    ``codes`` are mu-law code bytes 0..255."""
+    import struct
+
+    data = bytes(codes)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, sample_rate,
+                      sample_rate, 1, 8)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data),
+                      b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def wav_mulaw_stats(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Decode a G.711 mu-law WAV and emit integer-exact PCM16 stats:
+    (sample_rate, n_samples, sum_pcm, min_pcm, max_pcm).  Same
+    quarantine contract as every decoder here: empty payload -> zero
+    row, malformed / non-mu-law payloads raise ValueError (a plain
+    PCM WAV through this decoder raises, and vice versa — the fmt tag
+    IS the contract)."""
+    if not payload:
+        return (0, 0, 0, 0, 0)
+    rate, channels, bits, data = _wav_parse(payload, accept_tags=(7,))
+    if bits != 8 or channels != 1:
+        raise ValueError(
+            f"unsupported mu-law WAV: bits={bits} channels={channels}"
+        )
+    if not data:
+        return (rate, 0, 0, 0, 0)
+    s = 0
+    mn, mx = 32767, -32768
+    for b in data:
+        v = mulaw_decode_sample(b)
+        s += v
+        if v < mn:
+            mn = v
+        if v > mx:
+            mx = v
+    return (rate, len(data), s, mn, mx)
+
+
+AUDIO_MULAW_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, "
+    "sum_pcm long, min_pcm int, max_pcm int"
+)
+
+
+def extract_mulaw_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas mu-law feature extraction — same Arrow-batched shape
+    as :func:`extract_audio_stats`; bytes cross JVM->Python once per
+    batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid,) + wav_mulaw_stats(b if b is not None else b"")
+                for mid, b in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "sum_pcm", "min_pcm", "max_pcm"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_MULAW_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gzip document payloads: the compression wrapper nearly every web
+# corpus arrives in (WARC members are gzip streams; dataset shards ship
+# as .jsonl.gz).  The operator is the production decompress stage —
+# binary in, verified text out — as one Arrow-batched mapInPandas pass;
+# gzip's trailing CRC32 + ISIZE check makes the decompression
+# self-validating, and the emitted stats (byte length + md5 of the
+# DECOMPRESSED text) are engine-portable, so the oracle recomputes
+# them from the original column without ever seeing the gzip bytes.
+# ---------------------------------------------------------------------------
+
+GZIP_TEXT_SCHEMA = (
+    "media_id long, n_raw_bytes long, raw_md5 string"
+)
+
+
+def gzip_text_stats(media: DataFrame) -> DataFrame:
+    """Decompress gzip payloads and emit (n_raw_bytes, raw_md5) of the
+    recovered bytes.  Empty payload -> zero row with NULL md5;
+    malformed gzip (bad magic, corrupt stream, CRC mismatch) raises
+    ValueError for quarantine routing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import hashlib
+        import zlib
+
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if not b:
+                    rows.append((mid, 0, None))
+                    continue
+                try:
+                    raw = gzip.decompress(bytes(b))  # verifies CRC32+ISIZE
+                except (OSError, EOFError, zlib.error) as exc:
+                    raise ValueError(f"not a gzip payload: {exc}") from exc
+                rows.append(
+                    (mid, len(raw), hashlib.md5(raw).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_raw_bytes", "raw_md5"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=GZIP_TEXT_SCHEMA
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI: compressed video — the same minimal RIFF/AVI container
+# as encode_avi, but frames are '00dc' (compressed DIB) chunks each
+# holding a complete baseline JPEG.  This is a real interchange shape
+# (Motion-JPEG AVIs are what cheap cameras and many CV datasets emit)
+# and it CHAINS two independently-tested decoders: the RIFF chunk walk,
+# and the full JPEG entropy-decode + integer-IDCT path, so the oracle
+# row proves container arithmetic and codec correctness compose.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi_mjpeg(width: int, height: int,
+                     jpeg_frames: list[bytes]) -> bytes:
+    """Minimal MJPEG AVI encoder: each element of ``jpeg_frames`` is a
+    complete JPEG payload stored as one '00dc' chunk inside LIST movi."""
+    import struct
+
+    movi = bytearray(b"movi")
+    for jf in jpeg_frames:
+        movi += b"00dc" + struct.pack("<I", len(jf)) + jf
+        if len(jf) & 1:
+            movi += b"\x00"  # RIFF chunks pad to even offsets
+    avih = bytearray(56)
+    struct.pack_into("<I", avih, 16, len(jpeg_frames))  # dwTotalFrames
+    struct.pack_into("<II", avih, 32, width, height)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + bytes(avih)
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_parse_mjpeg(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """RIFF walk for the MJPEG layout: returns (width, height,
+    [jpeg frame bytes...]) or raises ValueError (quarantine
+    contract).  Unlike :func:`_avi_parse` the frame chunks are '00dc'
+    and each must be a complete JPEG (validated by the decode stage,
+    not here — the container only checks chunk integrity)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    pos, width, height, frames = 12, None, None, []
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("not an AVI payload: truncated chunk")
+        if cid == b"LIST" and body[:4] == b"hdrl":
+            sub = body[4:]
+            if sub[:4] == b"avih":
+                (alen,) = struct.unpack_from("<I", sub, 4)
+                if alen < 40:
+                    raise ValueError("not an AVI payload: short avih")
+                width, height = struct.unpack_from("<II", sub, 8 + 32)
+        elif cid == b"LIST" and body[:4] == b"movi":
+            spos = 4
+            while spos + 8 <= len(body):
+                scid, ssize = struct.unpack_from("<4sI", body, spos)
+                if scid == b"00dc":
+                    frame = body[spos + 8: spos + 8 + ssize]
+                    if len(frame) < ssize:
+                        raise ValueError(
+                            "not an AVI payload: truncated frame"
+                        )
+                    frames.append(frame)
+                spos += 8 + ssize + (ssize & 1)
+        pos += 8 + size + (size & 1)
+    if width is None or not width or not height:
+        raise ValueError("not an AVI payload: missing avih dims")
+    return width, height, frames
+
+
+VIDEO_MJPEG_SCHEMA = (
+    "media_id long, n_frames_in int, n_frames_out int, width int, "
+    "height int, sum_y bigint, min_y int, max_y int"
+)
+
+
+def framesample_mjpeg(media: DataFrame, step: int = 2) -> DataFrame:
+    """mapInPandas MJPEG frame-sampling: keep every ``step``-th JPEG
+    frame, run the FULL baseline JPEG decode on each kept frame, and
+    emit integer-exact luma stats over the kept frames' pixels.  Each
+    frame's declared dims must match the container's avih dims
+    (mismatch raises — quarantine).  Same contracts as every decoder
+    stage: empty payload -> zero row, malformed raises."""
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+
+    def stats(payload: bytes) -> tuple[int, ...]:
+        if not payload:
+            return (0, 0, 0, 0, 0, 0, 0)
+        width, height, frames = _avi_parse_mjpeg(payload)
+        kept = frames[::step]
+        s = 0
+        mn, mx = 255, 0
+        for jf in kept:
+            fw, fh, rows = jpeg_decode_gray(bytes(jf))
+            if (fw, fh) != (width, height):
+                raise ValueError(
+                    f"MJPEG frame dims {fw}x{fh} != container "
+                    f"{width}x{height}"
+                )
+            for row in rows:
+                for v in row:
+                    s += v
+                    if v < mn:
+                        mn = v
+                    if v > mx:
+                        mx = v
+        if not kept:
+            mn = mx = 0
+        return (len(frames), len(kept), width, height, s, mn, mx)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (mid, *stats(b))
+                for mid, b in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames_in", "n_frames_out",
+                         "width", "height", "sum_y", "min_y", "max_y"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=VIDEO_MJPEG_SCHEMA
+    )

@@ -1050,6 +1050,223 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# G.711 mu-law sibling of multimodal_wav_stats: the fixture stores the
+# mu-law CODE BYTES a companded file actually carries (same doc_id
+# arithmetic as the PCM fixture), the Spark side runs the real
+# fmt-tag-7 RIFF parse + per-sample mu-law expansion
+# (operators/multimodal.py:wav_mulaw_stats), and the oracle evaluates
+# the G.711 transfer function closed-form — the codec is integer BY
+# SPEC, so ((mant*8+132) << seg) - 132 with the complement/sign
+# unpacked in plain arithmetic reproduces the decode bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_mulaw_stats",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS media_id,
+               list_transform(range(0, 64 + doc_id % 64),
+                              i -> (doc_id * 31 + i * 7) % 256) AS cs
+        FROM documents
+    ),
+    s AS (
+        SELECT media_id,
+               unnest(list_transform(cs, b -> 255 - b)) AS u
+        FROM t
+    ),
+    pcm AS (
+        SELECT media_id,
+               CASE WHEN u >= 128 THEN -v ELSE v END AS p
+        FROM (SELECT media_id,
+                     ((u % 16) * 8 + 132)
+                       * ([1,2,4,8,16,32,64,128])[((u // 16) % 8) + 1]
+                       - 132 AS v,
+                     u
+              FROM s)
+    )
+    SELECT media_id,
+           {_WAV_RATE} AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(p) AS BIGINT) AS sum_pcm,
+           CAST(MIN(p) AS INTEGER) AS min_pcm,
+           CAST(MAX(p) AS INTEGER) AS max_pcm
+    FROM pcm GROUP BY media_id ORDER BY media_id
+    """,
+)
+def multimodal_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_wav_mulaw,
+        extract_mulaw_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = [
+                encode_wav_mulaw(
+                    _WAV_RATE,
+                    [(int(d) * 31 + i * 7) % 256
+                     for i in range(64 + int(d) % 64)],
+                )
+                for d in ids
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return extract_mulaw_stats(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Gzip payload round-trip: every web corpus arrives compressed (WARC
+# members, .jsonl.gz shards), so the decompress stage IS a production
+# operator.  The fixture gzips each doc's own text (Arrow-batched
+# Python — the binary-column path), the decode stage decompresses with
+# CRC32+ISIZE verification, and the oracle recomputes the emitted
+# stats (byte length + md5 of the DECOMPRESSED bytes) directly from
+# the text column — so a hash match proves the round-trip recovered
+# every byte without the oracle ever touching gzip.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_gzip_text",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+               AS n_raw_bytes,
+           md5(COALESCE(text, '')) AS raw_md5
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        gzip_text_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        for pdf in it:
+            payloads = [
+                gzip.compress((t if t is not None else "").encode("utf-8"))
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return gzip_text_stats(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI: compressed video — '00dc' chunks each holding a
+# complete baseline JPEG, frame-sampled at stride 2 and decoded
+# through the FULL JPEG chain (operators/multimodal.py:
+# framesample_mjpeg).  Per doc: 3 independent 8x8 frames driven by
+# per-frame quantized coefficients; kept frames are f in {0, 2}.  The
+# oracle evaluates the same pinned integer IDCT over exactly those
+# frames — a hash match proves the RIFF container walk, the per-frame
+# JPEG decode (fresh DC predictor per frame), and the stride
+# arithmetic all compose.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_mjpeg_framesample",
+    f"""
+    WITH frames AS (SELECT doc_id, unnest([0, 2]) AS f FROM documents),
+    coef AS (
+        SELECT doc_id, f, 0 AS zz,
+               (doc_id*5 + f*29) % 200 - 100 AS v FROM frames
+        UNION ALL SELECT doc_id, f, 1,  (doc_id*3 + f*11)  % 21 - 10 FROM frames
+        UNION ALL SELECT doc_id, f, 2,  (doc_id*11 + f*17) % 19 - 9  FROM frames
+        UNION ALL SELECT doc_id, f, 20, (doc_id*7 + f*13)  % 15 - 7  FROM frames
+        UNION ALL SELECT doc_id, f, 40, (doc_id*13 + f*7)  % 11 - 5  FROM frames
+    ),
+    deq AS (
+        SELECT doc_id, f,
+               v * (1 + zz % 4) AS c,
+               {_JZZ}[zz + 1] // 8 AS fu,
+               {_JZZ}[zz + 1] % 8 AS fv
+        FROM coef
+    ),
+    px AS (
+        SELECT doc_id, f, r, cc,
+               LEAST(255, GREATEST(0,
+                   (SUM({_JW}[fu*8 + r + 1] * {_JW}[fv*8 + cc + 1] * c)
+                    + 33554432 + 68719476736) // 67108864 - 1024 + 128))
+                   AS pv
+        FROM deq, unnest(range(8)) AS tr(r), unnest(range(8)) AS tc(cc)
+        GROUP BY doc_id, f, r, cc
+    )
+    SELECT doc_id AS media_id,
+           CAST(3 AS INTEGER) AS n_frames_in,
+           CAST(2 AS INTEGER) AS n_frames_out,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           CAST(SUM(pv) AS BIGINT) AS sum_y,
+           CAST(MIN(pv) AS INTEGER) AS min_y,
+           CAST(MAX(pv) AS INTEGER) AS max_y
+    FROM px GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_mjpeg_framesample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_coeffs,
+        framesample_mjpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                frames = []
+                for f in range(3):
+                    zz = [0] * 64
+                    zz[0] = (d * 5 + f * 29) % 200 - 100
+                    zz[1] = (d * 3 + f * 11) % 21 - 10
+                    zz[2] = (d * 11 + f * 17) % 19 - 9
+                    zz[20] = (d * 7 + f * 13) % 15 - 7
+                    zz[40] = (d * 13 + f * 7) % 11 - 5
+                    frames.append(encode_jpeg_coeffs(8, 8, [zz]))
+                payloads.append(encode_avi_mjpeg(8, 8, frames))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return framesample_mjpeg(media, step=2).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # Unicode scrub — zero-width characters, typographic quotes/dashes,
 # NBSP: the invisible noise a web crawl carries that silently breaks
 # tokenization and dedup hashing.  A deterministic noisy wrapper is
