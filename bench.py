@@ -243,6 +243,10 @@ def main() -> None:
         "sim_topk_sq8_prebuilt",
         "sim_topk_matryoshka",
         "sim_recall_matryoshka_vs_bruteforce",
+        "sim_topk_jl",
+        "sim_recall_jl_vs_bruteforce",
+        "sim_topk_jl_rerank",
+        "sim_recall_jl_rerank_vs_bruteforce",
         "quality_drift_ks",
         "quality_score_calibration",
         "quality_cohens_kappa",
@@ -253,6 +257,10 @@ def main() -> None:
         "multimodal_bmp_resize",
         "multimodal_avi_framesample",
         "multimodal_avi_framestride",
+        "multimodal_jpeg_stats",
+        "multimodal_mulaw_stats",
+        "multimodal_gzip_text",
+        "multimodal_mjpeg_framesample",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

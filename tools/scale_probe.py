@@ -176,6 +176,11 @@ PROBES = [
     ("multimodal_mulaw_stats", {"documents": ["doc_id"]}),
     ("multimodal_gzip_text", {"documents": ["doc_id"]}),
     ("multimodal_mjpeg_framesample", {"documents": ["doc_id"]}),
+    # JL projection: sign matrix is a baked literal, projection is one
+    # codegen'd map over codes; rerank adds the shortlist-bounded
+    # late-fetch — both scan-linear
+    ("sim_topk_jl", {"embeddings": ["vec_id"]}),
+    ("sim_topk_jl_rerank", {"embeddings": ["vec_id"]}),
     # KS drift: one groupBy over lengths + metadata-scale prefix sums
     ("quality_drift_ks", {"documents": ["doc_id"]}),
     # calibration/kappa: count-only aggregates, scan-bound

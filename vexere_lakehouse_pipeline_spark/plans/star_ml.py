@@ -1901,6 +1901,147 @@ ORACLE_SQL["sim_recall_hamming_rerank_vs_bruteforce"] = _recall_oracle("sim_topk
 
 
 # ---------------------------------------------------------------------------
+# Sparse Johnson-Lindenstrauss projection (Achlioptas 2003) over the
+# int8 unit codes: the dimensionality-REDUCTION rung — 64 dims -> 16
+# integer coordinates with signs {+1,0,-1} drawn from a deterministic
+# hash of (i, j), so there is no projection matrix to store or ship
+# and both engines regenerate it from arithmetic.  The projected dot
+# product is exact int64 (bit-portable ranking, like every integer
+# tier); the recall gate prices the distortion, and the rerank row is
+# the serving shape that buys the recall back (pinned strictly above
+# raw JL by the pytest).
+# ---------------------------------------------------------------------------
+_JL_DOUT = 32
+_JLRR_SHORTLIST = 100
+
+# sign literals shared with the Spark expression (similarity.jl_signs:
+# md5-derived, the engine-portable hash) — injected here exactly like
+# the JPEG IDCT W table, so both engines evaluate the same matrix
+_JL_SIGNS = "[" + ",".join(
+    str(v) for v in similarity.jl_signs(_JL_DOUT)
+) + "]"
+
+_JL_SQL_CODES = """
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    qt AS (SELECT vec_id,
+                  list_transform(v, x ->
+                      CAST(least(greatest(round(x / nrm * 127), -127.0),
+                                 127.0) AS BIGINT)) AS q8
+           FROM n WHERE nrm > 0),
+    -- the sign literal rides a 1-row cross join: inlining it in the
+    -- inner lambda makes DuckDB rebuild the 2048-element list on
+    -- EVERY (vector, i, j) evaluation (~268s at sf0.01); as a joined
+    -- value it is built once (sub-second)
+    sgn AS (SELECT {signs} AS s),
+    jl AS (SELECT vec_id,
+                  list_transform(range(0, {dout}), j ->
+                      CAST(list_sum(list_transform(range(0, len(q8)), i ->
+                          q8[CAST(i AS INTEGER) + 1]
+                          * s[CAST(i * {dout} + j AS INTEGER) + 1]))
+                        AS BIGINT)) AS y
+           FROM qt, sgn)
+""".format(dout=_JL_DOUT, signs=_JL_SIGNS)
+
+
+@_register(
+    "sim_topk_jl",
+    f"""
+    WITH {_JL_SQL_CODES},
+    qs AS (SELECT vec_id AS query_id, y AS qy FROM jl WHERE vec_id < 10),
+    scored AS (
+        SELECT qs.query_id, c.vec_id,
+               CAST(list_dot_product(c.y, qs.qy) AS BIGINT) AS dot_jl
+        FROM jl c, qs WHERE c.vec_id <> qs.query_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot_jl DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, dot_jl, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+@_shared_arm
+def sim_topk_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_jl(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, d_out=_JL_DOUT
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_jl_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_jl_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_jl)
+
+
+ORACLE_SQL["sim_recall_jl_vs_bruteforce"] = _recall_oracle("sim_topk_jl")
+
+
+@_register(
+    "sim_topk_jl_rerank",
+    f"""
+    WITH {_JL_SQL_CODES},
+    qs AS (SELECT vec_id AS query_id, y AS qy FROM jl WHERE vec_id < 10),
+    jscored AS (
+        SELECT qs.query_id, c.vec_id,
+               CAST(list_dot_product(c.y, qs.qy) AS BIGINT) AS dot_jl
+        FROM jl c, qs WHERE c.vec_id <> qs.query_id
+    ),
+    jranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dot_jl DESC, vec_id) AS rnk
+        FROM jscored
+    ),
+    short AS (SELECT query_id, vec_id FROM jranked
+              WHERE rnk <= {_JLRR_SHORTLIST}),
+    rescored AS (
+        SELECT short.query_id, short.vec_id,
+               {_DUCK_COS.format(a="a.v", b="b.v")} AS cos_sim
+        FROM short JOIN e a ON a.vec_id = short.query_id
+                   JOIN e b ON b.vec_id = short.vec_id
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM rescored WHERE cos_sim IS NOT NULL
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+@_shared_arm
+def sim_topk_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_jl_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        shortlist=_JLRR_SHORTLIST, d_out=_JL_DOUT,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_recall_jl_rerank_vs_bruteforce",
+    None,  # composed below from the two registered oracles
+)
+def sim_recall_jl_rerank_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_jl_rerank)
+
+
+ORACLE_SQL["sim_recall_jl_rerank_vs_bruteforce"] = _recall_oracle("sim_topk_jl_rerank")
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka truncated-dimension search (MRL, Kusupati et al. 2022):
 # rank by the cosine of the FIRST 32 of 64 coordinates — the cheapest
 # ANN compression knob (half the scan bytes, quarter the dot-product
