@@ -931,3 +931,61 @@ def test_mjpeg_framesample_chains_container_and_codec(spark):
     )
     with _pytest.raises(Exception, match="dims"):
         framesample_mjpeg(df_bad, step=2).collect()
+
+
+def test_gif_lzw_codec_roundtrip_and_contracts(spark):
+    """GIF/LZW codec: dictionary round-trips survive the hard inputs
+    (all-one-index runs exercising the deferred cScSc entry, full
+    table growth past 9->12 bit codes with a mid-stream CLEAR), the
+    full-file decode maps indices through the global color table to
+    the same integer stats the palette arithmetic predicts, and the
+    shared quarantine contracts hold — including scope-guard raises
+    for interlace and truncated sub-blocks."""
+    import pytest as _pytest
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        _lzw_compress_gif,
+        _lzw_decompress_gif,
+        encode_gif,
+        extract_image_stats,
+        gif_stats,
+    )
+
+    # deferred-entry chains + >4095-entry growth forcing a CLEAR reset
+    runs = [0] * 600 + [(i * 37) % 256 for i in range(6000)] + [5] * 100
+    assert _lzw_decompress_gif(
+        _lzw_compress_gif(runs), 8, max_pixels=10**6
+    ) == runs
+    w, h = 25, 19
+    idx = [(7 * k + 3) % 256 for k in range(w * h)]
+    pal = [((i * 3) % 256, (i * 5 + 1) % 256, (i * 7 + 2) % 256)
+           for i in range(256)]
+    pay = encode_gif(w, h, idx, pal)
+    st = gif_stats(pay)
+    assert st[:4] == (w, h, w * h, sum(pal[i][0] for i in idx))
+    lumas = [299 * pal[i][0] + 587 * pal[i][1] + 114 * pal[i][2]
+             for i in idx]
+    assert st[6] == min(lumas) and st[7] == max(lumas)
+    assert gif_stats(b"") == (0, 0, 0, 0, 0, 0, 0, 0)
+    with _pytest.raises(ValueError, match="signature"):
+        gif_stats(b"not a gif")
+    with _pytest.raises(ValueError, match="truncated|LZW"):
+        gif_stats(pay[:40])
+    # flip the interlace bit in the image descriptor -> scope guard
+    # (descriptor sits at the fixed offset header 13 + GCT 768; a
+    # byte SEARCH for 0x2c would hit palette values first)
+    desc = 13 + 768
+    assert pay[desc] == 0x2C
+    bad = bytearray(pay)
+    bad[desc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        gif_stats(bytes(bad))
+    # rides the shared mapInPandas stage with NULL handling
+    df = spark.createDataFrame(
+        [(1, bytearray(pay)), (2, None)], "media_id long, payload binary"
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_image_stats(df, decoder=gif_stats).collect()
+    }
+    assert out[1]["n_pixels"] == w * h and out[2]["n_pixels"] == 0

@@ -176,6 +176,7 @@ PROBES = [
     ("multimodal_mulaw_stats", {"documents": ["doc_id"]}),
     ("multimodal_gzip_text", {"documents": ["doc_id"]}),
     ("multimodal_mjpeg_framesample", {"documents": ["doc_id"]}),
+    ("multimodal_gif_stats", {"documents": ["doc_id"]}),
     # JL projection: sign matrix is a baked literal, projection is one
     # codegen'd map over codes; rerank adds the shortlist-bounded
     # late-fetch — both scan-linear

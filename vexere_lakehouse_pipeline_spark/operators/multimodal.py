@@ -1765,3 +1765,231 @@ def framesample_mjpeg(media: DataFrame, step: int = 2) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         batches, schema=VIDEO_MJPEG_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (89a): the palette + LZW member of the codec tier — the third
+# compression FAMILY after PNG's LZ77/zlib and JPEG's transform
+# coding: dictionary-based LZW with growing code width, LSB-first bit
+# packing, clear/EOI control codes, and the deferred-entry ("cScSc")
+# edge case every real LZW decoder must handle.  Zero media
+# libraries, like every codec here; palette indirection means the
+# decode chain is indices -> color table -> pixels, all integer, so
+# the oracle recomputes the stats closed-form from the fixture's
+# index and palette formulas.
+# Scope guard (quarantine contract): GIF89a/87a, one image, global
+# color table, no interlace, no transparency — anything else raises
+# ValueError.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress_gif(indices: list[int], min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows code width 9->12,
+    re-emits CLEAR when the table fills, ends with EOI; codes are
+    packed LSB-first."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = n_acc = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    put(clear, width)
+    prefix: tuple[int, ...] = ()
+    for idx in indices:
+        if not 0 <= idx < clear:
+            raise ValueError(f"palette index {idx} out of range")
+        cand = prefix + (idx,)
+        if cand in table:
+            prefix = cand
+            continue
+        put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = (idx,)
+    if prefix:
+        put(table[prefix], width)
+    put(eoi, width)
+    if n_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int = 8,
+                        max_pixels: int = 1 << 24) -> list[int]:
+    """GIF-variant LZW inverse, including the deferred-entry case
+    (incoming code == next table slot -> prev + prev[0])."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = n_acc = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, n_acc
+        while n_acc < width:
+            if pos >= len(data):
+                raise ValueError("not a GIF payload: LZW stream truncated")
+            acc |= data[pos] << n_acc
+            pos += 1
+            n_acc += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        return v
+
+    out: list[int] = []
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    while True:
+        code = get(width)
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the cScSc deferred entry
+        else:
+            raise ValueError("not a GIF payload: invalid LZW code")
+        out.extend(entry)
+        if len(out) > max_pixels:
+            raise ValueError("not a GIF payload: LZW output overruns dims")
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def encode_gif(width: int, height: int, indices: list[int],
+               palette: list[tuple[int, int, int]]) -> bytes:
+    """Minimal GIF89a encoder: header + logical screen descriptor +
+    256-entry global color table + image descriptor + real LZW image
+    data in 255-byte sub-blocks + trailer.  ``indices`` is row-major
+    top-down into ``palette`` (exactly 256 entries)."""
+    import struct
+
+    if len(palette) != 256:
+        raise ValueError("palette must have exactly 256 entries")
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(indices)}")
+    gct = bytes(v for rgb in palette for v in rgb)
+    lzw = _lzw_compress_gif(indices)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 colors
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([8])  # LZW min code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def gif_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
+    """Integer-exact image statistics from a GIF — same IMAGE_SCHEMA
+    contract as bmp/png/jpeg stats: (width, height, n_pixels, sum_r,
+    sum_g, sum_b, min_luma_milli, max_luma_milli).  A genuine decode:
+    header + LSD walk, global color table load, extension-block skip,
+    image descriptor, LZW decompression (growing widths, clear/EOI,
+    deferred entries), palette indirection.  Empty payload ->
+    all-zero row; malformed / out-of-scope payloads raise ValueError
+    for quarantine routing."""
+    import struct
+
+    if not payload:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload: bad signature")
+    if len(payload) < 13:
+        raise ValueError("not a GIF payload: truncated header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("unsupported GIF: no global color table")
+    gct_n = 2 << (flags & 7)
+    gct = payload[pos:pos + 3 * gct_n]
+    if len(gct) != 3 * gct_n:
+        raise ValueError("not a GIF payload: truncated color table")
+    pos += 3 * gct_n
+    while pos < len(payload) and payload[pos] == 0x21:  # extensions
+        pos += 2  # introducer + label
+        while pos < len(payload) and payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise ValueError("unsupported GIF: missing image descriptor")
+    ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if iflags & 0x40:
+        raise ValueError("unsupported GIF: interlaced image")
+    if iflags & 0x80:
+        raise ValueError("unsupported GIF: local color table")
+    if (ix, iy, iw, ih) != (0, 0, sw, sh):
+        raise ValueError("unsupported GIF: image does not fill the screen")
+    min_code = payload[pos]
+    pos += 1
+    if min_code != 8:
+        raise ValueError(f"unsupported GIF: LZW min code size {min_code}")
+    lzw = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("not a GIF payload: truncated image data")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += payload[pos:pos + n]
+        if len(lzw) < n:
+            raise ValueError("not a GIF payload: truncated sub-block")
+        pos += n
+    indices = _lzw_decompress_gif(bytes(lzw), min_code,
+                                  max_pixels=sw * sh)
+    if len(indices) != sw * sh:
+        raise ValueError(
+            f"not a GIF payload: {len(indices)} pixels for {sw}x{sh}"
+        )
+    sr = sg = sb = 0
+    min_l, max_l = 255_000, 0
+    for idx in indices:
+        if idx >= gct_n:
+            raise ValueError("not a GIF payload: index outside color table")
+        r, g, b = gct[idx * 3], gct[idx * 3 + 1], gct[idx * 3 + 2]
+        sr += r
+        sg += g
+        sb += b
+        luma = 299 * r + 587 * g + 114 * b
+        if luma < min_l:
+            min_l = luma
+        if luma > max_l:
+            max_l = luma
+    return (sw, sh, sw * sh, sr, sg, sb, min_l, max_l)

@@ -1267,6 +1267,86 @@ def multimodal_mjpeg_framesample(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# GIF sibling of the PNG/JPEG rows — the third compression FAMILY in
+# the codec tier (dictionary LZW after PNG's LZ77/zlib and JPEG's
+# transform coding).  Per doc: a (24+d%5) x (18+d%3) image whose
+# palette indices walk k*11 % 256 (11 is coprime to 256, so the full
+# table is exercised and LZW sees recurring phrases across rows) over
+# a per-doc palette; the decode chain is header walk -> global color
+# table -> LZW decompression (growing code widths, clear/EOI,
+# deferred entries) -> palette indirection
+# (operators/multimodal.py:gif_stats).  The oracle recomputes pixel
+# colors closed-form from the same index/palette arithmetic — a hash
+# match proves every LZW phrase came back byte-exact.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_gif_stats",
+    """
+    WITH t AS (SELECT doc_id, 24 + doc_id % 5 AS w, 18 + doc_id % 3 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM t),
+    v AS (SELECT doc_id, w, h,
+                 ((doc_id * 7 + k * 11) % 256 * 3 + doc_id) % 256 AS vr,
+                 ((doc_id * 7 + k * 11) % 256 * 5 + doc_id * 2 + 1) % 256
+                     AS vg,
+                 ((doc_id * 7 + k * 11) % 256 * 7 + doc_id * 3 + 2) % 256
+                     AS vb
+          FROM px)
+    SELECT doc_id AS media_id,
+           CAST(MIN(w) AS INTEGER) AS width,
+           CAST(MIN(h) AS INTEGER) AS height,
+           CAST(MIN(w) * MIN(h) AS BIGINT) AS n_pixels,
+           CAST(SUM(vr) AS BIGINT) AS sum_r,
+           CAST(SUM(vg) AS BIGINT) AS sum_g,
+           CAST(SUM(vb) AS BIGINT) AS sum_b,
+           CAST(MIN(299 * vr + 587 * vg + 114 * vb) AS BIGINT)
+               AS min_luma_milli,
+           CAST(MAX(299 * vr + 587 * vg + 114 * vb) AS BIGINT)
+               AS max_luma_milli
+    FROM v GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        encode_gif,
+        extract_image_stats,
+        gif_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 24 + d % 5, 18 + d % 3
+                idx = [(d * 7 + k * 11) % 256 for k in range(w * h)]
+                pal = [
+                    (
+                        (i * 3 + d) % 256,
+                        (i * 5 + d * 2 + 1) % 256,
+                        (i * 7 + d * 3 + 2) % 256,
+                    )
+                    for i in range(256)
+                ]
+                payloads.append(encode_gif(w, h, idx, pal))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return extract_image_stats(media, decoder=gif_stats).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # Unicode scrub — zero-width characters, typographic quotes/dashes,
 # NBSP: the invisible noise a web crawl carries that silently breaks
 # tokenization and dedup hashing.  A deterministic noisy wrapper is
