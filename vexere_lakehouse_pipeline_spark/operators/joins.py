@@ -208,10 +208,20 @@ def asof_join_forward(
     For each left row, attach the payload of the right row with the
     SMALLEST ``right_ts`` >= ``left_ts`` within the same ``on`` key
     (ties on ``right_ts`` broken by the smallest ``tiebreak``).  Same
-    union+window shape: one shuffle, no O(L×R) pairs — the frame just
-    looks forward (``first(payload, ignorenulls)`` over
-    [currentRow, unboundedFollowing]) and right rows sort AFTER left at
-    equal ts so an exactly-simultaneous right row still matches.
+    union+window shape: one shuffle, no O(L×R) pairs.
+
+    The forward lookup is evaluated as a RUNNING frame over the
+    REVERSED sort (``last(payload, ignorenulls)`` over
+    [unboundedPreceding, currentRow] with ts/side/tiebreak all
+    descending) — semantically identical to ``first`` over
+    [currentRow, unboundedFollowing] on the ascending sort, but O(n)
+    per partition where Spark's UnboundedFollowing frame re-aggregates
+    the whole suffix for EVERY row, i.e. O(n²): the round-7 skew16
+    probe measured the ascending form effectively hanging on a hot key
+    holding 15/16 of all events (1.5M-row partition ~= 1.1e12 ops),
+    while this form is a single linear pass.  Right rows sort AFTER
+    left at equal ts ascending — hence BEFORE left in the reversed
+    sort — so an exactly-simultaneous right row still matches.
     """
     collisions = set(right_payload) & set(left.columns)
     if collisions:
@@ -239,18 +249,19 @@ def asof_join_forward(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side", "_tb")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("_ts"), F.desc("_side"), F.desc("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l.unionByName(r, allowMissingColumns=True).withColumn(
-        # A null left_ts sorts FIRST ascending, so its forward frame
-        # would span every right row in the key — the mirror of the
-        # backward join's phantom-match hazard.  "smallest right_ts >=
-        # NULL" is vacuous: null ts must yield a null payload.
+        # A null left_ts would sort LAST in this descending order, so
+        # its running frame would span every right row in the key —
+        # the mirror of the backward join's phantom-match hazard.
+        # "smallest right_ts >= NULL" is vacuous: null ts must yield a
+        # null payload.
         "_match",
         F.when(
             F.col("_ts").isNotNull(),
-            F.first("_payload", ignorenulls=True).over(w),
+            F.last("_payload", ignorenulls=True).over(w),
         ),
     )
     return matched.filter(F.col("_side") == 0).select(
