@@ -177,6 +177,8 @@ PROBES = [
     ("multimodal_gzip_text", {"documents": ["doc_id"]}),
     ("multimodal_mjpeg_framesample", {"documents": ["doc_id"]}),
     ("multimodal_gif_stats", {"documents": ["doc_id"]}),
+    # z-order key: two scalar min/max aggs + one codegen projection
+    ("layout_zorder_key", {"orders": ["o_orderkey"]}),
     # JL projection: sign matrix is a baked literal, projection is one
     # codegen'd map over codes; rerank adds the shortlist-bounded
     # late-fetch — both scan-linear

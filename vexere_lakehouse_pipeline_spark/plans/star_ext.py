@@ -1499,3 +1499,58 @@ def events_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (operators/layout.py:zorder_key — the Delta
+# OPTIMIZE ZORDER BY / Iceberg rewrite shape): min-max-normalize each
+# clustered column to 12 bits and interleave the bits into one bigint
+# sort key, all plain Column bit arithmetic.  This row oracle-gates
+# the KEY itself (the part a layout rewrite must get right — the
+# write path is pinned by tests/test_layout.py's data-skipping
+# payoff): the oracle recomputes min/max, replays the identical
+# float normalization tree (same IEEE ops in the same order), and
+# re-interleaves with integer shifts.  12 bits x 2 cols = 24-bit key.
+# ---------------------------------------------------------------------------
+_ZO_BITS = 12
+_ZO_SCALE = (1 << _ZO_BITS) - 1
+
+
+@_register(
+    "layout_zorder_key",
+    f"""
+    WITH b AS (SELECT MIN(o_custkey) AS lo0, MAX(o_custkey) AS hi0,
+                      MIN(o_totalprice) AS lo1, MAX(o_totalprice) AS hi1
+               FROM orders),
+    q AS (
+        SELECT o_orderkey,
+               CAST(least({_ZO_SCALE}, floor(
+                   (CAST(o_custkey AS DOUBLE) - lo0)
+                   / (CASE WHEN hi0 = lo0 THEN 1.0 ELSE hi0 - lo0 END)
+                   * {_ZO_SCALE})) AS BIGINT) AS b0,
+               CAST(least({_ZO_SCALE}, floor(
+                   (CAST(o_totalprice AS DOUBLE) - lo1)
+                   / (CASE WHEN hi1 = lo1 THEN 1.0 ELSE hi1 - lo1 END)
+                   * {_ZO_SCALE})) AS BIGINT) AS b1
+        FROM orders, b
+    )
+    SELECT o_orderkey,
+           CAST(list_sum(list_transform(range(0, {_ZO_BITS}), i ->
+               (((b0 >> CAST(i AS INTEGER)) & 1) << CAST(i * 2 AS INTEGER))
+               + (((b1 >> CAST(i AS INTEGER)) & 1)
+                  << CAST(i * 2 + 1 AS INTEGER)))) AS BIGINT) AS zkey
+    FROM q ORDER BY o_orderkey
+    """,
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators import layout
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return orders.select(
+        "o_orderkey",
+        layout.zorder_key(
+            orders, ["o_custkey", "o_totalprice"], bits=_ZO_BITS
+        ).alias("zkey"),
+    ).orderBy("o_orderkey")
