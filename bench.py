@@ -263,6 +263,7 @@ def main() -> None:
         "multimodal_mjpeg_framesample",
         "multimodal_gif_stats",
         "layout_zorder_key",
+        "text_url_canonicalize",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

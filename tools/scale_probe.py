@@ -179,6 +179,8 @@ PROBES = [
     ("multimodal_gif_stats", {"documents": ["doc_id"]}),
     # z-order key: two scalar min/max aggs + one codegen projection
     ("layout_zorder_key", {"orders": ["o_orderkey"]}),
+    # URL canon: one projection + one canon-key window — scan-linear
+    ("text_url_canonicalize", {"documents": ["doc_id"]}),
     # JL projection: sign matrix is a baked literal, projection is one
     # codegen'd map over codes; rerank adds the shortlist-bounded
     # late-fetch — both scan-linear

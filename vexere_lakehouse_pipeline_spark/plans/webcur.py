@@ -2053,3 +2053,174 @@ def corpus_exact_substring_runs(spark: SparkSession,
     return dedup.exact_substring_clean(
         docs, n=_ESD_N, min_len=_ESD_MIN_LEN
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-URL dedup — the crawl-curation
+# stage that runs BEFORE content dedup (a page fetched as
+# https://WWW.site.com/a/?utm_source=x#frag and http://site.com/a is
+# one document; URL-level dedup removes the refetch before any text
+# is even compared).  A deterministic URL is synthesized per doc
+# (four shapes by doc_id % 4, same arithmetic on both engines), then
+# canonicalized with the standard rules: scheme+host lowercased,
+# leading www. stripped, fragment dropped, utm_* tracking params
+# removed, remaining query params SORTED, trailing slash stripped,
+# empty path normalized to '/'.
+#
+# Portability: all parts are regexp_extract + split/filter/sort/join
+# — no regex REPLACEMENT ever carries a group reference, so the
+# Java-$1 vs RE2-\\1 metacharacter divergence never applies (the
+# webcur module rule).  One projection + one canon-key groupBy;
+# the dup census shows variants 1 and 3 collapsing across docs.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_url_canonicalize",
+    r"""
+    WITH u AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                 WHEN 0 THEN 'https://WWW.Example' || CAST(doc_id % 5 AS VARCHAR)
+                      || '.com/Item/' || CAST(doc_id % 7 AS VARCHAR)
+                      || '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+                      || '&b=2#sec'
+                 WHEN 1 THEN 'http://example' || CAST(doc_id % 5 AS VARCHAR)
+                      || '.com/item/' || CAST(doc_id % 7 AS VARCHAR) || '/'
+                 WHEN 2 THEN 'https://News.Site' || CAST(doc_id % 5 AS VARCHAR)
+                      || '.org?z=9&a=1&utm_campaign=x'
+                 ELSE 'http://WWW.example' || CAST(doc_id % 5 AS VARCHAR)
+                      || '.com/item/' || CAST(doc_id % 7 AS VARCHAR)
+               END AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               -- COALESCE each extract: DuckDB returns NULL on no
+               -- match where Spark returns '' (it would NULL the canon)
+               lower(COALESCE(regexp_extract(url, '^([a-zA-Z]+)://', 1), ''))
+                   AS scheme,
+               lower(COALESCE(
+                   regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1), ''))
+                   AS host0,
+               COALESCE(
+                   regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '')
+                   AS path0,
+               COALESCE(regexp_extract(url, '\?([^#]*)', 1), '') AS query0
+        FROM u
+    ),
+    norm AS (
+        SELECT doc_id, url, scheme,
+               CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5)
+                    ELSE host0 END AS host,
+               CASE WHEN path0 = '' THEN '/'
+                    WHEN path0 <> '/' AND path0 LIKE '%/'
+                      THEN substr(path0, 1, length(path0) - 1)
+                    ELSE path0 END AS path,
+               -- COALESCE: DuckDB's array_to_string over an EMPTY
+               -- list returns NULL (Spark's array_join returns '')
+               COALESCE(array_to_string(
+                   list_sort(list_filter(string_split(query0, '&'),
+                             p -> p <> '' AND p NOT LIKE 'utm\_%' ESCAPE '\')),
+                   '&'), '') AS q
+        FROM parts
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               scheme || '://' || host || path
+               || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+        FROM norm
+    )
+    SELECT doc_id, url, canon_url,
+           CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dupes,
+           CAST(ROW_NUMBER() OVER (PARTITION BY canon_url
+                                   ORDER BY doc_id) AS BIGINT) = 1
+               AS is_survivor
+    FROM canon ORDER BY doc_id
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    u = docs.select(
+        "doc_id",
+        F.when(
+            (d % 4).cast("int") == 0,
+            F.concat(
+                F.lit("https://WWW.Example"), (d % 5).cast("string"),
+                F.lit(".com/Item/"), (d % 7).cast("string"),
+                F.lit("?utm_source=feed&id="), (d % 97).cast("string"),
+                F.lit("&b=2#sec"),
+            ),
+        )
+        .when(
+            (d % 4).cast("int") == 1,
+            F.concat(
+                F.lit("http://example"), (d % 5).cast("string"),
+                F.lit(".com/item/"), (d % 7).cast("string"), F.lit("/"),
+            ),
+        )
+        .when(
+            (d % 4).cast("int") == 2,
+            F.concat(
+                F.lit("https://News.Site"), (d % 5).cast("string"),
+                F.lit(".org?z=9&a=1&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://WWW.example"), (d % 5).cast("string"),
+                F.lit(".com/item/"), (d % 7).cast("string"),
+            ),
+        )
+        .alias("url"),
+    )
+    scheme = F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://", 1))
+    host0 = F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?#]+)", 1))
+    path0 = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    query0 = F.regexp_extract("url", r"\?([^#]*)", 1)
+    host = F.when(
+        host0.startswith("www."), F.expr("substring(host0, 5)")
+    ).otherwise(host0)
+    path = (
+        F.when(path0 == "", F.lit("/"))
+        .when(
+            (path0 != "/") & path0.endswith("/"),
+            F.expr("substring(path0, 1, length(path0) - 1)"),
+        )
+        .otherwise(path0)
+    )
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query0, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = (
+        u.withColumn("scheme", scheme)
+        .withColumn("host0", host0)
+        .withColumn("path0", path0)
+        .withColumn("query0", query0)
+        .select(
+            "doc_id",
+            "url",
+            F.concat(
+                F.col("scheme"), F.lit("://"), host, path,
+                F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+            ).alias("canon_url"),
+        )
+    )
+    wc = Window.partitionBy("canon_url")
+    wr = Window.partitionBy("canon_url").orderBy("doc_id")
+    return canon.select(
+        "doc_id",
+        "url",
+        "canon_url",
+        F.count("*").over(wc).cast("long").alias("n_dupes"),
+        (F.row_number().over(wr) == 1).alias("is_survivor"),
+    ).orderBy("doc_id")
