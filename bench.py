@@ -264,6 +264,7 @@ def main() -> None:
         "multimodal_gif_stats",
         "layout_zorder_key",
         "text_url_canonicalize",
+        "dedup_minhash_lsh_pairs_collapsed",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

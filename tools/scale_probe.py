@@ -181,6 +181,8 @@ PROBES = [
     ("layout_zorder_key", {"orders": ["o_orderkey"]}),
     # URL canon: one projection + one canon-key window — scan-linear
     ("text_url_canonicalize", {"documents": ["doc_id"]}),
+    # exact-dup collapse before LSH: one md5 groupBy + the usual banding
+    ("dedup_minhash_lsh_pairs_collapsed", {"documents": ["doc_id"]}),
     # JL projection: sign matrix is a baked literal, projection is one
     # codegen'd map over codes; rerank adds the shortlist-bounded
     # late-fetch — both scan-linear
@@ -239,6 +241,10 @@ SKEW16 = [
     ("customer_rfm_segments", "orders", ["o_orderkey"], {"o_custkey": 1}),
     ("dedup_minhash_lsh_pairs", "documents", ["doc_id"],
      {"text": SKEW16_HOT_TEXT}),
+    # the production fix demonstrated on the same hot table: exact-dup
+    # collapse first -> the mega-bucket never reaches the banding join
+    ("dedup_minhash_lsh_pairs_collapsed", "documents", ["doc_id"],
+     {"text": SKEW16_HOT_TEXT}),
     ("corpus_tfidf_top_terms", "documents", ["doc_id"],
      {"text": SKEW16_HOT_TEXT}),
 ]
@@ -275,12 +281,45 @@ def replicate_hot(spark, out_dir: str, k: int, table: str,
         rep.drop("_r").write.mode("overwrite").parquet(dst)
 
 
+def hot_1x_table(spark, out_dir: str, table: str,
+                 remap_cols: list[str], hot: dict, mod: int = 16) -> None:
+    """SAME-SIZE variant of :func:`replicate_hot`: the original table
+    with the hot columns overwritten on rows where the unique id is
+    not divisible by ``mod`` — (mod-1)/mod of rows on one key, the
+    same hot FRACTION as the K-fold replica, at 1x volume.  This is
+    the in-regime baseline: hot-1x -> hot-Kx measures growth WITHIN
+    the skewed regime, the exponent the degenerate-block probes also
+    report, while t_1x (unskewed) vs t_hot1x prices the one-time
+    regime transition."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ALL_TABLES:
+        src = f"{BASE}/{name}.parquet"
+        dst = f"{out_dir}/{name}.parquet"
+        if name != table:
+            if not os.path.exists(dst):
+                (shutil.copytree(src, dst) if os.path.isdir(src)
+                 else shutil.copy(src, dst))
+            continue
+        df = load_table(spark, BASE, name)
+        dtypes = dict(df.dtypes)
+        cond = (F.col(remap_cols[0]) % mod) != 0
+        for c, v in hot.items():
+            df = df.withColumn(
+                c, F.when(cond, F.lit(v).cast(dtypes[c])).otherwise(F.col(c))
+            )
+        df.write.mode("overwrite").parquet(dst)
+
+
 def run_skew16(spark, force, k: int) -> list[str]:
-    """Time each SKEW16 row at 1x (real distribution) vs hot-Kx and
-    report the exponent plus whether AQE's skew-join split fired in
-    the executed plan (detected by running the full query under a
-    count rollup — preserves every shuffle/join — and grepping the
-    final adaptive plan for the skew=true task-split marker)."""
+    """Time each SKEW16 row at unskewed 1x, hot-1x (same size, 15/16
+    of rows on the hot key) and hot-Kx, and report two exponents:
+    vs-1x (charges growth + the regime transition) and in-regime
+    (hot-1x -> hot-Kx, the growth law once the skew exists — the
+    number that must stay <= ~1.2).  Also reports whether AQE's
+    skew-join split fired in the executed plan (detected by running
+    the full query under a count rollup — preserves every
+    shuffle/join — and grepping the final adaptive plan for the
+    skew=true task-split marker)."""
     lines = [
         "",
         "## skew16 — worst-case hot-key growth "
@@ -289,22 +328,27 @@ def run_skew16(spark, force, k: int) -> list[str]:
         "Replication pins replicas 1..%d of the probed table onto a "
         "single hot key (tools/scale_probe.py:SKEW16) — one user owns "
         "15/16 of all events, one customer 15/16 of all orders, one "
-        "boilerplate text 15/16 of all documents.  exponent = "
-        "log(t_hot%d/t_1)/log(%d) against the UNSKEWED 1x time, so it "
-        "charges both growth and the skew penalty." % (k - 1, k, k),
+        "boilerplate text 15/16 of all documents.  `exp vs 1x` = "
+        "log(t_hot%d/t_1x)/log(%d) against the UNSKEWED baseline "
+        "(charges growth + the one-time healthy->skewed regime "
+        "transition); `exp in-regime` = log(t_hot%d/t_hot1)/log(%d) "
+        "with BOTH ends skewed — the growth law under standing skew, "
+        "the one that must hold at 100 TB." % (k - 1, k, k, k, k),
         "",
-        "| query | hot key | t_1x (s) | t_hot%dx (s) | skew16 exp "
-        "| AQE skew-join |" % k,
-        "|---|---|---|---|---|---|",
+        "| query | hot key | t_1x (s) | t_hot1x (s) | t_hot%dx (s) "
+        "| exp vs 1x | exp in-regime | AQE skew-join |" % k,
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, table, remap_cols, hot in SKEW16:
         fn = ALL_QUERIES[name]
         skdir = tempfile.mkdtemp(prefix=f"scale_skew16_{name[:12]}_")
+        h1dir = tempfile.mkdtemp(prefix=f"scale_skew1_{name[:12]}_")
         try:
             replicate_hot(spark, skdir, k, table, remap_cols, hot)
+            hot_1x_table(spark, h1dir, table, remap_cols, hot, mod=k)
             force(fn(spark, BASE))  # warm this plan shape
             times = {}
-            for label, d in (("1x", BASE), ("kx", skdir)):
+            for label, d in (("1x", BASE), ("h1", h1dir), ("kx", skdir)):
                 spark.catalog.clearCache()
                 best = float("inf")
                 for _ in range(2):
@@ -313,6 +357,7 @@ def run_skew16(spark, force, k: int) -> list[str]:
                     best = min(best, time.time() - t0)
                 times[label] = best
             exp = math.log(times["kx"] / times["1x"]) / math.log(k)
+            exp_reg = math.log(times["kx"] / times["h1"]) / math.log(k)
             # AQE skew detection: a count() rollup over the full query
             # keeps all joins/shuffles; the Dataset's own
             # QueryExecution carries the final adaptive plan after
@@ -328,11 +373,13 @@ def run_skew16(spark, force, k: int) -> list[str]:
             hot_desc = ", ".join(f"{table}.{c}" for c in hot)
             lines.append(
                 f"| {name} | {hot_desc} | {times['1x']:.2f} "
-                f"| {times['kx']:.2f} | {exp:.2f} | {aqe} |"
+                f"| {times['h1']:.2f} | {times['kx']:.2f} "
+                f"| {exp:.2f} | {exp_reg:.2f} | {aqe} |"
             )
             print(lines[-1])
         finally:
             shutil.rmtree(skdir, ignore_errors=True)
+            shutil.rmtree(h1dir, ignore_errors=True)
     lines += [
         "",
         "Reading the skew16 rows: the two window chains "
@@ -344,10 +391,14 @@ def run_skew16(spark, force, k: int) -> list[str]:
         "records the honest single-task cost.  The aggregation rows "
         "(customer_rfm_segments, corpus_tfidf_top_terms) stay near-"
         "linear because partial aggregation combines the hot key "
-        "map-side before the exchange.  dedup_minhash_lsh_pairs holds "
-        "linear because the bucket cap splits the mega-bucket "
-        "(dedup._split_hot_buckets) — the same guard the degenerate "
-        "probes above exercise.  AQE skew-join applies only to "
+        "map-side before the exchange.  dedup_minhash_lsh_pairs is the row the two "
+        "exponents exist for: vs the unskewed baseline it shows the "
+        "one-time healthy->capped regime transition (bounded work — "
+        "bands x n x cap/2 pairs, by design; the production answer is "
+        "exact-dedup BEFORE near-dup so identical texts collapse to "
+        "one representative), while the in-regime exponent shows the "
+        "split cap keeping growth linear once the boilerplate exists "
+        "— the same guard the degenerate probes above exercise.  AQE skew-join applies only to "
         "shuffled joins; these plans broadcast their dims, so the "
         "column mostly records n/a — the salted-join rows above cover "
         "the shape where a shuffled join must absorb the skew.",

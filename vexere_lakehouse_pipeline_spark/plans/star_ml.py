@@ -185,6 +185,40 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH pairs with exact-dup collapse first — the production ORDERING
+# (exact dedup before near-dup): identical texts are collapsed to one
+# representative (min doc_id per text, grouped by md5 so the shuffle
+# key is 16 bytes, never the full text) and LSH runs over
+# representatives only.  This is the standing fix for boilerplate
+# skew: the round-7 skew16 probe shows raw LSH paying bands x n x
+# cap/2 bounded-but-real work when one text owns 15/16 of the corpus
+# (in-regime exponent 1.26, 139 s at hot-16x), while this variant
+# collapses the hot text to ONE doc before any banding — the
+# mega-bucket never exists.  Exact-dup membership itself stays
+# available n-linearly from dedup_exact_groups.
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_minhash_lsh_pairs_collapsed",
+    f"""
+    WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
+                  FROM documents GROUP BY text),
+    {_DUCK_SHINGLE_CTES.replace("FROM documents)", "FROM reps)")}
+    SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh_pairs_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    reps = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+        .drop("_h")
+    )
+    return dedup.lsh_candidate_pairs(reps).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
 # Dedup: exact n-gram Jaccard over the LSH candidates
 # ---------------------------------------------------------------------------
 @_register(
