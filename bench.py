@@ -241,6 +241,7 @@ def main() -> None:
         "sim_recall_sq8_vs_bruteforce",
         "sim_topk_ivfpq_rerank_prebuilt",
         "sim_topk_sq8_prebuilt",
+        "sim_topk_jl_prebuilt",
         "sim_topk_matryoshka",
         "sim_recall_matryoshka_vs_bruteforce",
         "sim_topk_jl",

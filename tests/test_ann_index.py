@@ -150,3 +150,43 @@ def test_saved_layout_is_plain_parquet(spark, tmp_path):
         )
     # reopen with a plain reader outside our loader: parquet is parquet
     assert spark.read.parquet(os.path.join(path, "codes")).count() > 0
+
+
+@pytest.fixture(scope="module")
+def jl_idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "jl")
+    built = ann_index.ann_index_build(_emb(spark), kind="jl", d_out=32)
+    ann_index.ann_index_save(built, path)
+    return ann_index.ann_index_load(spark, path)
+
+
+def test_jl_prebuilt_equals_inline_and_never_scans(spark, jl_idx):
+    """JL index: the artifact is just the coded corpus (no trained
+    state — the sign matrix is hash-derived), so prebuilt ≡ inline and
+    the serve works from an EMPTY candidates frame; the serve also
+    ADOPTS the artifact's d_out over the caller's."""
+    assert jl_idx.kind == "jl" and jl_idx.meta["d_out"] == 32
+    assert set(jl_idx.parts) == {"codes"}
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = similarity.topk_jl(emb, q, k=5, d_out=32)
+    served = similarity.topk_jl(emb, q, k=5, index=jl_idx)
+    assert _rows(served) == _rows(inline)
+    # candidates never scanned at serve time
+    empty = emb.limit(0)
+    got = similarity.topk_jl(empty, q, k=5, index=jl_idx)
+    assert _rows(got) == _rows(inline)
+    # the caller's d_out is overridden by the artifact's (a mismatched
+    # query-side projection would silently zero every dot product)
+    adopted = similarity.topk_jl(empty, q, k=5, d_out=8, index=jl_idx)
+    assert _rows(adopted) == _rows(inline)
+    # rerank composes: tier 1 from the artifact, tier 2 late-fetches
+    # floats from candidates (which ARE needed there)
+    rr_inline = similarity.topk_jl_rerank(emb, q, k=5, shortlist=20,
+                                          d_out=32)
+    rr_served = similarity.topk_jl_rerank(emb, q, k=5, shortlist=20,
+                                          index=jl_idx)
+    assert _rows(rr_served) == _rows(rr_inline)
+    with pytest.raises(ValueError, match="need a jl index"):
+        similarity.topk_jl(emb, q, k=5, index=ann_index.AnnIndex(
+            "sq8", {"kind": "sq8"}, {}))

@@ -30,6 +30,10 @@ Index kinds:
   ``topk_ivfpq_rerank`` and (ignoring cid) ``topk_pq_adc``.
 - ``sq8``: parts ``params`` (pos, mn, mx, scale_micro), ``codes``
   (vec_id, sq8).  Serves ``topk_sq8``.
+- ``jl``: part ``codes`` (vec_id, jl) — the projected integer
+  coordinates.  No trained state at all (the sign matrix is
+  hash-derived), so the artifact IS just the coded corpus; serves
+  ``topk_jl`` and ``topk_jl_rerank``.
 
 Reference parity note: the reference repo has no ANN tier at all —
 this is part of the LLM-data-pipeline extension surface; the shape
@@ -69,6 +73,7 @@ def default_index_path(sf_dir: str, kind: str) -> str:
 _KIND_PARTS = {
     "ivfpq": ("centroids", "codebooks", "coded"),
     "sq8": ("params", "codes"),
+    "jl": ("codes",),
 }
 
 
@@ -87,7 +92,8 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_centroids: int = 32, m: int = 8, ksub: int = 16,
                     dsub: int | None = None,
-                    dim: int | None = None) -> AnnIndex:
+                    dim: int | None = None,
+                    d_out: int = 16) -> AnnIndex:
     """Build the index state for ``kind`` from the candidate table —
     the one corpus-scale pass.  Constructions are identical to the
     inline paths in :mod:`similarity` (same helpers, same order), so
@@ -131,6 +137,10 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
                                "vec_id")
         return AnnIndex(kind, {"kind": kind},
                         {"params": params, "codes": codes})
+    if kind == "jl":
+        codes = sim.jl_project_int8(candidates, d_out, vec_col, id_col)
+        return AnnIndex(kind, {"kind": kind, "d_out": d_out},
+                        {"codes": codes})
     raise ValueError(f"unknown ANN index kind: {kind!r}")
 
 

@@ -1984,7 +1984,7 @@ def jl_project_int8(df: DataFrame, d_out: int = 16,
 
 def topk_jl(candidates: DataFrame, queries: DataFrame, k: int = 5,
             d_out: int = 16, vec_col: str = "embedding",
-            id_col: str = "vec_id") -> DataFrame:
+            id_col: str = "vec_id", index=None) -> DataFrame:
     """Approximate cosine top-k in JL-projected space — integer dot
     product over ``d_out`` coordinates instead of dims, so the scan
     reads dims/d_out times fewer numbers than even the int8 tier
@@ -1992,10 +1992,23 @@ def topk_jl(candidates: DataFrame, queries: DataFrame, k: int = 5,
     int64 scoring (|dot| <= d_out * (127*dims)^2 << 2^63); returns
     (query_id, vec_id, dot_jl, rank) ranked (dot_jl desc, vec_id).
     JL distortion costs recall (pinned by the gate) — the serving
-    answer is :func:`topk_jl_rerank`, same funnel as every tier."""
+    answer is :func:`topk_jl_rerank`, same funnel as every tier.
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``jl`` — the SERVING path: candidate codes come from the
+    saved table (built with the index's own d_out), so ``candidates``
+    is never scanned; only the |Q|-sized query side projects live.
+    Output is hash-identical to the inline build — gated by
+    sim_topk_jl_prebuilt."""
+    if index is not None:
+        if index.kind != "jl":
+            raise ValueError(f"need a jl index, got {index.kind!r}")
+        d_out = index.meta["d_out"]
+        c = index.parts["codes"]
+    else:
+        c = jl_project_int8(candidates, d_out, vec_col, id_col)
     q = jl_project_int8(queries, d_out, vec_col, id_col,
                         out_id="query_id", out_col="qjl")
-    c = jl_project_int8(candidates, d_out, vec_col, id_col)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2015,7 +2028,7 @@ def topk_jl(candidates: DataFrame, queries: DataFrame, k: int = 5,
 def topk_jl_rerank(candidates: DataFrame, queries: DataFrame, k: int = 5,
                    shortlist: int = 50, d_out: int = 16,
                    vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id", index=None) -> DataFrame:
     """JL shortlist -> exact float rerank: the two-tier serving shape
     over the narrowest integer sketch in the ladder.  Tier 1 scans
     d_out-coordinate codes for the whole corpus; tier 2 late-fetches
@@ -2025,6 +2038,6 @@ def topk_jl_rerank(candidates: DataFrame, queries: DataFrame, k: int = 5,
     JL gate by the pytest."""
     short = topk_jl(
         candidates, queries, k=shortlist, d_out=d_out,
-        vec_col=vec_col, id_col=id_col,
+        vec_col=vec_col, id_col=id_col, index=index,
     ).select("query_id", "vec_id")
     return _exact_rerank(candidates, queries, short, k, vec_col, id_col)

@@ -2360,6 +2360,19 @@ def sim_topk_sq8_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["sim_topk_sq8_prebuilt"] = ORACLE_SQL["sim_topk_sq8"]
 
 
+@_register("sim_topk_jl_prebuilt", None)  # oracle aliased below
+def sim_topk_jl_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "jl", d_out=_JL_DOUT)
+    out = similarity.topk_jl(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, index=idx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_jl_prebuilt"] = ORACLE_SQL["sim_topk_jl"]
+
+
 # ---------------------------------------------------------------------------
 # Three-tier ANN cascade — the full production funnel: Hamming sketch
 # scan over the whole corpus (8 B/vec) -> int8 re-score of the
