@@ -124,6 +124,16 @@ def main() -> None:
             # (CacheManager matches plan-identical subtrees) and the
             # number would measure the cache, not the pipeline.
             spark.catalog.clearCache()
+            # Same reasoning for the shared-arm checkpoint cache
+            # (round-7): every row recomputes its own pipeline per rep,
+            # while the brute-force TRUTH arm stays warm across the
+            # gate rows — the recorded r6 estimator semantics, kept
+            # frozen.  The bruteforce headline row itself goes fully
+            # cold (in r6 the row never read the gates' truth cache).
+            star_ml.reset_shared_arms(
+                keep_names=() if name == "sim_topk_bruteforce"
+                else ("sim_topk_bruteforce",)
+            )
             t0 = time.time()
             force(ALL_QUERIES[name](spark, sf_dir))
             out.append(time.time() - t0)

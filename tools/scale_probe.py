@@ -347,11 +347,16 @@ def run_skew16(spark, force, k: int) -> list[str]:
             replicate_hot(spark, skdir, k, table, remap_cols, hot)
             hot_1x_table(spark, h1dir, table, remap_cols, hot, mod=k)
             force(fn(spark, BASE))  # warm this plan shape
+            from vexere_lakehouse_pipeline_spark.plans import (
+                star_ml as _sml,
+            )
+
             times = {}
             for label, d in (("1x", BASE), ("h1", h1dir), ("kx", skdir)):
-                spark.catalog.clearCache()
                 best = float("inf")
                 for _ in range(2):
+                    spark.catalog.clearCache()
+                    _sml.reset_shared_arms(keep_names=())
                     t0 = time.time()
                     force(fn(spark, d))
                     best = min(best, time.time() - t0)
@@ -489,14 +494,20 @@ def main() -> None:
     def force(df):  # noop sink evaluates all columns (see bench.py)
         df.write.format("noop").mode("overwrite").save()
 
+    from vexere_lakehouse_pipeline_spark.plans import star_ml as _sml
+
     for name, _ in probes:
         fn = ALL_QUERIES[name]
         force(fn(spark, BASE))  # warm codegen/JVM for this plan shape
         times = {}
         for label, d in (("1x", BASE), (f"{k}x", tmp)):
-            spark.catalog.clearCache()
             best = float("inf")
             for _ in range(2):
+                spark.catalog.clearCache()
+                # exponents must time the PIPELINE: evict shared arms
+                # (round-7 regression: the memo made sim_topk_* rows
+                # read back at ~0.02 s)
+                _sml.reset_shared_arms(keep_names=())
                 t0 = time.time()
                 force(fn(spark, d))
                 best = min(best, time.time() - t0)

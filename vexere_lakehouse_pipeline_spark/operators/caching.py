@@ -80,3 +80,10 @@ class CheckpointCache:
         while self._entries:
             _, old = self._entries.popitem(last=False)
             self._release(old)
+
+    def drop_if(self, pred) -> None:
+        """Evict (and release) every entry whose key matches ``pred``
+        — the benchmark/probe hook for selective cold-timing (see
+        star_ml.reset_shared_arms)."""
+        for key in [k for k in self._entries if pred(k)]:
+            self._release(self._entries.pop(key))

@@ -79,6 +79,20 @@ def _register(name: str, oracle: str | None = None):
 _APPROX_ARM_CACHE = CheckpointCache(maxsize=24)
 
 
+def reset_shared_arms(keep_names: tuple = ("sim_topk_bruteforce",)) -> None:
+    """Benchmark/probe hook: evict every cached arm EXCEPT the named
+    ones.  The shared-arm cache exists so a gate reuses the arm its
+    sim_topk sibling just computed (the production shape, and what
+    check_oracle benefits from) — but a TIMING harness that runs the
+    same row twice would otherwise measure the memo on rep 2.  bench.py
+    calls this before every rep with the truth arm kept (the recorded
+    r6 estimator semantics: every row recomputes its own pipeline per
+    rep; the brute-force truth stays warm across the gate rows), and
+    tools/scale_probe.py calls it with keep_names=() so exponents are
+    fully cold."""
+    _APPROX_ARM_CACHE.drop_if(lambda k: k[1] not in keep_names)
+
+
 def _shared_arm(fn: QueryFn) -> QueryFn:
     import functools
 
