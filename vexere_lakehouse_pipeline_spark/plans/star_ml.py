@@ -98,6 +98,11 @@ def _shared_arm(fn: QueryFn) -> QueryFn:
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # plan-audit bypass: the cache returns a localCheckpoint
+        # wrapper whose plan is an opaque LogicalRDD scan — a plan
+        # auditor (tools/explain_report.py) needs the real pipeline
+        if os.environ.get("VLPS_DISABLE_ARM_CACHE"):
+            return fn(spark, sf_dir)
         return _APPROX_ARM_CACHE.get(
             spark, fn.__name__, sf_dir, lambda: fn(spark, sf_dir)
         )
