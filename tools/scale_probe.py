@@ -750,7 +750,8 @@ def main() -> None:
     # present so SCALE.md regeneration keeps them:
     # int8 scan bytes (tools/int8_bytes_probe.py) and the degenerate
     # one-label probe's stage attribution (tools/embdeg_profile.py).
-    for side in ("INT8_BYTES.md", "PQ_BYTES.md", "EMBDEG_PROFILE.md"):
+    for side in ("INT8_BYTES.md", "PQ_BYTES.md", "EMBDEG_PROFILE.md",
+                 "ZORDER_BYTES.md"):
         side_md = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                side)
         if os.path.exists(side_md):
