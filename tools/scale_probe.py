@@ -411,9 +411,108 @@ def run_skew16(spark, force, k: int) -> list[str]:
         "NEAR-identical floods that exact collapse can't fold, the "
         "regime the degenerate probes above exercise.  AQE skew-join applies only to "
         "shuffled joins; these plans broadcast their dims, so the "
-        "column mostly records n/a — the salted-join rows above cover "
-        "the shape where a shuffled join must absorb the skew.",
+        "column mostly records n/a — the shuffled-join shape is "
+        "measured directly below.",
     ]
+
+    # --- hot SHUFFLED join: AQE vs salting ---------------------------
+    # Every production plan in this repo broadcasts its dims, so the
+    # rows above can never meet AQE's skew machinery.  This subsection
+    # measures the hot fact-dim join (one customer key holding 15/16
+    # of a 16x orders table) under three strategies.  Empirical
+    # finding on this Spark 4.1.2 build: with AQE at defaults the
+    # rescue is RUNTIME BROADCAST conversion (the dim is small); with
+    # runtime broadcast disabled to force the 100 TB shuffled shape,
+    # the OptimizeSkewedJoin split did NOT trigger even with
+    # skewedPartitionThresholdInBytes lowered to 100k and
+    # forceOptimizeSkewedJoin=true, against a verified 2.25M-row hot
+    # partition (hash partition 29 of 32) — so the engine-independent
+    # fix, salting, is measured beside it.
+    lines += [
+        "",
+        "### hot shuffled join at %dx (one key = 15/16 of orders)" % k,
+        "",
+        "| strategy | t_hot%dx (s) | executed join |" % k,
+        "|---|---|---|",
+    ]
+    from vexere_lakehouse_pipeline_spark.operators.skew import salted_join
+
+    skdir = tempfile.mkdtemp(prefix="scale_skewaqe_")
+    conf = spark.conf
+    saved = {
+        key: conf.get(key)
+        for key in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        replicate_hot(spark, skdir, k, "orders", ["o_orderkey"],
+                      {"o_custkey": 1})
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8m")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        def hot_join(kind: str):
+            fact = load_table(spark, skdir, "orders")
+            dim = load_table(spark, skdir, "customer").select(
+                "c_custkey", "c_mktsegment", "c_acctbal"
+            )
+            if kind == "salted":
+                j = salted_join(
+                    fact.withColumnRenamed("o_custkey", "c_custkey"),
+                    dim, on="c_custkey", salt_from="o_orderkey", n_salts=32,
+                )
+            else:
+                j = fact.join(dim, fact.o_custkey == dim.c_custkey, "inner")
+            return j.groupBy("c_mktsegment").agg(
+                F.sum("o_totalprice"), F.sum("c_acctbal")
+            )
+
+        for label, kind, bcast in (
+            ("plain, engine defaults (dim broadcasts — skew moot)",
+             "plain", None),
+            ("plain, forced shuffled (AQE skew split: did not trigger)",
+             "plain", "-1"),
+            ("salted(32), forced shuffled", "salted", "-1"),
+        ):
+            for key in ("spark.sql.autoBroadcastJoinThreshold",
+                        "spark.sql.adaptive.autoBroadcastJoinThreshold"):
+                if bcast is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, bcast)
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                force(hot_join(kind))
+                best = min(best, time.time() - t0)
+            det = hot_join(kind).groupBy().count()
+            det.collect()
+            plan = det._jdf.queryExecution().executedPlan().toString()
+            if "skew=true" in plan:
+                how = "SMJ skew=true"
+            elif "BroadcastHashJoin" in plan:
+                how = "BroadcastHashJoin (AQE runtime conversion)"
+            elif "SortMergeJoin" in plan:
+                how = "SortMergeJoin (single hot task)"
+            else:
+                how = "ShuffledHashJoin"
+            lines.append(f"| {label} | {best:.2f} | {how} |")
+            print(lines[-1])
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                conf.unset(key)
+            else:
+                conf.set(key, val)
+        shutil.rmtree(skdir, ignore_errors=True)
     return lines
 
 
@@ -460,14 +559,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if skew_only:
-        # sanity-check mode for the skew16 section: run it alone and
-        # print the rows WITHOUT rewriting SCALE.md
+        # run ONLY the skew16 section and splice it into SCALE.md in
+        # place (the rest of the file keeps its last full-regen data)
         def force_(df):
             df.write.format("noop").mode("overwrite").save()
 
-        for line in run_skew16(spark, force_, k):
-            pass  # rows already printed as they complete
-        print("(--skew16 mode: SCALE.md NOT rewritten)")
+        new_lines = run_skew16(spark, force_, k)
+        md = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE.md")
+        with open(md) as fh:
+            text = fh.read()
+        start = text.find("\n## skew16")
+        endmark = "\nDegenerate embedding probe found"
+        end = text.find(endmark)
+        if start != -1 and end != -1 and start < end:
+            text = text[:start] + "\n".join(new_lines) + "\n" + text[end:]
+            with open(md, "w") as fh:
+                fh.write(text)
+            print("(--skew16 mode: spliced section into SCALE.md)")
+        else:
+            print("(--skew16 mode: section markers not found — "
+                  "SCALE.md NOT rewritten)")
         return
 
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
