@@ -980,6 +980,17 @@ def test_gif_lzw_codec_roundtrip_and_contracts(spark):
     bad[desc + 9] |= 0x40
     with _pytest.raises(ValueError, match="interlaced"):
         gif_stats(bytes(bad))
+    # truncate INSIDE a later sub-block: the image data starts at
+    # desc + 10 (min code size) + 1; walk past the first sub-block and
+    # cut the second one short — the slice-length guard must fire even
+    # though the cumulative LZW buffer is already larger than the
+    # declared size (the r7-ADVICE dead-guard case)
+    data0 = desc + 11
+    n0 = pay[data0]
+    second = data0 + 1 + n0
+    if pay[second] > 2:  # a real second sub-block to truncate
+        with _pytest.raises(ValueError, match="truncated sub-block"):
+            gif_stats(pay[: second + 2])
     # rides the shared mapInPandas stage with NULL handling
     df = spark.createDataFrame(
         [(1, bytearray(pay)), (2, None)], "media_id long, payload binary"

@@ -1968,9 +1968,10 @@ def gif_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
         pos += 1
         if n == 0:
             break
-        lzw += payload[pos:pos + n]
-        if len(lzw) < n:
+        chunk = payload[pos:pos + n]
+        if len(chunk) < n:
             raise ValueError("not a GIF payload: truncated sub-block")
+        lzw += chunk
         pos += n
     indices = _lzw_decompress_gif(bytes(lzw), min_code,
                                   max_pixels=sw * sh)
@@ -1978,15 +1979,23 @@ def gif_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
         raise ValueError(
             f"not a GIF payload: {len(indices)} pixels for {sw}x{sh}"
         )
+    # roll up through a <=256-entry palette histogram instead of a
+    # Python loop over all sw*sh pixels: sums/extrema are functions of
+    # (index -> count) only, so the per-pixel work collapses to one
+    # Counter pass + O(distinct indices) arithmetic (same values,
+    # same out-of-range rejection)
+    from collections import Counter
+
+    hist = Counter(indices)
+    if any(idx >= gct_n for idx in hist):
+        raise ValueError("not a GIF payload: index outside color table")
     sr = sg = sb = 0
     min_l, max_l = 255_000, 0
-    for idx in indices:
-        if idx >= gct_n:
-            raise ValueError("not a GIF payload: index outside color table")
+    for idx, cnt in hist.items():
         r, g, b = gct[idx * 3], gct[idx * 3 + 1], gct[idx * 3 + 2]
-        sr += r
-        sg += g
-        sb += b
+        sr += cnt * r
+        sg += cnt * g
+        sb += cnt * b
         luma = 299 * r + 587 * g + 114 * b
         if luma < min_l:
             min_l = luma

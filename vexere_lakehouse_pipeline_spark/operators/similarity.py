@@ -1978,6 +1978,22 @@ def jl_project_int8(df: DataFrame, d_out: int = 16,
     )
     return (
         q.filter(F.col("q8").isNotNull())
+        # the sign matrix is a _JL_D_IN x d_out literal: an embedding
+        # wider than _JL_D_IN would index element_at past the array —
+        # a runtime error under ANSI mode, silent contamination with
+        # ANSI off.  Fail loudly at plan-execution time instead.
+        .withColumn(
+            "q8",
+            F.when(
+                F.size("q8") <= _JL_D_IN, F.col("q8")
+            ).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("jl_project_int8: embedding has "),
+                    F.size("q8").cast("string"),
+                    F.lit(f" dims, sign matrix covers {_JL_D_IN}"),
+                ))
+            ),
+        )
         .select(F.col(id_col).alias(out_id), proj.alias(out_col))
     )
 

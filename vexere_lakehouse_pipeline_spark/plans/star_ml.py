@@ -216,12 +216,27 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mega-bucket never exists.  Exact-dup membership itself stays
 # available n-linearly from dedup_exact_groups.
 # ---------------------------------------------------------------------------
+def _shingle_ctes_over(src: str) -> str:
+    """The shared shingle/band/pair CTE chain re-pointed at ``src``
+    instead of the documents table.  Guarded source surgery (ADVICE
+    r7): the marker must appear EXACTLY once, so a reformat of
+    _DUCK_SHINGLE_CTES that stops (or over-) matching fails loudly at
+    import instead of silently desynchronizing oracle and pipeline."""
+    marker = "FROM documents)"
+    if _DUCK_SHINGLE_CTES.count(marker) != 1:
+        raise AssertionError(
+            f"_DUCK_SHINGLE_CTES: expected exactly one {marker!r}, "
+            f"found {_DUCK_SHINGLE_CTES.count(marker)}"
+        )
+    return _DUCK_SHINGLE_CTES.replace(marker, f"FROM {src})")
+
+
 @_register(
     "dedup_minhash_lsh_pairs_collapsed",
     f"""
     WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
                   FROM documents GROUP BY text),
-    {_DUCK_SHINGLE_CTES.replace("FROM documents)", "FROM reps)")}
+    {_shingle_ctes_over("reps")}
     SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
     """,
 )
