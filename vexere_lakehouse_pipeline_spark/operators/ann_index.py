@@ -34,11 +34,28 @@ Index kinds:
   coordinates.  No trained state at all (the sign matrix is
   hash-derived), so the artifact IS just the coded corpus; serves
   ``topk_jl`` and ``topk_jl_rerank``.
+- ``ivfpq_residual``: same parts as ``ivfpq`` but the codebooks
+  quantize RESIDUALS (u − coarse centroid); serves
+  ``topk_ivfpq_residual``.
+- ``hamming``: part ``codes`` (vec_id, sk) — one int64 sign sketch
+  per vector; serves ``topk_hamming`` and ``topk_hamming_rerank``.
+- ``int8``: part ``codes`` (vec_id, q8) — ±127 unit-vector codes;
+  serves ``topk_int8``.
+- ``cascade``: parts ``sketches`` + ``q8codes`` — the tier-1/tier-2
+  state of the three-tier funnel; serves ``topk_cascade``.
+- ``matryoshka``: part ``codes`` (vec_id, emb) — the truncated float
+  prefix (stateless, like ``jl``); serves ``topk_truncated``.
+
+Incremental maintenance: :func:`ann_index_append` encodes ONLY new
+rows with the stored trained state and unions them into the row-level
+parts — append(A, B) ≡ build(A ∪ B) with pinned quantizers (oracle-
+gated); see its docstring for the drift/rebuild caveat.
 
 Reference parity note: the reference repo has no ANN tier at all —
 this is part of the LLM-data-pipeline extension surface; the shape
 follows FAISS's build-once / load / search lifecycle (public API:
-faiss.write_index / read_index / Index.search).
+faiss.write_index / read_index / Index.search, IndexIVF.add for the
+append path).
 """
 
 from __future__ import annotations
@@ -50,6 +67,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vexere_lakehouse_pipeline_spark.functions.vectors import sign_sketch
 from vexere_lakehouse_pipeline_spark.operators import similarity as sim
 
 META_FILE = "_ann_meta.json"
@@ -72,8 +90,27 @@ def default_index_path(sf_dir: str, kind: str) -> str:
 # part name -> subdirectory, per kind (also the load order)
 _KIND_PARTS = {
     "ivfpq": ("centroids", "codebooks", "coded"),
+    "ivfpq_residual": ("centroids", "codebooks", "coded"),
     "sq8": ("params", "codes"),
     "jl": ("codes",),
+    "hamming": ("codes",),
+    "int8": ("codes",),
+    "cascade": ("sketches", "q8codes"),
+    "matryoshka": ("codes",),
+}
+
+# the row-level (one row per corpus vector) parts of each kind — what
+# ann_index_append grows; everything else is trained/model state that
+# appends REUSE, never retrain
+_ROW_PARTS = {
+    "ivfpq": ("coded",),
+    "ivfpq_residual": ("coded",),
+    "sq8": ("codes",),
+    "jl": ("codes",),
+    "hamming": ("codes",),
+    "int8": ("codes",),
+    "cascade": ("sketches", "q8codes"),
+    "matryoshka": ("codes",),
 }
 
 
@@ -93,21 +130,36 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
                     n_centroids: int = 32, m: int = 8, ksub: int = 16,
                     dsub: int | None = None,
                     dim: int | None = None,
-                    d_out: int = 16) -> AnnIndex:
+                    d_out: int = 16,
+                    n_bits: int = 63,
+                    dims: int = 32,
+                    train_iters: int = 0,
+                    centroids: DataFrame | None = None,
+                    codebooks: DataFrame | None = None,
+                    params: DataFrame | None = None) -> AnnIndex:
     """Build the index state for ``kind`` from the candidate table —
     the one corpus-scale pass.  Constructions are identical to the
     inline paths in :mod:`similarity` (same helpers, same order), so
-    serving from the result reproduces the inline output exactly."""
+    serving from the result reproduces the inline output exactly.
+
+    ``centroids``/``codebooks``/``params`` pin previously-trained
+    state (the :func:`ann_index_append` path): rows encode against
+    the GIVEN quantizers instead of re-deriving them from
+    ``candidates`` — append(A, B) ≡ build(A ∪ B) with pinned state.
+    """
     if kind == "ivfpq":
-        cents = (
-            sim._unit_vecs(candidates, vec_col, id_col, "vec_id")
-            .orderBy("vec_id").limit(n_centroids)
-            .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
-        )
-        codebooks = sim.pq_sampled_codebooks(candidates, m, ksub,
-                                             vec_col, id_col)
+        if centroids is None:
+            centroids = (
+                sim._unit_vecs(candidates, vec_col, id_col, "vec_id")
+                .orderBy("vec_id").limit(n_centroids)
+                .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+            )
+        if codebooks is None:
+            codebooks = sim.pq_sampled_codebooks(candidates, m, ksub,
+                                                 vec_col, id_col)
         lists = sim.assign_ivf_lists(candidates, n_centroids,
-                                     vec_col, id_col, dim)
+                                     vec_col, id_col, dim,
+                                     centroids=centroids)
         coded = (
             sim.pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
             .groupBy("vec_id")
@@ -125,11 +177,25 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
         )
         meta = {"kind": kind, "n_centroids": n_centroids, "m": m,
                 "ksub": ksub, "dsub": dsub, "dim": dim}
-        return AnnIndex(kind, meta, {"centroids": cents,
+        return AnnIndex(kind, meta, {"centroids": centroids,
                                      "codebooks": codebooks,
                                      "coded": coded})
+    if kind == "ivfpq_residual":
+        cents, cbs, coded = sim.ivfpq_residual_state(
+            candidates, n_centroids=n_centroids, m=m, ksub=ksub,
+            vec_col=vec_col, id_col=id_col, dsub=dsub, dim=dim,
+            train_iters=train_iters, centroids=centroids,
+            codebooks=codebooks,
+        )
+        meta = {"kind": kind, "n_centroids": n_centroids, "m": m,
+                "ksub": ksub, "dsub": dsub, "dim": dim,
+                "train_iters": train_iters}
+        return AnnIndex(kind, meta, {"centroids": cents,
+                                     "codebooks": cbs,
+                                     "coded": coded})
     if kind == "sq8":
-        params = sim.sq8_params(candidates, vec_col, id_col)
+        if params is None:
+            params = sim.sq8_params(candidates, vec_col, id_col)
         # dims-sized model state: pin so the corpus min/max aggregate
         # behind it runs once, not once more inside the encode below
         params = params.localCheckpoint(eager=False)
@@ -141,7 +207,78 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
         codes = sim.jl_project_int8(candidates, d_out, vec_col, id_col)
         return AnnIndex(kind, {"kind": kind, "d_out": d_out},
                         {"codes": codes})
+    if kind == "hamming":
+        codes = candidates.select(
+            F.col(id_col).alias("vec_id"),
+            sign_sketch(vec_col, n_bits).alias("sk"),
+        ).filter(F.col("sk").isNotNull())
+        return AnnIndex(kind, {"kind": kind, "n_bits": n_bits},
+                        {"codes": codes})
+    if kind == "int8":
+        codes = sim.quantize_int8_unit(candidates, vec_col).select(
+            F.col(id_col).alias("vec_id"), "q8"
+        ).filter(F.col("q8").isNotNull())
+        return AnnIndex(kind, {"kind": kind}, {"codes": codes})
+    if kind == "cascade":
+        sketches = candidates.select(
+            F.col(id_col).alias("vec_id"),
+            sign_sketch(vec_col, n_bits).alias("sk"),
+        ).filter(F.col("sk").isNotNull())
+        q8codes = sim.quantize_int8_unit(candidates, vec_col).select(
+            F.col(id_col).alias("vec_id"), "q8"
+        ).filter(F.col("q8").isNotNull())
+        return AnnIndex(kind, {"kind": kind, "n_bits": n_bits},
+                        {"sketches": sketches, "q8codes": q8codes})
+    if kind == "matryoshka":
+        codes = candidates.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), 1, dims).alias("emb"),
+        )
+        return AnnIndex(kind, {"kind": kind, "dims": dims},
+                        {"codes": codes})
     raise ValueError(f"unknown ANN index kind: {kind!r}")
+
+
+def ann_index_append(index: AnnIndex, new_rows: DataFrame,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> AnnIndex:
+    """Incremental index maintenance — the append path a growing
+    corpus needs: encode ONLY ``new_rows`` with the index's STORED
+    trained state (centroids/codebooks/params — never retrained) and
+    union them into the row-level parts.  This is exactly what a Delta
+    MERGE into the coded table would carry in the lakehouse; the
+    returned index serves through the same ``index=`` plumbing.
+
+    Identity contract (oracle-gated by sim_topk_sq8_appended and
+    pinned for every kind in tests/test_ann_index.py):
+    ``append(build(A), B)`` ≡ ``build(A ∪ B)`` *with pinned state* —
+    bit-for-bit, because encoding is row-wise given the quantizers.
+
+    Drift caveat — when to REBUILD instead: the trained state still
+    reflects the ORIGINAL corpus A.  For ``ivfpq``/``ivfpq_residual``,
+    appended mass shifts inverted-list balance (a probe budget tuned
+    for balanced lists degrades as hot lists grow) and the codebooks
+    quantize B against A's distribution; for ``sq8``, B values outside
+    A's per-dimension [mn, mx] clamp to the range edge.  Rule of
+    thumb: rebuild when appends exceed ~30-50% of the built corpus or
+    when the recall gates drift below their pinned floors.  Stateless
+    kinds (hamming/int8/jl/cascade/matryoshka) have no drift — append
+    is exact forever.  Callers must keep ids disjoint (no dedup here;
+    exact dedup upstream is the repo's standing production ordering).
+    """
+    pinned = {}
+    if index.kind in ("ivfpq", "ivfpq_residual"):
+        pinned = {"centroids": index.parts["centroids"],
+                  "codebooks": index.parts["codebooks"]}
+    elif index.kind == "sq8":
+        pinned = {"params": index.parts["params"]}
+    hyper = {k: v for k, v in index.meta.items() if k != "kind"}
+    delta = ann_index_build(new_rows, kind=index.kind, vec_col=vec_col,
+                            id_col=id_col, **hyper, **pinned)
+    parts = dict(index.parts)
+    for part in _ROW_PARTS[index.kind]:
+        parts[part] = index.parts[part].unionByName(delta.parts[part])
+    return AnnIndex(index.kind, dict(index.meta), parts)
 
 
 def ann_index_save(index: AnnIndex, path: str) -> None:

@@ -294,7 +294,7 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
 
 def topk_hamming(candidates: DataFrame, queries: DataFrame, k: int = 5,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 n_bits: int = 63) -> DataFrame:
+                 n_bits: int = 63, index=None) -> DataFrame:
     """Approximate cosine top-k over int64 sign sketches — the binary-
     embedding sibling of :func:`topk_int8`, one notch further down the
     compression ladder.
@@ -313,15 +313,28 @@ def topk_hamming(candidates: DataFrame, queries: DataFrame, k: int = 5,
     (hamming asc, vec_id).  Zero/NULL vectors are excluded on both
     sides (NULL sketch).  Same scale contract as topk_bruteforce:
     bounded candidate sets, or compose with IVF/LSH blocking.
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``hamming`` — the SERVING path: candidate sketches come from
+    the saved table (n_bits adopted from the artifact), so
+    ``candidates`` is never scanned; only the |Q|-sized query side
+    sketches live.  Output is hash-identical to the inline build —
+    gated by sim_topk_hamming_prebuilt.
     """
+    if index is not None:
+        if index.kind != "hamming":
+            raise ValueError(f"need a hamming index, got {index.kind!r}")
+        n_bits = index.meta["n_bits"]
+        c = index.parts["codes"].select("vec_id", F.col("sk").alias("c_sk"))
+    else:
+        c = candidates.select(
+            F.col(id_col).alias("vec_id"),
+            sign_sketch(vec_col, n_bits).alias("c_sk"),
+        ).filter(F.col("c_sk").isNotNull())
     q = queries.select(
         F.col(id_col).alias("query_id"),
         sign_sketch(vec_col, n_bits).alias("q_sk"),
     ).filter(F.col("q_sk").isNotNull())
-    c = candidates.select(
-        F.col(id_col).alias("vec_id"),
-        sign_sketch(vec_col, n_bits).alias("c_sk"),
-    ).filter(F.col("c_sk").isNotNull())
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -842,7 +855,8 @@ def quantize_int8_unit(df: DataFrame, vec_col: str = "embedding",
 
 
 def topk_int8(candidates: DataFrame, queries: DataFrame, k: int = 5,
-              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              index=None) -> DataFrame:
     """Approximate cosine top-k over int8 unit-vector codes — the
     quantized twin of :func:`topk_bruteforce`.
 
@@ -858,13 +872,24 @@ def topk_int8(candidates: DataFrame, queries: DataFrame, k: int = 5,
     scale serving (stored as array<tinyint> parquet, the codes make
     each block's scan ~28x cheaper in measured column-chunk bytes —
     tools/int8_bytes_probe.py, SCALE.md).
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``int8`` — candidate codes come from the saved table, so
+    ``candidates`` is never scanned at serve time; only the |Q|-sized
+    query side quantizes live.  Output is hash-identical to the
+    inline build — gated by sim_topk_int8_prebuilt.
     """
     q = quantize_int8_unit(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("q8").alias("qq")
     ).filter(F.col("qq").isNotNull())
-    c = quantize_int8_unit(candidates, vec_col).select(
-        F.col(id_col).alias("vec_id"), "q8"
-    ).filter(F.col("q8").isNotNull())
+    if index is not None:
+        if index.kind != "int8":
+            raise ValueError(f"need an int8 index, got {index.kind!r}")
+        c = index.parts["codes"]
+    else:
+        c = quantize_int8_unit(candidates, vec_col).select(
+            F.col(id_col).alias("vec_id"), "q8"
+        ).filter(F.col("q8").isNotNull())
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1353,7 +1378,8 @@ def _unit_vecs(df: DataFrame, vec_col: str, id_col: str,
 
 def assign_ivf_lists(candidates: DataFrame, n_centroids: int = 32,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     dim: int | None = None) -> DataFrame:
+                     dim: int | None = None,
+                     centroids: DataFrame | None = None) -> DataFrame:
     """(vec_id, cid): nearest coarse centroid per candidate (argmin of
     integer micro-d² on unit vectors, ties to the lower centroid id).
 
@@ -1363,10 +1389,15 @@ def assign_ivf_lists(candidates: DataFrame, n_centroids: int = 32,
     100 TB table is partitioned/bucketed by, so probes touch only
     matching partitions).  ``dim`` statically unrolls the full-width
     distance (codegen) — pass it when the embedding width is known.
+    ``centroids``: a pinned (cid, cu) table — the incremental-append
+    path, where NEW rows must assign against the STORED coarse
+    quantizer, never a re-derived one.
     """
     u = _unit_vecs(candidates, vec_col, id_col, "vec_id")
     cents = F.broadcast(
-        u.orderBy("vec_id").limit(n_centroids)
+        centroids
+        if centroids is not None
+        else u.orderBy("vec_id").limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
     )
     scored = u.join(cents).select(
@@ -1575,45 +1606,29 @@ def _train_codebooks_from_sub(sub: DataFrame, cbs: DataFrame, iters: int,
     return cbs
 
 
-def topk_ivfpq_residual(candidates: DataFrame, queries: DataFrame,
-                        k: int = 5, n_centroids: int = 32, nprobe: int = 8,
-                        m: int = 8, ksub: int = 16,
-                        vec_col: str = "embedding", id_col: str = "vec_id",
-                        dsub: int | None = None, dim: int | None = None,
-                        train_iters: int = 0) -> DataFrame:
-    """Residual IVF-PQ (FAISS "IVF,PQ" proper — Jégou et al. 2011 §III):
-    PQ encodes the RESIDUAL r = u − coarse_centroid instead of the raw
-    unit vector, and each query builds one LUT per probed list from its
-    own residual qr = qu − cu.
-
-    Why this beats raw-vector IVF-PQ at identical bytes: within a
-    list, ‖qr − r‖² = ‖qu − u‖² exactly (the shared centroid cancels),
-    but the residuals live in a ball of radius ≈ the cell size rather
-    than the unit sphere, so the same m×ksub codebook budget quantizes
-    a much smaller domain — finer cells, lower quantization error.
-    The byte cost is UNCHANGED: candidates still scan as m small ints
-    plus the list id (the coarse centroid is reconstructed from cid,
-    never stored per row).
-
-    ``train_iters > 0`` runs Lloyd's on the residual subvectors (the
-    quality path, float means — recall floor pinned in pytest);
-    ``train_iters = 0`` keeps the deterministic md5-sampled residual
-    codebooks, which is the ORACLE-portable configuration
-    (sim_topk_ivfpq_residual reproduces centroid assignment → residual
-    → codebook → encode → per-list LUT → ADC bit-for-bit in DuckDB).
-
-    Plan shape: the extra cost vs topk_ivfpq is the per-(query, list)
-    LUT build — nprobe LUTs per query instead of 1, each m×ksub
-    integer cells from broadcast codebooks — still query-scale, still
-    broadcast.  Corpus-side work is identical (one assignment argmin,
-    one PQ encode, codes ⋈ lists shuffle_hash join), and the final
-    ranking is the shared two-stage top-k.
+def ivfpq_residual_state(candidates: DataFrame, n_centroids: int = 32,
+                         m: int = 8, ksub: int = 16,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         dsub: int | None = None, dim: int | None = None,
+                         train_iters: int = 0,
+                         centroids: DataFrame | None = None,
+                         codebooks: DataFrame | None = None,
+                         ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Corpus-side residual IVF-PQ state — (centroids, codebooks,
+    coded) with coded = (vec_id, cid, codes) — shared VERBATIM by the
+    inline :func:`topk_ivfpq_residual` path and
+    ``ann_index_build(kind='ivfpq_residual')``, so a prebuilt serve is
+    bit-identical to the inline call by construction.  ``centroids``/
+    ``codebooks`` pin previously-stored state (the incremental-append
+    path: new rows encode against the stored quantizers, no retrain).
     """
     u = _unit_vecs(candidates, vec_col, id_col, "vec_id")
-    cents = F.broadcast(
-        u.orderBy("vec_id").limit(n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
-    )
+    if centroids is None:
+        centroids = (
+            u.orderBy("vec_id").limit(n_centroids)
+            .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+        )
+    cents = F.broadcast(centroids)
     # assignment keeps the winning centroid VECTOR too — the residual
     # needs it, and min_by over the struct avoids a second join
     best = (
@@ -1653,10 +1668,11 @@ def topk_ivfpq_residual(candidates: DataFrame, queries: DataFrame,
             ).alias("sv"),
         )
     )
-    codebooks = _sampled_codebooks_from_sub(rsub, ksub)
-    if train_iters > 0:
-        codebooks = _train_codebooks_from_sub(rsub, codebooks, train_iters,
-                                              dsub)
+    if codebooks is None:
+        codebooks = _sampled_codebooks_from_sub(rsub, ksub)
+        if train_iters > 0:
+            codebooks = _train_codebooks_from_sub(rsub, codebooks,
+                                                  train_iters, dsub)
     codebooks = codebooks.localCheckpoint(eager=True)  # used by 2 arms
     packed = (
         pq_encode_from_sub(rsub, codebooks, dsub)
@@ -1672,7 +1688,71 @@ def topk_ivfpq_residual(candidates: DataFrame, queries: DataFrame,
         # entirely at 100 TB); see topk_ivfpq
         .join(res.select("vec_id", "cid").hint("shuffle_hash"),
               on="vec_id")
+        .select("vec_id", "cid", "codes")
     )
+    return centroids, codebooks, packed
+
+
+def topk_ivfpq_residual(candidates: DataFrame, queries: DataFrame,
+                        k: int = 5, n_centroids: int = 32, nprobe: int = 8,
+                        m: int = 8, ksub: int = 16,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        dsub: int | None = None, dim: int | None = None,
+                        train_iters: int = 0, index=None) -> DataFrame:
+    """Residual IVF-PQ (FAISS "IVF,PQ" proper — Jégou et al. 2011 §III):
+    PQ encodes the RESIDUAL r = u − coarse_centroid instead of the raw
+    unit vector, and each query builds one LUT per probed list from its
+    own residual qr = qu − cu.
+
+    Why this beats raw-vector IVF-PQ at identical bytes: within a
+    list, ‖qr − r‖² = ‖qu − u‖² exactly (the shared centroid cancels),
+    but the residuals live in a ball of radius ≈ the cell size rather
+    than the unit sphere, so the same m×ksub codebook budget quantizes
+    a much smaller domain — finer cells, lower quantization error.
+    The byte cost is UNCHANGED: candidates still scan as m small ints
+    plus the list id (the coarse centroid is reconstructed from cid,
+    never stored per row).
+
+    ``train_iters > 0`` runs Lloyd's on the residual subvectors (the
+    quality path, float means — recall floor pinned in pytest);
+    ``train_iters = 0`` keeps the deterministic md5-sampled residual
+    codebooks, which is the ORACLE-portable configuration
+    (sim_topk_ivfpq_residual reproduces centroid assignment → residual
+    → codebook → encode → per-list LUT → ADC bit-for-bit in DuckDB).
+
+    Plan shape: the extra cost vs topk_ivfpq is the per-(query, list)
+    LUT build — nprobe LUTs per query instead of 1, each m×ksub
+    integer cells from broadcast codebooks — still query-scale, still
+    broadcast.  Corpus-side work is identical (one assignment argmin,
+    one PQ encode, codes ⋈ lists shuffle_hash join), and the final
+    ranking is the shared two-stage top-k.
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``ivfpq_residual`` — centroids/residual codebooks/coded rows
+    come from the saved tables (hyperparameters adopted from meta;
+    ``nprobe``/``k`` stay serve-time knobs), so the corpus-scale
+    assignment + residual encode + codes ⋈ lists join are all skipped:
+    ``candidates`` is never scanned at serve time.  Output is
+    hash-identical to the inline build — gated by
+    sim_topk_ivfpq_residual_prebuilt.
+    """
+    if index is not None:
+        if index.kind != "ivfpq_residual":
+            raise ValueError(
+                f"need an ivfpq_residual index, got {index.kind!r}"
+            )
+        m, ksub = index.meta["m"], index.meta["ksub"]
+        dsub, dim = index.meta["dsub"], index.meta["dim"]
+        cents = F.broadcast(index.parts["centroids"])
+        codebooks = index.parts["codebooks"]
+        packed = index.parts["coded"]
+    else:
+        centroids, codebooks, packed = ivfpq_residual_state(
+            candidates, n_centroids=n_centroids, m=m, ksub=ksub,
+            vec_col=vec_col, id_col=id_col, dsub=dsub, dim=dim,
+            train_iters=train_iters,
+        )
+        cents = F.broadcast(centroids)
     # query side: probe nprobe nearest lists, carry the QUERY residual
     # per probed list (qu − cu of THAT list, not of the query's own)
     qu = _unit_vecs(queries, vec_col, id_col, "query_id")
@@ -1751,7 +1831,7 @@ def topk_hamming_rerank(candidates: DataFrame, queries: DataFrame,
                         k: int = 5, shortlist: int = 50,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
-                        n_bits: int = 63) -> DataFrame:
+                        n_bits: int = 63, index=None) -> DataFrame:
     """Two-tier ANN — the production serving composition: a Hamming
     sign-sketch scan (ONE int64 per vector, 64x smaller than the
     float array) generates a per-query ``shortlist``, then exact float
@@ -1764,10 +1844,14 @@ def topk_hamming_rerank(candidates: DataFrame, queries: DataFrame,
     exactly that survival.  Scan bytes: 8·|C| for tier 1 plus
     8·d·shortlist·|Q| for tier 2 — at 100 TB the float table is
     touched at ~shortlist/|C| selectivity.
+
+    ``index``: a prebuilt ``hamming`` AnnIndex for tier 1 — with it,
+    the candidate float table is touched ONLY by the tier-2 late
+    fetch at shortlist/|C| selectivity (the production serving cost).
     """
     short = topk_hamming(
         candidates, queries, k=shortlist, vec_col=vec_col, id_col=id_col,
-        n_bits=n_bits,
+        n_bits=n_bits, index=index,
     ).select("query_id", "vec_id")
     return _exact_rerank(candidates, queries, short, k, vec_col, id_col)
 
@@ -1847,7 +1931,7 @@ def topk_ivfpq_rerank(candidates: DataFrame, queries: DataFrame,
 def topk_cascade(candidates: DataFrame, queries: DataFrame, k: int = 5,
                  shortlist1: int = 100, shortlist2: int = 20,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 n_bits: int = 63) -> DataFrame:
+                 n_bits: int = 63, index=None) -> DataFrame:
     """Three-tier ANN cascade — the full production funnel, each tier
     touching ~an order of magnitude fewer rows at ~an order of
     magnitude more bytes per row:
@@ -1866,14 +1950,39 @@ def topk_cascade(candidates: DataFrame, queries: DataFrame, k: int = 5,
     order.  Tiers 1-2 are exact int64 arithmetic (bit-portable,
     oracle-gated end-to-end); recall loss is shortlist survival only,
     pinned by sim_recall_cascade_vs_bruteforce.  Returns (query_id,
-    vec_id, cos_sim, rank) like topk_bruteforce."""
-    t1 = topk_hamming(
-        candidates, queries, k=shortlist1, vec_col=vec_col, id_col=id_col,
-        n_bits=n_bits,
-    ).select("query_id", "vec_id")
-    c8 = quantize_int8_unit(candidates, vec_col).select(
-        F.col(id_col).alias("vec_id"), "q8"
-    ).filter(F.col("q8").isNotNull())
+    vec_id, cos_sim, rank) like topk_bruteforce.
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``cascade`` (parts ``sketches`` + ``q8codes``) — tiers 1 and
+    2 serve from the saved tables, so ``candidates`` is touched ONLY
+    by the tier-3 late fetch at shortlist2/|C| selectivity.  Output is
+    hash-identical to the inline build — gated by
+    sim_topk_cascade_prebuilt."""
+    if index is not None:
+        if index.kind != "cascade":
+            raise ValueError(f"need a cascade index, got {index.kind!r}")
+        from types import SimpleNamespace
+
+        # tier 1 serves through topk_hamming's own index path; the
+        # sketches part IS a hamming index's codes part
+        h_view = SimpleNamespace(
+            kind="hamming",
+            meta={"kind": "hamming", "n_bits": index.meta["n_bits"]},
+            parts={"codes": index.parts["sketches"]},
+        )
+        t1 = topk_hamming(
+            candidates, queries, k=shortlist1, vec_col=vec_col,
+            id_col=id_col, index=h_view,
+        ).select("query_id", "vec_id")
+        c8 = index.parts["q8codes"]
+    else:
+        t1 = topk_hamming(
+            candidates, queries, k=shortlist1, vec_col=vec_col,
+            id_col=id_col, n_bits=n_bits,
+        ).select("query_id", "vec_id")
+        c8 = quantize_int8_unit(candidates, vec_col).select(
+            F.col(id_col).alias("vec_id"), "q8"
+        ).filter(F.col("q8").isNotNull())
     q8 = quantize_int8_unit(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("q8").alias("qq")
     ).filter(F.col("qq").isNotNull())
@@ -1898,7 +2007,7 @@ def topk_cascade(candidates: DataFrame, queries: DataFrame, k: int = 5,
 
 def topk_truncated(candidates: DataFrame, queries: DataFrame, k: int = 5,
                    dims: int = 32, vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id", index=None) -> DataFrame:
     """Matryoshka-style truncated-dimension top-k: rank by the cosine
     of the FIRST ``dims`` coordinates only (MRL — Kusupati et al.
     2022: embeddings trained so prefixes are themselves usable
@@ -1911,12 +2020,29 @@ def topk_truncated(candidates: DataFrame, queries: DataFrame, k: int = 5,
     ranker, so it inherits the two-stage top-k plan and the null/zero
     exclusion contract (a vector whose PREFIX is all-zero is
     unscoreable at this tier and excluded, like any zero-norm input).
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``matryoshka`` — the artifact IS the truncated-prefix table
+    (no trained state, like ``jl``), so ``candidates`` is never
+    scanned and ``dims`` is adopted from the artifact.  Output is
+    hash-identical to the inline slice — gated by
+    sim_topk_matryoshka_prebuilt.
     """
-    cut = lambda df: df.select(  # noqa: E731
+    if index is not None:
+        if index.kind != "matryoshka":
+            raise ValueError(f"need a matryoshka index, got {index.kind!r}")
+        dims = index.meta["dims"]
+        c = index.parts["codes"].select(
+            F.col("vec_id").alias(id_col), F.col("emb").alias(vec_col)
+        )
+    else:
+        c = candidates.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+        )
+    q = queries.select(
         F.col(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
     )
-    return topk_bruteforce(cut(candidates), cut(queries), k=k,
-                           vec_col=vec_col, id_col=id_col)
+    return topk_bruteforce(c, q, k=k, vec_col=vec_col, id_col=id_col)
 
 
 # ---------------------------------------------------------------------------
