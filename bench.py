@@ -276,6 +276,19 @@ def main() -> None:
         "layout_zorder_key",
         "text_url_canonicalize",
         "dedup_minhash_lsh_pairs_collapsed",
+        # round 8: the completed build/serve ladder (each row times a
+        # SERVE against the materialized artifact; the build is paid
+        # once per app by _prebuilt_index) + the append-path proof row
+        "sim_topk_hamming_prebuilt",
+        "sim_topk_int8_prebuilt",
+        "sim_topk_pq_adc_prebuilt",
+        "sim_topk_ivfpq_prebuilt",
+        "sim_topk_ivfpq_residual_prebuilt",
+        "sim_topk_hamming_rerank_prebuilt",
+        "sim_topk_jl_rerank_prebuilt",
+        "sim_topk_cascade_prebuilt",
+        "sim_topk_matryoshka_prebuilt",
+        "sim_topk_sq8_appended",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

@@ -190,3 +190,171 @@ def test_jl_prebuilt_equals_inline_and_never_scans(spark, jl_idx):
     with pytest.raises(ValueError, match="need a jl index"):
         similarity.topk_jl(emb, q, k=5, index=ann_index.AnnIndex(
             "sq8", {"kind": "sq8"}, {}))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the completed ladder — every remaining index kind builds,
+# round-trips, serves hash-identically, and never scans candidates at
+# the indexed tiers; plus the incremental-append contract.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ladder_idx(spark, tmp_path_factory):
+    """One build+save+load per new kind for the module."""
+    root = tmp_path_factory.mktemp("ladder")
+    emb = _emb(spark)
+    out = {}
+    for kind, kw in (
+        ("hamming", {"n_bits": 63}),
+        ("int8", {}),
+        ("cascade", {"n_bits": 63}),
+        ("matryoshka", {"dims": 16}),
+        ("ivfpq_residual", {"n_centroids": 16, "m": 8, "ksub": 16}),
+    ):
+        built = ann_index.ann_index_build(emb, kind=kind, **kw)
+        path = str(root / kind)
+        ann_index.ann_index_save(built, path)
+        out[kind] = ann_index.ann_index_load(spark, path)
+    return out
+
+
+def test_ladder_prebuilt_equals_inline_and_never_scans(spark, ladder_idx):
+    """For every new kind: serve ≡ inline row-for-row (exact values),
+    and the serve works from an EMPTY candidates frame at the indexed
+    tiers — the corpus is never re-encoded."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    empty = emb.limit(0)
+    cases = [
+        ("hamming", similarity.topk_hamming, {}, {"n_bits": 63}, True),
+        ("int8", similarity.topk_int8, {}, {}, True),
+        ("matryoshka", similarity.topk_truncated, {}, {"dims": 16}, True),
+        ("ivfpq_residual", similarity.topk_ivfpq_residual,
+         {"nprobe": 4}, {"n_centroids": 16, "m": 8, "ksub": 16,
+                         "nprobe": 4}, True),
+        # cascade tier-3 late-fetches floats from candidates, so the
+        # empty-candidates serve is legitimately empty (like rerank)
+        ("cascade", similarity.topk_cascade,
+         {"shortlist1": 30, "shortlist2": 10},
+         {"shortlist1": 30, "shortlist2": 10, "n_bits": 63}, False),
+    ]
+    for kind, topk, serve_kw, inline_kw, empty_serves in cases:
+        idx = ladder_idx[kind]
+        inline = _rows(topk(emb, q, k=5, **inline_kw))
+        served = _rows(topk(emb, q, k=5, index=idx, **serve_kw))
+        assert served == inline, kind
+        if empty_serves:
+            got = _rows(topk(empty, q, k=5, index=idx, **serve_kw))
+            assert got == inline, f"{kind}: serve scanned candidates"
+
+
+def test_ladder_rerank_and_kind_mismatch(spark, ladder_idx):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = _rows(similarity.topk_hamming_rerank(
+        emb, q, k=5, shortlist=20, n_bits=63))
+    served = _rows(similarity.topk_hamming_rerank(
+        emb, q, k=5, shortlist=20, index=ladder_idx["hamming"]))
+    assert served == inline
+    with pytest.raises(ValueError, match="hamming"):
+        similarity.topk_hamming(emb, q, index=ladder_idx["int8"])
+    with pytest.raises(ValueError, match="int8"):
+        similarity.topk_int8(emb, q, index=ladder_idx["hamming"])
+    with pytest.raises(ValueError, match="cascade"):
+        similarity.topk_cascade(emb, q, index=ladder_idx["int8"])
+    with pytest.raises(ValueError, match="matryoshka"):
+        similarity.topk_truncated(emb, q, index=ladder_idx["int8"])
+    with pytest.raises(ValueError, match="ivfpq_residual"):
+        similarity.topk_ivfpq_residual(emb, q, index=ladder_idx["hamming"])
+
+
+def _split(emb):
+    return (emb.filter(F.col("vec_id") % 10 != 7),
+            emb.filter(F.col("vec_id") % 10 == 7))
+
+
+def test_append_equals_pinned_full_build_sq8(spark):
+    """append(build(A), B) ≡ build(A∪B) with pinned params — row-for-
+    row at the serve level, on a split where params(A) genuinely
+    differ from params(A∪B) (so the pin is load-bearing)."""
+    emb = _emb(spark)
+    a, b = _split(emb)
+    q = emb.filter(F.col("vec_id") < 5)
+    built_a = ann_index.ann_index_build(a, kind="sq8")
+    appended = ann_index.ann_index_append(built_a, b)
+    pinned_full = ann_index.ann_index_build(
+        emb, kind="sq8", params=built_a.parts["params"])
+    empty = emb.limit(0)  # serve never scans candidates, appended or not
+    got = _rows(similarity.topk_sq8(empty, q, k=5, index=appended))
+    want = _rows(similarity.topk_sq8(empty, q, k=5, index=pinned_full))
+    assert got == want
+    # the pin is load-bearing: an UNpinned rebuild over A∪B differs
+    unpinned = _rows(similarity.topk_sq8(emb, q, k=5))
+    assert got != unpinned
+    # row-level coverage grew to the full corpus
+    assert appended.parts["codes"].count() == emb.count()
+
+
+def test_append_equals_pinned_full_build_ivfpq(spark):
+    """Same contract for the trained-state-heavy kind: centroids AND
+    codebooks pinned from A; new rows assign + encode against them."""
+    emb = _emb(spark)
+    a, b = _split(emb)
+    q = emb.filter(F.col("vec_id") < 5)
+    built_a = ann_index.ann_index_build(a, kind="ivfpq", n_centroids=16,
+                                        m=8, ksub=16)
+    appended = ann_index.ann_index_append(built_a, b)
+    pinned_full = ann_index.ann_index_build(
+        emb, kind="ivfpq", n_centroids=16, m=8, ksub=16,
+        centroids=built_a.parts["centroids"],
+        codebooks=built_a.parts["codebooks"])
+    empty = emb.limit(0)
+    got = _rows(similarity.topk_ivfpq(empty, q, k=5, nprobe=4,
+                                      index=appended))
+    want = _rows(similarity.topk_ivfpq(empty, q, k=5, nprobe=4,
+                                       index=pinned_full))
+    assert got == want
+    assert appended.parts["coded"].count() == emb.count()
+
+
+def test_append_drift_caveat_documented_and_real(spark):
+    """The drift caveat is REAL, not boilerplate: after appending B,
+    the stored trained state still reflects A — an appended ivfpq
+    index and a from-scratch rebuild over A∪B disagree (different
+    centroids ⇒ different lists/codes), which is exactly why the
+    docstring prescribes rebuild thresholds.  And the caveat is
+    actually written down."""
+    emb = _emb(spark)
+    a, b = _split(emb)
+    q = emb.filter(F.col("vec_id") < 5)
+    appended = ann_index.ann_index_append(
+        ann_index.ann_index_build(a, kind="ivfpq", n_centroids=16,
+                                  m=8, ksub=16),
+        b,
+    )
+    rebuilt = ann_index.ann_index_build(emb, kind="ivfpq", n_centroids=16,
+                                        m=8, ksub=16)
+    empty = emb.limit(0)
+    got = _rows(similarity.topk_ivfpq(empty, q, k=5, nprobe=4,
+                                      index=appended))
+    fresh = _rows(similarity.topk_ivfpq(empty, q, k=5, nprobe=4,
+                                        index=rebuilt))
+    assert got != fresh  # drift exists ⇒ the rebuild guidance matters
+    doc = ann_index.ann_index_append.__doc__
+    assert "rebuild" in doc and "drift" in doc.lower()
+
+
+def test_append_stateless_kind_is_exact_forever(spark):
+    """Stateless kinds (hamming here) have no trained state, so append
+    ≡ full rebuild EXACTLY — no pin needed, no drift ever."""
+    emb = _emb(spark)
+    a, b = _split(emb)
+    q = emb.filter(F.col("vec_id") < 5)
+    appended = ann_index.ann_index_append(
+        ann_index.ann_index_build(a, kind="hamming", n_bits=63), b)
+    rebuilt = ann_index.ann_index_build(emb, kind="hamming", n_bits=63)
+    empty = emb.limit(0)
+    got = _rows(similarity.topk_hamming(empty, q, k=5, index=appended))
+    fresh = _rows(similarity.topk_hamming(empty, q, k=5, index=rebuilt))
+    assert got == fresh

@@ -516,8 +516,43 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
     Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     """
     sigs = simhash_sig(docs, text_col, id_col, bits=SIMHASH_BITS)
-    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    return hamming_near_pairs(
+        sigs, sig_col="simhash", id_col="doc_id",
+        bits=SIMHASH_BITS, n_bands=SIMHASH_BANDS,
+        max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+        stats=stats,
+    )
+
+
+def hamming_near_pairs(sigs: DataFrame, sig_col: str = "simhash",
+                       id_col: str = "doc_id",
+                       bits: int = SIMHASH_BITS,
+                       n_bands: int = SIMHASH_BANDS,
+                       max_hamming: int = 3,
+                       max_bucket_size: int | None = MAX_BUCKET_SIZE,
+                       stats: dict | None = None) -> DataFrame:
+    """Banded Hamming-space near-dup pairs over ANY int64 signature
+    table (id, sig) — the generic core :func:`simhash_near_pairs`
+    delegates to, reused by the perceptual-image-hash dedup
+    (multimodal pHash signatures share none of SimHash's text
+    machinery but exactly its pairing geometry).
+
+    Pigeonhole recall is exact for ``max_hamming`` ≤ ``n_bands`` − 1
+    (two signatures within that distance agree on at least one whole
+    band, assuming ``n_bands`` divides ``bits``); same hot-bucket
+    sub-splitting as every banded family.  Output: (doc_a, doc_b,
+    hamming), doc_a < doc_b.
+    """
+    if bits % n_bands:
+        raise ValueError(
+            f"n_bands ({n_bands}) must divide bits ({bits}) — a ragged "
+            "top band would break the pigeonhole recall guarantee"
+        )
+    band_width = bits // n_bands
     bands = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("simhash"),
+    ).select(
         "doc_id",
         "simhash",
         F.explode(
@@ -529,7 +564,7 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
                         .bitwiseAND(F.lit(2 ** band_width - 1))
                         .alias("band_key"),
                     )
-                    for b in range(SIMHASH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bv"),

@@ -1261,7 +1261,17 @@ def _recall_gate(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     """Shared recall@k rollup every sim_recall_* gate uses: left-join
     the approximate arm onto the brute-force truth and report per-query
     hit counts (one definition — the round-5 review found six divergent
-    copies of this block)."""
+    copies of this block).
+
+    Round 8: every index-backed gate passes its *_prebuilt* serving
+    arm (the production shape — a recall audit runs against the LIVE
+    index artifact, and the approx arm stops re-encoding the corpus
+    per gate).  Values are unchanged by construction: prebuilt ≡
+    inline is hash-proven per tier, and every gate keeps its composed
+    INLINE oracle, so the driver still verifies the served arm against
+    the inline semantics.  The lone exception is the LSH gate —
+    bucketing has no trained state or coded corpus (the bucket id IS
+    the scan expression), so there is nothing to prebuild."""
     truth = _bruteforce_truth(spark, sf_dir)
     approx = approx_fn(spark, sf_dir).select(
         F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
@@ -1361,7 +1371,7 @@ def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_int8_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_int8)
+    return _recall_gate(spark, sf_dir, sim_topk_int8_prebuilt)
 
 
 ORACLE_SQL["sim_recall_int8_vs_bruteforce"] = _recall_oracle("sim_topk_int8")
@@ -1424,7 +1434,7 @@ def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_hamming_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_hamming)
+    return _recall_gate(spark, sf_dir, sim_topk_hamming_prebuilt)
 
 
 ORACLE_SQL["sim_recall_hamming_vs_bruteforce"] = _recall_oracle("sim_topk_hamming")
@@ -1517,7 +1527,7 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_pq_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_pq_adc)
+    return _recall_gate(spark, sf_dir, sim_topk_pq_adc_prebuilt)
 
 
 ORACLE_SQL["sim_recall_pq_vs_bruteforce"] = f"""
@@ -1601,7 +1611,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_ivfpq_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_ivfpq)
+    return _recall_gate(spark, sf_dir, sim_topk_ivfpq_prebuilt)
 
 
 ORACLE_SQL["sim_recall_ivfpq_vs_bruteforce"] = _recall_oracle("sim_topk_ivfpq")
@@ -1710,7 +1720,7 @@ def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_ivfpq_residual_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_ivfpq_residual)
+    return _recall_gate(spark, sf_dir, sim_topk_ivfpq_residual_prebuilt)
 
 
 ORACLE_SQL["sim_recall_ivfpq_residual_vs_bruteforce"] = _recall_oracle("sim_topk_ivfpq_residual")
@@ -1962,7 +1972,7 @@ def sim_topk_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_hamming_rerank_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_hamming_rerank)
+    return _recall_gate(spark, sf_dir, sim_topk_hamming_rerank_prebuilt)
 
 
 ORACLE_SQL["sim_recall_hamming_rerank_vs_bruteforce"] = _recall_oracle("sim_topk_hamming_rerank")
@@ -2048,7 +2058,7 @@ def sim_topk_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_jl_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_jl)
+    return _recall_gate(spark, sf_dir, sim_topk_jl_prebuilt)
 
 
 ORACLE_SQL["sim_recall_jl_vs_bruteforce"] = _recall_oracle("sim_topk_jl")
@@ -2103,7 +2113,7 @@ def sim_topk_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_jl_rerank_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_jl_rerank)
+    return _recall_gate(spark, sf_dir, sim_topk_jl_rerank_prebuilt)
 
 
 ORACLE_SQL["sim_recall_jl_rerank_vs_bruteforce"] = _recall_oracle("sim_topk_jl_rerank")
@@ -2160,7 +2170,7 @@ def sim_topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_matryoshka_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_matryoshka)
+    return _recall_gate(spark, sf_dir, sim_topk_matryoshka_prebuilt)
 
 
 ORACLE_SQL["sim_recall_matryoshka_vs_bruteforce"] = _recall_oracle("sim_topk_matryoshka")
@@ -2248,7 +2258,7 @@ def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_ivfpq_rerank_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_ivfpq_rerank)
+    return _recall_gate(spark, sf_dir, sim_topk_ivfpq_rerank_prebuilt)
 
 
 ORACLE_SQL["sim_recall_ivfpq_rerank_vs_bruteforce"] = _recall_oracle("sim_topk_ivfpq_rerank")
@@ -2314,7 +2324,7 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_sq8_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_sq8)
+    return _recall_gate(spark, sf_dir, sim_topk_sq8_prebuilt)
 
 
 ORACLE_SQL["sim_recall_sq8_vs_bruteforce"] = _recall_oracle("sim_topk_sq8")
@@ -2330,6 +2340,18 @@ ORACLE_SQL["sim_recall_sq8_vs_bruteforce"] = _recall_oracle("sim_topk_sq8")
 # DuckDB oracles VERBATIM: a green hash is the machine-checked proof
 # that prebuilt ≡ inline, bit for bit.  bench.py reports build and
 # serve time separately for ivfpq (ann_build/ann_serve).
+#
+# Round 8 finished the ladder: EVERY index-backed tier now has a
+# prebuilt row (hamming / int8 / pq_adc / ivfpq / ivfpq_residual /
+# hamming_rerank / cascade / matryoshka / jl_rerank below, joining the
+# three r7 rows), and every sim_recall_* gate's approximate arm serves
+# from the artifact instead of rebuilding inline — the production
+# shape (gates audit a LIVE index) and the bench shape (the sim tier
+# stops paying the same corpus encode twice per gate pair).  Gate
+# values are unchanged by construction: prebuilt ≡ inline is
+# hash-proven per tier, and the gates keep their composed inline
+# oracles.  Prebuilt rows are _shared_arm-cached like inline rows so
+# a gate reuses the serve its sim_topk sibling just produced.
 # ---------------------------------------------------------------------------
 
 # Loaded-index memo, keyed (applicationId, sf_dir, kind).  Entries are
@@ -2359,6 +2381,7 @@ def _prebuilt_index(spark: SparkSession, sf_dir: str,
 
 @_register("sim_topk_ivfpq_rerank_prebuilt",
            None)  # oracle aliased below: identical to the inline row's
+@_shared_arm
 def sim_topk_ivfpq_rerank_prebuilt(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2382,6 +2405,7 @@ ORACLE_SQL["sim_topk_ivfpq_rerank_prebuilt"] = ORACLE_SQL["sim_topk_ivfpq_rerank
 
 
 @_register("sim_topk_sq8_prebuilt", None)  # oracle aliased below
+@_shared_arm
 def sim_topk_sq8_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _prebuilt_index(spark, sf_dir, "sq8")
@@ -2395,6 +2419,7 @@ ORACLE_SQL["sim_topk_sq8_prebuilt"] = ORACLE_SQL["sim_topk_sq8"]
 
 
 @_register("sim_topk_jl_prebuilt", None)  # oracle aliased below
+@_shared_arm
 def sim_topk_jl_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     idx = _prebuilt_index(spark, sf_dir, "jl", d_out=_JL_DOUT)
@@ -2491,7 +2516,230 @@ def sim_topk_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_recall_cascade_vs_bruteforce(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _recall_gate(spark, sf_dir, sim_topk_cascade)
+    return _recall_gate(spark, sf_dir, sim_topk_cascade_prebuilt)
 
 
 ORACLE_SQL["sim_recall_cascade_vs_bruteforce"] = _recall_oracle("sim_topk_cascade")
+
+
+# ---------------------------------------------------------------------------
+# Build/serve ladder completion (round-8 verdict #1): prebuilt rows
+# for every remaining index-backed tier.  Same contract as the r7
+# trio: the serve runs the inline row's EXACT query against the
+# materialized artifact and reuses the inline oracle VERBATIM, so a
+# green driver hash is machine-checked proof that prebuilt ≡ inline
+# bit-for-bit.  The artifact is built once per (app, sf_dir, kind) and
+# loaded back from parquet (_prebuilt_index), so every row below times
+# SERVING — candidates are never re-encoded (pinned per kind in
+# tests/test_ann_index.py).
+# ---------------------------------------------------------------------------
+
+
+@_register("sim_topk_hamming_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_hamming_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "hamming", n_bits=_SKETCH_BITS)
+    out = similarity.topk_hamming(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, index=idx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_hamming_prebuilt"] = ORACLE_SQL["sim_topk_hamming"]
+
+
+@_register("sim_topk_int8_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_int8_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "int8")
+    out = similarity.topk_int8(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, index=idx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_int8_prebuilt"] = ORACLE_SQL["sim_topk_int8"]
+
+
+@_register("sim_topk_pq_adc_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_pq_adc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serves from the SAME ivfpq artifact as the ivfpq rows — an
+    unpruned ADC scan is IVF-PQ with nprobe = n_centroids, so the cid
+    column is simply ignored (topk_pq_adc's index path).  One build
+    amortizes across three tiers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(
+        spark, sf_dir, "ivfpq",
+        n_centroids=_IVFPQ_NCENT, m=_PQ_M, ksub=_PQ_KSUB, dsub=_PQ_DSUB,
+        dim=64,
+    )
+    out = similarity.topk_pq_adc(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, index=idx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_pq_adc_prebuilt"] = ORACLE_SQL["sim_topk_pq_adc"]
+
+
+@_register("sim_topk_ivfpq_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_ivfpq_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(
+        spark, sf_dir, "ivfpq",
+        n_centroids=_IVFPQ_NCENT, m=_PQ_M, ksub=_PQ_KSUB, dsub=_PQ_DSUB,
+        dim=64,
+    )
+    out = similarity.topk_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        nprobe=_IVFPQ_NPROBE, index=idx,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_ivfpq_prebuilt"] = ORACLE_SQL["sim_topk_ivfpq"]
+
+
+@_register("sim_topk_ivfpq_residual_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_ivfpq_residual_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(
+        spark, sf_dir, "ivfpq_residual",
+        n_centroids=_IVFPQ_NCENT, m=_PQ_M, ksub=_PQ_KSUB, dsub=_PQ_DSUB,
+        dim=64,
+    )
+    out = similarity.topk_ivfpq_residual(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        nprobe=_IVFPQ_NPROBE, index=idx,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_ivfpq_residual_prebuilt"] = (
+    ORACLE_SQL["sim_topk_ivfpq_residual"]
+)
+
+
+@_register("sim_topk_hamming_rerank_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_hamming_rerank_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tier 1 serves sketches from the hamming artifact; tier 2
+    late-fetches floats from the corpus at shortlist/|C| selectivity —
+    the only candidate-table touch, exactly the production cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "hamming", n_bits=_SKETCH_BITS)
+    out = similarity.topk_hamming_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        shortlist=_HRR_SHORTLIST, index=idx,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_hamming_rerank_prebuilt"] = (
+    ORACLE_SQL["sim_topk_hamming_rerank"]
+)
+
+
+@_register("sim_topk_jl_rerank_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_jl_rerank_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "jl", d_out=_JL_DOUT)
+    out = similarity.topk_jl_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        shortlist=_JLRR_SHORTLIST, index=idx,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_jl_rerank_prebuilt"] = ORACLE_SQL["sim_topk_jl_rerank"]
+
+
+@_register("sim_topk_cascade_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_cascade_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiers 1-2 serve from the cascade artifact (sketches + q8codes);
+    tier 3 late-fetches floats at shortlist2/|C| selectivity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "cascade", n_bits=_SKETCH_BITS)
+    out = similarity.topk_cascade(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        shortlist1=_CASCADE_L1, shortlist2=_CASCADE_L2, index=idx,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_cascade_prebuilt"] = ORACLE_SQL["sim_topk_cascade"]
+
+
+@_register("sim_topk_matryoshka_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_matryoshka_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "matryoshka", dims=_MRL_DIMS)
+    out = similarity.topk_truncated(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, index=idx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_matryoshka_prebuilt"] = ORACLE_SQL["sim_topk_matryoshka"]
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (round-8 verdict #2): a growing corpus
+# must not retrain/re-encode the world.  ann_index_append encodes ONLY
+# the new rows with the STORED quantizer state and unions them into
+# the artifact's row-level parts.  This row PROVES the contract
+# against DuckDB: Spark serves from append(build(A), B) where
+# A = vec_id % 10 != 7 and B = the rest; the oracle computes the SAME
+# split — SQ8 params (per-dimension min/max) from A only, codes for
+# the whole corpus against A's params.  A green hash is the
+# machine-checked append(A,B) ≡ build(A∪B)-with-pinned-params
+# identity, on a split where params(A) genuinely differ from
+# params(A∪B) (pinned by tests).  The drift caveat (when to rebuild
+# instead) lives in ann_index_append's docstring + pytest.
+# ---------------------------------------------------------------------------
+def _sq8_appended_oracle() -> str:
+    """The inline sq8 oracle with its params CTE re-pointed at the
+    A-subset — guarded surgery (the marker must appear exactly once),
+    same pattern as _shingle_ctes_over."""
+    marker = "FROM dims GROUP BY pos"
+    src = ORACLE_SQL["sim_topk_sq8"]
+    if src.count(marker) != 1:
+        raise AssertionError(
+            f"sim_topk_sq8 oracle: expected exactly one {marker!r}, "
+            f"found {src.count(marker)}"
+        )
+    return src.replace(
+        marker, "FROM dims WHERE vec_id % 10 <> 7 GROUP BY pos"
+    )
+
+
+@_register("sim_topk_sq8_appended", _sq8_appended_oracle())
+@_shared_arm
+def sim_topk_sq8_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    built_a = ann_index.ann_index_build(
+        emb.filter(F.col("vec_id") % 10 != 7), kind="sq8"
+    )
+    idx = ann_index.ann_index_append(
+        built_a, emb.filter(F.col("vec_id") % 10 == 7)
+    )
+    # candidates=limit(0): the serve reads ONLY the appended index —
+    # the corpus never rescans (the same guarantee the pytest pins)
+    out = similarity.topk_sq8(
+        emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5, index=idx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
