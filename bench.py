@@ -289,6 +289,9 @@ def main() -> None:
         "sim_topk_cascade_prebuilt",
         "sim_topk_matryoshka_prebuilt",
         "sim_topk_sq8_appended",
+        "multimodal_phash_neardup_pairs",
+        "events_journey_paths_capped",
+        "asof_join_error_next_click_capped",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

@@ -358,3 +358,26 @@ def test_append_stateless_kind_is_exact_forever(spark):
     got = _rows(similarity.topk_hamming(empty, q, k=5, index=appended))
     fresh = _rows(similarity.topk_hamming(empty, q, k=5, index=rebuilt))
     assert got == fresh
+
+
+def test_append_equals_pinned_full_build_ivfpq_residual(spark):
+    """The residual kind's append: centroids AND residual codebooks
+    pinned from A; B's rows assign, form residuals against A's
+    centroids, and encode with A's codebooks."""
+    emb = _emb(spark)
+    a, b = _split(emb)
+    q = emb.filter(F.col("vec_id") < 5)
+    kw = dict(n_centroids=16, m=8, ksub=16)
+    built_a = ann_index.ann_index_build(a, kind="ivfpq_residual", **kw)
+    appended = ann_index.ann_index_append(built_a, b)
+    pinned_full = ann_index.ann_index_build(
+        emb, kind="ivfpq_residual", **kw,
+        centroids=built_a.parts["centroids"],
+        codebooks=built_a.parts["codebooks"])
+    empty = emb.limit(0)
+    got = _rows(similarity.topk_ivfpq_residual(empty, q, k=5, nprobe=4,
+                                               index=appended))
+    want = _rows(similarity.topk_ivfpq_residual(empty, q, k=5, nprobe=4,
+                                                index=pinned_full))
+    assert got == want
+    assert appended.parts["coded"].count() == emb.count()

@@ -71,3 +71,53 @@ def test_salted_join_rejects_outer_joins(spark):
     dim = spark.createDataFrame([(1, "x")], "k int, dv string")
     with pytest.raises(ValueError, match="inner.*left"):
         salted_join(fact, dim, on="k", salt_from="fv", how="full")
+
+
+def test_bounded_key_history_semantics(spark):
+    """The keep-latest-N cut: (a) bit-identical to the naive single-
+    window latest-N for any input partitioning; (b) keys under the cap
+    pass through whole; (c) hot keys are cut to exactly max_rows of
+    their LATEST rows; (d) columns unchanged."""
+    from pyspark.sql import Window
+
+    from vexere_lakehouse_pipeline_spark.operators.skew import (
+        bounded_key_history,
+    )
+
+    events = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    cap = 20
+    got = bounded_key_history(events, key="user_id", ts_col="ts",
+                              max_rows=cap, tiebreak="event_id")
+    assert got.columns == events.columns
+    # naive single-window reference
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                              F.desc("event_id"))
+    want = (
+        events.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= cap).drop("_r")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # partitioning-invariance: a repartitioned input yields the same cut
+    again = bounded_key_history(
+        events.repartition(13, "event_id"), key="user_id", ts_col="ts",
+        max_rows=cap, tiebreak="event_id",
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # per-key counts: min(cap, n_key); survivors are the LATEST rows
+    sizes = {r["user_id"]: r["n"] for r in
+             events.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    out_sizes = {r["user_id"]: r["n"] for r in
+                 got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert out_sizes == {u: min(cap, n) for u, n in sizes.items()}
+    hot = max(sizes, key=sizes.get)
+    newest_kept = got.filter(F.col("user_id") == hot).agg(
+        F.max("ts")).first()[0]
+    newest_all = events.filter(F.col("user_id") == hot).agg(
+        F.max("ts")).first()[0]
+    assert newest_kept == newest_all  # latest row always survives

@@ -1000,3 +1000,63 @@ def test_gif_lzw_codec_roundtrip_and_contracts(spark):
         for r in extract_image_stats(df, decoder=gif_stats).collect()
     }
     assert out[1]["n_pixels"] == w * h and out[2]["n_pixels"] == 0
+
+
+def test_phash_construction_and_separation(spark):
+    """Perceptual hash: (a) re-encoding the same pixels through
+    BMP/PNG/JPEG yields the IDENTICAL hash (the three decode paths
+    agree on luma exactly); (b) small perturbations stay within the
+    pairing threshold; (c) distinct cluster images stay far apart;
+    (d) contracts — empty payload None, tiny image and unknown format
+    quarantined; (e) the banded pair operator finds exactly the
+    intra-cluster pairs on a two-cluster corpus."""
+    import pytest as _pytest
+
+    from vexere_lakehouse_pipeline_spark.operators import dedup
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        PHASH_BITS,
+        encode_bmp,
+        extract_phash,
+        phash64,
+    )
+    from vexere_lakehouse_pipeline_spark.plans.star_ml import (
+        _PHASH_BANDS,
+        _PHASH_MAXHAM,
+        _phash_fixture_payload,
+    )
+
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    # (a) identical pixels via JPEG (v=0), BMP (v=1), PNG (v=2)
+    h = {v: phash64(_phash_fixture_payload(3, v)) for v in range(10)}
+    assert h[0] == h[1] == h[2]
+    # (b) perturbed variants within the threshold
+    assert all(ham(h[0], h[v]) <= _PHASH_MAXHAM for v in range(3, 10))
+    # (c) distinct clusters far apart (the measured >= 13 floor)
+    for g2 in (4, 11, 29):
+        assert ham(h[0], phash64(_phash_fixture_payload(g2, 0))) >= 13
+    # (d) contracts
+    assert phash64(b"") is None
+    with _pytest.raises(ValueError, match="too small"):
+        phash64(encode_bmp(4, 4, [(0, 0, 0)] * 16))
+    with _pytest.raises(ValueError, match="unsupported image format"):
+        phash64(b"not an image at all")
+    # (e) end-to-end banded pairing on two clusters of 4 variants
+    rows = [(g * 10 + v, _phash_fixture_payload(g, v))
+            for g in (1, 2) for v in range(4)]
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows],
+        "media_id long, payload binary",
+    )
+    pairs = dedup.hamming_near_pairs(
+        extract_phash(media), sig_col="phash", id_col="media_id",
+        bits=PHASH_BITS, n_bands=_PHASH_BANDS, max_hamming=_PHASH_MAXHAM,
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    want = {(a, b) for g in (1, 2)
+            for a in range(g * 10, g * 10 + 4)
+            for b in range(a + 1, g * 10 + 4)}
+    assert got == want
+    # n_bands must divide bits (pigeonhole guarantee)
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.hamming_near_pairs(extract_phash(media), sig_col="phash",
+                                 id_col="media_id", bits=63, n_bands=4)

@@ -253,11 +253,36 @@ def png_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
     (truecolor), no interlace — anything else raises ValueError for
     quarantine routing, the shared malformed-payload contract.  Empty
     payload → all-zero row."""
+    if not payload:
+        return (0, 0, 0, 0, 0, 0, 0, 0)
+    width, height, rows = png_decode_rgb(payload)
+    sr = sg = sb = 0
+    min_l, max_l = 255_000, 0
+    for row in rows:
+        for c in range(width):
+            pr, pg, pb_ = row[c * 3], row[c * 3 + 1], row[c * 3 + 2]
+            sr += pr
+            sg += pg
+            sb += pb_
+            luma = 299 * pr + 587 * pg + 114 * pb_
+            if luma < min_l:
+                min_l = luma
+            if luma > max_l:
+                max_l = luma
+    return (width, height, width * height, sr, sg, sb, min_l, max_l)
+
+
+def png_decode_rgb(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Full PNG pixel decode shared by :func:`png_stats` and the
+    perceptual-hash path: chunk walk (signature + IHDR validation,
+    IDAT concatenation in order), zlib inflate, and filter
+    reconstruction (None/Sub/Up/Average/Paeth).  Returns (width,
+    height, rows) with each row a ``bytes`` of packed top-down RGB
+    triples.  Scope guard: 8-bit color type 2, no interlace —
+    anything else raises ValueError for quarantine routing."""
     import struct
     import zlib
 
-    if not payload:
-        return (0, 0, 0, 0, 0, 0, 0, 0)
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -298,8 +323,7 @@ def png_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
             return a
         return b if pb <= pc else c
 
-    sr = sg = sb = 0
-    min_l, max_l = 255_000, 0
+    rows: list[bytes] = []
     prev = bytes(stride)
     for r in range(height):
         base = r * (stride + 1)
@@ -325,17 +349,8 @@ def png_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
                 raise ValueError(f"PNG filter type {f} out of range 0-4")
             row[i] = v
         prev = bytes(row)
-        for c in range(width):
-            pr, pg, pb_ = row[c * 3], row[c * 3 + 1], row[c * 3 + 2]
-            sr += pr
-            sg += pg
-            sb += pb_
-            luma = 299 * pr + 587 * pg + 114 * pb_
-            if luma < min_l:
-                min_l = luma
-            if luma > max_l:
-                max_l = luma
-    return (width, height, width * height, sr, sg, sb, min_l, max_l)
+        rows.append(prev)
+    return width, height, rows
 
 
 def extract_features(media: DataFrame,
@@ -625,23 +640,34 @@ def bmp_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
     """
     if not payload:
         return (0, 0, 0, 0, 0, 0, 0, 0)
-    pix_off, width, height, row_stride, bottom_up = _bmp_parse_header(payload)
+    width, height, pixels = bmp_decode_rgb(payload)
     sr = sg = sb = 0
     min_l, max_l = 255_000, 0
+    for r, g, b in pixels:
+        sr += r
+        sg += g
+        sb += b
+        luma = 299 * r + 587 * g + 114 * b
+        if luma < min_l:
+            min_l = luma
+        if luma > max_l:
+            max_l = luma
+    return (width, height, width * height, sr, sg, sb, min_l, max_l)
+
+
+def bmp_decode_rgb(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Full BMP pixel decode shared by :func:`bmp_stats` and the
+    perceptual-hash path: (width, height, top-down row-major RGB
+    triples).  Same scope/quarantine contract as the stats twin."""
+    pix_off, width, height, row_stride, bottom_up = _bmp_parse_header(payload)
+    pixels: list[tuple[int, int, int]] = []
     for row in range(height):
         src_row = (height - 1 - row) if bottom_up else row
         base = pix_off + src_row * row_stride
         for col in range(width):
             b, g, r = payload[base + col * 3: base + col * 3 + 3]
-            sr += r
-            sg += g
-            sb += b
-            luma = 299 * r + 587 * g + 114 * b
-            if luma < min_l:
-                min_l = luma
-            if luma > max_l:
-                max_l = luma
-    return (width, height, width * height, sr, sg, sb, min_l, max_l)
+            pixels.append((r, g, b))
+    return width, height, pixels
 
 
 def extract_image_stats(media: DataFrame, decoder=None) -> DataFrame:
@@ -2002,3 +2028,147 @@ def gif_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int, int]:
         if luma > max_l:
             max_l = luma
     return (sw, sh, sw * sh, sr, sg, sb, min_l, max_l)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (pHash) — the image-DEDUP member of the
+# multimodal family (round-8 verdict #3): near-identical images across
+# crawls (same picture re-encoded, lightly retouched) must collapse
+# like near-identical text does.  Classic DCT pHash (public algorithm
+# — Zauner 2010 / the pHash.org construction: downscale, 2D DCT, keep
+# the LOW-FREQUENCY 8x8 block, threshold each coefficient), pinned to
+# INTEGER arithmetic end-to-end so DuckDB reproduces every bit:
+#
+#   1. decode to integer luma (299r+587g+114b DIV 1000 — exactly p for
+#      gray images, well-defined for color);
+#   2. average-pool to 16x16 (pixel (r, c) belongs to cell
+#      (r*16 DIV h, c*16 DIV w); cell value = sum DIV count — a closed
+#      form both engines share; identity for 16x16 inputs);
+#   3. 2D DCT-II with a pinned 13-bit integer 16-point cosine table
+#      (PHASH_W16 — same recipe as JPEG_IDCT_W: round(alpha(u)/2 ·
+#      cos((2x+1)·u·pi/32) · 8192), derived once in Python and
+#      injected into the oracle as literals);
+#   4. keep the 8x8 LOW-frequency block (u, v < 8 — the classic
+#      construction's stability lever: low-frequency coefficients are
+#      large, so re-encode/retouch noise rarely crosses a threshold),
+#      drop DC, and set bit u*8+v-1 iff 63·coef > sum(AC) — the mean
+#      comparison in exact int64 (|coef| <= 256·8192²·255 ≈ 4.4e15,
+#      63·|coef| < 2^63).
+#
+# 63 bits — BIGINT-safe.  Hamming distance between hashes measures
+# perceptual distance; pairing reuses the generic banded joiner
+# (dedup.hamming_near_pairs) — never all-pairs, pigeonhole-exact
+# recall for d <= n_bands - 1.  Measured separation on the oracle
+# fixture family (dense-spectrum 16x16 images, 50 clusters x 10
+# re-encode/perturb variants): intra-cluster hamming <= 2,
+# inter-cluster >= 13 — pinned in tests/test_streaming_multimodal.py.
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 63
+PHASH_GRID = 16
+
+
+def _phash_weights() -> list[int]:
+    """Flat 256-entry W16[u*16+x]: the 16-point sibling of
+    JPEG_IDCT_W, same 13-bit fixed-point recipe."""
+    import math
+
+    out = []
+    for u in range(PHASH_GRID):
+        alpha = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(PHASH_GRID):
+            out.append(
+                round(alpha / 2.0
+                      * math.cos((2 * x + 1) * u * math.pi / 32) * 8192)
+            )
+    return out
+
+
+PHASH_W16 = _phash_weights()
+
+
+def decode_luma256(payload: bytes) -> tuple[int, int, list[int]]:
+    """(width, height, flat top-down integer luma 0..255), dispatched
+    on magic bytes: BMP / PNG (BT.601 milli-luma DIV 1000) or baseline
+    JPEG (grayscale sample IS the luma — 299p+587p+114p = 1000p, so
+    the two conventions agree exactly on gray pixels).  Unknown
+    formats raise ValueError for quarantine routing."""
+    if payload[:2] == b"BM":
+        w, h, pixels = bmp_decode_rgb(payload)
+        return w, h, [(299 * r + 587 * g + 114 * b) // 1000
+                      for r, g, b in pixels]
+    if payload[:8] == PNG_SIG:
+        w, h, rows = png_decode_rgb(payload)
+        return w, h, [
+            (299 * row[c * 3] + 587 * row[c * 3 + 1]
+             + 114 * row[c * 3 + 2]) // 1000
+            for row in rows for c in range(w)
+        ]
+    if payload[:2] == b"\xff\xd8":
+        w, h, rows = jpeg_decode_gray(payload)
+        return w, h, [p for row in rows for p in row]
+    raise ValueError("unsupported image format for pHash")
+
+
+def phash64(payload: bytes) -> int | None:
+    """63-bit DCT perceptual hash of an image payload (see the block
+    comment above for the pinned construction).  Empty payload → None
+    (excluded from pairing, like NULL vectors in the ANN tiers);
+    images smaller than the 16x16 grid raise ValueError (an empty pool
+    cell has no defined average) — quarantine routing."""
+    if not payload:
+        return None
+    w, h, luma = decode_luma256(payload)
+    g = PHASH_GRID
+    if w < g or h < g:
+        raise ValueError(f"image too small for pHash: {w}x{h}")
+    sums = [[0] * g for _ in range(g)]
+    cnts = [[0] * g for _ in range(g)]
+    for r in range(h):
+        br = r * g // h
+        base = r * w
+        for c in range(w):
+            bc = c * g // w
+            sums[br][bc] += luma[base + c]
+            cnts[br][bc] += 1
+    pool = [[sums[i][j] // cnts[i][j] for j in range(g)] for i in range(g)]
+    wmat = PHASH_W16  # W16[u*16+x], 13-bit fixed point
+    ac_sum = 0
+    coefs: list[int] = []
+    for u in range(8):
+        for v in range(8):
+            c = sum(
+                wmat[u * g + x] * wmat[v * g + y] * pool[x][y]
+                for x in range(g) for y in range(g)
+            )
+            if u == 0 and v == 0:
+                continue
+            coefs.append(c)
+            ac_sum += c
+    out = 0
+    for i, c in enumerate(coefs):
+        if 63 * c > ac_sum:
+            out |= 1 << i
+    return out
+
+
+def extract_phash(media: DataFrame) -> DataFrame:
+    """mapInPandas perceptual hashing: (media_id, payload) →
+    (media_id, phash) — same Arrow-batched shape as every extractor in
+    this file; NULL payloads yield NULL hashes (excluded downstream)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        phash64(b if b is not None else b"")
+                        for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema="media_id long, phash long"
+    )

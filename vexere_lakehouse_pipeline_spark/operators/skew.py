@@ -87,3 +87,52 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return f.join(d, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def bounded_key_history(df: DataFrame, key: str = "user_id",
+                        ts_col: str = "ts", max_rows: int = 50,
+                        tiebreak: str | Sequence[str] | None = None
+                        ) -> DataFrame:
+    """Deterministic keep-latest-``max_rows``-per-key pre-window cut —
+    the hot-key defense for per-key WINDOW CHAINS (round-8 verdict #4).
+
+    Sessionization / as-of / journey rollups sort each key's full
+    history in one task; a key owning 15/16 of the corpus (the skew16
+    regime) turns that task into the job.  Real pipelines bound
+    per-key history before windowing — this operator IS that bound,
+    as a reusable cut with pinned semantics: keep each key's latest
+    ``max_rows`` rows by (``ts_col`` desc, ``tiebreak`` desc), drop
+    the rest.
+
+    Shape: the shared two-stage top-k (similarity._two_stage_topk's
+    geometry).  Stage 1 ranks within (key, input-partition) and keeps
+    at most ``max_rows`` per task — NO single task ever receives a hot
+    key's full history, which is the entire point; stage 2 ranks the
+    ≤ n_partitions·max_rows survivors.  Bit-identical to the naive
+    single-window cut for any input partitioning PROVIDED
+    (ts_col, tiebreak) is a total order per key (pass the row id as
+    ``tiebreak``); rows in the global latest-N are necessarily in the
+    latest-N of whichever partition holds them.
+
+    Returns the input columns unchanged (minus nothing) — compose as
+    ``bounded_key_history(events) |> sessionize/asof/rollup``.
+    Measured: SCALE.md skew16 rows for the *_capped query variants.
+    """
+    tiebreaks = ([tiebreak] if isinstance(tiebreak, str)
+                 else list(tiebreak or []))
+    order = [F.desc(ts_col)] + [F.desc(c) for c in tiebreaks]
+    from pyspark.sql import Window
+
+    pre = df.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(key, "_pid").orderBy(*order)
+    survivors = (
+        pre.withColumn("_prn", F.row_number().over(w1))
+        .filter(F.col("_prn") <= max_rows)
+        .drop("_pid", "_prn")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= max_rows)
+        .drop("_rn")
+    )

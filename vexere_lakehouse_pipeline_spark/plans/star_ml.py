@@ -76,7 +76,10 @@ def _register(name: str, oracle: str | None = None):
 # reuses the blocks.  Row values are unchanged by construction
 # (checkpointing is a barrier, not a transformation), so every oracle
 # hash survives.  LRU-capped like every CheckpointCache.
-_APPROX_ARM_CACHE = CheckpointCache(maxsize=24)
+# maxsize covers the full arm population (inline topk rows + their
+# prebuilt serving siblings + the truth arm) so a full check_oracle
+# sweep never thrashes the LRU; entries are |Q|·k-row checkpoints, KBs
+_APPROX_ARM_CACHE = CheckpointCache(maxsize=48)
 
 
 def reset_shared_arms(keep_names: tuple = ("sim_topk_bruteforce",)) -> None:
@@ -1774,9 +1777,15 @@ _JOURNEY_STEPS, _JOURNEY_TOPK = 8, 20
     """,
 )
 def events_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return _journey_rollup(events)
+
+
+def _journey_rollup(events: DataFrame) -> DataFrame:
+    """Sessionize → per-session path string → top-K path counts —
+    shared by the raw row and the bounded-history (_capped) variant."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
         "new_sess",
@@ -2743,3 +2752,252 @@ def sim_topk_sq8_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5, index=idx
     )
     return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (round-8 verdict #3): pHash each synthesized
+# image to a 63-bit DCT perceptual hash (operators/multimodal.py:
+# phash64 — integer-pinned classic pHash) and pair within Hamming
+# distance 6 via the generic banded joiner (dedup.hamming_near_pairs,
+# 9 bands x 7 bits — pigeonhole-exact recall for d <= 8, never
+# all-pairs).  This joins the repo's two strongest families: the
+# multimodal codec tier supplies real BMP/PNG/JPEG decode paths, the
+# dedup tier supplies the banding geometry.
+#
+# Fixture: docs cluster by g = doc_id // 10; each cluster's BASE image
+# is the pinned-integer-IDCT decode of a DENSE-spectrum 16x16 baseline
+# JPEG (all 64 zigzag slots carry group-dependent values with
+# natural-image-like frequency decay — dense spectra keep the 63
+# low-frequency coefficients far from the mean threshold, which is
+# what buys the measured intra<=2 / inter>=13 hamming separation).
+# Variants v = doc_id % 10: v=0 the JPEG file itself, v=1 the SAME
+# pixels re-encoded as BMP, v=2 as PNG (all three decode to identical
+# luma -> hamming 0 — "same image re-encoded must pair"), v>=3 BMP
+# with 3 pixels brightened by 1..3 levels ("small perturbations must
+# pair"); distinct clusters stay >= 13 bits apart ("distinct images
+# must not").  The DuckDB oracle replays the ENTIRE chain closed-form:
+# dequant -> pinned integer IDCT -> perturbation -> pinned 16-point
+# DCT -> mean threshold -> bit packing -> banding (with the shared
+# hot-bucket sub-split) -> verified pairs.
+# ---------------------------------------------------------------------------
+
+from vexere_lakehouse_pipeline_spark.operators.multimodal import (  # noqa: E402
+    JPEG_IDCT_W as _PH_JW,
+    JPEG_ZIGZAG as _PH_JZZ,
+    PHASH_W16 as _PH_W16,
+)
+
+_PHJW = "[" + ",".join(str(v) for v in _PH_JW) + "]"
+_PHJZZ = "[" + ",".join(str(v) for v in _PH_JZZ) + "]"
+_PHW16 = "[" + ",".join(str(v) for v in _PH_W16) + "]"
+_PHASH_BANDS, _PHASH_BAND_BITS, _PHASH_MAXHAM = 9, 7, 6
+
+
+def _phash_fixture_coeffs(g: int) -> list[list[int]]:
+    """Dense zigzag coefficients for cluster g's 16x16 base image —
+    four 8x8 blocks, every slot nonzero-capable, magnitude decaying
+    with frequency (cap = max(2, 48 >> (i DIV 12)))."""
+    blks = []
+    for k in range(4):
+        zz = []
+        for i in range(64):
+            cap = max(2, 48 >> (i // 12))
+            zz.append((g * (2 * i + 3) + k * (i + 7) + i * 11)
+                      % (2 * cap + 1) - cap)
+        zz[0] = (g * 5 + k * 17) % 200 - 100
+        blks.append(zz)
+    return blks
+
+
+def _phash_fixture_payload(g: int, v: int) -> bytes:
+    """Variant v of cluster g (see the block comment)."""
+    from vexere_lakehouse_pipeline_spark.operators import multimodal as mm
+
+    jpeg = mm.encode_jpeg_coeffs(16, 16, _phash_fixture_coeffs(g))
+    if v == 0:
+        return jpeg
+    _w, _h, rows = mm.jpeg_decode_gray(jpeg)
+    px = [p for row in rows for p in row]
+    if v >= 3:
+        delta = 1 + v % 3
+        for i in range(256):
+            if i % 101 == v:
+                px[i] = min(255, px[i] + delta)
+    rgb = [(p, p, p) for p in px]
+    return (mm.encode_png(16, 16, rgb) if v == 2
+            else mm.encode_bmp(16, 16, rgb))
+
+
+@_register(
+    "multimodal_phash_neardup_pairs",
+    f"""
+    WITH grids AS (SELECT DISTINCT doc_id // 10 AS g FROM documents),
+    blocks AS (SELECT g, unnest(range(4)) AS k FROM grids),
+    coef AS (
+        SELECT g, k, CAST(i AS INTEGER) AS zz,
+               CASE WHEN i = 0 THEN (g*5 + k*17) % 200 - 100
+                    ELSE (g*(2*i+3) + k*(i+7) + i*11)
+                         % (2*GREATEST(2, 48 >> CAST(i // 12 AS INTEGER)) + 1)
+                         - GREATEST(2, 48 >> CAST(i // 12 AS INTEGER))
+               END AS v
+        FROM blocks, unnest(range(64)) AS t(i)
+    ),
+    deq AS (
+        SELECT g, k, v * (1 + zz % 4) AS c,
+               {{JZZ}}[zz + 1] // 8 AS fu,
+               {{JZZ}}[zz + 1] % 8 AS fv
+        FROM coef
+    ),
+    px AS (
+        -- pinned integer IDCT (multimodal_jpeg_stats's bias trick:
+        -- keep the dividend non-negative so // floors identically)
+        SELECT g,
+               CAST((k // 2) * 8 + r AS INTEGER) AS pr,
+               CAST((k % 2) * 8 + cc AS INTEGER) AS pc,
+               LEAST(255, GREATEST(0,
+                   (SUM({{JW}}[fu*8 + r + 1] * {{JW}}[fv*8 + cc + 1] * c)
+                    + 33554432 + 68719476736) // 67108864 - 1024 + 128))
+                   AS pv
+        FROM deq, unnest(range(8)) AS tr(r), unnest(range(8)) AS tc(cc)
+        GROUP BY g, k, r, cc
+    ),
+    docs AS (SELECT doc_id, doc_id // 10 AS g, doc_id % 10 AS v
+             FROM documents),
+    luma AS (
+        SELECT d.doc_id, px.pr, px.pc,
+               CASE WHEN d.v >= 3 AND (px.pr * 16 + px.pc) % 101 = d.v
+                    THEN LEAST(255, px.pv + 1 + d.v % 3)
+                    ELSE px.pv END AS l
+        FROM docs d JOIN px ON px.g = d.g
+    ),
+    co AS (
+        SELECT doc_id, CAST(u AS INTEGER) AS u, CAST(w AS INTEGER) AS w,
+               SUM({{W16}}[u*16 + pr + 1] * {{W16}}[w*16 + pc + 1] * l) AS c
+        FROM luma, unnest(range(8)) AS tu(u), unnest(range(8)) AS tw(w)
+        WHERE NOT (u = 0 AND w = 0)
+        GROUP BY doc_id, u, w
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS s FROM co GROUP BY doc_id),
+    hashes AS (
+        SELECT co.doc_id,
+               CAST(SUM(CASE WHEN 63 * co.c > tot.s
+                        THEN CAST(1 AS BIGINT)
+                             << CAST(co.u * 8 + co.w - 1 AS INTEGER)
+                        ELSE 0 END) AS BIGINT) AS ph
+        FROM co JOIN tot ON tot.doc_id = co.doc_id
+        GROUP BY co.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, ph, CAST(b AS INTEGER) AS b,
+               (ph >> CAST(b * {_PHASH_BAND_BITS} AS INTEGER))
+               & {2 ** _PHASH_BAND_BITS - 1} AS band_key
+        FROM hashes, unnest(range({_PHASH_BANDS})) AS tb(b)
+    ),
+    bsz AS (SELECT b, band_key, COUNT(*) AS bn FROM bands
+            GROUP BY b, band_key),
+    bok AS (SELECT bands.doc_id, bands.ph, bands.b, bands.band_key,
+                   {{SUB}} AS sub
+            FROM bands JOIN bsz ON bsz.b = bands.b
+                 AND bsz.band_key = bands.band_key),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.ph AS ph_a,
+                        c.doc_id AS doc_b, c.ph AS ph_b
+        FROM bok a JOIN bok c
+          ON a.b = c.b AND a.band_key = c.band_key AND a.sub = c.sub
+         AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(ph_a, ph_b)) AS hamming
+    FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= {_PHASH_MAXHAM}
+    ORDER BY doc_a, doc_b
+    """.format(
+        JZZ=_PHJZZ, JW=_PHJW, W16=_PHW16,
+        SUB=_duck_sub_split("bands.doc_id", "bsz.bn",
+                            dedup.MAX_BUCKET_SIZE),
+    ),
+)
+def multimodal_phash_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from vexere_lakehouse_pipeline_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payloads.append(_phash_fixture_payload(d // 10, d % 10))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    hashes = mm.extract_phash(media)
+    return dedup.hamming_near_pairs(
+        hashes, sig_col="phash", id_col="media_id",
+        bits=mm.PHASH_BITS, n_bands=_PHASH_BANDS,
+        max_hamming=_PHASH_MAXHAM,
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Bounded-history journey rollup (round-8 verdict #4): the skew16 probe
+# records events_journey_paths processing a 15/16-hot user's history in
+# ONE task — the documented defense ("real pipelines bound per-user
+# history") is now an OPERATOR (operators/skew.py:bounded_key_history,
+# the two-stage keep-latest-N cut) and this row pins its semantics:
+# journey paths over each user's latest _HISTORY_CAP events.  The
+# oracle applies the identical cut (ROW_NUMBER() OVER ts DESC,
+# event_id DESC <= cap) before the same rollup — and the cap BITES at
+# every sf (users average ~67 events, max ~99, cap 50).  The capped
+# form's skew16 exponent is measured in SCALE.md.
+# ---------------------------------------------------------------------------
+_HISTORY_CAP = 50
+
+
+def _capped_events_oracle(src_oracle: str) -> str:
+    """Prepend the bounded-history CTE and re-point every events scan
+    at it — guarded surgery (exact occurrence count asserted), the
+    _shingle_ctes_over pattern."""
+    capped = f"""
+    WITH hist_capped AS (
+        SELECT event_id, user_id, ts, event_type FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS hrn
+            FROM events) WHERE hrn <= {_HISTORY_CAP}
+    ),"""
+    marker = "WITH "
+    if not src_oracle.lstrip().startswith("WITH "):
+        raise AssertionError("capped oracle: source must start with WITH")
+    body = src_oracle.lstrip()[len(marker):]
+    if body.count("FROM events") < 1:
+        raise AssertionError("capped oracle: no events scan to re-point")
+    return capped + body.replace("FROM events", "FROM hist_capped")
+
+
+ORACLE_SQL["events_journey_paths_capped"] = _capped_events_oracle(
+    ORACLE_SQL["events_journey_paths"]
+)
+
+
+@_register("events_journey_paths_capped")
+def events_journey_paths_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.skew import (
+        bounded_key_history,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    capped = bounded_key_history(
+        events.select("event_id", "user_id", "ts", "event_type"),
+        key="user_id", ts_col="ts", max_rows=_HISTORY_CAP,
+        tiebreak="event_id",
+    )
+    return _journey_rollup(capped)

@@ -1245,3 +1245,76 @@ def asof_join_error_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts_us", "click_id", "click_ts_us"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Bounded-history forward as-of join (round-8 verdict #4, the sibling
+# of events_journey_paths_capped): the skew16 probe records the as-of
+# window chain sorting a 15/16-hot user's history in one task; the
+# production defense is the keep-latest-N pre-window cut
+# (operators/skew.py:bounded_key_history).  This row pins the capped
+# semantics — next-click recovery over each user's latest 50 events —
+# with the oracle applying the identical cut before the same lateral.
+# The cap bites at every sf (users average ~67 events, max ~99).
+# ---------------------------------------------------------------------------
+_ASOF_HISTORY_CAP = 50
+
+
+@_register(
+    "asof_join_error_next_click_capped",
+    f"""
+    WITH hist_capped AS (
+        SELECT event_id, user_id, ts, event_type FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS hrn
+            FROM events) WHERE hrn <= {_ASOF_HISTORY_CAP}
+    )
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           c.click_id, c.click_ts_us
+    FROM hist_capped e
+    LEFT JOIN LATERAL (
+        SELECT c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+        FROM hist_capped c
+        WHERE c.user_id = e.user_id AND c.event_type = 'click'
+          AND c.ts >= e.ts
+        ORDER BY c.ts ASC, c.event_id ASC LIMIT 1
+    ) c ON TRUE
+    WHERE e.event_type = 'error'
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_error_next_click_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators.skew import (
+        bounded_key_history,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    capped = bounded_key_history(
+        events.select("event_id", "user_id", "ts", "event_type"),
+        key="user_id", ts_col="ts", max_rows=_ASOF_HISTORY_CAP,
+        tiebreak="event_id",
+    )
+    errors = capped.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    clicks = capped.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        "ts",
+    )
+    out = asof_join_forward(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_id", "click_ts_us"],
+        tiebreak="click_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "click_id", "click_ts_us"
+    ).orderBy("event_id")
