@@ -1060,3 +1060,54 @@ def test_phash_construction_and_separation(spark):
     with _pytest.raises(ValueError, match="divide"):
         dedup.hamming_near_pairs(extract_phash(media), sig_col="phash",
                                  id_col="media_id", bits=63, n_bands=4)
+
+
+def test_serve_ann_stream_matches_batch(spark, tmp_path):
+    """Streaming ANN serving twin: queries arriving as a stream are
+    answered per micro-batch from the prebuilt artifact, and the sink
+    contents equal the batch serve over the same query set.  Also pins
+    the contract edges: cascade requires candidates for its rerank
+    tier; unknown kinds are rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import (
+        ann_index,
+        similarity,
+    )
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        serve_ann_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    built = ann_index.ann_index_build(emb, kind="sq8")
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_save(built, path)
+    idx = ann_index.ann_index_load(spark, path)
+
+    qdir = str(tmp_path / "queries")
+    queries = emb.filter(F.col("vec_id") < 6).select("vec_id", "embedding")
+    queries.write.parquet(qdir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(qdir).schema
+    ).parquet(qdir)
+    out_dir = str(tmp_path / "answers")
+    serve_ann_stream(stream, idx, out_dir, str(tmp_path / "ckpt"), k=5)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    want = sorted(
+        tuple(r)
+        for r in similarity.topk_sq8(
+            emb.limit(0), spark.read.parquet(qdir), k=5, index=idx
+        ).collect()
+    )
+    assert got == want and len(got) == 6 * 5
+
+    with _pytest.raises(ValueError, match="cascade serving needs"):
+        serve_ann_stream(stream, ann_index.AnnIndex(
+            "cascade", {"kind": "cascade", "n_bits": 63}, {}),
+            out_dir, str(tmp_path / "ckpt2"))
+    with _pytest.raises(ValueError, match="no streaming serve path"):
+        serve_ann_stream(stream, ann_index.AnnIndex("pq_adc", {}, {}),
+                         out_dir, str(tmp_path / "ckpt3"))

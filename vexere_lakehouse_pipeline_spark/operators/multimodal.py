@@ -2131,20 +2131,21 @@ def phash64(payload: bytes) -> int | None:
             bc = c * g // w
             sums[br][bc] += luma[base + c]
             cnts[br][bc] += 1
-    pool = [[sums[i][j] // cnts[i][j] for j in range(g)] for i in range(g)]
-    wmat = PHASH_W16  # W16[u*16+x], 13-bit fixed point
-    ac_sum = 0
-    coefs: list[int] = []
-    for u in range(8):
-        for v in range(8):
-            c = sum(
-                wmat[u * g + x] * wmat[v * g + y] * pool[x][y]
-                for x in range(g) for y in range(g)
-            )
-            if u == 0 and v == 0:
-                continue
-            coefs.append(c)
-            ac_sum += c
+    import numpy as np
+
+    pool = np.array(
+        [[sums[i][j] // cnts[i][j] for j in range(g)] for i in range(g)],
+        dtype=np.int64,
+    )
+    # int64 matmul is EXACT integer arithmetic (no floats, so
+    # evaluation order is irrelevant): coef = W[:8] @ pool @ W[:8].T,
+    # |coef| <= 256·8192²·255 ≈ 4.4e15 and 63·|coef| < 2^63 — no
+    # overflow.  Same bits as the scalar triple loop, ~20x faster.
+    wlow = np.array(PHASH_W16, dtype=np.int64).reshape(g, g)[:8]
+    cmat = wlow @ pool @ wlow.T  # (8, 8)
+    coefs = [int(cmat[u, v]) for u in range(8) for v in range(8)
+             if not (u == 0 and v == 0)]
+    ac_sum = sum(coefs)
     out = 0
     for i, c in enumerate(coefs):
         if 63 * c > ac_sum:

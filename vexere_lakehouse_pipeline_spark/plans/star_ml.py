@@ -2809,15 +2809,29 @@ def _phash_fixture_coeffs(g: int) -> list[list[int]]:
     return blks
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4096)
+def _phash_fixture_base(g: int) -> tuple[bytes, tuple[int, ...]]:
+    """Cluster g's JPEG payload + decoded base pixels — cached because
+    every variant of a cluster shares them (each mapInPandas worker
+    pays the JPEG decode once per cluster, not once per doc)."""
+    from vexere_lakehouse_pipeline_spark.operators import multimodal as mm
+
+    jpeg = mm.encode_jpeg_coeffs(16, 16, _phash_fixture_coeffs(g))
+    _w, _h, rows = mm.jpeg_decode_gray(jpeg)
+    return jpeg, tuple(p for row in rows for p in row)
+
+
 def _phash_fixture_payload(g: int, v: int) -> bytes:
     """Variant v of cluster g (see the block comment)."""
     from vexere_lakehouse_pipeline_spark.operators import multimodal as mm
 
-    jpeg = mm.encode_jpeg_coeffs(16, 16, _phash_fixture_coeffs(g))
+    jpeg, base = _phash_fixture_base(g)
     if v == 0:
         return jpeg
-    _w, _h, rows = mm.jpeg_decode_gray(jpeg)
-    px = [p for row in rows for p in row]
+    px = list(base)
     if v >= 3:
         delta = 1 + v % 3
         for i in range(256):

@@ -626,3 +626,69 @@ def attribution_outer_flags(clicks: DataFrame, purchases: DataFrame,
         .otherwise("open")
         .alias("status"),
     )
+
+
+def serve_ann_stream(queries_stream: DataFrame, index, out_dir: str,
+                     checkpoint_dir: str, k: int = 5,
+                     candidates: DataFrame | None = None,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> None:
+    """Streaming ANN serving — the ONLINE half of the build/serve
+    split (operators/ann_index.py): a stream of query vectors is
+    answered per micro-batch from the PREBUILT index artifact via
+    foreachBatch, appending (query_id, vec_id, score, rank) rows to
+    the sink.  This is the production query-service shape: the index
+    tables were materialized by the offline build job; each batch of
+    queries pays only query-scale work (its own encode + the coded-
+    corpus scan), and for the never-scan kinds the raw float corpus is
+    not an input at all.
+
+    ``candidates`` is required only for kinds whose final tier
+    late-fetches floats by id (``cascade`` here; the rerank
+    compositions take the same parameter) — for every other kind it
+    defaults to an empty frame, making never-scans-candidates
+    structural rather than promised.
+
+    foreachBatch is at-least-once like every such sink (a replayed
+    batch re-appends its answers); answers are deterministic, so
+    downstream dedup on (query_id, rank) restores exactly-once — the
+    same caveat run_stream_merge_sink documents.  Twin-tested against
+    the batch serve in tests/test_streaming_multimodal.py.
+    """
+    from vexere_lakehouse_pipeline_spark.operators import similarity as sim
+
+    serve_fns = {
+        "sq8": sim.topk_sq8,
+        "ivfpq": sim.topk_ivfpq,
+        "ivfpq_residual": sim.topk_ivfpq_residual,
+        "hamming": sim.topk_hamming,
+        "int8": sim.topk_int8,
+        "jl": sim.topk_jl,
+        "matryoshka": sim.topk_truncated,
+        "cascade": sim.topk_cascade,
+    }
+    serve = serve_fns.get(index.kind)
+    if serve is None:
+        raise ValueError(
+            f"no streaming serve path for index kind {index.kind!r} "
+            f"(supported: {sorted(serve_fns)})"
+        )
+    if index.kind == "cascade" and candidates is None:
+        raise ValueError(
+            "cascade serving needs `candidates` for the exact-rerank "
+            "tier's late float fetch"
+        )
+
+    def answer(batch_df: DataFrame, _batch_id: int) -> None:
+        cand = candidates if candidates is not None else batch_df.limit(0)
+        out = serve(cand, batch_df, k=k, vec_col=vec_col, id_col=id_col,
+                    index=index)
+        out.write.mode("append").parquet(out_dir)
+
+    (
+        queries_stream.writeStream.foreachBatch(answer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
