@@ -381,3 +381,51 @@ def test_append_equals_pinned_full_build_ivfpq_residual(spark):
                                                 index=pinned_full))
     assert got == want
     assert appended.parts["coded"].count() == emb.count()
+
+
+def test_filtered_view_sq8_prefilter_semantics(spark, sq8_idx):
+    """ann_index_filter: scoped serving from the full-corpus artifact.
+    (a) pre-filter, not post-filter — results equal an inline build
+    whose CANDIDATES are filtered but whose params are the FULL
+    corpus; (b) only allowed ids appear; (c) the scope can return a
+    full k even when the global top-k is dominated by out-of-scope
+    rows (the bug post-filtering would introduce)."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("label") <= 2)
+    fidx = ann_index.ann_index_filter(sq8_idx, allowed)
+    served = similarity.topk_sq8(emb.limit(0), q, k=5, index=fidx)
+    # inline twin: full-corpus params, filtered candidate codes
+    inline = similarity.topk_sq8(
+        allowed, q, k=5, params=sq8_idx.parts["params"])
+    assert _rows(served) == _rows(inline)
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    got = served.collect()
+    assert got and all(r.vec_id in allowed_ids for r in got)
+    # every query keeps a full k inside the scope (sf0.001 has > k
+    # allowed rows) — post-filtering the global top-k could not
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}
+
+
+def test_filtered_view_keeps_trained_state_and_kind(spark, ivfpq_idx):
+    """Multi-part kinds: only ROW parts are filtered; trained state
+    (centroids/codebooks) is shared untouched — one index, many
+    scopes."""
+    emb = _emb(spark)
+    allowed = emb.filter(F.col("label") <= 2)
+    fidx = ann_index.ann_index_filter(ivfpq_idx, allowed)
+    assert fidx.kind == "ivfpq" and fidx.meta == ivfpq_idx.meta
+    assert fidx.parts["centroids"] is ivfpq_idx.parts["centroids"]
+    assert fidx.parts["codebooks"] is ivfpq_idx.parts["codebooks"]
+    n_allowed = allowed.count()
+    assert fidx.parts["coded"].count() == n_allowed
+    # and it serves through the same plumbing
+    q = emb.filter(F.col("vec_id") < 5)
+    served = similarity.topk_ivfpq(emb.limit(0), q, k=5, nprobe=4,
+                                   index=fidx)
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    got = served.collect()
+    assert got and all(r.vec_id in allowed_ids for r in got)

@@ -281,6 +281,42 @@ def ann_index_append(index: AnnIndex, new_rows: DataFrame,
     return AnnIndex(index.kind, dict(index.meta), parts)
 
 
+def ann_index_filter(index: AnnIndex, allowed: DataFrame,
+                     id_col: str = "vec_id",
+                     broadcast: bool = True) -> AnnIndex:
+    """Attribute-filtered VIEW of a built index — filtered vector
+    search (FAISS ``IDSelector`` / the `filter=` predicate of every
+    production vector store): restrict serving to the rows whose ids
+    appear in ``allowed`` (e.g. a tenant, language, or label scope),
+    WITHOUT rebuilding anything.
+
+    The returned index shares the trained state (centroids /
+    codebooks / params — trained on the FULL corpus, which is the
+    production contract: one index serves every scope) and semi-joins
+    each row-level part against the allowed-id set, so the predicate
+    prunes candidates BEFORE any distance arithmetic.  ``broadcast``
+    hints the id set to every executor — right when the predicate is
+    selective (the common case); pass ``False`` for low-selectivity
+    scopes so AQE picks the join side by measured size instead.
+
+    Scale note: a left-semi join on the code table's key column is
+    the cheapest possible pre-filter (no row widening, bloom-filter
+    pushdown eligible).  When one attribute is ALWAYS in the
+    predicate, materialize it into the coded part at build time and
+    partition by it — the semi-join then becomes a partition-pruned
+    scan.  Composition with serving is exercised by
+    sim_topk_filtered_sq8_prebuilt (hash-gated against a DuckDB
+    oracle that applies the same predicate).
+    """
+    ids = allowed.select(F.col(id_col).alias("vec_id")).distinct()
+    if broadcast:
+        ids = F.broadcast(ids)
+    parts = dict(index.parts)
+    for part in _ROW_PARTS[index.kind]:
+        parts[part] = index.parts[part].join(ids, "vec_id", "left_semi")
+    return AnnIndex(index.kind, dict(index.meta), parts)
+
+
 def ann_index_save(index: AnnIndex, path: str) -> None:
     """Materialize every part as parquet under ``path`` (one
     subdirectory per part) plus a JSON meta sidecar.  Overwrites —

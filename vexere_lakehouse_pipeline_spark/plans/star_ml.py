@@ -1260,7 +1260,8 @@ def _bruteforce_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_topk_bruteforce(spark, sf_dir).select("query_id", "vec_id")
 
 
-def _recall_gate(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+def _recall_gate(spark: SparkSession, sf_dir: str, approx_fn,
+                 truth_fn=None) -> DataFrame:
     """Shared recall@k rollup every sim_recall_* gate uses: left-join
     the approximate arm onto the brute-force truth and report per-query
     hit counts (one definition — the round-5 review found six divergent
@@ -1274,8 +1275,15 @@ def _recall_gate(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     INLINE oracle, so the driver still verifies the served arm against
     the inline semantics.  The lone exception is the LSH gate —
     bucketing has no trained state or coded corpus (the bucket id IS
-    the scan expression), so there is nothing to prebuild."""
-    truth = _bruteforce_truth(spark, sf_dir)
+    the scan expression), so there is nothing to prebuild.
+
+    ``truth_fn`` overrides the exact arm — the filtered-search gate
+    audits against the FILTERED brute force (recall within the scope,
+    the number a filtered vector store reports), not the global one."""
+    if truth_fn is not None:
+        truth = truth_fn(spark, sf_dir).select("query_id", "vec_id")
+    else:
+        truth = _bruteforce_truth(spark, sf_dir)
     approx = approx_fn(spark, sf_dir).select(
         F.col("query_id").alias("a_query"), F.col("vec_id").alias("a_vec")
     )
@@ -1296,11 +1304,12 @@ def _recall_gate(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     )
 
 
-def _recall_oracle(approx_name: str) -> str:
+def _recall_oracle(approx_name: str,
+                   truth_name: str = "sim_topk_bruteforce") -> str:
     """The DuckDB twin of :func:`_recall_gate`, composed from the two
     registered topk oracles."""
     return f"""
-    WITH bf AS ({ORACLE_SQL["sim_topk_bruteforce"]}),
+    WITH bf AS ({ORACLE_SQL[truth_name]}),
     ap AS ({ORACLE_SQL[approx_name]})
     SELECT bf.query_id,
            COUNT(ap.vec_id) AS n_hit,
@@ -2752,6 +2761,105 @@ def sim_topk_sq8_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5, index=idx
     )
     return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search — metadata-scoped top-k, the predicate every
+# production vector store exposes (FAISS IDSelector, "filter=" in
+# Milvus/pgvector/Vespa): "nearest neighbors WHERE label <= 2" (~30%
+# of the corpus; tenant/language scoping).  Three rows:
+#
+# - sim_topk_filtered_bruteforce: the exact truth INSIDE the scope —
+#   the predicate restricts candidates, queries stay external (a
+#   query need not satisfy its own filter).
+# - sim_topk_filtered_sq8_prebuilt: the serving shape —
+#   ann_index_filter() wraps the FULL-corpus prebuilt SQ8 artifact in
+#   an id-semi-joined view (pre-filter, pruned BEFORE any distance
+#   arithmetic; trained params stay full-corpus, the production
+#   contract: ONE index serves every scope).  The DuckDB oracle
+#   applies the same predicate to the same full-corpus quantization —
+#   a green hash proves filter-then-rank, not rank-then-filter (the
+#   post-filter shape silently returns < k when the scope is
+#   selective).
+# - sim_recall_filtered_sq8_vs_bruteforce: recall audited against the
+#   FILTERED truth — the number a scoped search actually reports.
+# ---------------------------------------------------------------------------
+def _sq8_filtered_oracle() -> str:
+    """The inline sq8 oracle with the scope predicate pushed into its
+    candidate-side join — guarded surgery (marker must appear exactly
+    once), same pattern as _sq8_appended_oracle."""
+    marker = "AND c.vec_id <> q.query_id"
+    src = ORACLE_SQL["sim_topk_sq8"]
+    if src.count(marker) != 1:
+        raise AssertionError(
+            f"sim_topk_sq8 oracle: expected exactly one {marker!r}, "
+            f"found {src.count(marker)}"
+        )
+    return src.replace(
+        marker,
+        marker + " AND c.vec_id IN (SELECT vec_id FROM embeddings"
+                 " WHERE label <= 2)",
+    )
+
+
+@_register(
+    "sim_topk_filtered_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DUCK_COS.format(a="qv", b="e.v")} AS cos_sim
+        FROM e, q WHERE e.vec_id <> q.query_id AND e.label <= 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+@_shared_arm
+def sim_topk_filtered_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_bruteforce(
+        emb.filter(F.col("label") <= 2), emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register("sim_topk_filtered_sq8_prebuilt", _sq8_filtered_oracle())
+@_shared_arm
+def sim_topk_filtered_sq8_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "sq8")
+    fidx = ann_index.ann_index_filter(idx, emb.filter(F.col("label") <= 2))
+    # candidates=limit(0): the serve reads only the filtered artifact
+    # view — same never-rescans-the-corpus guarantee the pytest pins
+    out = similarity.topk_sq8(
+        emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5, index=fidx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register("sim_recall_filtered_sq8_vs_bruteforce", None)  # composed below
+def sim_recall_filtered_sq8_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_filtered_sq8_prebuilt,
+                        truth_fn=sim_topk_filtered_bruteforce)
+
+
+ORACLE_SQL["sim_recall_filtered_sq8_vs_bruteforce"] = _recall_oracle(
+    "sim_topk_filtered_sq8_prebuilt",
+    truth_name="sim_topk_filtered_bruteforce",
+)
 
 
 # ---------------------------------------------------------------------------
