@@ -113,3 +113,47 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(part" in plan, plan[:2000]
     rows = joined.collect()
     assert len(rows) == 1000 and {r["name"] for r in rows} == {"keep"}
+
+
+def test_compact_files_coalesce_mode_lossless(spark, tmp_path):
+    """Default (shuffle-free) compaction: fewer files, identical rows."""
+    o = _orders(spark)
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "opt")
+    o.repartition(32).write.mode("overwrite").parquet(src)
+    stats = layout.compact_files(spark, src, dst, target_mb=64)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] == stats["n_out"] == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == o.count()
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in o.collect()
+    )
+
+
+def test_compact_files_order_by_mode_reclusters(spark, tmp_path):
+    """order_by mode: compaction that also (re)clusters — output files
+    hold disjoint key ranges, so min-max pruning survives the rewrite."""
+    o = _orders(spark)
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "opt")
+    # fragment WITHOUT clustering: every tiny file spans the key space
+    o.repartition(32).write.mode("overwrite").parquet(src)
+    total = layout.fs_file_stats(spark, src)[1]
+    # target sized to yield ~4 output files (fractional MB: tiny SF)
+    stats = layout.compact_files(
+        spark, src, dst, target_mb=total / 4 / (1 << 20),
+        order_by=["o_custkey"],
+    )
+    assert 1 < stats["files_after"] < 32
+    fstats = layout.file_minmax_stats(spark, dst, ["o_custkey"])
+    spans = sorted((s["lo_o_custkey"], s["hi_o_custkey"]) for s in fstats)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # disjoint-or-touching ranges
+    assert spark.read.parquet(dst).count() == o.count()
+
+
+def test_fs_file_stats_excludes_metadata_entries(spark, tmp_path):
+    o = _orders(spark)
+    path = str(tmp_path / "t")
+    o.repartition(4).write.mode("overwrite").parquet(path)
+    n, total = layout.fs_file_stats(spark, path)
+    assert n == 4 and total > 0  # _SUCCESS / .crc not counted

@@ -114,3 +114,77 @@ def candidate_files(stats: list[dict], col: str, lo, hi) -> list[str]:
         for s in stats
         if not (s[f"hi_{col}"] < lo or s[f"lo_{col}"] > hi)
     ]
+
+
+def fs_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(data_file_count, total_bytes) under ``path``, recursively,
+    via the Hadoop FileSystem API — the same listing a lakehouse
+    table-maintenance job does, so it works on HDFS/S3A paths, not
+    just the local fs.  Hidden/metadata entries (``_SUCCESS``,
+    ``.crc``) are excluded."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n = total = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        n += 1
+        total += st.getLen()
+    return n, total
+
+
+def compact_files(spark: SparkSession, src: str, dst: str,
+                  target_mb: float = 128,
+                  order_by: list[str] | None = None,
+                  fmt: str = "parquet") -> dict:
+    """Small-file compaction — the ``OPTIMIZE`` table-maintenance
+    operator (Delta OPTIMIZE / Iceberg rewrite_data_files): bin-pack a
+    directory of small files into ``ceil(total_bytes / target_mb)``
+    right-sized ones.  Streaming sinks and frequent small appends
+    fragment tables into thousands of KB-scale files; at 100 TB that
+    turns every scan into a file-open/footer-parse storm and starves
+    the scheduler with million-task stages.  Compaction is pure
+    layout — rows are bit-identical (oracle-gated by
+    layout_compact_roundtrip; measured in tools/COMPACT.md).
+
+    Two modes:
+
+    - default (``order_by=None``): ``coalesce(n_out)`` — NO shuffle.
+      Coalesce fuses input splits into n_out write tasks, so the job
+      moves each byte exactly once, the cheapest possible rewrite.
+      Caveat (documented Spark semantics): coalesce caps the whole
+      stage's parallelism at n_out and packs by input-split order, so
+      output sizes track input locality, not an exact target.
+    - ``order_by=[cols]``: ``repartitionByRange + sortWithinPartitions``
+      — one range shuffle that ALSO (re)clusters, so min-max pruning
+      survives compaction (pass the Z-order key column for the
+      ``OPTIMIZE ZORDER BY`` shape, see write_zordered).
+
+    Production notes baked into the contract: compact per partition
+    directory (src points AT the partition, the unit Delta/Iceberg
+    compact under their partition locks), and write to a NEW dst then
+    swap atomically via the table manifest (SnapshotTable.commit here;
+    never overwrite src in place — a failed job would destroy data).
+
+    Returns measured stats: files/bytes before and after + n_out.
+    """
+    files_before, bytes_before = fs_file_stats(spark, src)
+    target_bytes = max(1, int(target_mb * (1 << 20)))  # fractional ok (tests)
+    n_out = max(1, -(-bytes_before // target_bytes))
+    df = spark.read.format(fmt).load(src)
+    if order_by:
+        out = (df.repartitionByRange(n_out, *order_by)
+                 .sortWithinPartitions(*order_by))
+    else:
+        out = df.coalesce(n_out)
+    out.write.format(fmt).mode("overwrite").save(dst)
+    files_after, bytes_after = fs_file_stats(spark, dst)
+    return {
+        "files_before": files_before, "bytes_before": bytes_before,
+        "files_after": files_after, "bytes_after": bytes_after,
+        "n_out": n_out,
+    }

@@ -1554,3 +1554,62 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders, ["o_custkey", "o_totalprice"], bits=_ZO_BITS
         ).alias("zkey"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (operators/layout.py:compact_files — the
+# OPTIMIZE table-maintenance job).  The row PROVES losslessness
+# machine-checked: Spark fragments the orders table into 64 tiny
+# files (the streaming-sink failure mode), compacts them through the
+# shuffle-free coalesce path, and aggregates the COMPACTED copy; the
+# oracle aggregates the ORIGINAL table.  A green hash means the
+# rewrite changed layout only.  File-count reduction is asserted in
+# the row itself (a no-op "compaction" must fail loudly, not pass the
+# hash); the measured scan-speed payoff at sf0.1 lives in
+# tools/COMPACT.md.
+# ---------------------------------------------------------------------------
+_COMPACT_MEMO: dict[tuple, str] = {}
+
+
+@_register(
+    "layout_compact_roundtrip",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from vexere_lakehouse_pipeline_spark.operators import layout
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    dst = _COMPACT_MEMO.get(key)
+    if dst is None:
+        base = tempfile.mkdtemp(prefix="vlps_compact_")
+        src = os.path.join(base, "fragmented")
+        dst = os.path.join(base, "compacted")
+        load_table(spark, sf_dir, "orders").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stats = layout.compact_files(spark, src, dst, target_mb=8)
+        if stats["files_after"] >= stats["files_before"]:
+            raise AssertionError(
+                f"compaction did not reduce file count: {stats}"
+            )
+        _COMPACT_MEMO[key] = dst
+    return (
+        spark.read.parquet(dst)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
