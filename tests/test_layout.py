@@ -157,3 +157,70 @@ def test_fs_file_stats_excludes_metadata_entries(spark, tmp_path):
     o.repartition(4).write.mode("overwrite").parquet(path)
     n, total = layout.fs_file_stats(spark, path)
     assert n == 4 and total > 0  # _SUCCESS / .crc not counted
+
+
+def _xy2d(bits: int, x: int, y: int) -> int:
+    """Scalar reference (classic xy2d recurrence) for exactness pins."""
+    n = 1 << bits
+    d, s = 0, n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_key_matches_scalar_reference_exactly(spark):
+    """Full 16x16 grid at bits=4: the distributed unrolled recurrence
+    equals the scalar reference on every cell (grid coords are fixed
+    points of the min-max normalization), and the key is a bijection
+    whose consecutive cells are grid-adjacent — the locality property
+    the curve exists for."""
+    bits = 4
+    n = 1 << bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.hkey
+        for r in layout.with_hilbert_key(df, ["x", "y"], bits).collect()
+    }
+    assert got == {(x, y): _xy2d(bits, x, y) for x, y in rows}
+    inv = {d: xy for xy, d in got.items()}
+    assert len(inv) == n * n
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+
+
+def test_hilbert_key_nulls_and_arity(spark):
+    df = spark.createDataFrame(
+        [(None, 5), (3, None), (7, 2)], "x long, y long"
+    )
+    out = layout.with_hilbert_key(df, ["x", "y"], bits=4).collect()
+    assert all(r.hkey is not None for r in out)  # nulls bucket to 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        layout.with_hilbert_key(df, ["x"], bits=4)
+    with _pt.raises(ValueError):
+        layout.with_hilbert_key(df, ["x", "y"], bits=32)
+
+
+def test_hilbert_prunes_both_dimensions(spark, tmp_path):
+    """The payoff twin of the zorder pruning test: Hilbert clustering
+    keeps SECOND-dimension bounding boxes tight too (measured against
+    zorder at sf0.1 in tools/ZORDER_BYTES.md)."""
+    o = _orders(spark)
+    hpath = str(tmp_path / "h")
+    layout.write_hilbert(o, hpath, ["o_custkey", "o_totalprice"],
+                         n_files=8, bits=8)
+    assert spark.read.parquet(hpath).count() == o.count()
+    lo, hi = o.approxQuantile("o_totalprice", [0.45, 0.55], 0.0)
+    hstats = layout.file_minmax_stats(spark, hpath, ["o_totalprice"])
+    pruned = layout.candidate_files(hstats, "o_totalprice", lo, hi)
+    assert len(pruned) < 8  # a second-dimension predicate skips files

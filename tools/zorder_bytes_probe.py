@@ -43,13 +43,17 @@ def main() -> None:
     )
     lin = tempfile.mkdtemp(prefix="zb_lin_")
     zod = tempfile.mkdtemp(prefix="zb_zo_")
+    hil = tempfile.mkdtemp(prefix="zb_hb_")
     try:
         layout.write_linear(orders, lin, "o_custkey", n_files=N_FILES)
         layout.write_zordered(orders, zod, ["o_custkey", "o_totalprice"],
                               n_files=N_FILES)
+        layout.write_hilbert(orders, hil, ["o_custkey", "o_totalprice"],
+                             n_files=N_FILES, bits=8)
         cols = ["o_custkey", "o_totalprice"]
         stats_lin = layout.file_minmax_stats(spark, lin, cols)
         stats_zo = layout.file_minmax_stats(spark, zod, cols)
+        stats_hb = layout.file_minmax_stats(spark, hil, cols)
         # narrow predicates: ~3% of each dimension's range
         b = orders.agg(
             *(f(c).alias(f"{n}_{c}")
@@ -63,11 +67,12 @@ def main() -> None:
             "# ZORDER_BYTES — measured data-skipping, sf0.1 orders, "
             f"{N_FILES} files",
             "",
-            "Same rows written twice (tools/zorder_bytes_probe.py): "
-            "linear range-cluster on o_custkey vs Z-order on "
-            "(o_custkey, o_totalprice).  A min-max pruner (what parquet "
-            "footers give every reader) is asked what it must read for "
-            "a ~3%-selectivity BETWEEN on each dimension.",
+            "Same rows written three ways (tools/zorder_bytes_probe.py): "
+            "linear range-cluster on o_custkey, Z-order on "
+            "(o_custkey, o_totalprice), and Hilbert on the same pair "
+            "(operators/layout.py:with_hilbert_key).  A min-max pruner "
+            "(what parquet footers give every reader) is asked what it "
+            "must read for a ~3%-selectivity BETWEEN on each dimension.",
             "",
             "| layout | predicate dim | files read | bytes read |",
             "|---|---|---|---|",
@@ -78,7 +83,8 @@ def main() -> None:
             plo = float(lo_v) + (float(hi_v) - float(lo_v)) * 0.5
             phi = plo + width
             for label, path, stats in (("linear(o_custkey)", lin, stats_lin),
-                                       ("zorder(both)", zod, stats_zo)):
+                                       ("zorder(both)", zod, stats_zo),
+                                       ("hilbert(both)", hil, stats_hb)):
                 cand = layout.candidate_files(stats, col, plo, phi)
                 lines.append(
                     f"| {label} | {col} | {len(cand)}/{N_FILES} "
@@ -90,9 +96,12 @@ def main() -> None:
             "Reading: on the FIRST dimension the 1-D layout wins "
             "slightly (perfect ordering beats interleaved bits); on the "
             "SECOND dimension the 1-D layout must read every file while "
-            "Z-order prunes most of them — the reason OPTIMIZE ZORDER "
-            "exists.  At 100 TB the files-read column is the scan-cost "
-            "column.",
+            "the space-filling curves prune most of them — the reason "
+            "OPTIMIZE ZORDER exists.  Hilbert's unit-step walk (no "
+            "Z-shaped jumps) keeps per-file bounding boxes at least as "
+            "tight as Z-order's on both dimensions — the reason liquid "
+            "clustering moved to it.  At 100 TB the files-read column "
+            "is the scan-cost column.",
         ]
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "ZORDER_BYTES.md")
@@ -102,6 +111,7 @@ def main() -> None:
     finally:
         shutil.rmtree(lin, ignore_errors=True)
         shutil.rmtree(zod, ignore_errors=True)
+        shutil.rmtree(hil, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -188,3 +188,107 @@ def compact_files(spark: SparkSession, src: str, dst: str,
         "files_after": files_after, "bytes_after": bytes_after,
         "n_out": n_out,
     }
+
+
+def with_hilbert_key(df: DataFrame, cols: list[str], bits: int = 8,
+                     out: str = "hkey") -> DataFrame:
+    """Hilbert-curve clustering key over exactly two numeric columns —
+    the space-filling curve behind Databricks liquid clustering and
+    Iceberg's hilbert rewrite, and Z-order's stronger sibling: the
+    Hilbert walk moves one grid cell at a time (no Z-shaped jumps
+    across the key space), so consecutive key ranges are genuinely
+    contiguous rectangles and per-file bounding boxes come out tighter
+    on BOTH dimensions (measured vs zorder in tools/ZORDER_BYTES.md).
+
+    Same min-max bucket normalization as :func:`zorder_key` (nulls ->
+    bucket 0, constant column -> 0).  The classic per-bit
+    reflect+rotate recurrence (Wikipedia "Hilbert curve", xy2d) is
+    unrolled into one narrow projection per bit level — each level's
+    (x, y, d) state lands in named columns, so the whole chain stays
+    a linear pipeline of ~5-expression projects that whole-stage
+    codegen fuses into one pass (a single nested Column expression
+    would grow 4x per level).  Exactness vs the reference scalar
+    implementation is pinned bit-for-bit in tests/test_layout.py; the
+    DuckDB oracle (layout_hilbert_key) replays the same recurrence as
+    a generated CTE chain.
+    """
+    if len(cols) != 2:
+        raise ValueError(
+            f"hilbert key is the classic 2-D curve — got {len(cols)} cols"
+        )
+    if 2 * bits > 62:
+        raise ValueError(f"2 * bits({bits}) exceeds 62 — reduce bits")
+    row = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    scale = (1 << bits) - 1
+    buckets = []
+    for c in cols:
+        lo_v, hi_v = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo_v is None:  # empty frame or all-null column
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        lo, hi = float(lo_v), float(hi_v)
+        span = (hi - lo) or 1.0
+        val = F.coalesce(F.col(c).cast("double"), F.lit(lo))
+        buckets.append(
+            F.least(
+                F.lit(scale),
+                F.floor((val - F.lit(lo)) / F.lit(span) * scale),
+            ).cast("long")
+        )
+    n = 1 << bits
+    keep = list(df.columns)
+    cur = df.select(
+        *keep,
+        buckets[0].alias("_hx"),
+        buckets[1].alias("_hy"),
+        F.lit(0).cast("long").alias(out),
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        cur = cur.select(
+            *keep,
+            "_hx", "_hy", out,
+            F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1)
+            .otherwise(0).alias("_rx"),
+            F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1)
+            .otherwise(0).alias("_ry"),
+        ).select(
+            *keep,
+            # reflect (around n-1) then swap, only in the ry == 0 arm
+            F.when(
+                F.col("_ry") == 0,
+                F.when(F.col("_rx") == 1, F.lit(n - 1) - F.col("_hy"))
+                .otherwise(F.col("_hy")),
+            ).otherwise(F.col("_hx")).alias("_hx"),
+            F.when(
+                F.col("_ry") == 0,
+                F.when(F.col("_rx") == 1, F.lit(n - 1) - F.col("_hx"))
+                .otherwise(F.col("_hx")),
+            ).otherwise(F.col("_hy")).alias("_hy"),
+            (
+                F.col(out)
+                + F.lit(s).cast("long") * F.lit(s)
+                * (
+                    F.col("_rx") * (F.lit(3) - F.col("_ry"))
+                    + (F.lit(1) - F.col("_rx")) * F.col("_ry")
+                )
+            ).alias(out),
+        )
+    return cur.drop("_hx", "_hy")
+
+
+def write_hilbert(df: DataFrame, path: str, cols: list[str],
+                  n_files: int = 8, bits: int = 8) -> None:
+    """Write ``df`` clustered on the Hilbert key of ``cols`` — the
+    liquid-clustering twin of :func:`write_zordered`."""
+    (
+        with_hilbert_key(df, cols, bits, out="_h")
+        .repartitionByRange(n_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

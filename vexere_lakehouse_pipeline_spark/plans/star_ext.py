@@ -1613,3 +1613,73 @@ def layout_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert clustering key (operators/layout.py:with_hilbert_key — the
+# space-filling curve behind liquid clustering / Iceberg hilbert
+# rewrites; Z-order's stronger sibling, measured against it in
+# tools/ZORDER_BYTES.md).  The DuckDB oracle replays the SAME classic
+# reflect+rotate recurrence as a generated CTE chain (one pair of
+# CTEs per bit level, exactly the per-level projections the Spark
+# side unrolls), over the same min-max normalization the zorder
+# oracle uses.  bits=8 -> 256x256 grid; all arithmetic integer after
+# the one shared normalization floor.
+# ---------------------------------------------------------------------------
+_HB_BITS = 8
+_HB_SCALE = (1 << _HB_BITS) - 1
+
+
+def _hilbert_oracle() -> str:
+    n = 1 << _HB_BITS
+    norm = (
+        "CAST(least({s}, floor((CAST({c} AS DOUBLE) - lo{j}) "
+        "/ (CASE WHEN hi{j} = lo{j} THEN 1.0 ELSE hi{j} - lo{j} END) "
+        "* {s})) AS BIGINT)"
+    )
+    ctes = [
+        "b AS (SELECT MIN(o_custkey) AS lo0, MAX(o_custkey) AS hi0, "
+        "MIN(o_totalprice) AS lo1, MAX(o_totalprice) AS hi1 FROM orders)",
+        "h0 AS (SELECT o_orderkey, "
+        + norm.format(s=_HB_SCALE, c="o_custkey", j=0) + " AS hx, "
+        + norm.format(s=_HB_SCALE, c="o_totalprice", j=1) + " AS hy, "
+        "CAST(0 AS BIGINT) AS hd FROM orders, b)",
+    ]
+    for lvl, i in enumerate(range(_HB_BITS - 1, -1, -1)):
+        s = 1 << i
+        ctes.append(
+            f"r{lvl} AS (SELECT o_orderkey, hx, hy, hd, "
+            f"CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx, "
+            f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry "
+            f"FROM h{lvl})"
+        )
+        ctes.append(
+            f"h{lvl + 1} AS (SELECT o_orderkey, "
+            f"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 "
+            f"THEN {n - 1} - hy ELSE hy END ELSE hx END AS hx, "
+            f"CASE WHEN ry = 0 THEN CASE WHEN rx = 1 "
+            f"THEN {n - 1} - hx ELSE hx END ELSE hy END AS hy, "
+            f"hd + {s * s} * (rx * (3 - ry) + (1 - rx) * ry) AS hd "
+            f"FROM r{lvl})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT o_orderkey, hd AS hkey FROM h{_HB_BITS} "
+        "ORDER BY o_orderkey"
+    )
+
+
+@_register("layout_hilbert_key", _hilbert_oracle())
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.operators import layout
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return (
+        layout.with_hilbert_key(
+            orders, ["o_custkey", "o_totalprice"], bits=_HB_BITS
+        )
+        .select("o_orderkey", "hkey")
+        .orderBy("o_orderkey")
+    )
