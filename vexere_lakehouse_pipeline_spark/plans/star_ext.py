@@ -1683,3 +1683,78 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "hkey")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning, as a gated row (the mechanism
+# tests/test_layout.py proves on synthetic data, here on the star
+# schema): orders is written hive-partitioned by o_orderpriority (the
+# memoized one-time layout job), then a dim-filtered star join runs
+# against the PARTITIONED copy.  Catalyst plants a dynamicpruning
+# subquery on the fact scan — at runtime the scan reads only the
+# partitions the filtered dim selects, the mechanism that makes
+# dim-filtered joins touch a sliver of a 100 TB fact.  The row
+# ASSERTS the executed plan carries the pruning subquery (a silent
+# full scan fails loudly, not just slowly), and the oracle replays
+# the same join over the logical table — a green hash proves the
+# partitioned rewrite + pruned join changed layout, not answers.
+# ---------------------------------------------------------------------------
+_DPP_MEMO: dict[tuple, str] = {}
+
+
+@_register(
+    "layout_partitioned_dpp_join",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS total_cents
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority AS pr FROM orders
+          WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '3-%') d
+      ON o.o_orderpriority = d.pr
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def layout_partitioned_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _DPP_MEMO.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="vlps_dpp_"), "orders_p")
+        load_table(spark, sf_dir, "orders").write.mode(
+            "overwrite"
+        ).partitionBy("o_orderpriority").parquet(path)
+        _DPP_MEMO[key] = path
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").startswith("1-")
+            | F.col("o_orderpriority").startswith("3-")
+        )
+        .select(F.col("o_orderpriority").alias("pr"))
+        .distinct()
+    )
+    joined = fact.join(
+        F.broadcast(dim), fact["o_orderpriority"] == dim["pr"]
+    )
+    out = (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():
+        raise AssertionError(
+            "dynamic partition pruning missing from the executed plan — "
+            "the fact scan would read every partition"
+        )
+    return out

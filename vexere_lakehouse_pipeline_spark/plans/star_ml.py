@@ -2862,6 +2862,39 @@ ORACLE_SQL["sim_recall_filtered_sq8_vs_bruteforce"] = _recall_oracle(
 )
 
 
+def _jl_filtered_oracle() -> str:
+    """The inline JL oracle with the scope predicate pushed into its
+    candidate scan — same guarded surgery as _sq8_filtered_oracle,
+    proving ann_index_filter across a STATELESS kind too (no trained
+    parts to share; the filter view is pure row-part pruning)."""
+    marker = "WHERE c.vec_id <> qs.query_id"
+    src = ORACLE_SQL["sim_topk_jl"]
+    if src.count(marker) != 1:
+        raise AssertionError(
+            f"sim_topk_jl oracle: expected exactly one {marker!r}, "
+            f"found {src.count(marker)}"
+        )
+    return src.replace(
+        marker,
+        marker + " AND c.vec_id IN (SELECT vec_id FROM embeddings"
+                 " WHERE label <= 2)",
+    )
+
+
+@_register("sim_topk_filtered_jl_prebuilt", _jl_filtered_oracle())
+@_shared_arm
+def sim_topk_filtered_jl_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "jl", d_out=_JL_DOUT)
+    fidx = ann_index.ann_index_filter(idx, emb.filter(F.col("label") <= 2))
+    out = similarity.topk_jl(
+        emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5, index=fidx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image dedup (round-8 verdict #3): pHash each synthesized
 # image to a 63-bit DCT perceptual hash (operators/multimodal.py:
