@@ -292,6 +292,13 @@ def main() -> None:
         "multimodal_phash_neardup_pairs",
         "events_journey_paths_capped",
         "asof_join_error_next_click_capped",
+        "sim_topk_filtered_bruteforce",
+        "sim_topk_filtered_sq8_prebuilt",
+        "sim_recall_filtered_sq8_vs_bruteforce",
+        "sim_topk_filtered_jl_prebuilt",
+        "layout_compact_roundtrip",
+        "layout_hilbert_key",
+        "layout_partitioned_dpp_join",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

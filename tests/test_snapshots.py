@@ -174,3 +174,51 @@ def test_snapshot_diff_null_key_and_schema_drift(spark, tmp_path):
     w2 = t2.commit(spark.createDataFrame([(1,)], "id int"))
     with pytest.raises(ValueError, match="schema drift"):
         snapshot_diff(spark, t2, w1, w2, ["id"])
+
+
+def test_optimize_is_a_versioned_commit(spark, tmp_path):
+    """OPTIMIZE rewrites layout as a NEW version: fewer files, same
+    rows, history intact (time travel reaches the fragmented layout,
+    rollback undoes the rewrite, expire reclaims it)."""
+    from vexere_lakehouse_pipeline_spark.operators import layout
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(2000).selectExpr("id", "id * 2 AS v")
+    v0 = t.commit(df.repartition(16), note="fragmented ingest")
+    new_v, stats = t.optimize(spark, target_mb=64)
+    assert new_v == v0 + 1
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    cur = t.read(spark)
+    assert cur.count() == 2000
+    assert sorted(tuple(r) for r in cur.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # history keeps the fragmented version readable (time travel)
+    old_files = layout.fs_file_stats(
+        spark, str(tmp_path / "t" / f"v={v0}"))[0]
+    assert old_files == 16
+    assert t.read(spark, version=v0).count() == 2000
+    notes = [h["note"] for h in t.history()]
+    assert notes == ["fragmented ingest", "optimize target_mb=64"]
+    # rollback undoes the rewrite, metadata-only
+    t.rollback(v0)
+    assert [h for h in t.history() if h["is_current"]][0]["version"] == v0
+
+
+def test_optimize_order_by_reclusters(spark, tmp_path):
+    from vexere_lakehouse_pipeline_spark.operators import layout
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(5000).selectExpr("id", "CAST(id % 97 AS LONG) AS k")
+    t.commit(df.repartition(8), note="ingest")
+    total = layout.fs_file_stats(
+        spark, str(tmp_path / "t" / "v=0"))[1]
+    new_v, stats = t.optimize(
+        spark, target_mb=total / 4 / (1 << 20), order_by=["k"])
+    assert stats["files_after"] > 1
+    fstats = layout.file_minmax_stats(
+        spark, str(tmp_path / "t" / f"v={new_v}"), ["k"])
+    spans = sorted((s["lo_k"], s["hi_k"]) for s in fstats)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next
+    assert t.read(spark).count() == 5000

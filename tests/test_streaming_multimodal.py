@@ -1111,3 +1111,47 @@ def test_serve_ann_stream_matches_batch(spark, tmp_path):
     with _pytest.raises(ValueError, match="no streaming serve path"):
         serve_ann_stream(stream, ann_index.AnnIndex("pq_adc", {}, {}),
                          out_dir, str(tmp_path / "ckpt3"))
+
+
+def test_stream_autocompact_sink_maintains_file_count(spark, tmp_path):
+    """Auto-OPTIMIZE at the sink: micro-batch appends fragment the
+    table past max_files, the batch hook compacts in place, rows
+    survive bit-identically, and the stats prove maintenance ran."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(3000).selectExpr("id", "id % 7 AS v")
+    # 30 input files -> maxFilesPerTrigger batches of fragmented appends
+    df.repartition(30).write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .option("maxFilesPerTrigger", 6)
+        .parquet(src)
+    )
+    stats = ingest.run_stream_autocompact_sink(
+        stream, out, ckpt, max_files=10, target_mb=256
+    )
+    assert stats, "stream never compacted despite fragmenting appends"
+    assert all(s["files_after"] < s["files_before"] for s in stats)
+    from vexere_lakehouse_pipeline_spark.operators import layout
+
+    n_files, _ = layout.fs_file_stats(spark, out)
+    # bounded: appends since the last compaction can exceed max_files
+    # by at most one batch's file count
+    assert n_files <= 10 + 6
+    back = spark.read.parquet(out)
+    assert back.count() == 3000
+    assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+
+
+def test_stream_autocompact_no_trigger_below_threshold(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(100).write.parquet(src)
+    stream = spark.readStream.schema("id long").parquet(src)
+    stats = ingest.run_stream_autocompact_sink(
+        stream, out, ckpt, max_files=64
+    )
+    assert stats == []
+    assert spark.read.parquet(out).count() == 100

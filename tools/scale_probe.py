@@ -211,9 +211,19 @@ PROBES = [
     # O(N²) by contract (enforced row ceiling); the scale path is
     # knn_graph(strategy='lsh') (recall-gated), whose bucket self-join
     # shape is already covered by dedup_minhash_lsh_pairs above.
-    # search_mmr_rerank is NOT probed: its candidate tier is the
-    # already-probed top-k generators and the greedy stage is fixed-k
-    # over a fixed-N candidate set — replication would time constants.
+    # round 8: layout tier — hilbert key is scan-linear per-row math;
+    # the compaction roundtrip times fragment+OPTIMIZE+agg on rep 1 and
+    # the post-layout agg on rep 2 (best-of-2 keeps the steady state);
+    # the DPP row's pruned scan should grow sublinearly in the FACT
+    # (the dim filter holds 2/5 partitions at every scale)
+    ("layout_hilbert_key", {"orders": ["o_orderkey"]}),
+    ("layout_compact_roundtrip", {"orders": ["o_orderkey"]}),
+    ("layout_partitioned_dpp_join", {"orders": ["o_orderkey"]}),
+    # round 8: filtered vector search — the scoped serve's work tracks
+    # |allowed| (~30% of candidates), so growth stays candidate-linear
+    ("sim_topk_filtered_bruteforce", {"embeddings": ["vec_id"]}),
+    ("sim_topk_filtered_sq8_prebuilt", {"embeddings": ["vec_id"]}),
+    ("sim_topk_filtered_jl_prebuilt", {"embeddings": ["vec_id"]}),
 ]
 
 ALL_TABLES = list(TESTDATA_TABLES)  # single source of truth (catalog)

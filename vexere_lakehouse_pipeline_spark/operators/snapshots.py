@@ -152,6 +152,47 @@ class SnapshotTable:
         m["current"] = version
         self._publish(m)
 
+    def optimize(self, spark: SparkSession, target_mb: float = 128,
+                 order_by: list[str] | None = None) -> tuple[int, dict]:
+        """``OPTIMIZE`` as a TABLE operation (Delta OPTIMIZE writes a
+        commit, not a directory): rewrite the current version's small
+        files into ``ceil(bytes/target)`` right-sized ones and publish
+        the result as a NEW version with the same rows.  History is
+        preserved — time travel to the fragmented version still works,
+        rollback undoes the rewrite, and :meth:`expire` reclaims the
+        old layout under the normal retention window.  Shuffle-free
+        ``coalesce`` by default; ``order_by`` re-clusters while
+        compacting (the OPTIMIZE ZORDER shape — pass a z-order/hilbert
+        key column, operators/layout.py).  Returns
+        ``(new_version, stats)`` with measured file/byte counts.
+        Row-identity of the standalone path is oracle-gated by
+        layout_compact_roundtrip; the version plumbing is pinned in
+        tests/test_snapshots.py."""
+        from vexere_lakehouse_pipeline_spark.operators import layout
+
+        m = self._read_manifest()
+        if m["current"] is None:
+            raise FileNotFoundError(f"no committed version at {self.base}")
+        cur_path = f"{self.base}/v={m['current']}"
+        files_before, bytes_before = layout.fs_file_stats(spark, cur_path)
+        target_bytes = max(1, int(target_mb * (1 << 20)))
+        n_out = max(1, -(-bytes_before // target_bytes))
+        df = spark.read.format(self.fmt).load(cur_path)
+        if order_by:
+            df = (df.repartitionByRange(n_out, *order_by)
+                    .sortWithinPartitions(*order_by))
+        else:
+            df = df.coalesce(n_out)
+        version = self.commit(df, note=f"optimize target_mb={target_mb}")
+        files_after, bytes_after = layout.fs_file_stats(
+            spark, f"{self.base}/v={version}"
+        )
+        return version, {
+            "files_before": files_before, "bytes_before": bytes_before,
+            "files_after": files_after, "bytes_after": bytes_after,
+            "n_out": n_out,
+        }
+
     def expire(self, keep_last: int = 2) -> list[int]:
         """Retention maintenance (Delta VACUUM / Iceberg
         expire_snapshots): drop all but the newest ``keep_last``

@@ -692,3 +692,69 @@ def serve_ann_stream(queries_stream: DataFrame, index, out_dir: str,
         .start()
         .awaitTermination()
     )
+
+
+def run_stream_autocompact_sink(stream_df: DataFrame, out_dir: str,
+                                checkpoint_dir: str,
+                                max_files: int = 64,
+                                target_mb: float = 128) -> list[dict]:
+    """Streaming append sink with inline table maintenance — the
+    auto-OPTIMIZE pattern (Delta's autoCompact): every micro-batch
+    appends to ``out_dir``; whenever the accumulated file count
+    crosses ``max_files``, the batch hook compacts the directory
+    in-place via the shuffle-free path (operators/layout.py:
+    compact_files) before the next append.  This is the production
+    answer to the failure shape tools/COMPACT.md measures — a
+    minutely streaming sink fragmenting a table into thousands of
+    KB files — applied WHERE the files are born instead of as a
+    separate nightly job.
+
+    The compact step writes to a staging sibling then swaps
+    directories (write-new-then-swap, never rewrite-in-place —
+    a crashed compaction leaves the original intact; the swap is two
+    os.rename calls, so out_dir must be a local/mounted path like
+    SnapshotTable; use Delta OPTIMIZE semantics on object stores).
+    At-least-once like every foreachBatch sink: a replayed batch
+    re-appends rows (the standing caveat run_stream_merge_sink
+    documents); compaction never changes row multiplicity, so the
+    dedup-downstream recovery is unaffected.
+
+    Returns the per-compaction stats dicts (empty when the stream
+    never crossed ``max_files``) — the measured proof the maintenance
+    ran, pinned in tests/test_streaming_multimodal.py.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from vexere_lakehouse_pipeline_spark.operators import layout
+
+    compactions: list[dict] = []
+
+    def append_and_maintain(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+        spark = batch_df.sparkSession
+        n_files, _ = layout.fs_file_stats(spark, out_dir)
+        if n_files <= max_files:
+            return
+        staging = tempfile.mkdtemp(
+            prefix="autocompact_", dir=os.path.dirname(out_dir)
+        )
+        stats = layout.compact_files(
+            spark, out_dir, os.path.join(staging, "c"), target_mb=target_mb
+        )
+        old = out_dir.rstrip("/") + f"._expired.{_batch_id}"
+        os.rename(out_dir, old)
+        os.rename(os.path.join(staging, "c"), out_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rmdir(staging)
+        compactions.append(stats)
+
+    (
+        stream_df.writeStream.foreachBatch(append_and_maintain)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return compactions
