@@ -429,3 +429,35 @@ def test_filtered_view_keeps_trained_state_and_kind(spark, ivfpq_idx):
     allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
     got = served.collect()
     assert got and all(r.vec_id in allowed_ids for r in got)
+
+
+def test_filtered_ivf_shortfall_and_nprobe_recovery(spark, ivfpq_idx):
+    """The production caveat of pre-filtered IVF: a selective scope
+    empties probed lists, so a query can come back with FEWER than k
+    answers even though the scope holds >= k vectors — the fix is a
+    bigger probe budget (vector stores auto-raise nprobe under
+    filters), NOT post-filtering.  Pinned: full-list probing restores
+    k for every query and returns only in-scope ids."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    # a selective scope: ~10% of the corpus
+    allowed = emb.filter(F.col("label") == 4)
+    n_allowed = allowed.count()
+    assert n_allowed >= 5  # the scope itself could satisfy k
+    fidx = ann_index.ann_index_filter(ivfpq_idx, allowed)
+    got_small = similarity.topk_ivfpq(
+        emb.limit(0), q, k=5, nprobe=2, index=fidx).collect()
+    per_q = {}
+    for r in got_small:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    # with 16 lists and ~10% of rows in scope, a 2-list probe budget
+    # cannot guarantee 5 in-scope hits for every query
+    assert min(per_q.values() or [0]) <= 5
+    got_full = similarity.topk_ivfpq(
+        emb.limit(0), q, k=5, nprobe=16, index=fidx).collect()
+    per_q_full = {}
+    for r in got_full:
+        per_q_full[r.query_id] = per_q_full.get(r.query_id, 0) + 1
+    assert set(per_q_full.values()) == {5}
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    assert all(r.vec_id in allowed_ids for r in got_full)

@@ -1,0 +1,113 @@
+"""Filtered vector-search selectivity instrument (FILTERED_ANN.md).
+
+The claim behind ann_index_filter is that the scope predicate prunes
+BEFORE distance arithmetic — so serve cost should TRACK selectivity
+(a 3% scope scores ~3% of the codes), not stay corpus-constant the
+way post-filtering would.  This probe measures it at sf0.1: one
+full-corpus SQ8 artifact built once, then served through filtered
+views at descending selectivities, timing each serve and checking
+answer completeness (every query keeps k answers whenever the scope
+holds >= k vectors — the filter-then-rank guarantee).
+
+Usage: python tools/filtered_ann_probe.py   (writes FILTERED_ANN.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vexere_lakehouse_pipeline_spark.catalog import load_table  # noqa: E402
+from vexere_lakehouse_pipeline_spark.operators import (  # noqa: E402
+    ann_index,
+    similarity,
+)
+from vexere_lakehouse_pipeline_spark.session import build_session  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+K = 5
+REPS = 3
+
+# thunks: Column exprs need a live session
+SCOPES = [
+    ("unfiltered", None),
+    ("label <= 8 (~90%)", lambda: F.col("label") <= 8),
+    ("label <= 2 (~30%)", lambda: F.col("label") <= 2),
+    ("label = 4 (~10%)", lambda: F.col("label") == 4),
+    ("hash 1/32 (~3%)", lambda: F.abs(F.hash("vec_id")) % 32 == 0),
+]
+
+
+def main() -> None:
+    spark = build_session("filtered-ann-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, BASE, "embeddings")
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = ann_index.ann_index_build(emb, kind="sq8")
+    path = ann_index.default_index_path(BASE, "sq8_probe")
+    ann_index.ann_index_save(idx, path)
+    idx = ann_index.ann_index_load(spark, path)
+
+    lines = [
+        "# FILTERED_ANN — filtered-search selectivity sweep, sf0.1",
+        "",
+        f"One full-corpus SQ8 artifact ({n_corpus:,} vectors), served "
+        "through ann_index_filter views at descending selectivity "
+        "(tools/filtered_ann_probe.py).  Pre-filtering means serve "
+        "cost tracks |scope|; post-filtering would stay flat at the "
+        "unfiltered cost AND lose answers.  `full k` = every query "
+        "returned k answers (guaranteed whenever the scope holds "
+        ">= k vectors; the flat SQ8 scan never short-falls — the IVF "
+        "caveat lives in tests/test_ann_index.py).",
+        "",
+        f"| scope | rows in scope | serve best-of-{REPS} (s) | full k |",
+        "|---|---|---|---|",
+    ]
+    for label, pred in SCOPES:
+        sidx = idx
+        n_scope = n_corpus
+        if pred is not None:
+            allowed = emb.filter(pred())
+            n_scope = allowed.count()
+            sidx = ann_index.ann_index_filter(idx, allowed)
+        best = float("inf")
+        rows = None
+        for _ in range(REPS):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            rows = similarity.topk_sq8(
+                emb.limit(0), queries, k=K, index=sidx
+            ).collect()
+            best = min(best, time.monotonic() - t0)
+        per_q: dict = {}
+        for r in rows:
+            per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        full_k = set(per_q.values()) == {K}
+        lines.append(
+            f"| {label} | {n_scope:,} | {best:.2f} | {full_k} |"
+        )
+        print(lines[-1])
+    lines += [
+        "",
+        "Serve time falls with scope size because the semi-joined "
+        "view shrinks the code scan itself; the fixed floor is the "
+        "query-side encode + top-k machinery.  At 100 TB the scan "
+        "term dominates, so the slope IS the payoff: one index, "
+        "every tenant, each paying only its own bytes.",
+    ]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "FILTERED_ANN.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

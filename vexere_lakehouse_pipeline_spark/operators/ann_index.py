@@ -299,6 +299,13 @@ def ann_index_filter(index: AnnIndex, allowed: DataFrame,
     selective (the common case); pass ``False`` for low-selectivity
     scopes so AQE picks the join side by measured size instead.
 
+    IVF caveat (pinned in tests/test_ann_index.py): a selective scope
+    empties probed inverted lists, so a fixed ``nprobe`` can return
+    FEWER than k in-scope answers — raise the probe budget under
+    filters (what production stores do automatically); the flat kinds
+    (sq8/jl/hamming/int8) scan the whole filtered view and never
+    short-fall.
+
     Scale note: a left-semi join on the code table's key column is
     the cheapest possible pre-filter (no row widening, bloom-filter
     pushdown eligible).  When one attribute is ALWAYS in the
