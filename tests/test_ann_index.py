@@ -461,3 +461,31 @@ def test_filtered_ivf_shortfall_and_nprobe_recovery(spark, ivfpq_idx):
     assert set(per_q_full.values()) == {5}
     allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
     assert all(r.vec_id in allowed_ids for r in got_full)
+
+
+def test_filtered_rerank_composes_and_stays_in_scope(spark, ivfpq_idx):
+    """Filtered view + two-stage rerank: the shortlist comes from the
+    FILTERED coded table, the exact tier late-fetches floats by id
+    from the full corpus — survivors are already in scope, so the
+    result is scoped AND float-exact, equal to an inline rerank over
+    filtered candidates with the same trained state."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("label") <= 2)
+    fidx = ann_index.ann_index_filter(ivfpq_idx, allowed)
+    served = similarity.topk_ivfpq_rerank(
+        emb, q, k=5, shortlist=20, nprobe=16, index=fidx)
+    got = served.collect()
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    assert got and all(r.vec_id in allowed_ids for r in got)
+    # twin identity: filter(index) == build(filtered corpus, SAME
+    # pinned trained state) — encoding is row-wise given the
+    # quantizers, so the semi-joined view and a fresh scoped encode
+    # must serve identically
+    rebuilt = ann_index.ann_index_build(
+        allowed, kind="ivfpq", n_centroids=16, m=8, ksub=16,
+        centroids=ivfpq_idx.parts["centroids"],
+        codebooks=ivfpq_idx.parts["codebooks"])
+    twin = similarity.topk_ivfpq_rerank(
+        emb, q, k=5, shortlist=20, nprobe=16, index=rebuilt)
+    assert _rows(served) == _rows(twin)
