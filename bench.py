@@ -299,6 +299,7 @@ def main() -> None:
         "layout_compact_roundtrip",
         "layout_hilbert_key",
         "layout_partitioned_dpp_join",
+        "sim_recall_filtered_jl_vs_bruteforce",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

@@ -2895,6 +2895,20 @@ def sim_topk_filtered_jl_prebuilt(
     return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
 
 
+@_register("sim_recall_filtered_jl_vs_bruteforce", None)  # composed below
+def sim_recall_filtered_jl_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_filtered_jl_prebuilt,
+                        truth_fn=sim_topk_filtered_bruteforce)
+
+
+ORACLE_SQL["sim_recall_filtered_jl_vs_bruteforce"] = _recall_oracle(
+    "sim_topk_filtered_jl_prebuilt",
+    truth_name="sim_topk_filtered_bruteforce",
+)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image dedup (round-8 verdict #3): pHash each synthesized
 # image to a 63-bit DCT perceptual hash (operators/multimodal.py:
