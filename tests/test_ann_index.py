@@ -451,8 +451,10 @@ def test_filtered_ivf_shortfall_and_nprobe_recovery(spark, ivfpq_idx):
     for r in got_small:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     # with 16 lists and ~10% of rows in scope, a 2-list probe budget
-    # cannot guarantee 5 in-scope hits for every query
-    assert min(per_q.values() or [0]) <= 5
+    # cannot guarantee 5 in-scope hits for every query — assert a
+    # STRICT shortfall (the fixture is deterministic), so the caveat
+    # and the nprobe-recovery contrast below are both load-bearing
+    assert min(per_q.values() or [0]) < 5
     got_full = similarity.topk_ivfpq(
         emb.limit(0), q, k=5, nprobe=16, index=fidx).collect()
     per_q_full = {}

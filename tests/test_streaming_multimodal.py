@@ -1144,6 +1144,45 @@ def test_stream_autocompact_sink_maintains_file_count(spark, tmp_path):
     assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
 
 
+def test_stream_autocompact_recovers_crashed_swap(spark, tmp_path):
+    """ADVICE r8 (medium): the compaction swap is two os.rename calls;
+    a crash between them leaves out_dir MISSING with the original
+    parked at ._expired.<batch>.  A restarted sink must rename it back
+    before appending — otherwise the append recreates an empty table
+    and every prior row is silently orphaned.  Also: ._expired
+    leftovers from a crash AFTER a completed swap are garbage and get
+    swept."""
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(100).selectExpr("id", "id % 7 AS v").write.parquet(src)
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    ingest.run_stream_autocompact_sink(stream, out, ckpt, max_files=64)
+    assert spark.read.parquet(out).count() == 100
+
+    # simulate the mid-swap crash: out_dir renamed away, swap-in died
+    os.rename(out, out + "._expired.3")
+    # new data arrives; the restarted sink must recover, not orphan
+    spark.range(100, 150).selectExpr("id", "id % 7 AS v").write.mode(
+        "append").parquet(src)
+    stream2 = spark.readStream.schema("id long, v long").parquet(src)
+    ingest.run_stream_autocompact_sink(stream2, out, ckpt, max_files=64)
+    back = spark.read.parquet(out)
+    assert back.count() == 150  # prior rows recovered + new appended
+    assert not os.path.exists(out + "._expired.3")
+
+    # post-swap garbage: out_dir intact, a stale ._expired sibling
+    os.makedirs(out + "._expired.9")
+    spark.range(150, 160).selectExpr("id", "id % 7 AS v").write.mode(
+        "append").parquet(src)
+    stream3 = spark.readStream.schema("id long, v long").parquet(src)
+    ingest.run_stream_autocompact_sink(stream3, out, ckpt, max_files=64)
+    assert spark.read.parquet(out).count() == 160
+    assert not os.path.exists(out + "._expired.9")
+
+
 def test_stream_autocompact_no_trigger_below_threshold(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "table")

@@ -15,7 +15,9 @@ Usage: python tools/filtered_ann_probe.py   (writes FILTERED_ANN.md)
 from __future__ import annotations
 
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -50,7 +52,10 @@ def main() -> None:
     n_corpus = emb.count()
     queries = emb.filter(F.col("vec_id") < 10)
     idx = ann_index.ann_index_build(emb, kind="sq8")
-    path = ann_index.default_index_path(BASE, "sq8_probe")
+    # stage the probe artifact under a tempdir (like compact_probe /
+    # zorder_bytes_probe) so runs never pollute the shared index tree
+    staging = tempfile.mkdtemp(prefix="filtered_ann_probe_")
+    path = os.path.join(staging, "sq8_probe")
     ann_index.ann_index_save(idx, path)
     idx = ann_index.ann_index_load(spark, path)
 
@@ -106,6 +111,7 @@ def main() -> None:
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
+    shutil.rmtree(staging, ignore_errors=True)
     spark.stop()
 
 

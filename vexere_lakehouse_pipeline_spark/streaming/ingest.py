@@ -710,10 +710,17 @@ def run_stream_autocompact_sink(stream_df: DataFrame, out_dir: str,
     separate nightly job.
 
     The compact step writes to a staging sibling then swaps
-    directories (write-new-then-swap, never rewrite-in-place —
-    a crashed compaction leaves the original intact; the swap is two
-    os.rename calls, so out_dir must be a local/mounted path like
-    SnapshotTable; use Delta OPTIMIZE semantics on object stores).
+    directories (write-new-then-swap, never rewrite-in-place; the
+    swap is two os.rename calls, so out_dir must be a local/mounted
+    path like SnapshotTable; use Delta OPTIMIZE semantics on object
+    stores).  The swap is NOT atomic — a crash between the two
+    renames leaves out_dir missing with the original parked at the
+    ``._expired.<batch>`` sibling — so the sink RECOVERS on start and
+    before every append: if out_dir is absent but an ``._expired``
+    sibling exists, the newest one is renamed back before any write
+    (rows are never lost; at worst the compaction re-triggers on the
+    next batch).  Leftover ``._expired``/staging siblings from a
+    crash after a completed swap are swept the same way.
     At-least-once like every foreachBatch sink: a replayed batch
     re-appends rows (the standing caveat run_stream_merge_sink
     documents); compaction never changes row multiplicity, so the
@@ -731,7 +738,32 @@ def run_stream_autocompact_sink(stream_df: DataFrame, out_dir: str,
 
     compactions: list[dict] = []
 
+    def recover_swap() -> None:
+        """Heal a crashed compaction swap (ADVICE r8): the two-rename
+        swap below can die between renames, leaving out_dir missing
+        and the pre-compaction original parked at ._expired.<batch>.
+        Renaming the newest ._expired back restores every row (the
+        compaction is merely redone later).  When out_dir DOES exist,
+        any ._expired leftovers are post-swap garbage — swept."""
+        parent = os.path.dirname(out_dir.rstrip("/")) or "."
+        base = os.path.basename(out_dir.rstrip("/"))
+        if not os.path.isdir(parent):
+            return
+        expired = sorted(
+            n for n in os.listdir(parent)
+            if n.startswith(base + "._expired.")
+        )
+        if not os.path.exists(out_dir):
+            if expired:
+                os.rename(os.path.join(parent, expired[-1]), out_dir)
+                expired = expired[:-1]
+        for n in expired:
+            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+
+    recover_swap()
+
     def append_and_maintain(batch_df: DataFrame, _batch_id: int) -> None:
+        recover_swap()
         batch_df.write.mode("append").parquet(out_dir)
         spark = batch_df.sparkSession
         n_files, _ = layout.fs_file_stats(spark, out_dir)
