@@ -300,6 +300,15 @@ def main() -> None:
         "layout_hilbert_key",
         "layout_partitioned_dpp_join",
         "sim_recall_filtered_jl_vs_bruteforce",
+        # round 9: adaptive probe budget for filtered IVF serving —
+        # the row is green at a selectivity where fixed nprobe
+        # demonstrably short-falls (tests/test_ann_index.py)
+        "sim_topk_filtered_ivfpq_prebuilt",
+        "sim_topk_filtered_bruteforce_narrow",
+        "sim_recall_filtered_ivfpq_vs_bruteforce",
+        # round 9: the freshness path — a real availableNow stream
+        # appends B into the saved artifact before serving
+        "sim_topk_sq8_stream_appended",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

@@ -465,6 +465,88 @@ def test_filtered_ivf_shortfall_and_nprobe_recovery(spark, ivfpq_idx):
     assert all(r.vec_id in allowed_ids for r in got_full)
 
 
+def test_adaptive_probe_recovers_filtered_shortfall(spark, ivfpq_idx):
+    """min_results=k (round-8 verdict #1): in EXACTLY the regime the
+    shortfall test above constructs, the adaptive budget returns full
+    k in-scope answers for every query while the fixed budget provably
+    cannot — and it expands only as far as coverage requires (queries
+    whose nprobe-prefix already covers k pay the fixed cost)."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("label") == 4)
+    fidx = ann_index.ann_index_filter(ivfpq_idx, allowed)
+    fixed = similarity.topk_ivfpq(
+        emb.limit(0), q, k=5, nprobe=2, index=fidx).collect()
+    per_fixed = {}
+    for r in fixed:
+        per_fixed[r.query_id] = per_fixed.get(r.query_id, 0) + 1
+    assert min(per_fixed.values() or [0]) < 5  # the regime is real
+    adaptive = similarity.topk_ivfpq(
+        emb.limit(0), q, k=5, nprobe=2, index=fidx,
+        min_results=5).collect()
+    per_ad = {}
+    for r in adaptive:
+        per_ad[r.query_id] = per_ad.get(r.query_id, 0) + 1
+    assert set(per_ad.values()) == {5}
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    assert all(r.vec_id in allowed_ids for r in adaptive)
+
+
+def test_adaptive_probe_identity_when_unfiltered(spark, ivfpq_idx):
+    """No scope, no shortfall -> the adaptive budget floors at nprobe
+    and the serve is BIT-IDENTICAL to the fixed budget (the unfiltered
+    path is unchanged by the feature)."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    fixed = similarity.topk_ivfpq(
+        emb.limit(0), q, k=5, nprobe=4, index=ivfpq_idx)
+    adaptive = similarity.topk_ivfpq(
+        emb.limit(0), q, k=5, nprobe=4, index=ivfpq_idx, min_results=5)
+    assert _rows(fixed) == _rows(adaptive)
+
+
+def test_adaptive_probe_scope_smaller_than_k_returns_all(spark, ivfpq_idx):
+    """When the whole scope holds FEWER than k rows, need is NULL and
+    every list is probed: the serve returns every in-scope row rather
+    than silently fewer while more exist."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("vec_id").isin(100, 200, 300))
+    fidx = ann_index.ann_index_filter(ivfpq_idx, allowed)
+    got = similarity.topk_ivfpq(
+        emb.limit(0), q, k=5, nprobe=2, index=fidx, min_results=5
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    n_q = q.count()
+    assert len(per_q) == n_q
+    assert set(per_q.values()) == {3}  # all of the 3-row scope, per query
+
+
+def test_adaptive_probe_residual_kind(spark, tmp_path_factory):
+    """The budget helper is shared across the IVF family — the
+    residual kind recovers the same way."""
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("ann") / "ivfpq_res")
+    built = ann_index.ann_index_build(emb, kind="ivfpq_residual",
+                                      n_centroids=16, m=8, ksub=16)
+    ann_index.ann_index_save(built, path)
+    idx = ann_index.ann_index_load(spark, path)
+    q = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("label") == 4)
+    fidx = ann_index.ann_index_filter(idx, allowed)
+    got = similarity.topk_ivfpq_residual(
+        emb.limit(0), q, k=5, nprobe=2, index=fidx, min_results=5
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    assert all(r.vec_id in allowed_ids for r in got)
+
+
 def test_filtered_rerank_composes_and_stays_in_scope(spark, ivfpq_idx):
     """Filtered view + two-stage rerank: the shortlist comes from the
     FILTERED coded table, the exact tier late-fetches floats by id

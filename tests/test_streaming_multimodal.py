@@ -1113,6 +1113,122 @@ def test_serve_ann_stream_matches_batch(spark, tmp_path):
                          out_dir, str(tmp_path / "ckpt3"))
 
 
+def test_append_ann_stream_twin_and_resume(spark, tmp_path):
+    """Continuous indexing (round-8 verdict #2): a corpus stream grows
+    the saved artifact per micro-batch with pinned trained state; the
+    result serves HASH-IDENTICALLY to an in-memory ann_index_append of
+    the same rows (itself oracle-proven ≡ build(A ∪ B)).  Includes the
+    kill-and-resume shape: a second run over the same checkpoint after
+    new files arrive processes ONLY the new files — no duplicate coded
+    rows."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import (
+        ann_index,
+        similarity,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.filter(F.col("vec_id") % 10 != 7)
+    b = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_save(ann_index.ann_index_build(a, kind="sq8"),
+                             path)
+
+    src = str(tmp_path / "new_rows")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = b.filter(F.col("vec_id") % 2 == 0)
+    b2 = b.filter(F.col("vec_id") % 2 == 1)
+    b1.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    ingest.append_ann_stream(
+        spark.readStream.schema(schema).parquet(src), path, ckpt
+    )
+    # "kill" (stream terminated), corpus keeps growing, resume on the
+    # SAME checkpoint — only b2's files are processed
+    b2.write.mode("append").parquet(src)
+    ingest.append_ann_stream(
+        spark.readStream.schema(schema).parquet(src), path, ckpt
+    )
+
+    grown = ann_index.ann_index_load(spark, path)
+    assert grown.parts["codes"].count() == emb.count()  # no dupes
+    q = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        tuple(r) for r in similarity.topk_sq8(
+            emb.limit(0), q, k=5, index=grown).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.topk_sq8(
+            emb.limit(0), q, k=5,
+            index=ann_index.ann_index_append(
+                ann_index.ann_index_build(a, kind="sq8"), b
+            ),
+        ).collect()
+    )
+    assert got == want
+
+    # a third run with nothing new is a no-op (exactly-once catch-up)
+    ingest.append_ann_stream(
+        spark.readStream.schema(schema).parquet(src), path, ckpt
+    )
+    assert ann_index.ann_index_load(
+        spark, path).parts["codes"].count() == emb.count()
+
+
+def test_append_ann_stream_autocompacts_row_parts(spark, tmp_path):
+    """Fragmentation control in the freshness path: many small append
+    batches would shatter the coded part into per-batch files — the
+    stream compacts a row part in place once it crosses max_files,
+    and the compacted artifact still serves identically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import (
+        ann_index,
+        layout,
+        similarity,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.filter(F.col("vec_id") % 10 != 7)
+    b = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_save(ann_index.ann_index_build(a, kind="jl"), path)
+
+    src = str(tmp_path / "new_rows")
+    b.repartition(6).write.parquet(src)  # 6 files -> 6 micro-batches
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ingest.append_ann_stream(stream, path, str(tmp_path / "ckpt"),
+                             max_files=3, target_mb=256)
+    n_files, _ = layout.fs_file_stats(spark, os.path.join(path, "codes"))
+    assert n_files <= 3 + 1  # bounded: at most one batch past the cap
+    grown = ann_index.ann_index_load(spark, path)
+    assert grown.parts["codes"].count() == emb.count()
+    q = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        tuple(r) for r in similarity.topk_jl(
+            emb.limit(0), q, k=5, index=grown).collect()
+    )
+    want = sorted(
+        tuple(r) for r in similarity.topk_jl(
+            emb.limit(0), q, k=5,
+            index=ann_index.ann_index_append(
+                ann_index.ann_index_build(a, kind="jl"),
+                spark.read.parquet(src),
+            ),
+        ).collect()
+    )
+    assert got == want
+
+
 def test_stream_autocompact_sink_maintains_file_count(spark, tmp_path):
     """Auto-OPTIMIZE at the sink: micro-batch appends fragment the
     table past max_files, the batch hook compacts in place, rows

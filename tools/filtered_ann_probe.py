@@ -105,6 +105,70 @@ def main() -> None:
         "query-side encode + top-k machinery.  At 100 TB the scan "
         "term dominates, so the slope IS the payoff: one index, "
         "every tenant, each paying only its own bytes.",
+        "",
+        "## Adaptive probe budget (IVF, min_results=k)",
+        "",
+        "Same sweep against one full-corpus IVFPQ artifact, serving "
+        "each scope twice: fixed nprobe=8 (can silently return < k "
+        "under selective scopes) vs the adaptive budget (per query, "
+        "probe the smallest distance-ranked list prefix whose "
+        "cumulative in-scope count covers k, floored at nprobe — "
+        "operators/similarity.py:_probe_lists).  The adaptive column "
+        "costs one extra cid-only aggregate over the scope-pruned "
+        "coded table; only shortfall queries expand their probe set.",
+        "",
+        "| scope | rows in scope | fixed s | fixed full k | "
+        "adaptive s | adaptive full k |",
+        "|---|---|---|---|---|---|",
+    ]
+    iidx = ann_index.ann_index_build(emb, kind="ivfpq", n_centroids=32,
+                                     m=8, ksub=16, dim=64)
+    ipath = os.path.join(staging, "ivfpq_probe")
+    ann_index.ann_index_save(iidx, ipath)
+    iidx = ann_index.ann_index_load(spark, ipath)
+    # one extra ultra-selective scope where the FIXED budget
+    # demonstrably short-falls at this sf (16 rows over 32 lists)
+    ivf_scopes = SCOPES + [
+        ("id % 128 = 0 (~0.8%)", lambda: F.col("vec_id") % 128 == 0),
+    ]
+    for label, pred in ivf_scopes:
+        sidx = iidx
+        n_scope = n_corpus
+        if pred is not None:
+            allowed = emb.filter(pred())
+            n_scope = allowed.count()
+            sidx = ann_index.ann_index_filter(iidx, allowed)
+        cells = {}
+        for mode, min_results in (("fixed", None), ("adaptive", K)):
+            best = float("inf")
+            rows = None
+            for _ in range(REPS):
+                spark.catalog.clearCache()
+                t0 = time.monotonic()
+                rows = similarity.topk_ivfpq(
+                    emb.limit(0), queries, k=K, nprobe=8, index=sidx,
+                    min_results=min_results,
+                ).collect()
+                best = min(best, time.monotonic() - t0)
+            per_q = {}
+            for r in rows:
+                per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+            cells[mode] = (best, set(per_q.values()) == {K})
+        lines.append(
+            f"| {label} | {n_scope:,} | {cells['fixed'][0]:.2f} | "
+            f"{cells['fixed'][1]} | {cells['adaptive'][0]:.2f} | "
+            f"{cells['adaptive'][1]} |"
+        )
+        print(lines[-1])
+    lines += [
+        "",
+        "The adaptive column stays full-k at every selectivity — "
+        "including the ultra-selective scope where the fixed budget "
+        "demonstrably loses answers — at roughly fixed-budget cost "
+        "(the visible overhead at this tiny sf is the |Q|×n_centroids "
+        "budget window + the cid-count pre-scan, both constant-side "
+        "terms; at corpus scale the probed-list ADC scan dominates "
+        "and only shortfall queries pay expansion).",
     ]
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "FILTERED_ANN.md")

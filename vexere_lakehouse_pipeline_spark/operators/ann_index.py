@@ -239,6 +239,20 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
     raise ValueError(f"unknown ANN index kind: {kind!r}")
 
 
+def pinned_state(index: AnnIndex) -> dict[str, DataFrame]:
+    """The trained/model parts of ``index`` that an append must adopt
+    verbatim (never retrain): centroids+codebooks for the IVF family,
+    params for sq8, nothing for the stateless kinds.  Shared by
+    :func:`ann_index_append` and the streaming append
+    (streaming/ingest.py: append_ann_stream)."""
+    if index.kind in ("ivfpq", "ivfpq_residual"):
+        return {"centroids": index.parts["centroids"],
+                "codebooks": index.parts["codebooks"]}
+    if index.kind == "sq8":
+        return {"params": index.parts["params"]}
+    return {}
+
+
 def ann_index_append(index: AnnIndex, new_rows: DataFrame,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> AnnIndex:
@@ -266,12 +280,7 @@ def ann_index_append(index: AnnIndex, new_rows: DataFrame,
     is exact forever.  Callers must keep ids disjoint (no dedup here;
     exact dedup upstream is the repo's standing production ordering).
     """
-    pinned = {}
-    if index.kind in ("ivfpq", "ivfpq_residual"):
-        pinned = {"centroids": index.parts["centroids"],
-                  "codebooks": index.parts["codebooks"]}
-    elif index.kind == "sq8":
-        pinned = {"params": index.parts["params"]}
+    pinned = pinned_state(index)
     hyper = {k: v for k, v in index.meta.items() if k != "kind"}
     delta = ann_index_build(new_rows, kind=index.kind, vec_col=vec_col,
                             id_col=id_col, **hyper, **pinned)

@@ -1412,6 +1412,77 @@ def assign_ivf_lists(candidates: DataFrame, n_centroids: int = 32,
     )
 
 
+def _probe_lists(qd: DataFrame, packed: DataFrame, nprobe: int,
+                 min_results: int | None) -> DataFrame:
+    """Per-query probe-set selection for the IVF family: rank each
+    query's centroid distances (``qd`` carries query_id, cid, d2 and
+    any pass-through columns) and keep the lists it will scan.
+
+    ``min_results=None`` — the classic fixed budget: rank ≤ nprobe.
+
+    ``min_results=k`` — the ADAPTIVE budget filtered serving needs
+    (round-8 verdict #1): under a selective ann_index_filter scope,
+    probed lists can hold fewer than k in-scope rows, so a fixed
+    nprobe silently returns short answers.  Production vector stores
+    auto-raise the probe budget under filters (FAISS
+    SearchParametersIVF.nprobe tuning, Milvus' guarantee levels); this
+    is that behavior, declaratively: per query, take the SMALLEST
+    prefix of its distance-ranked lists whose cumulative in-scope
+    count (excluding the query's own row — the ``vec_id != query_id``
+    contract) reaches ``min_results``, floored at ``nprobe``.  When
+    the whole scope holds fewer than ``min_results`` rows, every list
+    is probed and the serve returns all of them — never silently
+    fewer while more exist.
+
+    Cost: one cid-only aggregate over the (already scope-pruned)
+    coded table — a single narrow column scan, map-side partial, tiny
+    result (≤ n_centroids rows) — plus window work on |Q|×n_centroids
+    rows.  Queries whose nprobe-prefix already covers k pay exactly
+    the fixed-budget scan; only shortfall queries expand, and only as
+    far as needed — the sweep in tools/FILTERED_ANN.md measures the
+    budget tracking selectivity.  Guaranteed identical to the fixed
+    budget when no query short-falls (pinned in
+    tests/test_ann_index.py), so the unfiltered serve is unchanged.
+    """
+    wprobe = Window.partitionBy("query_id").orderBy("d2", "cid")
+    ranked = qd.withColumn("_pr", F.row_number().over(wprobe))
+    if min_results is None:
+        return ranked.filter(F.col("_pr") <= nprobe)
+    list_cnt = packed.groupBy("cid").agg(F.count(F.lit(1)).alias("_lc"))
+    qids = qd.select("query_id").distinct()
+    self_rows = (
+        packed.select(F.col("vec_id").alias("query_id"), "cid")
+        .join(F.broadcast(qids), "query_id")
+        .withColumn("_self", F.lit(1))
+    )
+    wcum = (
+        Window.partitionBy("query_id").orderBy("_pr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wq = Window.partitionBy("query_id")
+    eff = (
+        ranked.join(F.broadcast(list_cnt), "cid", "left")
+        .join(F.broadcast(self_rows), ["query_id", "cid"], "left")
+        .withColumn(
+            "_ec",
+            F.coalesce("_lc", F.lit(0)) - F.coalesce("_self", F.lit(0)),
+        )
+        .withColumn("_cum", F.sum("_ec").over(wcum))
+    )
+    need = F.min(
+        F.when(F.col("_cum") >= min_results, F.col("_pr"))
+    ).over(wq)
+    # need is NULL when the scope can't fill min_results at all —
+    # probe EVERY list (return whatever exists, never short silently)
+    return eff.withColumn("_need", need).filter(
+        F.col("_pr")
+        <= F.greatest(
+            F.lit(nprobe),
+            F.coalesce(F.col("_need"), F.lit(2147483647)),
+        )
+    )
+
+
 def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
                n_centroids: int = 32, nprobe: int = 8,
                m: int = 8, ksub: int = 16,
@@ -1419,7 +1490,8 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
                codebooks: DataFrame | None = None,
                dsub: int | None = None,
                dim: int | None = None,
-               index=None) -> DataFrame:
+               index=None,
+               min_results: int | None = None) -> DataFrame:
     """IVF-pruned PQ/ADC top-k: each query probes its ``nprobe``
     nearest inverted lists and ADC-scores ONLY those lists' codes.
 
@@ -1437,6 +1509,11 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
     rerank tier or the ``vec_id != query_id`` contract only).  Output
     is hash-identical to the inline build — gated by
     sim_topk_ivfpq_rerank_prebuilt.
+
+    ``min_results``: opt-in adaptive probe budget (see
+    :func:`_probe_lists`) — pass ``k`` when serving a filtered index
+    view so every query keeps k in-scope answers whenever the scope
+    holds them; gated by sim_topk_filtered_ivfpq_prebuilt.
     """
     if index is not None:
         if index.kind != "ivfpq":
@@ -1487,11 +1564,8 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
         "query_id", "cid",
         _d2_micro(F.col("u"), F.col("cu"), dim).alias("d2"),
     )
-    wprobe = Window.partitionBy("query_id").orderBy("d2", "cid")
-    probed = (
-        qd.withColumn("_pr", F.row_number().over(wprobe))
-        .filter(F.col("_pr") <= nprobe)
-        .select("query_id", "cid")
+    probed = _probe_lists(qd, packed, nprobe, min_results).select(
+        "query_id", "cid"
     )
     qsub = _unit_subvectors(queries, m, vec_col, id_col, "query_id")
     cells = qsub.join(F.broadcast(codebooks), on="s").select(
@@ -1698,7 +1772,8 @@ def topk_ivfpq_residual(candidates: DataFrame, queries: DataFrame,
                         m: int = 8, ksub: int = 16,
                         vec_col: str = "embedding", id_col: str = "vec_id",
                         dsub: int | None = None, dim: int | None = None,
-                        train_iters: int = 0, index=None) -> DataFrame:
+                        train_iters: int = 0, index=None,
+                        min_results: int | None = None) -> DataFrame:
     """Residual IVF-PQ (FAISS "IVF,PQ" proper — Jégou et al. 2011 §III):
     PQ encodes the RESIDUAL r = u − coarse_centroid instead of the raw
     unit vector, and each query builds one LUT per probed list from its
@@ -1734,7 +1809,8 @@ def topk_ivfpq_residual(candidates: DataFrame, queries: DataFrame,
     assignment + residual encode + codes ⋈ lists join are all skipped:
     ``candidates`` is never scanned at serve time.  Output is
     hash-identical to the inline build — gated by
-    sim_topk_ivfpq_residual_prebuilt.
+    sim_topk_ivfpq_residual_prebuilt.  ``min_results`` opts into the
+    adaptive probe budget for filtered serving (:func:`_probe_lists`).
     """
     if index is not None:
         if index.kind != "ivfpq_residual":
@@ -1760,14 +1836,9 @@ def topk_ivfpq_residual(candidates: DataFrame, queries: DataFrame,
         "query_id", "u", "cid", "cu",
         _d2_micro(F.col("u"), F.col("cu"), dim).alias("d2"),
     )
-    wprobe = Window.partitionBy("query_id").orderBy("d2", "cid")
-    probed = (
-        qd.withColumn("_pr", F.row_number().over(wprobe))
-        .filter(F.col("_pr") <= nprobe)
-        .select(
-            "query_id", "cid",
-            F.zip_with("u", "cu", lambda a, c: a - c).alias("qr"),
-        )
+    probed = _probe_lists(qd, packed, nprobe, min_results).select(
+        "query_id", "cid",
+        F.zip_with("u", "cu", lambda a, c: a - c).alias("qr"),
     )
     qdsub = F.floor(F.size("qr") / m).cast("int")
     qrsub = (

@@ -2763,6 +2763,47 @@ def sim_topk_sq8_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
 
 
+@_register("sim_topk_sq8_stream_appended", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_sq8_stream_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous indexing end-to-end (round-8 verdict #2): build the
+    artifact on A (vec_id % 10 != 7), grow it with B through the REAL
+    streaming path — append_ann_stream's foreachBatch encodes each
+    micro-batch against the artifact's pinned params and appends to
+    the saved row parts — then serve from the RELOADED artifact.  The
+    oracle is the in-memory appended row's, verbatim: a green hash
+    proves stream-append ≡ ann_index_append ≡ build(A ∪ B) with
+    pinned state, end to end through parquet."""
+    import tempfile
+
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        append_ann_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 10 != 7)
+    b = emb.filter(F.col("vec_id") % 10 == 7)
+    base = tempfile.mkdtemp(prefix="vlps_stream_append_")
+    path = os.path.join(base, "idx")
+    ann_index.ann_index_save(ann_index.ann_index_build(a, kind="sq8"),
+                             path)
+    src = os.path.join(base, "src")
+    b.write.parquet(src)
+    append_ann_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src),
+        path, os.path.join(base, "ckpt"),
+    )
+    idx = ann_index.ann_index_load(spark, path)
+    out = similarity.topk_sq8(
+        emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5, index=idx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_sq8_stream_appended"] = ORACLE_SQL["sim_topk_sq8_appended"]
+
+
 # ---------------------------------------------------------------------------
 # Filtered vector search — metadata-scoped top-k, the predicate every
 # production vector store exposes (FAISS IDSelector, "filter=" in
@@ -2906,6 +2947,152 @@ def sim_recall_filtered_jl_vs_bruteforce(
 ORACLE_SQL["sim_recall_filtered_jl_vs_bruteforce"] = _recall_oracle(
     "sim_topk_filtered_jl_prebuilt",
     truth_name="sim_topk_filtered_bruteforce",
+)
+
+
+# ---------------------------------------------------------------------------
+# Filtered IVF serving with an ADAPTIVE probe budget (round-8 verdict
+# #1).  The flat kinds above (sq8/jl) scan the whole filtered view and
+# never short-fall; the IVF family prunes by list, so under a
+# selective scope a FIXED nprobe demonstrably returns fewer than k
+# in-scope answers (at sf0.01, scope `label = 4 AND vec_id % 3 = 0`
+# holds 16 of 500 vectors and fixed nprobe=8 bottoms out at 2 of 5 —
+# the regime tests/test_ann_index.py constructs).  min_results=k is
+# the production fix (vector stores auto-raise the probe budget under
+# filters): per query, probe the smallest distance-ranked prefix of
+# lists whose cumulative in-scope count covers k, floored at nprobe —
+# declarative, one narrow cid-count scan, no driver loop
+# (operators/similarity.py:_probe_lists).  The oracle reproduces the
+# budget arithmetic bit-for-bit: guarded surgery on the inline ivfpq
+# oracle replaces the fixed-rank probe CTE with the cumulative-count
+# budget and scopes the scored candidates — a green hash proves the
+# adaptive serve returns full-k, in-scope, correctly-ranked answers
+# where the fixed budget provably cannot.
+# ---------------------------------------------------------------------------
+_IVFPQ_FILTER_PRED = "label = 4 AND vec_id % 3 = 0"
+
+
+def _ivfpq_filtered_oracle() -> str:
+    """Guarded surgery on the inline ivfpq oracle: (1) the probe CTE
+    becomes an all-ranks `qrank`; (2) scope / per-list in-scope count
+    / self-marker / cumulative-coverage CTEs derive each query's
+    adaptive budget GREATEST(nprobe, first rank covering k), probing
+    every list when the scope can't fill k; (3) scored candidates are
+    restricted to the scope — the same semi-join ann_index_filter
+    applies to the coded part."""
+    src = ORACLE_SQL["sim_topk_ivfpq"]
+    m1 = "probe AS (SELECT query_id, cid FROM ("
+    m2 = f"WHERE rn <= {_IVFPQ_NPROBE}),"
+    m3 = "WHERE enc.vec_id <> probe.query_id"
+    for m in (m1, m2, m3):
+        if src.count(m) != 1:
+            raise AssertionError(
+                f"sim_topk_ivfpq oracle: expected exactly one {m!r}, "
+                f"found {src.count(m)}"
+            )
+    src = src.replace(m1, "qrank AS (SELECT query_id, cid, rn FROM (")
+    src = src.replace(
+        m2,
+        f"""),
+    scope AS (SELECT vec_id FROM embeddings
+              WHERE {_IVFPQ_FILTER_PRED}),
+    lc AS (SELECT assign.cid, COUNT(*) AS lc
+           FROM assign JOIN scope USING (vec_id) GROUP BY assign.cid),
+    selfl AS (SELECT assign.vec_id AS query_id, assign.cid
+              FROM assign JOIN scope USING (vec_id)
+              WHERE assign.vec_id < 10),
+    cum AS (SELECT qrank.query_id, qrank.cid, qrank.rn,
+                   SUM(COALESCE(lc.lc, 0)
+                       - CASE WHEN selfl.query_id IS NULL THEN 0 ELSE 1 END)
+                       OVER (PARTITION BY qrank.query_id
+                             ORDER BY qrank.rn) AS cum
+            FROM qrank
+            LEFT JOIN lc ON lc.cid = qrank.cid
+            LEFT JOIN selfl ON selfl.query_id = qrank.query_id
+                           AND selfl.cid = qrank.cid),
+    need AS (SELECT query_id, MIN(CASE WHEN cum >= 5 THEN rn END) AS nd
+             FROM cum GROUP BY query_id),
+    probe AS (SELECT cum.query_id, cum.cid
+              FROM cum JOIN need ON need.query_id = cum.query_id
+              WHERE cum.rn <= GREATEST({_IVFPQ_NPROBE},
+                                       COALESCE(need.nd, 2147483647))),""",
+    )
+    return src.replace(
+        m3, m3 + " AND enc.vec_id IN (SELECT vec_id FROM scope)"
+    )
+
+
+@_register("sim_topk_filtered_ivfpq_prebuilt", _ivfpq_filtered_oracle())
+@_shared_arm
+def sim_topk_filtered_ivfpq_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(
+        spark, sf_dir, "ivfpq",
+        n_centroids=_IVFPQ_NCENT, m=_PQ_M, ksub=_PQ_KSUB, dsub=_PQ_DSUB,
+        dim=64,
+    )
+    fidx = ann_index.ann_index_filter(
+        idx, emb.filter((F.col("label") == 4) & (F.col("vec_id") % 3 == 0))
+    )
+    # min_results=k: the adaptive budget — nprobe stays the floor, so
+    # an unselective scope serves at exactly the fixed-budget cost
+    out = similarity.topk_ivfpq(
+        emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5,
+        nprobe=_IVFPQ_NPROBE, index=fidx, min_results=5,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register(
+    "sim_topk_filtered_bruteforce_narrow",
+    f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DUCK_COS.format(a="qv", b="e.v")} AS cos_sim
+        FROM e, q WHERE e.vec_id <> q.query_id
+                    AND e.{_IVFPQ_FILTER_PRED.replace('vec_id', 'e.vec_id')}
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+@_shared_arm
+def sim_topk_filtered_bruteforce_narrow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exact truth inside the ADAPTIVE-IVF row's narrow scope —
+    the recall denominator a filtered vector store reports for this
+    tenant (the wider label<=2 truth above serves the sq8/jl gates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_bruteforce(
+        emb.filter((F.col("label") == 4) & (F.col("vec_id") % 3 == 0)),
+        emb.filter(F.col("vec_id") < 10), k=5,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register("sim_recall_filtered_ivfpq_vs_bruteforce", None)  # composed below
+def sim_recall_filtered_ivfpq_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_filtered_ivfpq_prebuilt,
+                        truth_fn=sim_topk_filtered_bruteforce_narrow)
+
+
+ORACLE_SQL["sim_recall_filtered_ivfpq_vs_bruteforce"] = _recall_oracle(
+    "sim_topk_filtered_ivfpq_prebuilt",
+    truth_name="sim_topk_filtered_bruteforce_narrow",
 )
 
 

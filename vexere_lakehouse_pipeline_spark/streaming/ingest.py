@@ -16,6 +16,10 @@ watermarked windowed aggregation for event streams — the patterns a
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -694,6 +698,120 @@ def serve_ann_stream(queries_stream: DataFrame, index, out_dir: str,
     )
 
 
+def append_ann_stream(new_rows_stream: DataFrame, index_path: str,
+                      checkpoint_dir: str,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      max_files: int = 64,
+                      target_mb: float = 128) -> None:
+    """Continuous indexing — the OTHER online half of the build/serve
+    split (round-8 verdict #2): a stream of new corpus vectors grows
+    the saved index artifact per micro-batch, so serving (batch
+    ``topk_* index=`` or :func:`serve_ann_stream`) lags the corpus by
+    at most one micro-batch instead of one nightly rebuild.  This is
+    FAISS ``IndexIVF.add`` / a vector store's live-ingest path,
+    expressed as foreachBatch over the artifact's parquet parts.
+
+    Per batch: load the artifact's META + trained state (tiny —
+    centroids/codebooks/params; the row-scale parts are never read),
+    encode ONLY the batch's rows against that pinned state
+    (operators/ann_index.py: pinned_state — the same construction
+    ann_index_append proves ≡ build(A ∪ B) bit-for-bit), and APPEND
+    the encoded rows to the row-level part directories.  Batch cost is
+    batch-scale, never corpus-scale.  When a row part fragments past
+    ``max_files``, it is compacted in place through the crash-healing
+    write-new-then-swap (:func:`_compact_dir_swap` — the same
+    maintenance the auto-compact sink applies to plain tables).
+
+    Same drift caveat as ann_index_append: trained state still
+    reflects the build corpus — rebuild when appends exceed ~30-50%
+    or recall gates drift (stateless kinds are exact forever).
+    At-least-once like every foreachBatch sink: a REPLAYED batch
+    re-appends its (deterministically identical) coded rows, which
+    duplicates those vec_ids in the artifact until an exact dedup or
+    a versioned MERGE commit runs — the standing
+    run_stream_merge_sink caveat, inherited here.  Twin-tested
+    (stream-appended artifact serves hash-identically to a pinned-
+    state batch rebuild, including kill-and-resume) in
+    tests/test_streaming_multimodal.py; oracle-gated end-to-end by
+    sim_topk_sq8_stream_appended.
+    """
+    from vexere_lakehouse_pipeline_spark.operators import ann_index as ai
+    from vexere_lakehouse_pipeline_spark.operators import layout
+
+    def grow(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = ai.ann_index_load(spark, index_path)
+        hyper = {k: v for k, v in idx.meta.items() if k != "kind"}
+        delta = ai.ann_index_build(
+            batch_df, kind=idx.kind, vec_col=vec_col, id_col=id_col,
+            **hyper, **ai.pinned_state(idx),
+        )
+        for part in ai._ROW_PARTS[idx.kind]:
+            part_dir = os.path.join(index_path, part)
+            _recover_dir_swap(part_dir)
+            delta.parts[part].write.mode("append").parquet(part_dir)
+            n_files, _ = layout.fs_file_stats(spark, part_dir)
+            if n_files > max_files:
+                _compact_dir_swap(spark, part_dir, target_mb,
+                                  f"{part}.{_batch_id}")
+
+    (
+        new_rows_stream.writeStream.foreachBatch(grow)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _recover_dir_swap(out_dir: str) -> None:
+    """Heal a crashed write-new-then-swap (ADVICE r8): the two-rename
+    swap in :func:`_compact_dir_swap` can die between renames, leaving
+    ``out_dir`` missing and the pre-compaction original parked at
+    ``._expired.<tag>``.  Renaming the newest ``._expired`` back
+    restores every row (the compaction is merely redone later).  When
+    ``out_dir`` DOES exist, any ``._expired`` leftovers are post-swap
+    garbage — swept."""
+    parent = os.path.dirname(out_dir.rstrip("/")) or "."
+    base = os.path.basename(out_dir.rstrip("/"))
+    if not os.path.isdir(parent):
+        return
+    expired = sorted(
+        n for n in os.listdir(parent)
+        if n.startswith(base + "._expired.")
+    )
+    if not os.path.exists(out_dir):
+        if expired:
+            os.rename(os.path.join(parent, expired[-1]), out_dir)
+            expired = expired[:-1]
+    for n in expired:
+        shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
+
+
+def _compact_dir_swap(spark: SparkSession, out_dir: str,
+                      target_mb: float, tag) -> dict:
+    """Compact ``out_dir`` in place via write-new-then-swap (never
+    rewrite-in-place): stage the compacted copy in a tempdir sibling,
+    rename the original aside, rename the staged copy in, drop the
+    original.  Crash between the renames is healed by
+    :func:`_recover_dir_swap`.  Returns compact_files' stats dict."""
+    from vexere_lakehouse_pipeline_spark.operators import layout
+
+    staging = tempfile.mkdtemp(
+        prefix="autocompact_", dir=os.path.dirname(out_dir)
+    )
+    stats = layout.compact_files(
+        spark, out_dir, os.path.join(staging, "c"), target_mb=target_mb
+    )
+    old = out_dir.rstrip("/") + f"._expired.{tag}"
+    os.rename(out_dir, old)
+    os.rename(os.path.join(staging, "c"), out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rmdir(staging)
+    return stats
+
+
 def run_stream_autocompact_sink(stream_df: DataFrame, out_dir: str,
                                 checkpoint_dir: str,
                                 max_files: int = 64,
@@ -730,57 +848,21 @@ def run_stream_autocompact_sink(stream_df: DataFrame, out_dir: str,
     never crossed ``max_files``) — the measured proof the maintenance
     ran, pinned in tests/test_streaming_multimodal.py.
     """
-    import os
-    import shutil
-    import tempfile
-
     from vexere_lakehouse_pipeline_spark.operators import layout
 
     compactions: list[dict] = []
-
-    def recover_swap() -> None:
-        """Heal a crashed compaction swap (ADVICE r8): the two-rename
-        swap below can die between renames, leaving out_dir missing
-        and the pre-compaction original parked at ._expired.<batch>.
-        Renaming the newest ._expired back restores every row (the
-        compaction is merely redone later).  When out_dir DOES exist,
-        any ._expired leftovers are post-swap garbage — swept."""
-        parent = os.path.dirname(out_dir.rstrip("/")) or "."
-        base = os.path.basename(out_dir.rstrip("/"))
-        if not os.path.isdir(parent):
-            return
-        expired = sorted(
-            n for n in os.listdir(parent)
-            if n.startswith(base + "._expired.")
-        )
-        if not os.path.exists(out_dir):
-            if expired:
-                os.rename(os.path.join(parent, expired[-1]), out_dir)
-                expired = expired[:-1]
-        for n in expired:
-            shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
-
-    recover_swap()
+    _recover_dir_swap(out_dir)
 
     def append_and_maintain(batch_df: DataFrame, _batch_id: int) -> None:
-        recover_swap()
+        _recover_dir_swap(out_dir)
         batch_df.write.mode("append").parquet(out_dir)
         spark = batch_df.sparkSession
         n_files, _ = layout.fs_file_stats(spark, out_dir)
         if n_files <= max_files:
             return
-        staging = tempfile.mkdtemp(
-            prefix="autocompact_", dir=os.path.dirname(out_dir)
+        compactions.append(
+            _compact_dir_swap(spark, out_dir, target_mb, _batch_id)
         )
-        stats = layout.compact_files(
-            spark, out_dir, os.path.join(staging, "c"), target_mb=target_mb
-        )
-        old = out_dir.rstrip("/") + f"._expired.{_batch_id}"
-        os.rename(out_dir, old)
-        os.rename(os.path.join(staging, "c"), out_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        os.rmdir(staging)
-        compactions.append(stats)
 
     (
         stream_df.writeStream.foreachBatch(append_and_maintain)
