@@ -309,6 +309,10 @@ def main() -> None:
         # round 9: the freshness path — a real availableNow stream
         # appends B into the saved artifact before serving
         "sim_topk_sq8_stream_appended",
+        # round 9: IVM-lite — gold refreshed from CDC diff, not full
+        # recompute; oracle is the original cau SQL verbatim
+        "gold_cau4_incremental_refresh",
+        "gold_cau1_incremental_refresh",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

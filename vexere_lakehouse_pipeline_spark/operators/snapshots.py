@@ -298,3 +298,92 @@ def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
         F.col("__new_row")
     )
     return picked.select(row.alias("r"), "_change").select("r.*", "_change")
+
+
+def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
+                             from_version: int, to_version: int,
+                             pk_cols: list[str],
+                             group_exprs: list[tuple],
+                             agg_fn, gold_prev: DataFrame) -> DataFrame:
+    """IVM-lite: refresh a materialized GROUP-BY gold table by
+    recomputing ONLY the groups touched by a fact-table mutation batch
+    (round-8 verdict #3) — the incremental-refresh shape of
+    materialized-view maintenance (Delta MERGE-driven aggregate
+    refresh, BigQuery/Snowflake incremental MVs), replacing the
+    reference's daily full recompute + overwrite (convert/
+    to_gold.py:221-228).
+
+    Inputs: the fact ``table`` at ``from_version`` (what ``gold_prev``
+    was computed from) and ``to_version`` (current), the fact's
+    ``pk_cols``, ``group_exprs`` — the gold table's derived group keys
+    as ``(output_name, Column)`` pairs (e.g. ``("order_date",
+    F.to_date("o_orderdate"))``), and ``agg_fn(fact_subset) ->
+    gold_rows`` — the UNCHANGED full-recompute builder, applied to a
+    subset.
+
+    Shape (all group-level, never row-level merge arithmetic — which
+    is why non-distributive aggregates like collect_set need no
+    special casing):
+
+    1. ``snapshot_diff`` yields the churn rows;
+    2. touched groups = group keys of the changed PKs' rows in BOTH
+       versions (the old-side semi-join catches group MOVES — an
+       update that relocates a row must refresh the losing group too,
+       and the diff's update rows carry only the new content);
+    3. the gold rows for touched groups are recomputed by ``agg_fn``
+       over the new fact restricted to those groups;
+    4. untouched gold rows are kept verbatim (anti-join) — bit-exact
+       because every gold aggregate in this repo is
+       deterministic (decimal sums, sorted collect_set), so
+       kept-rows ≡ what a full recompute would produce.
+
+    Deleted-out groups disappear (removed by the anti-join, absent
+    from the recompute).  Equality with the full recompute is
+    oracle-hash-proven by gold_cau4_incremental_refresh /
+    gold_cau1_incremental_refresh (plans/star_ext.py) and pinned in
+    tests/test_snapshots.py.
+
+    Scale: cost tracks CHURN, not table size — the diff is one
+    key-aligned full-outer join (partition-prunable when the fact is
+    date-partitioned), the two semi-joins broadcast the changed-PK
+    set, the recompute scans only touched groups' rows (partition-
+    pruned under a group-aligned layout), and the anti-join broadcasts
+    the touched-group keys.  A 0.1% daily mutation rate refreshes
+    ~0.1% of the gold table instead of 100%.  For churn too large to
+    broadcast, drop the hints — AQE picks shuffle sides — or fall
+    back to the full recompute (cheaper past ~30-50% churn, the same
+    rule of thumb as index rebuilds).
+    """
+    names = [n for n, _ in group_exprs]
+    old = table.read(spark, version=from_version)
+    new = table.read(spark, version=to_version)
+    # internal join-key aliases so identity group keys (a group column
+    # used as-is, e.g. event_type) never collide with fact columns
+    tags = [f"__g_{n}" for n in names]
+    clash = [t for t in tags if t in new.columns]
+    if clash:
+        raise ValueError(f"fact columns collide with internal {clash}")
+    diff = snapshot_diff(spark, table, from_version, to_version, pk_cols)
+    pks = diff.select(*pk_cols).distinct()
+
+    def _touched(side: DataFrame) -> DataFrame:
+        return (
+            side.join(F.broadcast(pks), pk_cols, "left_semi")
+            .select(*[c.alias(n) for n, c in group_exprs])
+            .distinct()
+        )
+
+    touched = _touched(old).unionByName(_touched(new)).distinct()
+    touched_t = touched.select(
+        *[F.col(n).alias(t) for n, t in zip(names, tags)]
+    )
+    scoped = (
+        new.select(
+            "*", *[c.alias(t) for (_, c), t in zip(group_exprs, tags)]
+        )
+        .join(F.broadcast(touched_t), tags, "left_semi")
+        .drop(*tags)
+    )
+    refreshed = agg_fn(scoped)
+    kept = gold_prev.join(F.broadcast(touched), names, "left_anti")
+    return kept.unionByName(refreshed)

@@ -55,6 +55,26 @@ def _register(name: str, oracle: str | None = None):
 # (A1, A2, A5, A8; daypart CASE from to_gold.py:35-40).
 # Scale: single hash aggregation, map-side partials; no join.
 # ---------------------------------------------------------------------------
+def cau1_agg(events: DataFrame) -> DataFrame:
+    """The cau_1 aggregation over ANY events subset — shared by the
+    full-recompute builder below and the incremental gold refresh
+    (star_ext.py: gold_cau1_incremental_refresh), so the two paths
+    can never drift."""
+    return events.groupBy(
+        "event_type", (F.col("user_id") % 8).alias("user_cohort")
+    ).agg(
+        F.count("*").alias("total_trips"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            0,
+        ).alias("avg_value"),
+        F.concat_ws(
+            ", ", F.sort_array(F.collect_set(daypart(F.hour("ts"))))
+        ).alias("depart_time_ranges"),
+    )
+
+
 @_register(
     "cau1_daypart_mix",
     """
@@ -75,22 +95,8 @@ def _register(name: str, oracle: str | None = None):
 )
 def cau1_daypart_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(
-            "event_type", (F.col("user_id") % 8).alias("user_cohort")
-        )
-        .agg(
-            F.count("*").alias("total_trips"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-                / F.count("*"),
-                0,
-            ).alias("avg_value"),
-            F.concat_ws(
-                ", ", F.sort_array(F.collect_set(daypart(F.hour("ts"))))
-            ).alias("depart_time_ranges"),
-        )
-        .orderBy("event_type", F.desc("total_trips"), "user_cohort")
+    return cau1_agg(events).orderBy(
+        "event_type", F.desc("total_trips"), "user_cohort"
     )
 
 
@@ -215,6 +221,19 @@ def cau3_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # cau_4 analog — daily average (A2 by date, to_gold.py:107-114).
 # ---------------------------------------------------------------------------
+def cau4_agg(orders: DataFrame) -> DataFrame:
+    """The cau_4 aggregation over ANY orders subset — shared by the
+    full-recompute builder below and the incremental gold refresh
+    (star_ext.py: gold_cau4_incremental_refresh)."""
+    return orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            0,
+        ).alias("avg_price_per_day")
+    )
+
+
 @_register(
     "cau4_daily_avg_order_value",
     """
@@ -225,18 +244,7 @@ def cau3_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cau4_daily_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("order_date"))
-        .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-                / F.count("*"),
-                0,
-            ).alias("avg_price_per_day")
-        )
-        .orderBy("order_date")
-    )
+    return cau4_agg(load_table(spark, sf_dir, "orders")).orderBy("order_date")
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,7 @@ from vexere_lakehouse_pipeline_spark.catalog import load_table
 from vexere_lakehouse_pipeline_spark.functions.text import LANG_TOKEN_SPLIT_RE
 from vexere_lakehouse_pipeline_spark.operators import sampling
 from vexere_lakehouse_pipeline_spark.operators.nlp import sentiment_udf
+from vexere_lakehouse_pipeline_spark.plans import star as _star
 from vexere_lakehouse_pipeline_spark.plans.star import QueryFn
 
 QUERIES: dict[str, QueryFn] = {}
@@ -1758,3 +1759,101 @@ def layout_partitioned_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the fact scan would read every partition"
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental gold refresh — IVM-lite (round-8 verdict #3).  The
+# reference recomputes every gold table daily and overwrites
+# (convert/to_gold.py:221-228); with versioned facts + CDC the engine
+# refreshes ONLY the groups a mutation batch touched
+# (operators/snapshots.py: incremental_gold_refresh) and commits the
+# result as a new gold version.  Two structurally distinct golds are
+# gated: cau_4 (single derived key, plain aggregates) and cau_1
+# (multi-key incl. an identity key + non-distributive collect_set —
+# possible because refresh is GROUP-level recompute, never row-level
+# merge arithmetic).  Each row: commit a deterministically STALE fact
+# version v0 (deleted slice + in-group value perturbation + a
+# group-MOVING key mutation), commit the true table as v1, materialize
+# gold(v0), refresh via diff(v0→v1), return the refreshed gold.  The
+# oracle is the ORIGINAL cau SQL verbatim over the true table — a
+# green hash IS the proof that incremental-refresh(gold(v0), diff) ≡
+# full-recompute(v1), including bit-exact untouched rows.
+# ---------------------------------------------------------------------------
+def _ivm_refresh(spark, sf_dir: str, fact_name: str, pk_cols, group_exprs,
+                 agg_fn, mutate_fn) -> DataFrame:
+    import os
+    import tempfile
+
+    from vexere_lakehouse_pipeline_spark.operators import snapshots as snap
+
+    fact = load_table(spark, sf_dir, fact_name)
+    base = tempfile.mkdtemp(prefix="vlps_ivm_")
+    tbl = snap.SnapshotTable(os.path.join(base, fact_name))
+    tbl.commit(mutate_fn(fact), note="stale mutation batch")
+    tbl.commit(fact, note="current")
+    gold_tbl = snap.SnapshotTable(os.path.join(base, "gold"))
+    gold_tbl.commit(agg_fn(tbl.read(spark, version=0)), note="gold@v0")
+    refreshed = snap.incremental_gold_refresh(
+        spark, tbl, 0, 1, pk_cols, group_exprs, agg_fn,
+        gold_tbl.read(spark, version=0),
+    )
+    gold_tbl.commit(refreshed, note="gold@v1 incremental")
+    return gold_tbl.read(spark)
+
+
+@_register("gold_cau4_incremental_refresh",
+           _star.ORACLE_SQL["cau4_daily_avg_order_value"])
+def gold_cau4_incremental_refresh(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    k = F.col("o_orderkey")
+
+    def mutate(orders: DataFrame) -> DataFrame:
+        return (
+            orders.filter((k % 97) != 0)  # v1 re-inserts this slice
+            .withColumn(
+                "o_totalprice",
+                F.when(k % 89 == 1, F.col("o_totalprice") + 100.0)
+                .otherwise(F.col("o_totalprice")),
+            )
+            .withColumn(  # group-moving update: day changes
+                "o_orderdate",
+                F.when(k % 83 == 2,
+                       F.col("o_orderdate") + F.expr("INTERVAL 40 DAYS"))
+                .otherwise(F.col("o_orderdate")),
+            )
+        )
+
+    return _ivm_refresh(
+        spark, sf_dir, "orders", ["o_orderkey"],
+        [("order_date", F.to_date("o_orderdate"))],
+        _star.cau4_agg, mutate,
+    ).orderBy("order_date")
+
+
+@_register("gold_cau1_incremental_refresh",
+           _star.ORACLE_SQL["cau1_daypart_mix"])
+def gold_cau1_incremental_refresh(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    e = F.col("event_id")
+
+    def mutate(events: DataFrame) -> DataFrame:
+        return (
+            events.filter((e % 101) != 0)
+            .withColumn(
+                "value",
+                F.when(e % 103 == 1, F.col("value") + 5.0)
+                .otherwise(F.col("value")),
+            )
+            .withColumn(  # cohort-moving update: user_id % 8 changes
+                "user_id",
+                F.when(e % 107 == 2, F.col("user_id") + 1)
+                .otherwise(F.col("user_id")),
+            )
+        )
+
+    return _ivm_refresh(
+        spark, sf_dir, "events", ["event_id"],
+        [("event_type", F.col("event_type")),
+         ("user_cohort", F.col("user_id") % 8)],
+        _star.cau1_agg, mutate,
+    ).orderBy("event_type", F.desc("total_trips"), "user_cohort")
