@@ -2118,25 +2118,28 @@ def phash64(payload: bytes) -> int | None:
     cell has no defined average) — quarantine routing."""
     if not payload:
         return None
+    import numpy as np
+
     w, h, luma = decode_luma256(payload)
     g = PHASH_GRID
     if w < g or h < g:
         raise ValueError(f"image too small for pHash: {w}x{h}")
-    sums = [[0] * g for _ in range(g)]
-    cnts = [[0] * g for _ in range(g)]
-    for r in range(h):
-        br = r * g // h
-        base = r * w
-        for c in range(w):
-            bc = c * g // w
-            sums[br][bc] += luma[base + c]
-            cnts[br][bc] += 1
-    import numpy as np
-
-    pool = np.array(
-        [[sums[i][j] // cnts[i][j] for j in range(g)] for i in range(g)],
-        dtype=np.int64,
+    # Pooling, vectorized (round-8 verdict #5): pixel (r, c) belongs
+    # to cell (r*g//h, c*g//w), i.e. cell b covers the CONTIGUOUS
+    # index range [ceil(b*h/g), ceil((b+1)*h/g)) — so the per-cell
+    # sums are two axis reduceats over bucket boundaries, and the
+    # per-cell counts are the outer product of the range widths.
+    # Integer addition is exact and order-free: same bits as the
+    # per-pixel double loop this replaces.
+    arr = np.asarray(luma, dtype=np.int64).reshape(h, w)
+    offs_r = np.array([(b * h + g - 1) // g for b in range(g)])
+    offs_c = np.array([(b * w + g - 1) // g for b in range(g)])
+    sums = np.add.reduceat(
+        np.add.reduceat(arr, offs_r, axis=0), offs_c, axis=1
     )
+    rcnt = np.diff(np.append(offs_r, h))
+    ccnt = np.diff(np.append(offs_c, w))
+    pool = sums // np.outer(rcnt, ccnt)
     # int64 matmul is EXACT integer arithmetic (no floats, so
     # evaluation order is irrelevant): coef = W[:8] @ pool @ W[:8].T,
     # |coef| <= 256·8192²·255 ≈ 4.4e15 and 63·|coef| < 2^63 — no
