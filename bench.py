@@ -106,19 +106,30 @@ def main() -> None:
 
     noise_ref = round(_median(_noise_probe() for _ in range(3)), 3)
 
-    # Best-of-N per query (N=2 default): the min over repetitions is
-    # the standard noise-robust estimator of steady-state latency.
-    # The MEDIAN over the same reps is kept alongside (r5 #5): under
-    # co-tenant load min and median diverge, and the pair plus
-    # noise_ref_sec lets a later round tell host weather from a real
-    # regression without a manual rerun.
+    # Best-of-N per query: the min over repetitions is the standard
+    # noise-robust estimator of steady-state latency.  The MEDIAN over
+    # the same reps is kept alongside (r5 #5): under co-tenant load
+    # min and median diverge, and the pair plus noise_ref_sec lets a
+    # later round tell host weather from a real regression without a
+    # manual rerun.  Round 9 (r8 verdict #4, after r8's bursty-noise
+    # misadjudication): the HEADLINE set runs 3 reps (extras keep 2 —
+    # the headline is the cross-round contract), the noise probe is
+    # re-sampled at start/middle/end of the run so within-run drift is
+    # visible, and every rep wall time is recorded to BENCH_REPS.json
+    # — the old estimator (min of the FIRST TWO reps; rep order is
+    # execution order) is recoverable from that file exactly, and the
+    # final line carries it as value_legacy2 (dual-run rule,
+    # BENCH_DRIFT.md round-9 note).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    headline_reps = max(reps, int(os.environ.get(
+        "SPARK_GRAFT_BENCH_HEADLINE_REPS", "3")))
+    rep_record: dict[str, list[float]] = {}
 
-    def time_query_all(name: str) -> list[float]:
+    def time_query_all(name: str, n_reps: int | None = None) -> list[float]:
         """All rep wall times — one estimator family for headline and
         extra sets so the numbers stay comparable."""
         out = []
-        for _ in range(reps):
+        for _ in range(n_reps or reps):
             # Drop cached data between reps: operators that persist()
             # internally would otherwise serve rep 2 from rep 1's cache
             # (CacheManager matches plan-identical subtrees) and the
@@ -140,17 +151,28 @@ def main() -> None:
         return out
 
     def time_query(name: str) -> float:
-        return round(min(time_query_all(name)), 3)
+        rep_times = time_query_all(name)
+        rep_record[name] = [round(t, 3) for t in rep_times]
+        return round(min(rep_times), 3)
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    legacy2: dict[str, float] = {}
     for name in names:
-        rep_times = time_query_all(name)
+        rep_times = time_query_all(name, n_reps=headline_reps)
+        rep_record[name] = [round(t, 3) for t in rep_times]
         timings[name] = round(min(rep_times), 3)
         medians[name] = round(_median(rep_times), 3)
+        # the r1-r8 estimator, recomputed from the SAME run's first
+        # two reps — cross-round comparability without a second run
+        legacy2[name] = round(min(rep_times[:2]), 3)
 
     total = round(sum(timings.values()), 3)
     median_total = round(sum(medians.values()), 3)
+    legacy2_total = round(sum(legacy2.values()), 3)
+
+    # interleaved probe sample #2: mid-run (after the headline set)
+    noise_mid = round(_median(_noise_probe() for _ in range(3)), 3)
 
     # Non-headline tracked numbers: round-2+ operators timed for
     # round-over-round continuity WITHOUT changing the headline set
@@ -313,6 +335,9 @@ def main() -> None:
         # recompute; oracle is the original cau SQL verbatim
         "gold_cau4_incremental_refresh",
         "gold_cau1_incremental_refresh",
+        # round 9: the last sim family gets its artifact kind — the
+        # banded bucket tables + late-fetch vecs serve from parquet
+        "sim_topk_lsh_multitable_prebuilt",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its
@@ -330,6 +355,23 @@ def main() -> None:
     # dict and outgrew the driver's tail window (VERDICT r2, defect #1).
     # Fix: extras go to a side file + their own EARLIER stdout line; the
     # final line is the short headline dict only (r1/r2-comparable).
+    # interleaved probe sample #3: end of the extras pass
+    noise_end = round(_median(_noise_probe() for _ in range(3)), 3)
+
+    # full rep-level record (round 9): every wall time behind every
+    # min/median above, in execution order — any past or future
+    # estimator over <=3 reps is recomputable from this file
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_REPS.json"), "w") as fh:
+            json.dump({"headline_reps": headline_reps, "reps": reps,
+                       "noise_probe": {"start": noise_ref,
+                                       "mid": noise_mid,
+                                       "end": noise_end},
+                       "rep_times": rep_record, "sf": sf_val}, fh)
+    except OSError:
+        pass
+
     extra_payload = {"metric": "extra_queries_total",
                      "value": round(sum(extra.values()), 3),
                      "unit": "sec", "queries": extra, "sf": sf_val}
@@ -445,6 +487,15 @@ def main() -> None:
                 # from value (best-of-reps) under co-tenant load.
                 "noise_ref_sec": noise_ref,
                 "median": median_total,
+                # round 9 (r8 verdict #4): interleaved probe re-reads
+                # (within-run drift is now data, not adjudication),
+                # the rep count, and the r1-r8 estimator recomputed
+                # from this run's first two reps (BENCH_REPS.json has
+                # every rep) — value stays min-of-headline_reps.
+                "noise_mid_sec": noise_mid,
+                "noise_end_sec": noise_end,
+                "headline_reps": headline_reps,
+                "value_legacy2": legacy2_total,
             }
         )
     )

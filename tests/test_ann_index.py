@@ -573,3 +573,71 @@ def test_filtered_rerank_composes_and_stays_in_scope(spark, ivfpq_idx):
     twin = similarity.topk_ivfpq_rerank(
         emb, q, k=5, shortlist=20, nprobe=16, index=rebuilt)
     assert _rows(served) == _rows(twin)
+
+
+@pytest.fixture(scope="module")
+def lsh_idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "lsh")
+    built = ann_index.ann_index_build(_emb(spark), kind="lsh",
+                                      n_bits=4, n_tables=4)
+    ann_index.ann_index_save(built, path)
+    return ann_index.ann_index_load(spark, path)
+
+
+def test_lsh_prebuilt_topk_matches_inline(spark, lsh_idx):
+    """lsh artifact kind (round-8 verdict #6): serving the multitable
+    bucketed top-k from the saved banded bucket + vector tables is
+    row-identical to the inline build, and candidates are never
+    scanned (limit(0) serve)."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = similarity.topk_lsh_bucketed(emb, q, k=5, n_bits=4,
+                                          n_tables=4)
+    served = similarity.topk_lsh_bucketed(emb.limit(0), q, k=5,
+                                          index=lsh_idx)
+    assert _rows(served) == _rows(inline)
+    with pytest.raises(ValueError, match="need an lsh index"):
+        similarity.topk_lsh_bucketed(emb.limit(0), q, k=5,
+                                     index=ann_index.AnnIndex(
+                                         "sq8", {"kind": "sq8"}, {}))
+
+
+def test_lsh_prebuilt_knn_graph_matches_inline(spark, tmp_path_factory):
+    """knn_graph(strategy='lsh', index=...) — the k-NN-graph shape
+    served from the artifact equals the inline multi-table build."""
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("ann") / "lsh8")
+    built = ann_index.ann_index_build(emb, kind="lsh", n_bits=4,
+                                      n_tables=8)
+    ann_index.ann_index_save(built, path)
+    idx = ann_index.ann_index_load(spark, path)
+    inline = similarity.knn_graph(emb, k=3, strategy="lsh", n_bits=4,
+                                  n_tables=8)
+    served = similarity.knn_graph(emb.limit(0), k=3, strategy="lsh",
+                                  index=idx)
+    assert _rows(served) == _rows(inline)
+
+
+def test_lsh_append_and_filter(spark, lsh_idx):
+    """Stateless kind: append is exact forever (build(A)+B == the
+    grown parts), and ann_index_filter prunes BOTH row parts so a
+    scoped serve returns only in-scope ids."""
+    emb = _emb(spark)
+    a = emb.filter(F.col("vec_id") % 10 != 7)
+    b = emb.filter(F.col("vec_id") % 10 == 7)
+    grown = ann_index.ann_index_append(
+        ann_index.ann_index_build(a, kind="lsh", n_bits=4, n_tables=4), b
+    )
+    assert grown.parts["buckets"].count() == 4 * emb.count()
+    assert grown.parts["vecs"].count() == emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    got = similarity.topk_lsh_bucketed(emb.limit(0), q, k=5, index=grown)
+    want = similarity.topk_lsh_bucketed(emb, q, k=5, n_bits=4, n_tables=4)
+    assert _rows(got) == _rows(want)
+
+    allowed = emb.filter(F.col("label") <= 2)
+    fidx = ann_index.ann_index_filter(lsh_idx, allowed)
+    served = similarity.topk_lsh_bucketed(
+        emb.limit(0), q, k=5, index=fidx).collect()
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    assert served and all(r.vec_id in allowed_ids for r in served)

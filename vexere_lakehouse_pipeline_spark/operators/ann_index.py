@@ -45,6 +45,10 @@ Index kinds:
   state of the three-tier funnel; serves ``topk_cascade``.
 - ``matryoshka``: part ``codes`` (vec_id, emb) — the truncated float
   prefix (stateless, like ``jl``); serves ``topk_truncated``.
+- ``lsh``: parts ``buckets`` (vec_id, t, bucket — the L banded hash
+  tables as one narrow table) + ``vecs`` (vec_id, emb, c_norm — the
+  late-fetch scoring table).  Stateless (hash-derived planes); serves
+  ``topk_lsh_bucketed`` and ``knn_graph(strategy='lsh')``.
 
 Incremental maintenance: :func:`ann_index_append` encodes ONLY new
 rows with the stored trained state and unions them into the row-level
@@ -97,6 +101,7 @@ _KIND_PARTS = {
     "int8": ("codes",),
     "cascade": ("sketches", "q8codes"),
     "matryoshka": ("codes",),
+    "lsh": ("buckets", "vecs"),
 }
 
 # the row-level (one row per corpus vector) parts of each kind — what
@@ -111,6 +116,7 @@ _ROW_PARTS = {
     "int8": ("codes",),
     "cascade": ("sketches", "q8codes"),
     "matryoshka": ("codes",),
+    "lsh": ("buckets", "vecs"),
 }
 
 
@@ -132,6 +138,7 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
                     dim: int | None = None,
                     d_out: int = 16,
                     n_bits: int = 63,
+                    n_tables: int = 4,
                     dims: int = 32,
                     train_iters: int = 0,
                     centroids: DataFrame | None = None,
@@ -236,6 +243,30 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
         )
         return AnnIndex(kind, {"kind": kind, "dims": dims},
                         {"codes": codes})
+    if kind == "lsh":
+        # multi-table sign-LSH (round-8 verdict #6): the L banded
+        # bucket tables persist as ONE narrow (vec_id, t, bucket)
+        # table — at scale, partition by (t, bucket) and a serve scan
+        # prunes to the probed buckets — plus the (vec_id, emb, norm)
+        # vector table for exact scoring of surviving pairs (the late
+        # fetch).  Stateless (hash-derived planes): append is exact
+        # forever, like jl/hamming.
+        base = candidates.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("emb"),
+            sim.l2_norm(vec_col).alias("c_norm"),
+        )
+        buckets = base.select(
+            "vec_id",
+            F.explode(
+                sim._table_buckets("emb", n_bits, n_tables)
+            ).alias("tb"),
+        ).select("vec_id", "tb.t", "tb.bucket")
+        return AnnIndex(
+            kind,
+            {"kind": kind, "n_bits": n_bits, "n_tables": n_tables},
+            {"buckets": buckets, "vecs": base},
+        )
     raise ValueError(f"unknown ANN index kind: {kind!r}")
 
 

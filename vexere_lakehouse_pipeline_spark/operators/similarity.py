@@ -225,7 +225,8 @@ def _table_buckets(vec_col: str, n_bits: int, n_tables: int):
 
 def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      n_bits: int = 4, n_tables: int = 1) -> DataFrame:
+                      n_bits: int = 4, n_tables: int = 1,
+                      index=None) -> DataFrame:
     """Approximate top-k: candidates are scored only within the query's
     sign-LSH bucket(s).  Same output shape as :func:`topk_bruteforce`.
 
@@ -235,8 +236,52 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
     scored exactly once — recall rises with n_tables (gated:
     sim_topk_lsh_multitable + tests pin multi > single on real data)
     while the scored-pair volume stays bounded by the union size.
+
+    ``index``: a prebuilt :class:`operators.ann_index.AnnIndex` of
+    kind ``lsh`` — the SERVING path (round-8 verdict #6): the L banded
+    bucket tables and the (vec_id, emb, norm) vector table come from
+    the saved parts (n_bits/n_tables adopted from meta), so
+    ``candidates`` is never scanned and the corpus-side explode +
+    norm computation are never redone.  The serve is also a BETTER
+    plan than the inline shape: the bucket join carries only
+    (vec_id, t, bucket) ids and the float vectors are late-fetched
+    per surviving pair — narrow shuffle, wide payload only for
+    survivors.  Output is hash-identical to the inline build — gated
+    by sim_topk_lsh_multitable_prebuilt.
     """
-    if n_tables == 1:
+    if index is not None:
+        if index.kind != "lsh":
+            raise ValueError(f"need an lsh index, got {index.kind!r}")
+        n_bits = index.meta["n_bits"]
+        n_tables = index.meta["n_tables"]
+        qx = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_table_buckets(vec_col, n_bits, n_tables)).alias(
+                "tb"
+            ),
+        ).select("query_id", "tb.t", "tb.bucket")
+        pairs = (
+            index.parts["buckets"]
+            .join(F.broadcast(qx), on=["t", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id", "vec_id").orderBy("t")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select("query_id", "vec_id")
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_emb"),
+            l2_norm(vec_col).alias("q_norm"),
+        )
+        joined = pairs.join(index.parts["vecs"], on="vec_id").join(
+            F.broadcast(qv), on="query_id"
+        )
+    elif n_tables == 1:
         # single-table fast path: no generator node, bucket stays a
         # plain projected column inside whole-stage codegen (the
         # oracle-gated r2 plan shape, unchanged)
@@ -271,7 +316,7 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
         joined = c.join(F.broadcast(q), on=["t", "bucket"]).filter(
             F.col("vec_id") != F.col("query_id")
         )
-    if n_tables > 1:
+    if index is None and n_tables > 1:
         # one score per surviving pair, however many tables matched it
         joined = joined.withColumn(
             "_rn",
@@ -604,7 +649,8 @@ MAX_EXACT_KNN_ROWS = 100_000
 
 def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
               id_col: str = "vec_id", strategy: str = "exact",
-              n_bits: int = 4, n_tables: int = 1) -> DataFrame:
+              n_bits: int = 4, n_tables: int = 1,
+              index=None) -> DataFrame:
     """k-nearest-neighbor graph over a single embedding table.
 
     Returns (src, dst, cos_sim, rnk) — each vector's top-``k`` cosine
@@ -690,6 +736,58 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
         w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
         return (
             rescored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+        )
+    elif index is not None:
+        # SERVING path (lsh artifact): the bucket self-join carries
+        # only (vec_id, t, bucket); float vectors are late-fetched per
+        # surviving pair from the saved vecs part — same output as the
+        # inline lsh strategy (identical expression trees), narrower
+        # shuffle.  n_bits/n_tables come from the artifact.
+        if index.kind != "lsh":
+            raise ValueError(f"need an lsh index, got {index.kind!r}")
+        nb = index.parts["buckets"]
+        pa = nb.select("t", "bucket", F.col("vec_id").alias("src"))
+        pb = nb.select("t", "bucket", F.col("vec_id").alias("dst"))
+        pairs = (
+            pa.join(pb, on=["t", "bucket"])
+            .filter(F.col("src") != F.col("dst"))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("src", "dst").orderBy("t")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select("src", "dst")
+        )
+        v = index.parts["vecs"]
+        scored = (
+            pairs.join(
+                v.select(F.col("vec_id").alias("src"),
+                         F.col("emb").alias("a_emb"),
+                         F.col("c_norm").alias("a_norm")),
+                on="src",
+            )
+            .join(
+                v.select(F.col("vec_id").alias("dst"),
+                         F.col("emb").alias("b_emb"),
+                         F.col("c_norm").alias("b_norm")),
+                on="dst",
+            )
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    cosine_from_norms("a_emb", "b_emb", "a_norm",
+                                      "b_norm"), 6
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim").isNotNull())
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
         )
     else:

@@ -422,10 +422,20 @@ _KNN_TABLES = 8
 def sim_recall_knn_lsh_multitable(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from vexere_lakehouse_pipeline_spark.plans.star_ml import (
+        _prebuilt_index,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     truth = _exact_knn_edges(spark, sf_dir)
+    # round 9: the approx arm serves from the materialized lsh
+    # artifact (its own 8-table config, aliased path) — the last gate
+    # still rebuilding its index inline; output identical, the bucket
+    # self-join now carries only ids with floats late-fetched
+    idx = _prebuilt_index(spark, sf_dir, "lsh", alias="lsh_knn8",
+                          n_bits=4, n_tables=_KNN_TABLES)
     approx = similarity.knn_graph(
-        emb, k=_KNN_K, strategy="lsh", n_bits=4, n_tables=_KNN_TABLES
+        emb, k=_KNN_K, strategy="lsh", index=idx
     ).select(F.col("src").alias("a_src"), F.col("dst").alias("a_dst"))
     joined = truth.join(
         approx,

@@ -591,6 +591,30 @@ def sim_topk_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
 
 
+@_register("sim_topk_lsh_multitable_prebuilt", None)  # oracle aliased below
+@_shared_arm
+def sim_topk_lsh_multitable_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The lsh artifact kind (round-8 verdict #6): the L banded bucket
+    tables + the late-fetch vector table serve from parquet like every
+    other kind — the bucket join carries only ids, floats attach per
+    surviving pair.  Oracle aliased verbatim to the inline row: a
+    green hash IS the prebuilt ≡ inline proof."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "lsh", n_bits=4,
+                          n_tables=_TOPK_TABLES)
+    out = similarity.topk_lsh_bucketed(
+        emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5, index=idx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+ORACLE_SQL["sim_topk_lsh_multitable_prebuilt"] = (
+    ORACLE_SQL["sim_topk_lsh_multitable"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: quality features
 # ---------------------------------------------------------------------------
@@ -2380,17 +2404,21 @@ _ANN_INDEX_MEMO: dict[tuple, ann_index.AnnIndex] = {}
 
 
 def _prebuilt_index(spark: SparkSession, sf_dir: str,
-                    kind: str, **build_kw) -> ann_index.AnnIndex:
+                    kind: str, alias: str | None = None,
+                    **build_kw) -> ann_index.AnnIndex:
     """Build+save the (sf_dir, kind) index on first touch, then LOAD
     it back so every serve genuinely reads the materialized parquet
     (not the in-memory build plan); later calls reuse the loaded
-    artifact."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
+    artifact.  ``alias`` keys the artifact path/memo when two configs
+    of one kind coexist (e.g. the 4-table topk LSH vs the 8-table
+    k-NN-graph LSH)."""
+    tag = alias or kind
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), tag)
     idx = _ANN_INDEX_MEMO.get(key)
     if idx is None:
         emb = load_table(spark, sf_dir, "embeddings")
         built = ann_index.ann_index_build(emb, kind=kind, **build_kw)
-        path = ann_index.default_index_path(sf_dir, kind)
+        path = ann_index.default_index_path(sf_dir, tag)
         ann_index.ann_index_save(built, path)
         idx = ann_index.ann_index_load(spark, path)
         _ANN_INDEX_MEMO[key] = idx

@@ -670,6 +670,7 @@ def serve_ann_stream(queries_stream: DataFrame, index, out_dir: str,
         "jl": sim.topk_jl,
         "matryoshka": sim.topk_truncated,
         "cascade": sim.topk_cascade,
+        "lsh": sim.topk_lsh_bucketed,
     }
     serve = serve_fns.get(index.kind)
     if serve is None:
