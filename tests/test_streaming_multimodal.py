@@ -1310,3 +1310,75 @@ def test_stream_autocompact_no_trigger_below_threshold(spark, tmp_path):
     )
     assert stats == []
     assert spark.read.parquet(out).count() == 100
+
+
+def test_append_then_serve_freshness_loop(spark, tmp_path):
+    """The full continuous-indexing composition: a corpus stream grows
+    the artifact (append_ann_stream) and a query stream serves from
+    the SAME path with per-batch reload (serve_ann_stream index_path=)
+    — answers after each append reflect the corpus as of that append,
+    i.e. serving lags ingest by at most one micro-batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import (
+        ann_index,
+        similarity,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.filter(F.col("vec_id") % 10 != 7)
+    b = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_save(ann_index.ann_index_build(a, kind="sq8"),
+                             path)
+
+    qdir = str(tmp_path / "queries")
+    queries = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding")
+    queries.write.parquet(qdir)
+    qschema = spark.read.parquet(qdir).schema
+    out1 = str(tmp_path / "answers1")
+
+    # serve BEFORE the append: answers reflect corpus A only
+    ingest.serve_ann_stream(
+        spark.readStream.schema(qschema).parquet(qdir), None, out1,
+        str(tmp_path / "sckpt1"), k=5, index_path=path,
+    )
+    got1 = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
+    want1 = sorted(
+        tuple(r) for r in similarity.topk_sq8(
+            emb.limit(0), spark.read.parquet(qdir), k=5,
+            index=ann_index.ann_index_load(spark, path)).collect()
+    )
+    assert got1 == want1
+
+    # corpus stream appends B into the same artifact
+    src = str(tmp_path / "new_rows")
+    b.write.parquet(src)
+    ingest.append_ann_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src),
+        path, str(tmp_path / "ackpt"),
+    )
+
+    # serve AFTER: same query set, fresh checkpoint/sink — the reload
+    # picks up the appended rows without any restart of the artifact
+    out2 = str(tmp_path / "answers2")
+    ingest.serve_ann_stream(
+        spark.readStream.schema(qschema).parquet(qdir), None, out2,
+        str(tmp_path / "sckpt2"), k=5, index_path=path,
+    )
+    got2 = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    pinned = ann_index.ann_index_append(
+        ann_index.ann_index_build(a, kind="sq8"), b
+    )
+    want2 = sorted(
+        tuple(r) for r in similarity.topk_sq8(
+            emb.limit(0), spark.read.parquet(qdir), k=5,
+            index=pinned).collect()
+    )
+    assert got2 == want2
+    assert got1 != got2  # the appended slice actually changed answers
+    assert os.path.isdir(os.path.join(path, "codes"))

@@ -636,7 +636,8 @@ def serve_ann_stream(queries_stream: DataFrame, index, out_dir: str,
                      checkpoint_dir: str, k: int = 5,
                      candidates: DataFrame | None = None,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> None:
+                     id_col: str = "vec_id",
+                     index_path: str | None = None) -> None:
     """Streaming ANN serving — the ONLINE half of the build/serve
     split (operators/ann_index.py): a stream of query vectors is
     answered per micro-batch from the PREBUILT index artifact via
@@ -658,8 +659,23 @@ def serve_ann_stream(queries_stream: DataFrame, index, out_dir: str,
     downstream dedup on (query_id, rank) restores exactly-once — the
     same caveat run_stream_merge_sink documents.  Twin-tested against
     the batch serve in tests/test_streaming_multimodal.py.
+
+    ``index_path``: when given, the artifact is RELOADED from disk at
+    every micro-batch instead of pinned at start — compose with
+    :func:`append_ann_stream` growing the same path and serving lags
+    the corpus by at most one micro-batch (the production freshness
+    loop; ``index`` may then be None).  Reload cost is metadata-only:
+    parts stay lazy parquet scans.
     """
+    from vexere_lakehouse_pipeline_spark.operators import ann_index as ai
     from vexere_lakehouse_pipeline_spark.operators import similarity as sim
+
+    if index is None:
+        if index_path is None:
+            raise ValueError("need `index` or `index_path`")
+        index = ai.ann_index_load(
+            queries_stream.sparkSession, index_path
+        )
 
     serve_fns = {
         "sq8": sim.topk_sq8,
@@ -685,9 +701,13 @@ def serve_ann_stream(queries_stream: DataFrame, index, out_dir: str,
         )
 
     def answer(batch_df: DataFrame, _batch_id: int) -> None:
+        idx = (
+            ai.ann_index_load(batch_df.sparkSession, index_path)
+            if index_path is not None else index
+        )
         cand = candidates if candidates is not None else batch_df.limit(0)
         out = serve(cand, batch_df, k=k, vec_col=vec_col, id_col=id_col,
-                    index=index)
+                    index=idx)
         out.write.mode("append").parquet(out_dir)
 
     (
