@@ -46,6 +46,13 @@ PROBES = [
       "customer": ["c_custkey"]}),  # o_custkey remaps in lockstep with
     # c_custkey (same replica offset) so the FK holds per replica
     ("cau4_daily_avg_order_value", {"orders": ["o_orderkey"]}),
+    # round 9: IVM-lite — the row commits two fact versions, diffs
+    # them, and refreshes only touched groups; churn is a FIXED
+    # fraction of the table (the %97/%89/%83 mutation predicates), so
+    # the expected exponent is ~linear in table size (the diff's one
+    # key-aligned join dominates; the group recompute tracks churn)
+    ("gold_cau4_incremental_refresh", {"orders": ["o_orderkey"]}),
+    ("gold_cau1_incremental_refresh", {"events": ["event_id", "user_id"]}),
     ("dedup_exact_groups", {"documents": ["doc_id"]}),
     ("corpus_vocab_topk", {"documents": ["doc_id"]}),
     ("text_quality_scores", {"documents": ["doc_id"]}),
