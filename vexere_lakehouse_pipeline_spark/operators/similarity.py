@@ -2067,7 +2067,8 @@ def topk_ivfpq_rerank(candidates: DataFrame, queries: DataFrame,
                       codebooks: DataFrame | None = None,
                       dsub: int | None = None,
                       dim: int | None = None,
-                      index=None) -> DataFrame:
+                      index=None,
+                      min_results: int | None = None) -> DataFrame:
     """IVF-PQ shortlist + exact rerank — the production serving shape
     FAISS deployments actually run (index=IVFPQ for the scan,
     refine/rerank over the original vectors for the final order):
@@ -2089,10 +2090,15 @@ def topk_ivfpq_rerank(candidates: DataFrame, queries: DataFrame,
     :func:`topk_ivfpq`) — with it, ``candidates`` (the raw float
     table) is touched ONLY by the tier-2 late fetch at shortlist/|C|
     selectivity, which is exactly the production serving cost."""
+    # min_results (adaptive probe budget under filtered serving,
+    # _probe_lists) passes through to the shortlist tier: request at
+    # least k in-scope shortlist rows so the exact tier can still
+    # return a full k
     short = topk_ivfpq(
         candidates, queries, k=shortlist, n_centroids=n_centroids,
         nprobe=nprobe, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col,
         codebooks=codebooks, dsub=dsub, dim=dim, index=index,
+        min_results=min_results,
     ).select("query_id", "vec_id")
     return _exact_rerank(candidates, queries, short, k, vec_col, id_col)
 
