@@ -106,50 +106,20 @@ def cau1_daypart_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: cheapest is a partial agg on the fact's own grouping keys → the
 # join back is key-aligned; review_score is tiny → broadcast.
 # ---------------------------------------------------------------------------
-@_register(
-    "cau2_cheapest_top_rated",
-    """
-    WITH cheapest AS (
-        SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag,
-               MIN(l_extendedprice) AS min_price
-        FROM lineitem GROUP BY 1, 2
-    ),
-    review_score AS (
-        SELECT user_id,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
-                 AS avg_positive
-        FROM events GROUP BY user_id
-    ),
-    candidates AS (
-        SELECT DISTINCT CAST(t.l_shipdate AS DATE) AS ship_date,
-               t.l_returnflag, t.l_suppkey, t.l_extendedprice AS price,
-               COALESCE(r.avg_positive, 0) AS avg_positive,
-               CASE WHEN COALESCE(r.avg_positive, 0) > 50 THEN 1 ELSE 0 END AS is_good
-        FROM lineitem t
-        JOIN cheapest c ON CAST(t.l_shipdate AS DATE) = c.ship_date
-           AND t.l_returnflag = c.l_returnflag
-           AND t.l_extendedprice = c.min_price
-        LEFT JOIN review_score r ON t.l_suppkey = r.user_id
-    ),
-    ranked AS (
-        SELECT *, RANK() OVER (PARTITION BY ship_date, l_returnflag
-                               ORDER BY is_good DESC) AS rank_in_group
-        FROM candidates
-    )
-    SELECT ship_date, l_returnflag, l_suppkey, price
-    FROM ranked WHERE rank_in_group = 1
-    ORDER BY ship_date, l_returnflag, l_suppkey
-    """,
-)
-def cau2_cheapest_top_rated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "ship_date", F.to_date("l_shipdate")
-    )
+def cau2_agg(li: DataFrame, events: DataFrame) -> DataFrame:
+    """The cau_2 computation over ANY lineitem subset (events held
+    fixed) — shared by the full-recompute builder below and the
+    incremental gold refresh (star_ext.py:
+    gold_cau2_incremental_refresh).  Group-decomposable in
+    (ship_date, l_returnflag): cheapest, the join-back, and the RANK
+    window are all local to that key, so refreshing a touched group
+    from its own rows reproduces the full recompute exactly."""
+    li = li.withColumn("ship_date", F.to_date("l_shipdate"))
     cheapest = li.groupBy("ship_date", "l_returnflag").agg(
         F.min("l_extendedprice").alias("min_price")
     )
     review_score = (
-        load_table(spark, sf_dir, "events")
+        events
         .groupBy("user_id")
         .agg(
             F.round(
@@ -192,8 +162,49 @@ def cau2_cheapest_top_rated(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.withColumn("rank_in_group", F.rank().over(w))
         .filter(F.col("rank_in_group") == 1)
         .select("ship_date", "l_returnflag", "l_suppkey", "price")
-        .orderBy("ship_date", "l_returnflag", "l_suppkey")
     )
+
+
+@_register(
+    "cau2_cheapest_top_rated",
+    """
+    WITH cheapest AS (
+        SELECT CAST(l_shipdate AS DATE) AS ship_date, l_returnflag,
+               MIN(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY 1, 2
+    ),
+    review_score AS (
+        SELECT user_id,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
+                 AS avg_positive
+        FROM events GROUP BY user_id
+    ),
+    candidates AS (
+        SELECT DISTINCT CAST(t.l_shipdate AS DATE) AS ship_date,
+               t.l_returnflag, t.l_suppkey, t.l_extendedprice AS price,
+               COALESCE(r.avg_positive, 0) AS avg_positive,
+               CASE WHEN COALESCE(r.avg_positive, 0) > 50 THEN 1 ELSE 0 END AS is_good
+        FROM lineitem t
+        JOIN cheapest c ON CAST(t.l_shipdate AS DATE) = c.ship_date
+           AND t.l_returnflag = c.l_returnflag
+           AND t.l_extendedprice = c.min_price
+        LEFT JOIN review_score r ON t.l_suppkey = r.user_id
+    ),
+    ranked AS (
+        SELECT *, RANK() OVER (PARTITION BY ship_date, l_returnflag
+                               ORDER BY is_good DESC) AS rank_in_group
+        FROM candidates
+    )
+    SELECT ship_date, l_returnflag, l_suppkey, price
+    FROM ranked WHERE rank_in_group = 1
+    ORDER BY ship_date, l_returnflag, l_suppkey
+    """,
+)
+def cau2_cheapest_top_rated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cau2_agg(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "events"),
+    ).orderBy("ship_date", "l_returnflag", "l_suppkey")
 
 
 # ---------------------------------------------------------------------------

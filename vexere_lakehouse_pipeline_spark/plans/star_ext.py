@@ -1857,3 +1857,40 @@ def gold_cau1_incremental_refresh(spark: SparkSession,
          ("user_cohort", F.col("user_id") % 8)],
         _star.cau1_agg, mutate,
     ).orderBy("event_type", F.desc("total_trips"), "user_cohort")
+
+
+@_register("gold_cau2_incremental_refresh",
+           _star.ORACLE_SQL["cau2_cheapest_top_rated"])
+def gold_cau2_incremental_refresh(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """IVM over a MULTI-JOIN gold: cau_2 joins lineitem to a per-group
+    minimum, left-joins an events-derived score, and RANK-filters per
+    (ship_date, l_returnflag) — all group-local in those keys, so the
+    same group-level refresh applies with the events side held fixed
+    (agg_fn joins it inside the recompute).  Mutations hit lineitem's
+    composite PK; the group-moving update shifts l_shipdate."""
+    pk = (F.col("l_orderkey") * 7 + F.col("l_linenumber"))
+
+    def mutate(li: DataFrame) -> DataFrame:
+        return (
+            li.filter((pk % 101) != 0)
+            .withColumn(
+                "l_extendedprice",
+                F.when(pk % 103 == 1, F.col("l_extendedprice") + 50.0)
+                .otherwise(F.col("l_extendedprice")),
+            )
+            .withColumn(  # group-moving update: ship day changes
+                "l_shipdate",
+                F.when(pk % 107 == 2,
+                       F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS"))
+                .otherwise(F.col("l_shipdate")),
+            )
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    return _ivm_refresh(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"],
+        [("ship_date", F.to_date("l_shipdate")),
+         ("l_returnflag", F.col("l_returnflag"))],
+        lambda li_sub: _star.cau2_agg(li_sub, events), mutate,
+    ).orderBy("ship_date", "l_returnflag", "l_suppkey")
