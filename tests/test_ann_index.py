@@ -641,3 +641,21 @@ def test_lsh_append_and_filter(spark, lsh_idx):
         emb.limit(0), q, k=5, index=fidx).collect()
     allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
     assert served and all(r.vec_id in allowed_ids for r in served)
+
+
+def test_adaptive_probe_rerank_passthrough(spark, ivfpq_idx):
+    """min_results flows through the rerank tier: under the shortfall
+    scope the filtered rerank keeps k exact-scored in-scope answers."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(F.col("label") == 4)
+    fidx = ann_index.ann_index_filter(ivfpq_idx, allowed)
+    got = similarity.topk_ivfpq_rerank(
+        emb, q, k=5, shortlist=10, nprobe=2, index=fidx, min_results=5
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    assert all(r.vec_id in allowed_ids for r in got)
