@@ -684,6 +684,10 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
     """
     if strategy not in ("exact", "lsh"):
         raise ValueError(f"unknown knn_graph strategy {strategy!r}")
+    if index is not None and strategy != "lsh":
+        raise ValueError(
+            "index= serving is the lsh strategy — pass strategy='lsh'"
+        )
     if strategy == "exact":
         n = emb.count()
         if n > MAX_EXACT_KNN_ROWS:
