@@ -336,6 +336,7 @@ def main() -> None:
         "gold_cau4_incremental_refresh",
         "gold_cau1_incremental_refresh",
         "gold_cau2_incremental_refresh",
+        "gold_cau4_stream_refresh",
         # round 9: the last sim family gets its artifact kind — the
         # banded bucket tables + late-fetch vecs serve from parquet
         "sim_topk_lsh_multitable_prebuilt",

@@ -659,3 +659,34 @@ def test_adaptive_probe_rerank_passthrough(spark, ivfpq_idx):
     assert set(per_q.values()) == {5}
     allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
     assert all(r.vec_id in allowed_ids for r in got)
+
+
+def test_append_filter_adaptive_compose(spark, ivfpq_idx):
+    """The full production composition on ONE artifact: grow it with
+    pinned state (append), scope it to a tenant (filter), and serve
+    with the adaptive budget (min_results) — full k, in scope, only
+    ids from the grown corpus rank."""
+    emb = _emb(spark)
+    # ivfpq_idx was built on the FULL corpus; rebuild on 90% and grow
+    a = emb.filter(F.col("vec_id") % 10 != 7)
+    b = emb.filter(F.col("vec_id") % 10 == 7)
+    grown = ann_index.ann_index_append(
+        ann_index.ann_index_build(a, kind="ivfpq", n_centroids=16,
+                                  m=8, ksub=16), b
+    )
+    allowed = emb.filter(F.col("label") == 4)
+    fidx = ann_index.ann_index_filter(grown, allowed)
+    q = emb.filter(F.col("vec_id") < 5)
+    got = similarity.topk_ivfpq(
+        emb.limit(0), q, k=5, nprobe=2, index=fidx, min_results=5
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    assert all(r.vec_id in allowed_ids for r in got)
+    # appended rows are genuinely servable: at least one appended,
+    # in-scope id can appear across the query set when scope∩B ≠ ∅
+    b_ids = {r.vec_id for r in b.select("vec_id").collect()}
+    assert b_ids & allowed_ids  # the regime is meaningful

@@ -1382,3 +1382,74 @@ def test_append_then_serve_freshness_loop(spark, tmp_path):
     assert got2 == want2
     assert got1 != got2  # the appended slice actually changed answers
     assert os.path.isdir(os.path.join(path, "codes"))
+
+
+def test_stream_gold_refresh_matches_full_recompute(spark, tmp_path):
+    """Continuous IVM (run_stream_gold_refresh): CDC micro-batches
+    MERGE into the versioned fact and refresh only touched gold
+    groups; after the stream drains, gold == full recompute of the
+    final fact, deletes drop groups, and gold history carries one
+    version per batch.  Kill-and-resume: a rerun with no new files
+    commits nothing."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        SnapshotTable,
+    )
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("total"),
+        )
+
+    fact = SnapshotTable(str(tmp_path / "fact"))
+    gold = SnapshotTable(str(tmp_path / "gold"))
+    base = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0), (3, 2, 30.0), (5, 4, 50.0)],
+        "pk long, g long, v double",
+    )
+    fact.commit(base, note="v0")
+    gold.commit(agg(fact.read(spark)), note="gold@v0")
+
+    # two CDC batches: update, insert-new-group, delete-only-group,
+    # group-move
+    src = str(tmp_path / "cdc")
+    b1 = spark.createDataFrame(
+        [(1, 1, 99.0, "upsert"), (10, 6, 60.0, "upsert"),
+         (5, 4, 0.0, "delete")],
+        "pk long, g long, v double, op string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, 2, 20.0, "upsert")],  # moves g: 1 -> 2
+        "pk long, g long, v double, op string",
+    )
+    b1.repartition(1).write.parquet(src)
+    b2.repartition(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("pk long, g long, v double, op string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ingest.run_stream_gold_refresh(
+        stream, fact, gold, ["pk"], [("g", F.col("g"))], agg,
+        str(tmp_path / "ckpt"), op_col="op",
+    )
+    as_rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert as_rows(gold.read(spark)) == as_rows(agg(fact.read(spark)))
+    gs = {r.g for r in gold.read(spark).collect()}
+    assert 4 not in gs and {1, 2, 6} <= gs
+    n_fact_versions = len(fact.history())
+    n_gold_versions = len(gold.history())
+    assert n_fact_versions == 3 and n_gold_versions == 3  # v0 + 2 batches
+
+    # resume with nothing new: no batch fires, no versions appended
+    stream2 = (
+        spark.readStream.schema("pk long, g long, v double, op string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ingest.run_stream_gold_refresh(
+        stream2, fact, gold, ["pk"], [("g", F.col("g"))], agg,
+        str(tmp_path / "ckpt"), op_col="op",
+    )
+    assert len(fact.history()) == n_fact_versions
+    assert len(gold.history()) == n_gold_versions

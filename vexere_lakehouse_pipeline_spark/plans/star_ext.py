@@ -1894,3 +1894,63 @@ def gold_cau2_incremental_refresh(spark: SparkSession,
          ("l_returnflag", F.col("l_returnflag"))],
         lambda li_sub: _star.cau2_agg(li_sub, events), mutate,
     ).orderBy("ship_date", "l_returnflag", "l_suppkey")
+
+
+@_register("gold_cau4_stream_refresh",
+           _star.ORACLE_SQL["cau4_daily_avg_order_value"])
+def gold_cau4_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous IVM end-to-end (streaming/ingest.py:
+    run_stream_gold_refresh): the same stale-v0 construction as
+    gold_cau4_incremental_refresh, but the delta arrives as CDC
+    MICRO-BATCHES — each merges into the versioned fact and refreshes
+    only its touched gold groups (changed_pks path: no version-diff
+    join at all).  After the stream drains, the fact equals the true
+    orders table and the oracle is the ORIGINAL cau4 SQL verbatim — a
+    green hash proves per-batch group refresh converges to the full
+    recompute through any batch split."""
+    import os
+    import tempfile
+
+    from vexere_lakehouse_pipeline_spark.operators import snapshots as snap
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        run_stream_gold_refresh,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    stale = (
+        orders.filter((k % 97) != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 89 == 1, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderdate",
+            F.when(k % 83 == 2,
+                   F.col("o_orderdate") + F.expr("INTERVAL 40 DAYS"))
+            .otherwise(F.col("o_orderdate")),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="vlps_stream_ivm_")
+    fact = snap.SnapshotTable(os.path.join(base, "orders"))
+    fact.commit(stale, note="stale v0")
+    gold = snap.SnapshotTable(os.path.join(base, "gold"))
+    gold.commit(_star.cau4_agg(fact.read(spark)), note="gold@v0")
+    # the CDC feed: true rows for every key the staleness touched —
+    # after the upserts the fact IS the true table
+    delta = orders.filter(
+        (k % 97 == 0) | (k % 89 == 1) | (k % 83 == 2)
+    )
+    src = os.path.join(base, "cdc")
+    delta.repartition(2).write.parquet(src)  # 2 files -> 2 batches
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_stream_gold_refresh(
+        stream, fact, gold, ["o_orderkey"],
+        [("order_date", F.to_date("o_orderdate"))],
+        _star.cau4_agg, os.path.join(base, "ckpt"),
+    )
+    return gold.read(spark).orderBy("order_date")

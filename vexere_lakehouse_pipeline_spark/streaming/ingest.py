@@ -786,6 +786,75 @@ def append_ann_stream(new_rows_stream: DataFrame, index_path: str,
     )
 
 
+def run_stream_gold_refresh(cdc_stream: DataFrame, fact_table,
+                            gold_table, pk_cols: list[str],
+                            group_exprs: list[tuple], agg_fn,
+                            checkpoint_dir: str,
+                            op_col: str | None = None) -> None:
+    """Continuous gold maintenance — the streaming half of IVM-lite
+    (operators/snapshots.py: incremental_gold_refresh): every
+    micro-batch of fact mutations (a) MERGEs into the versioned fact
+    table (upsert by ``pk_cols``; rows whose ``op_col`` value is
+    ``'delete'`` remove their key), and (b) refreshes ONLY the gold
+    groups that batch touched, committing the result as the next gold
+    version.  The batch IS the change journal, so the refresh passes
+    ``changed_pks`` and never pays the version-diff join — per-batch
+    cost is churn-scale end to end.  This replaces the reference's
+    daily full gold recompute (convert/to_gold.py:221-228) with the
+    materialized-view maintenance loop a lakehouse actually runs.
+
+    Both tables must be :class:`operators.snapshots.SnapshotTable`
+    (versioned commits; gold history = one version per batch, time
+    travel and rollback for free).  At-least-once like every
+    foreachBatch sink: a REPLAYED batch is content-idempotent — the
+    upsert produces the same fact rows and the refresh recomputes the
+    same groups to the same values — leaving only a duplicate version
+    with identical content (the same caveat family as
+    run_stream_merge_sink, but here convergent rather than
+    duplicating).  Twin-tested (streamed batches ≡ full recompute of
+    the final fact, incl. kill-and-resume) in
+    tests/test_streaming_multimodal.py; oracle-gated end-to-end by
+    gold_cau4_stream_refresh (plans/star_ext.py — the oracle is the
+    original cau SQL verbatim over the final table).
+    """
+    from vexere_lakehouse_pipeline_spark.operators import snapshots as sn
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # localCheckpoint: the batch drives an anti-join, a union, a
+        # touched-group derivation AND (transitively) the gold commit
+        # — pin it once so the file-source batch isn't re-planned per
+        # consumer
+        batch = batch_df.localCheckpoint(eager=True)
+        from_v = next(
+            h["version"] for h in fact_table.history() if h["is_current"]
+        )
+        old = fact_table.read(spark, version=from_v)
+        pks = batch.select(*pk_cols).distinct()
+        upserts = batch
+        if op_col is not None:
+            upserts = batch.filter(
+                F.col(op_col) != F.lit("delete")
+            ).drop(op_col)
+        merged = old.join(F.broadcast(pks), pk_cols, "left_anti").unionByName(
+            upserts
+        )
+        to_v = fact_table.commit(merged, note=f"cdc batch {_batch_id}")
+        refreshed = sn.incremental_gold_refresh(
+            spark, fact_table, from_v, to_v, pk_cols, group_exprs,
+            agg_fn, gold_table.read(spark), changed_pks=pks,
+        )
+        gold_table.commit(refreshed, note=f"refresh batch {_batch_id}")
+
+    (
+        cdc_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def _recover_dir_swap(out_dir: str) -> None:
     """Heal a crashed write-new-then-swap (ADVICE r8): the two-rename
     swap in :func:`_compact_dir_swap` can die between renames, leaving
