@@ -615,6 +615,42 @@ ORACLE_SQL["sim_topk_lsh_multitable_prebuilt"] = (
 )
 
 
+def _lsh_filtered_oracle() -> str:
+    """The multitable-LSH oracle with the scope predicate pushed into
+    its candidate side — guarded surgery (marker exactly once), same
+    pattern as _sq8_filtered_oracle.  Proves ann_index_filter across a
+    THIRD artifact structure: banded bucket tables (the semi-join
+    prunes bucket rows AND the late-fetch vecs, so out-of-scope ids
+    never even pair)."""
+    marker = "AND c.vec_id <> qb.query_id"
+    src = ORACLE_SQL["sim_topk_lsh_multitable"]
+    if src.count(marker) != 1:
+        raise AssertionError(
+            f"sim_topk_lsh_multitable oracle: expected exactly one "
+            f"{marker!r}, found {src.count(marker)}"
+        )
+    return src.replace(
+        marker,
+        marker + " AND c.vec_id IN (SELECT vec_id FROM embeddings"
+                 " WHERE label <= 2)",
+    )
+
+
+@_register("sim_topk_filtered_lsh_prebuilt", _lsh_filtered_oracle())
+@_shared_arm
+def sim_topk_filtered_lsh_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "lsh", n_bits=4,
+                          n_tables=_TOPK_TABLES)
+    fidx = ann_index.ann_index_filter(idx, emb.filter(F.col("label") <= 2))
+    out = similarity.topk_lsh_bucketed(
+        emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5, index=fidx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: quality features
 # ---------------------------------------------------------------------------
