@@ -341,6 +341,7 @@ def main() -> None:
         # banded bucket tables + late-fetch vecs serve from parquet
         "sim_topk_lsh_multitable_prebuilt",
         "sim_topk_filtered_lsh_prebuilt",
+        "sim_recall_filtered_lsh_vs_bruteforce",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

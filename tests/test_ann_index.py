@@ -690,3 +690,36 @@ def test_append_filter_adaptive_compose(spark, ivfpq_idx):
     # in-scope id can appear across the query set when scope∩B ≠ ∅
     b_ids = {r.vec_id for r in b.select("vec_id").collect()}
     assert b_ids & allowed_ids  # the regime is meaningful
+
+
+@pytest.mark.parametrize(
+    "scope_pred",
+    [
+        lambda: F.col("vec_id").isin(100, 200, 300),        # < k rows
+        lambda: F.col("vec_id").isin(2, 100, 200, 300, 400, 500),  # ~k,
+        # incl. a query id (self-exclusion arithmetic)
+        lambda: F.col("label") == 4,                        # ~10%
+        lambda: F.abs(F.hash("vec_id")) % 2 == 0,           # ~50%
+    ],
+)
+def test_adaptive_probe_exact_coverage_property(spark, ivfpq_idx,
+                                                scope_pred):
+    """The adaptive budget's EXACT coverage contract, across scope
+    shapes from tiny to half-corpus: every query returns
+    min(k, |scope \\ {query}|) answers — never fewer while more exist,
+    never more than k, all in scope."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    allowed = emb.filter(scope_pred())
+    allowed_ids = {r.vec_id for r in allowed.select("vec_id").collect()}
+    fidx = ann_index.ann_index_filter(ivfpq_idx, allowed)
+    got = similarity.topk_ivfpq(
+        emb.limit(0), q, k=5, nprobe=2, index=fidx, min_results=5
+    ).collect()
+    per_q: dict = {}
+    for r in got:
+        assert r.vec_id in allowed_ids
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    for qid in (r.vec_id for r in q.select("vec_id").collect()):
+        expect = min(5, len(allowed_ids - {qid}))
+        assert per_q.get(qid, 0) == expect, (qid, expect, per_q.get(qid))

@@ -1453,3 +1453,61 @@ def test_stream_gold_refresh_matches_full_recompute(spark, tmp_path):
     )
     assert len(fact.history()) == n_fact_versions
     assert len(gold.history()) == n_gold_versions
+
+
+def test_phash64_matches_scalar_reference_construction(spark):
+    """Property twin for the round-9 pooling vectorization: phash64's
+    reduceat pooling + int64 matmul DCT must reproduce the PINNED
+    scalar construction (per-pixel bucket loop + triple-loop DCT +
+    63*c > ac_sum bit rule) bit-for-bit on randomized image shapes,
+    including non-divisible dimensions where bucket widths are
+    ragged."""
+    import random
+
+    from vexere_lakehouse_pipeline_spark.operators.multimodal import (
+        PHASH_GRID,
+        PHASH_W16,
+        decode_luma256,
+        encode_bmp,
+        phash64,
+    )
+
+    def reference_phash(payload: bytes) -> int:
+        w, h, luma = decode_luma256(payload)
+        g = PHASH_GRID
+        sums = [[0] * g for _ in range(g)]
+        cnts = [[0] * g for _ in range(g)]
+        for r in range(h):
+            br = r * g // h
+            base = r * w
+            for c in range(w):
+                bc = c * g // w
+                sums[br][bc] += luma[base + c]
+                cnts[br][bc] += 1
+        pool = [[sums[i][j] // cnts[i][j] for j in range(g)]
+                for i in range(g)]
+        wm = [PHASH_W16[i * g:(i + 1) * g] for i in range(g)]
+        coefs = []
+        for u in range(8):
+            for v in range(8):
+                if u == 0 and v == 0:
+                    continue
+                acc = 0
+                for x in range(g):
+                    for y in range(g):
+                        acc += wm[u][x] * pool[x][y] * wm[v][y]
+                coefs.append(acc)
+        ac_sum = sum(coefs)
+        out = 0
+        for i, c in enumerate(coefs):
+            if 63 * c > ac_sum:
+                out |= 1 << i
+        return out
+
+    rng = random.Random(20260816)
+    shapes = [(16, 16), (17, 19), (16, 40), (33, 16), (40, 40), (23, 31)]
+    for w, h in shapes:
+        px = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+              for _ in range(w * h)]
+        payload = encode_bmp(w, h, px)
+        assert phash64(payload) == reference_phash(payload), (w, h)

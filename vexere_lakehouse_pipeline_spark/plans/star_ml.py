@@ -651,6 +651,7 @@ def sim_topk_filtered_lsh_prebuilt(
     return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
 
 
+
 # ---------------------------------------------------------------------------
 # Text analysis: quality features
 # ---------------------------------------------------------------------------
@@ -3157,6 +3158,18 @@ def sim_recall_filtered_ivfpq_vs_bruteforce(
 ORACLE_SQL["sim_recall_filtered_ivfpq_vs_bruteforce"] = _recall_oracle(
     "sim_topk_filtered_ivfpq_prebuilt",
     truth_name="sim_topk_filtered_bruteforce_narrow",
+)
+@_register("sim_recall_filtered_lsh_vs_bruteforce", None)  # composed below
+def sim_recall_filtered_lsh_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir, sim_topk_filtered_lsh_prebuilt,
+                        truth_fn=sim_topk_filtered_bruteforce)
+
+
+ORACLE_SQL["sim_recall_filtered_lsh_vs_bruteforce"] = _recall_oracle(
+    "sim_topk_filtered_lsh_prebuilt",
+    truth_name="sim_topk_filtered_bruteforce",
 )
 
 
