@@ -302,3 +302,206 @@ def test_incremental_gold_refresh_derived_key_and_no_churn(spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in gold0.collect()
     )
+
+
+def test_incremental_gold_refresh_null_group_key(spark, tmp_path):
+    """NULL is a legal GROUP BY group (ADVICE r9): a mutation touching
+    the NULL-key group must recompute it, a NULL-moving update must
+    refresh both sides, and a deleted-out NULL group must disappear —
+    all of which require the touched/kept joins to be null-safe
+    (name-list equi-joins would silently keep the stale NULL row)."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        incremental_gold_refresh,
+    )
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("total"),
+        )
+
+    rows_v0 = [
+        (1, None, 10.0),   # NULL group: value update in place
+        (2, None, 20.0),   # NULL group: moves to g=1
+        (3, 1, 30.0),
+        (4, 2, 40.0),      # untouched group
+        (5, 9, 50.0),      # moves INTO the NULL group
+    ]
+    rows_v1 = [
+        (1, None, 99.0),
+        (2, 1, 20.0),
+        (3, 1, 30.0),
+        (4, 2, 40.0),
+        (5, None, 50.0),
+    ]
+    schema = "pk long, g long, v double"
+    t = SnapshotTable(str(tmp_path / "fact"))
+    t.commit(spark.createDataFrame(rows_v0, schema), note="v0")
+    t.commit(spark.createDataFrame(rows_v1, schema), note="v1")
+    gold0 = agg(t.read(spark, version=0))
+    got = incremental_gold_refresh(
+        spark, t, 0, 1, ["pk"], [("g", F.col("g"))], agg, gold0
+    )
+    want = agg(t.read(spark, version=1))
+    as_rows = lambda df: sorted(  # noqa: E731
+        (tuple(r) for r in df.collect()), key=repr
+    )
+    assert as_rows(got) == as_rows(want)
+    # and a NULL group deleted out entirely disappears
+    t2 = SnapshotTable(str(tmp_path / "fact2"))
+    t2.commit(spark.createDataFrame(
+        [(1, None, 1.0), (2, 5, 2.0)], schema), note="v0")
+    t2.commit(spark.createDataFrame([(2, 5, 2.0)], schema), note="v1")
+    gold0b = agg(t2.read(spark, version=0))
+    got2 = incremental_gold_refresh(
+        spark, t2, 0, 1, ["pk"], [("g", F.col("g"))], agg, gold0b
+    )
+    assert as_rows(got2) == as_rows(agg(t2.read(spark, version=1)))
+    assert all(r.g is not None for r in got2.collect())
+
+
+def test_partitioned_commit_schema_and_fingerprints(spark, tmp_path):
+    """part_by commits Hive-partition the version, record per-partition
+    content fingerprints in the manifest, and read back TYPE-EXACT
+    (the manifest schema defeats partition-column type inference that
+    would narrow bigint dirs to int)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        changed_partitions,
+    )
+
+    t = SnapshotTable(str(tmp_path / "pt"))
+    df = spark.range(40).selectExpr(
+        "id AS pk", "CAST(id % 4 AS LONG) AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    t.commit(df, part_by=["g"], note="v0")
+    back = t.read(spark)
+    assert dict(back.dtypes) == dict(df.dtypes)  # no int narrowing
+    assert back.count() == 40
+    ent = t.history()[0]
+    assert ent["part_by"] == ["g"]
+    assert sorted(e["k"][0] for e in ent["parts"]) == ["0", "1", "2", "3"]
+    assert all(e["n"] == 10 for e in ent["parts"])
+    # identical recommit -> zero changed partitions, no diff rows
+    t.commit(df, part_by=["g"], note="v1 identical")
+    pby, keys = changed_partitions(t, 0, 1)
+    assert (pby, keys) == (["g"], [])
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        snapshot_diff,
+    )
+
+    assert snapshot_diff(spark, t, 0, 1, ["pk"]).count() == 0
+
+
+def test_snapshot_diff_partition_pruned_scans(spark, tmp_path):
+    """The journalless diff over a part_by table reads ONLY changed
+    partitions (r9 verdict #1).  Proof is behavioral: every parquet
+    file of an UNTOUCHED partition is corrupted on disk in both
+    versions — the pruned diff still answers correctly (it never opens
+    them), while stripping the manifest's partition metadata makes the
+    same diff fail on the garbage bytes.  Also pins the plan: the
+    partition predicate lands in PartitionFilters, with no data
+    filter."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        changed_partitions,
+        snapshot_diff,
+    )
+
+    t = SnapshotTable(str(tmp_path / "pd"))
+    df0 = spark.range(100).selectExpr(
+        "id AS pk", "CAST(id % 10 AS LONG) AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    t.commit(df0, part_by=["g"], note="v0")
+    df1 = (
+        df0.withColumn(
+            "v",
+            F.when(F.col("g") == 3, F.col("v") + 1).otherwise(F.col("v")),
+        )
+        .filter(~((F.col("g") == 7) & (F.col("pk") == 7)))
+    )
+    t.commit(df1, part_by=["g"], note="v1")
+    pby, keys = changed_partitions(t, 0, 1)
+    assert pby == ["g"] and sorted(k[0] for k in keys) == ["3", "7"]
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        _restrict_to_partitions,
+    )
+
+    side = _restrict_to_partitions(t.read(spark, version=0), pby, keys)
+    splan = side._jdf.queryExecution().executedPlan().toString()
+    # toString truncates the field label, but the predicate text can
+    # only live in PartitionFilters here: DataFilters and
+    # PushedFilters are both printed empty
+    assert "DataFilters: []" in splan and "PushedFilters: []" in splan
+    assert "md5(cast(concat(v, cast(g#" in splan
+    d = snapshot_diff(spark, t, 0, 1, ["pk"])
+    got = sorted((r.pk, r._change) for r in d.collect())
+    assert got == sorted(
+        [(pk, "update") for pk in range(3, 100, 10)] + [(7, "delete")]
+    )
+
+    # corrupt every file of untouched partition g=5, both versions
+    for v in (0, 1):
+        for f in glob.glob(str(tmp_path / "pd" / f"v={v}" / "g=5" / "*")):
+            with open(f, "wb") as fh:
+                fh.write(b"not parquet")
+    got2 = sorted(
+        (r.pk, r._change)
+        for r in snapshot_diff(spark, t, 0, 1, ["pk"]).collect()
+    )
+    assert got2 == got  # pruned: never touches g=5
+
+    mp = str(tmp_path / "pd" / "_MANIFEST.json")
+    m = json.load(open(mp))
+    for v in m["versions"]:
+        v.pop("parts", None)
+        v.pop("part_by", None)
+    json.dump(m, open(mp, "w"))
+    with pytest.raises(Exception):
+        snapshot_diff(spark, t, 0, 1, ["pk"]).collect()  # unpruned scans g=5
+    assert os.path.isdir(str(tmp_path / "pd" / "v=0" / "g=5"))
+
+
+def test_partitioned_commit_null_partition_and_ivm(spark, tmp_path):
+    """NULL partition values round-trip through the fingerprint
+    protocol (Hive default partition), and incremental_gold_refresh
+    composes with the pruned diff end-to-end."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        changed_partitions,
+        incremental_gold_refresh,
+    )
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("total"),
+        )
+
+    schema = "pk long, g long, v double"
+    rows_v0 = [(1, None, 1.0), (2, 2, 2.0), (3, 3, 3.0)]
+    rows_v1 = [(1, None, 9.0), (2, 2, 2.0), (3, 3, 3.0)]
+    t = SnapshotTable(str(tmp_path / "np"))
+    t.commit(spark.createDataFrame(rows_v0, schema), part_by=["g"])
+    t.commit(spark.createDataFrame(rows_v1, schema), part_by=["g"])
+    pby, keys = changed_partitions(t, 0, 1)
+    assert keys == [[None]]  # only the NULL partition churned
+    gold0 = agg(t.read(spark, version=0))
+    got = incremental_gold_refresh(
+        spark, t, 0, 1, ["pk"], [("g", F.col("g"))], agg, gold0
+    )
+    want = agg(t.read(spark, version=1))
+    key = repr
+    assert sorted((tuple(r) for r in got.collect()), key=key) == sorted(
+        (tuple(r) for r in want.collect()), key=key
+    )

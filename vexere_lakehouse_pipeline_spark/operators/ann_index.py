@@ -137,7 +137,7 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
                     dsub: int | None = None,
                     dim: int | None = None,
                     d_out: int = 16,
-                    n_bits: int = 63,
+                    n_bits: int | None = None,
                     n_tables: int = 4,
                     dims: int = 32,
                     train_iters: int = 0,
@@ -153,7 +153,24 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
     state (the :func:`ann_index_append` path): rows encode against
     the GIVEN quantizers instead of re-deriving them from
     ``candidates`` — append(A, B) ≡ build(A ∪ B) with pinned state.
+
+    ``n_bits`` means different things by kind — hamming/cascade use
+    it as the SKETCH width (63 = full sign sketch, the right default)
+    while lsh uses it as the BUCKET-KEY width (2**n_bits buckets per
+    table) — so the default resolves per kind (63 vs 4) and the lsh
+    branch rejects widths past 16: a 63-bit bucket key hashes nearly
+    every vector into a singleton bucket and recall silently
+    collapses to ~0 (ADVICE r9).
     """
+    if n_bits is None:
+        n_bits = 4 if kind == "lsh" else 63
+    elif kind == "lsh" and n_bits > 16:
+        raise ValueError(
+            f"kind='lsh' would bucket on a {n_bits}-bit key: 2^{n_bits}"
+            " buckets per table makes nearly every bucket a singleton"
+            " and recall ~0 — use n_bits <= 16 (4-8 typical); 63 is"
+            " the hamming/cascade SKETCH width, not a bucket width"
+        )
     if kind == "ivfpq":
         if centroids is None:
             centroids = (

@@ -68,7 +68,8 @@ class SnapshotTable:
 
     # -- public API --------------------------------------------------------
     def commit(self, df: DataFrame, note: str = "",
-               max_attempts: int = 5) -> int:
+               max_attempts: int = 5,
+               part_by: list[str] | None = None) -> int:
         """Write ``df`` as the next version and publish it.  Optimistic
         concurrency: the version directory is created with
         ``errorifexists``, so two racing writers cannot share one — the
@@ -78,7 +79,22 @@ class SnapshotTable:
         log needs a CAS primitive the local FS lacks — Delta/Iceberg
         provide it in production; this makes the local behavior safe
         for retrying single writers and honest about the residual
-        window.)  Returns the new version number."""
+        window.)  Returns the new version number.
+
+        ``part_by``: Hive-partition the version by these columns AND
+        record a per-partition content fingerprint in the manifest
+        (count + bit_xor + wide sum of a per-row signature hash) — the
+        file-level change metadata a Delta/Iceberg commit log carries.
+        :func:`snapshot_diff` then restricts its full-outer join to
+        the partitions whose fingerprints changed (r9 verdict #1: the
+        journalless IVM diff stops scanning the whole fact).
+        Fingerprints are computed from the WRITTEN files (one extra
+        partition-local aggregate), so they describe exactly what a
+        reader sees.  Partition-typed round-trips are validated:
+        Spark re-infers partition-column types on read, so a column
+        whose values don't survive the directory-name round-trip
+        (e.g. strings with leading zeros) fails the commit loudly
+        rather than fingerprinting different data."""
         last_err: Exception | None = None
         for _ in range(max_attempts):
             m = self._read_manifest()
@@ -94,19 +110,49 @@ class SnapshotTable:
                     version = max(version, max(claimed) + 1)
             path = f"{self.base}/v={version}"
             try:
-                df.write.format(self.fmt).mode("errorifexists").save(path)
+                w = df.write.format(self.fmt).mode("errorifexists")
+                if part_by:
+                    missing = [c for c in part_by if c not in df.columns]
+                    if missing:
+                        raise ValueError(
+                            f"part_by columns {missing} not in DataFrame"
+                        )
+                    w = w.partitionBy(*part_by)
+                w.save(path)
+            except ValueError:
+                raise
             except Exception as e:  # noqa: BLE001 - collision -> retry next id
                 last_err = e
                 continue
+            entry = {
+                "version": version,
+                "committed_at": time.time(),
+                "note": note,
+            }
+            if part_by:
+                spark = df.sparkSession
+                # record the exact schema and read back WITH it:
+                # partition-column type inference would otherwise
+                # narrow types (bigint dirs re-infer as int) — the
+                # manifest schema makes every read() of this version
+                # type-exact, like a real table format's own schema
+                entry["schema"] = json.loads(df.schema.json())
+                back = (
+                    spark.read.format(self.fmt).schema(df.schema)
+                    .load(path)
+                )
+                if dict(back.dtypes) != dict(df.dtypes):
+                    raise ValueError(
+                        "partition round-trip changed the schema: "
+                        f"{sorted(df.dtypes)} -> {sorted(back.dtypes)}; "
+                        "partition values must survive the directory-"
+                        "name round-trip (pick a different part_by)"
+                    )
+                entry["part_by"] = list(part_by)
+                entry["parts"] = _partition_fingerprints(back, part_by)
             m = self._read_manifest()  # merge any concurrent publishes
             m["versions"] = [v for v in m["versions"] if v["version"] != version]
-            m["versions"].append(
-                {
-                    "version": version,
-                    "committed_at": time.time(),
-                    "note": note,
-                }
-            )
+            m["versions"].append(entry)
             m["versions"].sort(key=lambda v: v["version"])
             m["current"] = version
             self._publish(m)
@@ -132,10 +178,19 @@ class SnapshotTable:
             version = max(eligible)
         if version is None:
             version = m["current"]
-        known = {v["version"] for v in m["versions"]}
+        known = {v["version"]: v for v in m["versions"]}
         if version not in known:
-            raise ValueError(f"unknown version {version}; have {sorted(known)}")
-        return spark.read.format(self.fmt).load(f"{self.base}/v={version}")
+            raise ValueError(
+                f"unknown version {version}; have {sorted(known)}"
+            )
+        reader = spark.read.format(self.fmt)
+        if known[version].get("schema") is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(known[version]["schema"])
+            )
+        return reader.load(f"{self.base}/v={version}")
 
     def history(self) -> list[dict]:
         m = self._read_manifest()
@@ -219,6 +274,103 @@ class SnapshotTable:
         return expired
 
 
+def _sig_tokens(cols: list[str]) -> list:
+    """Per-column fixed-width signature tokens: each is exactly 32 hex
+    chars (or the bare tag 'n' for NULL), so no value content can
+    shift column boundaries, and values are prefix-tagged md5('v'+s)
+    so no real string collides with the null encoding."""
+    return [
+        F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.md5(F.concat(F.lit("v"), F.col(c).cast("string")))
+        )
+        for c in cols
+    ]
+
+
+def _row_sig(cols: list[str]):
+    """One md5 per row over the fixed-width token concatenation."""
+    return F.md5(F.concat_ws("", *_sig_tokens(cols))) if cols else F.lit("")
+
+
+def _partition_fingerprints(df: DataFrame, part_by: list[str]) -> list[dict]:
+    """Per-partition content fingerprint: row count, bit_xor and a
+    decimal(38,0) sum of a per-row xxhash64 (over ALL columns, sorted
+    by name so select order can't matter).  Three independent
+    order-insensitive channels — xor alone cancels duplicate pairs,
+    count alone misses content changes; together a differing
+    partition escapes detection only on a ~2^-64 hash collision
+    (documented, the same trust Delta places in file stats)."""
+    h = F.xxhash64(_row_sig(sorted(df.columns)))
+    agg = (
+        df.select(
+            *[F.col(p).cast("string").alias(f"__k_{p}") for p in part_by],
+            h.alias("__h"),
+        )
+        .groupBy(*[f"__k_{p}" for p in part_by])
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.bit_xor("__h").alias("__x"),
+            F.sum(F.col("__h").cast("decimal(38,0)")).alias("__s"),
+        )
+    )
+    out = []
+    for r in agg.collect():
+        out.append({
+            "k": [r[f"__k_{p}"] for p in part_by],
+            "n": r["__n"], "x": str(r["__x"]), "s": str(r["__s"]),
+        })
+    out.sort(key=lambda e: repr(e["k"]))
+    return out
+
+
+def changed_partitions(table: "SnapshotTable", from_version: int,
+                       to_version: int) -> tuple[list[str], list[list]] | None:
+    """The partition keys whose content differs between two versions,
+    from manifest fingerprints alone (no data scan): ``(part_by,
+    changed_keys)`` where each key is the string-cast partition value
+    list (None = NULL partition).  Returns ``None`` when either
+    version lacks partition metadata or they were partitioned
+    differently — callers fall back to the unpruned path."""
+    ent = {v["version"]: v for v in table._read_manifest()["versions"]}
+    a, b = ent.get(from_version), ent.get(to_version)
+    if not a or not b:
+        return None
+    pby = a.get("part_by")
+    if not pby or pby != b.get("part_by"):
+        return None
+    fa = {tuple(e["k"]): (e["n"], e["x"], e["s"]) for e in a["parts"]}
+    fb = {tuple(e["k"]): (e["n"], e["x"], e["s"]) for e in b["parts"]}
+    changed = [
+        list(k) for k in (set(fa) | set(fb))
+        if fa.get(k) != fb.get(k)
+    ]
+    changed.sort(key=repr)
+    return list(pby), changed
+
+
+def _restrict_to_partitions(df: DataFrame, part_by: list[str],
+                            keys: list[list]) -> DataFrame:
+    """Filter to the given partition keys with an expression that
+    references ONLY partition columns, so the file source prunes
+    directories instead of scanning them.  Keys are matched through
+    the same fixed-width md5 token encoding as _sig_tokens — value
+    content cannot forge a key boundary."""
+    import hashlib
+
+    if not keys:
+        return df.filter(F.lit(False))
+    expr = F.concat_ws("", *_sig_tokens(part_by))
+    enc = [
+        "".join(
+            "n" if v is None else
+            hashlib.md5(("v" + v).encode("utf-8")).hexdigest()
+            for v in k
+        )
+        for k in keys
+    ]
+    return df.filter(expr.isin(enc))
+
+
 def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
                   from_version: int, to_version: int,
                   key_cols: list[str]) -> DataFrame:
@@ -236,9 +388,24 @@ def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
     the same single wide shuffle a Delta/Iceberg changes() scan pays
     when no change journal exists.  Change detection compares the
     md5 of all non-key columns JVM-side, no Python.
+
+    When BOTH versions were committed with the same ``part_by``
+    (manifest partition fingerprints, see :meth:`SnapshotTable.commit`),
+    the join reads ONLY the partitions whose fingerprints changed —
+    partition-pruned at the file source on both sides (r9 verdict #1:
+    a 0.1%-churn diff of a date-partitioned fact scans ~the churned
+    dates, not 100 TB).  Identical-fingerprint partitions contribute
+    no diff rows by construction, so pruning never changes the
+    result (pinned in tests/test_snapshots.py; the IVM oracle rows
+    hash-gate the composed refresh).
     """
     old = table.read(spark, version=from_version)
     new = table.read(spark, version=to_version)
+    pruned = changed_partitions(table, from_version, to_version)
+    if pruned is not None:
+        pby, keys = pruned
+        old = _restrict_to_partitions(old, pby, keys)
+        new = _restrict_to_partitions(new, pby, keys)
     if set(old.columns) != set(new.columns):
         raise ValueError(
             f"schema drift between versions: {sorted(old.columns)} vs "
@@ -254,32 +421,15 @@ def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
             f"{new.dtypes}; diff requires identical column types"
         )
     val_cols = [c for c in new.columns if c not in key_cols]
-    def _sig(df: DataFrame):
-        # Per-column md5 FIRST, then md5 of the fixed-width digest
-        # concatenation: each token is exactly 32 hex chars, so no
-        # value content can shift column boundaries (a raw-value
-        # separator scheme is forgeable by values containing the
-        # separator).  Nulls encode as the bare tag 'n' and values as
-        # md5('v'+string) — prefix-tagged so no real string collides
-        # with the null encoding.
-        parts = []
-        for c in val_cols:
-            parts.append(
-                F.when(F.col(c).isNull(), F.lit("n")).otherwise(
-                    F.md5(F.concat(F.lit("v"), F.col(c).cast("string")))
-                )
-            )
-        return F.md5(F.concat_ws("", *parts)) if parts else F.lit("")
-
     o = old.select(
         *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
         F.struct(*old.columns).alias("__old_row"),
-        _sig(old).alias("__old_sig"),
+        _row_sig(val_cols).alias("__old_sig"),
     )
     n = new.select(
         *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
         F.struct(*new.columns).alias("__new_row"),
-        _sig(new).alias("__new_sig"),
+        _row_sig(val_cols).alias("__new_sig"),
     )
     cond = None
     for k in key_cols:
@@ -340,7 +490,10 @@ def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
        kept-rows ≡ what a full recompute would produce.
 
     Deleted-out groups disappear (removed by the anti-join, absent
-    from the recompute).  Equality with the full recompute is
+    from the recompute).  Every key join — changed-PK semi-joins,
+    touched-group semi-join, kept-rows anti-join — is null-safe
+    (``eqNullSafe``), so a NULL group key (a legal SQL GROUP BY
+    group) or NULL PK component refreshes like any other.  Equality with the full recompute is
     oracle-hash-proven by gold_cau4_incremental_refresh /
     gold_cau1_incremental_refresh (plans/star_ext.py) and pinned in
     tests/test_snapshots.py.
@@ -364,11 +517,22 @@ def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
     old = table.read(spark, version=from_version)
     new = table.read(spark, version=to_version)
     # internal join-key aliases so identity group keys (a group column
-    # used as-is, e.g. event_type) never collide with fact columns
+    # used as-is, e.g. event_type) never collide with fact columns;
+    # the __t_ twins name the broadcast side of each null-safe join
     tags = [f"__g_{n}" for n in names]
-    clash = [t for t in tags if t in new.columns]
+    ttags = [f"__t_{n}" for n in names]
+    ptags = [f"__p_{k}" for k in pk_cols]
+    clash = [t for t in tags + ttags + ptags
+             if t in new.columns or t in gold_prev.columns]
     if clash:
         raise ValueError(f"fact columns collide with internal {clash}")
+
+    def _nullsafe(left_cols: list[str], right_cols: list[str]):
+        cond = None
+        for a, b in zip(left_cols, right_cols):
+            c = F.col(a).eqNullSafe(F.col(b))
+            cond = c if cond is None else (cond & c)
+        return cond
     if changed_pks is not None:
         # the caller ALREADY knows the churn (a CDC batch, a MERGE's
         # source, a change journal) — skip the version diff entirely,
@@ -383,24 +547,36 @@ def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
                              pk_cols)
         pks = diff.select(*pk_cols).distinct()
 
+    pks_t = pks.select(
+        *[F.col(k).alias(p) for k, p in zip(pk_cols, ptags)]
+    )
+
     def _touched(side: DataFrame) -> DataFrame:
         return (
-            side.join(F.broadcast(pks), pk_cols, "left_semi")
+            side.join(F.broadcast(pks_t), _nullsafe(pk_cols, ptags),
+                      "left_semi")
             .select(*[c.alias(n) for n, c in group_exprs])
             .distinct()
         )
 
     touched = _touched(old).unionByName(_touched(new)).distinct()
+    # every group-key join below is NULL-SAFE (eqNullSafe — still an
+    # equi-key Spark hash-joins on): a NULL group key is a legal group
+    # (SQL GROUP BY groups NULLs together), so a mutation touching the
+    # NULL-key group must recompute and replace it like any other —
+    # name-list equi-joins would silently keep it stale (ADVICE r9).
     touched_t = touched.select(
-        *[F.col(n).alias(t) for n, t in zip(names, tags)]
+        *[F.col(n).alias(t) for n, t in zip(names, ttags)]
     )
     scoped = (
         new.select(
             "*", *[c.alias(t) for (_, c), t in zip(group_exprs, tags)]
         )
-        .join(F.broadcast(touched_t), tags, "left_semi")
+        .join(F.broadcast(touched_t), _nullsafe(tags, ttags),
+              "left_semi")
         .drop(*tags)
     )
     refreshed = agg_fn(scoped)
-    kept = gold_prev.join(F.broadcast(touched), names, "left_anti")
+    kept = gold_prev.join(F.broadcast(touched_t),
+                          _nullsafe(names, ttags), "left_anti")
     return kept.unionByName(refreshed)

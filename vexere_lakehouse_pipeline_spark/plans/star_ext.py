@@ -1782,23 +1782,30 @@ def layout_partitioned_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivm_refresh(spark, sf_dir: str, fact_name: str, pk_cols, group_exprs,
                  agg_fn, mutate_fn) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     from vexere_lakehouse_pipeline_spark.operators import snapshots as snap
 
     fact = load_table(spark, sf_dir, fact_name)
     base = tempfile.mkdtemp(prefix="vlps_ivm_")
-    tbl = snap.SnapshotTable(os.path.join(base, fact_name))
-    tbl.commit(mutate_fn(fact), note="stale mutation batch")
-    tbl.commit(fact, note="current")
-    gold_tbl = snap.SnapshotTable(os.path.join(base, "gold"))
-    gold_tbl.commit(agg_fn(tbl.read(spark, version=0)), note="gold@v0")
-    refreshed = snap.incremental_gold_refresh(
-        spark, tbl, 0, 1, pk_cols, group_exprs, agg_fn,
-        gold_tbl.read(spark, version=0),
-    )
-    gold_tbl.commit(refreshed, note="gold@v1 incremental")
-    return gold_tbl.read(spark)
+    try:
+        tbl = snap.SnapshotTable(os.path.join(base, fact_name))
+        tbl.commit(mutate_fn(fact), note="stale mutation batch")
+        tbl.commit(fact, note="current")
+        gold_tbl = snap.SnapshotTable(os.path.join(base, "gold"))
+        gold_tbl.commit(agg_fn(tbl.read(spark, version=0)), note="gold@v0")
+        refreshed = snap.incremental_gold_refresh(
+            spark, tbl, 0, 1, pk_cols, group_exprs, agg_fn,
+            gold_tbl.read(spark, version=0),
+        )
+        gold_tbl.commit(refreshed, note="gold@v1 incremental")
+        # pin the result off the tempdir (ADVICE r9: every invocation
+        # leaked two fact copies + gold versions) so it can be removed
+        # before returning
+        return gold_tbl.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @_register("gold_cau4_incremental_refresh",
@@ -1909,6 +1916,7 @@ def gold_cau4_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     green hash proves per-batch group refresh converges to the full
     recompute through any batch split."""
     import os
+    import shutil
     import tempfile
 
     from vexere_lakehouse_pipeline_spark.operators import snapshots as snap
@@ -1933,24 +1941,31 @@ def gold_cau4_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     base = tempfile.mkdtemp(prefix="vlps_stream_ivm_")
-    fact = snap.SnapshotTable(os.path.join(base, "orders"))
-    fact.commit(stale, note="stale v0")
-    gold = snap.SnapshotTable(os.path.join(base, "gold"))
-    gold.commit(_star.cau4_agg(fact.read(spark)), note="gold@v0")
-    # the CDC feed: true rows for every key the staleness touched —
-    # after the upserts the fact IS the true table
-    delta = orders.filter(
-        (k % 97 == 0) | (k % 89 == 1) | (k % 83 == 2)
-    )
-    src = os.path.join(base, "cdc")
-    delta.repartition(2).write.parquet(src)  # 2 files -> 2 batches
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    run_stream_gold_refresh(
-        stream, fact, gold, ["o_orderkey"],
-        [("order_date", F.to_date("o_orderdate"))],
-        _star.cau4_agg, os.path.join(base, "ckpt"),
-    )
-    return gold.read(spark).orderBy("order_date")
+    try:
+        fact = snap.SnapshotTable(os.path.join(base, "orders"))
+        fact.commit(stale, note="stale v0")
+        gold = snap.SnapshotTable(os.path.join(base, "gold"))
+        gold.commit(_star.cau4_agg(fact.read(spark)), note="gold@v0")
+        # the CDC feed: true rows for every key the staleness touched —
+        # after the upserts the fact IS the true table
+        delta = orders.filter(
+            (k % 97 == 0) | (k % 89 == 1) | (k % 83 == 2)
+        )
+        src = os.path.join(base, "cdc")
+        delta.repartition(2).write.parquet(src)  # 2 files -> 2 batches
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        run_stream_gold_refresh(
+            stream, fact, gold, ["o_orderkey"],
+            [("order_date", F.to_date("o_orderdate"))],
+            _star.cau4_agg, os.path.join(base, "ckpt"),
+        )
+        # pin off the tempdir before removal (ADVICE r9 leak)
+        return (
+            gold.read(spark).localCheckpoint(eager=True)
+            .orderBy("order_date")
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -632,6 +633,28 @@ def attribution_outer_flags(clicks: DataFrame, purchases: DataFrame,
     )
 
 
+def _load_index_retry(spark: SparkSession, index_path: str,
+                      attempts: int = 40, delay: float = 0.05):
+    """Reload an ANN artifact, riding out :func:`_compact_dir_swap`'s
+    two-rename window (ADVICE r9): a concurrent append_ann_stream
+    compaction briefly leaves a row-part directory missing, so a
+    serve-side reload that plans in that instant would fail.  Retry
+    for ~2 s (the swap is microseconds), then surface the real error.
+    The artifact freshness loop remains single-writer (one
+    append_ann_stream per path); this makes the READER robust to the
+    writer's swap — it never heals ``._expired`` siblings itself,
+    which would race the live writer's second rename."""
+    from vexere_lakehouse_pipeline_spark.operators import ann_index as ai
+
+    for i in range(attempts):
+        try:
+            return ai.ann_index_load(spark, index_path)
+        except Exception:
+            if i == attempts - 1:
+                raise
+            time.sleep(delay)
+
+
 def serve_ann_stream(queries_stream: DataFrame, index, out_dir: str,
                      checkpoint_dir: str, k: int = 5,
                      candidates: DataFrame | None = None,
@@ -702,7 +725,7 @@ def serve_ann_stream(queries_stream: DataFrame, index, out_dir: str,
 
     def answer(batch_df: DataFrame, _batch_id: int) -> None:
         idx = (
-            ai.ann_index_load(batch_df.sparkSession, index_path)
+            _load_index_retry(batch_df.sparkSession, index_path)
             if index_path is not None else index
         )
         cand = candidates if candidates is not None else batch_df.limit(0)
@@ -826,9 +849,15 @@ def run_stream_gold_refresh(cdc_stream: DataFrame, fact_table,
         # — pin it once so the file-source batch isn't re-planned per
         # consumer
         batch = batch_df.localCheckpoint(eager=True)
-        from_v = next(
+        current = [
             h["version"] for h in fact_table.history() if h["is_current"]
-        )
+        ]
+        if not current:
+            raise ValueError(
+                "fact table has no committed version — commit v0 "
+                "before starting run_stream_gold_refresh"
+            )
+        from_v = current[0]
         old = fact_table.read(spark, version=from_v)
         pks = batch.select(*pk_cols).distinct()
         upserts = batch
