@@ -505,3 +505,91 @@ def test_partitioned_commit_null_partition_and_ivm(spark, tmp_path):
     assert sorted((tuple(r) for r in got.collect()), key=key) == sorted(
         (tuple(r) for r in want.collect()), key=key
     )
+
+
+def test_incremental_gold_refresh_side_input_churn(spark, tmp_path):
+    """Multi-input IVM (r9 verdict #3): the fact is unchanged, a
+    JOINED side table churns (value update + key-moving update +
+    delete).  touched_keys maps the side churn to keys from BOTH
+    versions; semi-joining the fact gives extra_touched groups; the
+    refresh with agg_fn closed over the NEW side equals the full
+    recompute — and OMITTING extra_touched provably leaves stale
+    rows (non-vacuity)."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        incremental_gold_refresh,
+        touched_keys,
+    )
+
+    fact_rows = [  # (pk, g, supp, v)
+        (1, 1, 10, 1.0), (2, 1, 11, 2.0),
+        (3, 2, 12, 3.0), (4, 3, 13, 4.0), (5, 4, 99, 5.0),
+    ]
+    side_v0 = [  # (sid, user, score)
+        (1, 10, 5.0), (2, 11, 1.0), (3, 12, 2.0),
+        (4, 13, 9.0),  # deleted in v1
+        (5, 12, 4.0),  # moves to user 10 in v1
+    ]
+    side_v1 = [
+        (1, 10, 5.0), (2, 11, 7.0), (3, 12, 2.0), (5, 10, 4.0),
+    ]
+    fact = spark.createDataFrame(fact_rows, "pk long, g long, supp long, v double")
+    sv0 = spark.createDataFrame(side_v0, "sid long, user long, score double")
+    sv1 = spark.createDataFrame(side_v1, "sid long, user long, score double")
+
+    def agg(fact_df, side_df):
+        per_user = side_df.groupBy("user").agg(
+            F.sum("score").alias("uscore")
+        )
+        return (
+            fact_df.join(per_user, fact_df.supp == per_user.user, "left")
+            .groupBy("g")
+            .agg(
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("total"),
+                F.sum(F.coalesce("uscore", F.lit(0.0))).alias("s"),
+            )
+        )
+
+    ft = SnapshotTable(str(tmp_path / "fact"))
+    ft.commit(fact)
+    st = SnapshotTable(str(tmp_path / "side"))
+    st.commit(sv0)
+    st.commit(sv1)
+    gold0 = agg(ft.read(spark), st.read(spark, version=0))
+    changed_users = touched_keys(
+        spark, st, 0, 1, ["sid"], [("user", F.col("user"))]
+    )
+    # users 11 (update), 13 (delete), 12 -> 10 (move: BOTH change)
+    assert sorted(r.user for r in changed_users.collect()) == [
+        10, 11, 12, 13,
+    ]
+    extra = (
+        ft.read(spark)
+        .join(F.broadcast(changed_users),
+              F.col("supp").eqNullSafe(F.col("user")), "left_semi")
+        .select(F.col("g"))
+        .distinct()
+    )
+    kw = dict(
+        changed_pks=fact.select("pk").limit(0),
+    )
+    got = incremental_gold_refresh(
+        spark, ft, 0, 0, ["pk"], [("g", F.col("g"))],
+        lambda f: agg(f, st.read(spark, version=1)), gold0,
+        extra_touched=extra, **kw,
+    )
+    want = agg(ft.read(spark), st.read(spark, version=1))
+    rows = lambda df: sorted(  # noqa: E731
+        (tuple(r) for r in df.collect()), key=repr
+    )
+    assert rows(got) == rows(want)
+    # group 4 (supp 99, never scored) must be the kept-verbatim row
+    assert [r for r in got.collect() if r.g == 4] == [
+        r for r in gold0.collect() if r.g == 4
+    ]
+    stale = incremental_gold_refresh(
+        spark, ft, 0, 0, ["pk"], [("g", F.col("g"))],
+        lambda f: agg(f, st.read(spark, version=1)), gold0, **kw,
+    )
+    assert rows(stale) != rows(want)  # without extra_touched: stale

@@ -1511,3 +1511,120 @@ def test_phash64_matches_scalar_reference_construction(spark):
               for _ in range(w * h)]
         payload = encode_bmp(w, h, px)
         assert phash64(payload) == reference_phash(payload), (w, h)
+
+
+def test_append_ann_stream_exactly_once_replay(spark, tmp_path):
+    """r9 verdict #2: a REPLAYED batch must not duplicate vec_ids.
+    Three replay shapes are forced: (a) full-checkpoint loss — every
+    batch replays, the META high-water mark skips them all; (b) the
+    crash window AFTER a batch's files land but BEFORE the mark
+    advances — the deterministic batch-<id>.parquet re-placement
+    overwrites the same file instead of appending; (c) the placement
+    itself re-run twice is a byte-level no-op.  After all three, the
+    artifact's vec_id multiset and a serve result equal the
+    single-application run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import (
+        ann_index,
+        similarity,
+    )
+    from vexere_lakehouse_pipeline_spark.streaming.ingest import (
+        _place_batch_file,
+        append_ann_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.filter(F.col("vec_id") % 10 != 7)
+    b = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "idx")
+    ann_index.ann_index_save(ann_index.ann_index_build(a, kind="sq8"),
+                             path)
+    src = str(tmp_path / "rows")
+    ckpt = str(tmp_path / "ckpt")
+    b.repartition(2).write.parquet(src)  # 2 files -> 2 batches
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        append_ann_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            path, ckpt,
+        )
+
+    run()
+    grown = ann_index.ann_index_load(spark, path)
+    assert grown.meta["stream_hwm"] == 1
+    want_ids = sorted(
+        r.vec_id for r in grown.parts["codes"].collect()
+    )
+    assert want_ids == sorted(r.vec_id for r in emb.collect())
+    q = emb.filter(F.col("vec_id") < 8)
+    want_serve = sorted(
+        tuple(r) for r in similarity.topk_sq8(
+            emb.limit(0), q, k=5, index=grown).collect()
+    )
+
+    # (a) checkpoint loss: both batches replay under fresh ids 0..1,
+    # all at-or-below the recorded mark -> skipped wholesale
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    run()
+    after_a = ann_index.ann_index_load(spark, path)
+    assert sorted(
+        r.vec_id for r in after_a.parts["codes"].collect()
+    ) == want_ids
+
+    # (c) re-placing an already-placed batch file is a no-op
+    b1_rows = spark.read.parquet(
+        os.path.join(path, "codes", "batch-1.parquet")
+    ).localCheckpoint(eager=True)
+    before = os.listdir(os.path.join(path, "codes"))
+    _place_batch_file(b1_rows, os.path.join(path, "codes"), 1)
+    assert sorted(os.listdir(os.path.join(path, "codes"))) == sorted(
+        before
+    )
+    assert sorted(
+        r.vec_id
+        for r in ann_index.ann_index_load(
+            spark, path).parts["codes"].collect()
+    ) == want_ids
+
+    # (b) crash window: batch 2's file lands but the mark still says 1;
+    # the stream then processes the same rows AS batch 2 and must
+    # converge, not duplicate
+    more = b.limit(3).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    ).localCheckpoint(eager=True)
+    more.coalesce(1).write.mode("append").parquet(src)
+    pre_delta = ann_index.ann_index_build(
+        more, kind="sq8", vec_col="embedding", id_col="vec_id",
+        **ann_index.pinned_state(ann_index.ann_index_load(spark, path)),
+    )
+    _place_batch_file(pre_delta.parts["codes"],
+                      os.path.join(path, "codes"), 2)  # crash: no hwm
+    run()  # batch 2 re-applies idempotently, then the mark advances
+    final = ann_index.ann_index_load(spark, path)
+    assert final.meta["stream_hwm"] == 2
+    got_ids = sorted(r.vec_id for r in final.parts["codes"].collect())
+    assert got_ids == sorted(
+        want_ids + [r.vec_id for r in more.collect()]
+    )
+    # serve twin: the batch append path with the same pinned state
+    twin = ann_index.ann_index_append(
+        ann_index.ann_index_build(a, kind="sq8"),
+        b.unionByName(more),
+    )
+    got_serve = sorted(
+        tuple(r) for r in similarity.topk_sq8(
+            emb.limit(0), q, k=5, index=final).collect()
+    )
+    assert got_serve == sorted(
+        tuple(r) for r in similarity.topk_sq8(
+            emb.limit(0), q, k=5, index=twin).collect()
+    )
+    assert len(got_serve) == len(want_serve)

@@ -66,6 +66,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -287,6 +288,32 @@ def ann_index_build(candidates: DataFrame, kind: str = "ivfpq",
     raise ValueError(f"unknown ANN index kind: {kind!r}")
 
 
+# meta keys that are bookkeeping, not ann_index_build hyperparameters
+_NON_HYPER = ("kind", "stream_hwm")
+
+
+def hyper_params(meta: dict) -> dict:
+    """The build hyperparameters recorded in an artifact's meta —
+    everything except the kind tag and bookkeeping fields (the
+    streaming append's exactly-once high-water mark)."""
+    return {k: v for k, v in meta.items() if k not in _NON_HYPER}
+
+
+def update_meta(path: str, **updates) -> None:
+    """Atomically update the saved artifact's JSON meta sidecar
+    (write-tmp-then-replace, same protocol as SnapshotTable's
+    manifest).  Used by the streaming append to advance its
+    exactly-once ``stream_hwm`` after a batch's files land."""
+    p = os.path.join(path, META_FILE)
+    with open(p) as fh:
+        meta = json.load(fh)
+    meta.update(updates)
+    tmp = p + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, p)
+
+
 def pinned_state(index: AnnIndex) -> dict[str, DataFrame]:
     """The trained/model parts of ``index`` that an append must adopt
     verbatim (never retrain): centroids+codebooks for the IVF family,
@@ -329,7 +356,7 @@ def ann_index_append(index: AnnIndex, new_rows: DataFrame,
     exact dedup upstream is the repo's standing production ordering).
     """
     pinned = pinned_state(index)
-    hyper = {k: v for k, v in index.meta.items() if k != "kind"}
+    hyper = hyper_params(index.meta)
     delta = ann_index_build(new_rows, kind=index.kind, vec_col=vec_col,
                             id_col=id_col, **hyper, **pinned)
     parts = dict(index.parts)

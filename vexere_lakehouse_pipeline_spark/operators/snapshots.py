@@ -450,12 +450,55 @@ def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
     return picked.select(row.alias("r"), "_change").select("r.*", "_change")
 
 
+def touched_keys(spark: SparkSession, table: "SnapshotTable",
+                 from_version: int, to_version: int,
+                 pk_cols: list[str], key_exprs: list[tuple],
+                 changed_pks: DataFrame | None = None) -> DataFrame:
+    """Distinct derived keys of the rows a mutation batch touched,
+    drawn from BOTH versions — the key-move-safe churn→key mapping
+    :func:`incremental_gold_refresh` uses for its own fact, exposed
+    so SIDE-INPUT churn can be mapped to gold groups too (r9 verdict
+    #3).  ``key_exprs`` are ``(output_name, Column)`` pairs evaluated
+    against each version's rows whose PK appears in the churn set;
+    e.g. for an events-table mutation feeding a gold join on
+    ``l_suppkey = user_id``, ``touched_keys(..., ev_tbl, v0, v1,
+    ["event_id"], [("user_id", F.col("user_id"))])`` yields every
+    user whose score may have changed — including the OLD owner of a
+    user-moving update.  All joins null-safe; ``changed_pks`` skips
+    the version diff exactly as in the refresh."""
+    if changed_pks is not None:
+        pks = changed_pks.select(*pk_cols).distinct()
+    else:
+        pks = snapshot_diff(spark, table, from_version, to_version,
+                            pk_cols).select(*pk_cols).distinct()
+    ptags = [f"__p_{k}" for k in pk_cols]
+    pks_t = pks.select(
+        *[F.col(k).alias(p) for k, p in zip(pk_cols, ptags)]
+    )
+    cond = None
+    for a, b in zip(pk_cols, ptags):
+        c = F.col(a).eqNullSafe(F.col(b))
+        cond = c if cond is None else (cond & c)
+
+    def _side(version: int) -> DataFrame:
+        return (
+            table.read(spark, version=version)
+            .join(F.broadcast(pks_t), cond, "left_semi")
+            .select(*[c.alias(n) for n, c in key_exprs])
+        )
+
+    return (
+        _side(from_version).unionByName(_side(to_version)).distinct()
+    )
+
+
 def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
                              from_version: int, to_version: int,
                              pk_cols: list[str],
                              group_exprs: list[tuple],
                              agg_fn, gold_prev: DataFrame,
-                             changed_pks: DataFrame | None = None
+                             changed_pks: DataFrame | None = None,
+                             extra_touched: DataFrame | None = None
                              ) -> DataFrame:
     """IVM-lite: refresh a materialized GROUP-BY gold table by
     recomputing ONLY the groups touched by a fact-table mutation batch
@@ -501,6 +544,16 @@ def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
     ``changed_pks``: pass the mutation batch's key set when the churn
     is already known (CDC feed / MERGE source) — the version diff is
     skipped and the whole refresh is churn-scale; step 1 becomes free.
+
+    ``extra_touched``: group keys implicated by churn in a JOINED
+    side input — the multi-input IVM shape (r9 verdict #3).  Derive
+    the side table's changed keys with :func:`touched_keys`, map them
+    to gold groups (typically: semi-join the fact on the join key,
+    project the group exprs), pass the result here, and close
+    ``agg_fn`` over the side input's NEW version.  Gated by
+    gold_cau2_incremental_refresh_events (plans/star_ext.py — an
+    events-side mutation refreshes a lineitem-grouped gold whose
+    RANK depends on the events-derived score).
 
     Scale: cost tracks CHURN, not table size — the diff is one
     key-aligned full-outer join (partition-prunable when the fact is
@@ -559,7 +612,16 @@ def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
             .distinct()
         )
 
-    touched = _touched(old).unionByName(_touched(new)).distinct()
+    touched = _touched(old).unionByName(_touched(new))
+    if extra_touched is not None:
+        # groups implicated by churn in a JOINED side input (r9
+        # verdict #3): the caller maps the side table's changed keys
+        # to gold groups — typically fact rows joining to those keys,
+        # via touched_keys + a semi-join — and the refresh recomputes
+        # them from the NEW side input closed over by agg_fn.  A
+        # superset is safe, as with changed_pks.
+        touched = touched.unionByName(extra_touched.select(*names))
+    touched = touched.distinct()
     # every group-key join below is NULL-SAFE (eqNullSafe — still an
     # equi-key Spark hash-joins on): a NULL group key is a legal group
     # (SQL GROUP BY groups NULLs together), so a mutation touching the

@@ -1903,6 +1903,91 @@ def gold_cau2_incremental_refresh(spark: SparkSession,
     ).orderBy("ship_date", "l_returnflag", "l_suppkey")
 
 
+@_register("gold_cau2_incremental_refresh_events",
+           _star.ORACLE_SQL["cau2_cheapest_top_rated"])
+def gold_cau2_incremental_refresh_events(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """MULTI-INPUT IVM (r9 verdict #3): the fact (lineitem) is
+    UNCHANGED; the JOINED side input (events → per-user review score)
+    mutates — deleted slice, value perturbation, and a USER-MOVING
+    update (both the old and new owner's scores change).  The
+    affected gold groups are those containing lineitem rows whose
+    l_suppkey joins to a changed user (snapshots.touched_keys over
+    the events churn, drawn from BOTH versions, semi-joined into the
+    fact), passed as ``extra_touched``; ``agg_fn`` closes over the
+    NEW events.  The oracle is the ORIGINAL cau2 SQL verbatim over
+    the true tables — a green hash proves side-input churn maps to
+    exactly the right groups (stale score rows in untouched groups
+    would hash-mismatch)."""
+    import os
+    import shutil
+    import tempfile
+
+    from vexere_lakehouse_pipeline_spark.operators import snapshots as snap
+
+    li = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    stale_events = (
+        events.filter((e % 101) != 0)  # v1 restores this slice
+        .withColumn(
+            "value",
+            F.when(e % 103 == 1, F.col("value") + 7.0)
+            .otherwise(F.col("value")),
+        )
+        .withColumn(  # user-moving update: the score of BOTH the old
+            "user_id",  # and the new owner changes
+            F.when(e % 107 == 2, F.col("user_id") + 1)
+            .otherwise(F.col("user_id")),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="vlps_ivm_ev_")
+    try:
+        li_tbl = snap.SnapshotTable(os.path.join(base, "lineitem"))
+        li_tbl.commit(li, note="fact, unchanged")
+        ev_tbl = snap.SnapshotTable(os.path.join(base, "events"))
+        ev_tbl.commit(stale_events, note="stale side input")
+        ev_tbl.commit(events, note="current side input")
+        gold0 = _star.cau2_agg(li_tbl.read(spark),
+                               ev_tbl.read(spark, version=0))
+        changed_users = snap.touched_keys(
+            spark, ev_tbl, 0, 1, ["event_id"],
+            [("user_id", F.col("user_id"))],
+        )
+        fact = li_tbl.read(spark)
+        side_touched = (
+            fact.join(
+                F.broadcast(changed_users),
+                F.col("l_suppkey").eqNullSafe(F.col("user_id")),
+                "left_semi",
+            )
+            .select(
+                F.to_date("l_shipdate").alias("ship_date"),
+                "l_returnflag",
+            )
+            .distinct()
+        )
+        refreshed = snap.incremental_gold_refresh(
+            spark, li_tbl, 0, 0,
+            ["l_orderkey", "l_linenumber"],
+            [("ship_date", F.to_date("l_shipdate")),
+             ("l_returnflag", F.col("l_returnflag"))],
+            lambda li_sub: _star.cau2_agg(
+                li_sub, ev_tbl.read(spark, version=1)
+            ),
+            gold0,
+            changed_pks=fact.select(
+                "l_orderkey", "l_linenumber").limit(0),
+            extra_touched=side_touched,
+        )
+        return (
+            refreshed.localCheckpoint(eager=True)
+            .orderBy("ship_date", "l_returnflag", "l_suppkey")
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @_register("gold_cau4_stream_refresh",
            _star.ORACLE_SQL["cau4_daily_avg_order_value"])
 def gold_cau4_stream_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -770,14 +770,29 @@ def append_ann_stream(new_rows_stream: DataFrame, index_path: str,
     Same drift caveat as ann_index_append: trained state still
     reflects the build corpus — rebuild when appends exceed ~30-50%
     or recall gates drift (stateless kinds are exact forever).
-    At-least-once like every foreachBatch sink: a REPLAYED batch
-    re-appends its (deterministically identical) coded rows, which
-    duplicates those vec_ids in the artifact until an exact dedup or
-    a versioned MERGE commit runs — the standing
-    run_stream_merge_sink caveat, inherited here.  Twin-tested
-    (stream-appended artifact serves hash-identically to a pinned-
-    state batch rebuild, including kill-and-resume) in
-    tests/test_streaming_multimodal.py; oracle-gated end-to-end by
+
+    EXACTLY-ONCE (r9 verdict #2 — unlike the generic at-least-once
+    foreachBatch sinks, a replayed index append would CHANGE serving
+    results, so this sink is made idempotent end to end):
+
+    1. the artifact META carries ``stream_hwm``, the last fully
+       applied batch id — a replayed batch at-or-below it is skipped;
+    2. each batch's coded rows land as ONE deterministically named
+       file per row part (``batch-<id>.parquet``, staged then
+       ``os.replace``d) — a replay that raced the high-water-mark
+       update re-writes the same file with the same rows instead of
+       appending duplicates;
+    3. the mark advances (atomic sidecar replace,
+       operators/ann_index.update_meta) BEFORE any compaction, so a
+       batch whose rows were folded into compacted files can never
+       re-append.
+
+    Single writer per artifact path (concurrent readers are fine —
+    serve_ann_stream retries through the compaction swap window).
+    Replay idempotence is forced and pinned in
+    tests/test_streaming_multimodal.py (a batch that crashes AFTER
+    applying re-runs on resume; vec_id multiset and serve hash equal
+    the single-application run); oracle-gated end-to-end by
     sim_topk_sq8_stream_appended.
     """
     from vexere_lakehouse_pipeline_spark.operators import ann_index as ai
@@ -786,15 +801,19 @@ def append_ann_stream(new_rows_stream: DataFrame, index_path: str,
     def grow(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
         idx = ai.ann_index_load(spark, index_path)
-        hyper = {k: v for k, v in idx.meta.items() if k != "kind"}
+        if _batch_id <= idx.meta.get("stream_hwm", -1):
+            return  # replayed batch, already fully applied
         delta = ai.ann_index_build(
             batch_df, kind=idx.kind, vec_col=vec_col, id_col=id_col,
-            **hyper, **ai.pinned_state(idx),
+            **ai.hyper_params(idx.meta), **ai.pinned_state(idx),
         )
         for part in ai._ROW_PARTS[idx.kind]:
             part_dir = os.path.join(index_path, part)
             _recover_dir_swap(part_dir)
-            delta.parts[part].write.mode("append").parquet(part_dir)
+            _place_batch_file(delta.parts[part], part_dir, _batch_id)
+        ai.update_meta(index_path, stream_hwm=_batch_id)
+        for part in ai._ROW_PARTS[idx.kind]:
+            part_dir = os.path.join(index_path, part)
             n_files, _ = layout.fs_file_stats(spark, part_dir)
             if n_files > max_files:
                 _compact_dir_swap(spark, part_dir, target_mb,
@@ -807,6 +826,33 @@ def append_ann_stream(new_rows_stream: DataFrame, index_path: str,
         .start()
         .awaitTermination()
     )
+
+
+def _place_batch_file(df: DataFrame, part_dir: str, batch_id: int) -> None:
+    """Write ``df`` into ``part_dir`` as the single deterministically
+    named file ``batch-<id>.parquet`` (staged sibling write, then
+    atomic ``os.replace``) — re-placing the same batch is a no-op by
+    construction, which is what makes the streaming append replay-
+    idempotent.  One file per micro-batch per part: micro-batches are
+    batch-scale, and the auto-compaction above re-sizes the part once
+    it fragments."""
+    staging = tempfile.mkdtemp(
+        prefix="batchappend_", dir=os.path.dirname(part_dir)
+    )
+    try:
+        out = os.path.join(staging, "b")
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        if len(files) != 1:
+            raise RuntimeError(
+                f"expected one staged parquet file, got {files}"
+            )
+        os.replace(
+            os.path.join(out, files[0]),
+            os.path.join(part_dir, f"batch-{batch_id}.parquet"),
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def run_stream_gold_refresh(cdc_stream: DataFrame, fact_table,
