@@ -342,6 +342,15 @@ def main() -> None:
         "sim_topk_lsh_multitable_prebuilt",
         "sim_topk_filtered_lsh_prebuilt",
         "sim_recall_filtered_lsh_vs_bruteforce",
+        # round 10: churn-scale IVM (pruned diff + scoped recompute),
+        # multi-input IVM (events-side churn), filtered serving for
+        # the remaining flat kinds (hamming/cascade never short-fall)
+        "gold_cau4_incremental_refresh_pruned",
+        "gold_cau2_incremental_refresh_events",
+        "sim_topk_filtered_hamming_prebuilt",
+        "sim_recall_filtered_hamming_vs_bruteforce",
+        "sim_topk_filtered_cascade_prebuilt",
+        "sim_recall_filtered_cascade_vs_bruteforce",
         # sim_hard_negatives / corpus_contrastive_triples are NOT tracked:
         # exact cross-label mining is
         # O(N^2) by contract (enforced ceiling) — the oracle pins its

@@ -170,6 +170,63 @@ def main() -> None:
         "terms; at corpus scale the probed-list ADC scan dominates "
         "and only shortfall queries pay expansion).",
     ]
+    lines += [
+        "",
+        "## Flat kinds: hamming + cascade (r9 verdict #6)",
+        "",
+        "The remaining filtered kinds, same sweep.  Both are FLAT "
+        "scans (hamming scores every in-scope sketch; cascade's "
+        "tier-1 shortlist is drawn from the scope), so unlike IVF "
+        "they can never short-fall below k while the scope holds "
+        ">= k vectors — `full k` must read True down both columns "
+        "(oracle-gated at sf0.01 by sim_topk_filtered_"
+        "{hamming,cascade}_prebuilt + recall gates vs the filtered "
+        "truth).",
+        "",
+        f"| scope | rows in scope | hamming best-of-{REPS} (s) | "
+        f"full k | cascade best-of-{REPS} (s) | full k |",
+        "|---|---|---|---|---|---|",
+    ]
+    hidx = ann_index.ann_index_build(emb, kind="hamming", n_bits=63)
+    hpath = os.path.join(staging, "hamming_probe")
+    ann_index.ann_index_save(hidx, hpath)
+    hidx = ann_index.ann_index_load(spark, hpath)
+    cidx = ann_index.ann_index_build(emb, kind="cascade", n_bits=63)
+    cpath = os.path.join(staging, "cascade_probe")
+    ann_index.ann_index_save(cidx, cpath)
+    cidx = ann_index.ann_index_load(spark, cpath)
+    for label, pred in SCOPES:
+        allowed = emb.filter(pred()) if pred is not None else None
+        n_scope = allowed.count() if pred is not None else n_corpus
+        cells = {}
+        for kind, idx0, serve in (
+            ("hamming", hidx,
+             lambda i: similarity.topk_hamming(
+                 emb.limit(0), queries, k=K, index=i)),
+            ("cascade", cidx,
+             lambda i: similarity.topk_cascade(
+                 emb, queries, k=K, shortlist1=100, shortlist2=20,
+                 index=i)),
+        ):
+            sidx = (ann_index.ann_index_filter(idx0, allowed)
+                    if allowed is not None else idx0)
+            best, rows = float("inf"), None
+            for _ in range(REPS):
+                spark.catalog.clearCache()
+                t0 = time.monotonic()
+                rows = serve(sidx).collect()
+                best = min(best, time.monotonic() - t0)
+            per_q = {}
+            for r in rows:
+                per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+            cells[kind] = (best, set(per_q.values()) == {K})
+        lines.append(
+            f"| {label} | {n_scope:,} | {cells['hamming'][0]:.2f} | "
+            f"{cells['hamming'][1]} | {cells['cascade'][0]:.2f} | "
+            f"{cells['cascade'][1]} |"
+        )
+        print(lines[-1])
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "FILTERED_ANN.md")
     with open(out, "w") as fh:

@@ -399,6 +399,21 @@ def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
     result (pinned in tests/test_snapshots.py; the IVM oracle rows
     hash-gate the composed refresh).
     """
+    picked = _diff_tagged(spark, table, from_version, to_version,
+                          key_cols)
+    row = F.when(F.col("_change") == "delete", F.col("__old_row")).otherwise(
+        F.col("__new_row")
+    )
+    return picked.select(row.alias("r"), "_change").select("r.*", "_change")
+
+
+def _diff_tagged(spark: SparkSession, table: "SnapshotTable",
+                 from_version: int, to_version: int,
+                 key_cols: list[str]) -> DataFrame:
+    """Shared core of the two diff projections: the (partition-pruned
+    when fingerprints allow) null-safe full-outer join of both
+    versions, one row per changed key with ``__old_row``/``__new_row``
+    structs and the ``_change`` tag."""
     old = table.read(spark, version=from_version)
     new = table.read(spark, version=to_version)
     pruned = changed_partitions(table, from_version, to_version)
@@ -412,8 +427,8 @@ def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
             f"{sorted(new.columns)}; diff requires a shared schema"
         )
     # Align column ORDER before comparing types: a reordered-but-equal
-    # schema must diff cleanly (the struct CASE below requires both
-    # sides field-for-field identical), and a TYPE change is drift.
+    # schema must diff cleanly (the struct CASE requires both sides
+    # field-for-field identical), and a TYPE change is drift.
     old = old.select(*new.columns)
     if old.dtypes != new.dtypes:
         raise ValueError(
@@ -441,13 +456,41 @@ def snapshot_diff(spark: SparkSession, table: "SnapshotTable",
         .when(F.col("__new_sig").isNull(), F.lit("delete"))
         .when(F.col("__old_sig") != F.col("__new_sig"), F.lit("update"))
     )
-    picked = joined.withColumn("_change", change).filter(
+    return joined.withColumn("_change", change).filter(
         F.col("_change").isNotNull()
     )
-    row = F.when(F.col("_change") == "delete", F.col("__old_row")).otherwise(
-        F.col("__new_row")
+
+
+def snapshot_diff_rows(spark: SparkSession, table: "SnapshotTable",
+                       from_version: int, to_version: int,
+                       key_cols: list[str]) -> DataFrame:
+    """BOTH sides of every changed key, as plain rows: the old-version
+    row tagged ``_side='old'`` and the new-version row tagged
+    ``_side='new'`` (inserts have only a new row, deletes only an old
+    one; updates both).  Same pruned scan shape as
+    :func:`snapshot_diff`.
+
+    This is the churn→touched-groups primitive: the OLD side of an
+    update carries the group key a moved row LEFT, so
+    ``incremental_gold_refresh`` derives its touched set from these
+    rows alone — no additional fact scans at all on the journalless
+    path (the r9-verdict scale fix; previously the touched derivation
+    semi-joined both full versions)."""
+    picked = _diff_tagged(spark, table, from_version, to_version,
+                          key_cols)
+    olds = (
+        picked.filter(F.col("__old_sig").isNotNull())
+        .select(F.col("__old_row").alias("r"), "_change")
+        .select("r.*", "_change")
+        .withColumn("_side", F.lit("old"))
     )
-    return picked.select(row.alias("r"), "_change").select("r.*", "_change")
+    news = (
+        picked.filter(F.col("__new_sig").isNotNull())
+        .select(F.col("__new_row").alias("r"), "_change")
+        .select("r.*", "_change")
+        .withColumn("_side", F.lit("new"))
+    )
+    return olds.unionByName(news)
 
 
 def touched_keys(spark: SparkSession, table: "SnapshotTable",
@@ -498,8 +541,8 @@ def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
                              group_exprs: list[tuple],
                              agg_fn, gold_prev: DataFrame,
                              changed_pks: DataFrame | None = None,
-                             extra_touched: DataFrame | None = None
-                             ) -> DataFrame:
+                             extra_touched: DataFrame | None = None,
+                             scope_parts: bool = False) -> DataFrame:
     """IVM-lite: refresh a materialized GROUP-BY gold table by
     recomputing ONLY the groups touched by a fact-table mutation batch
     (round-8 verdict #3) — the incremental-refresh shape of
@@ -555,16 +598,19 @@ def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
     events-side mutation refreshes a lineitem-grouped gold whose
     RANK depends on the events-derived score).
 
-    Scale: cost tracks CHURN, not table size — the diff is one
-    key-aligned full-outer join (partition-prunable when the fact is
-    date-partitioned), the two semi-joins broadcast the changed-PK
-    set, the recompute scans only touched groups' rows (partition-
-    pruned under a group-aligned layout), and the anti-join broadcasts
-    the touched-group keys.  A 0.1% daily mutation rate refreshes
-    ~0.1% of the gold table instead of 100%.  For churn too large to
-    broadcast, drop the hints — AQE picks shuffle sides — or fall
-    back to the full recompute (cheaper past ~30-50% churn, the same
-    rule of thumb as index rebuilds).
+    Scale: cost tracks CHURN, not table size.  On the journalless
+    path the diff's full-outer join is partition-pruned to
+    fingerprint-changed partitions (``part_by`` commits), the touched
+    set is read off the diff's BOTH-side rows with no extra fact
+    scans, and ``scope_parts=True`` (group-refines-partition layouts)
+    restricts the recompute scan to the same changed partitions — so
+    a 0.1% daily mutation rate reads ~the churned partitions plus the
+    previous gold, instead of 100% of the fact.  On the changed_pks
+    path the semi-joins broadcast the key set.  Measured arm-by-arm
+    in tools/IVM.md.  For churn too large to broadcast, drop the
+    hints — AQE picks shuffle sides — or fall back to the full
+    recompute (cheaper past ~30-50% churn, the same rule of thumb as
+    index rebuilds).
     """
     names = [n for n, _ in group_exprs]
     old = table.read(spark, version=from_version)
@@ -595,24 +641,28 @@ def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
         # the true churn is safe: extra groups recompute to their
         # unchanged values.
         pks = changed_pks.select(*pk_cols).distinct()
-    else:
-        diff = snapshot_diff(spark, table, from_version, to_version,
-                             pk_cols)
-        pks = diff.select(*pk_cols).distinct()
-
-    pks_t = pks.select(
-        *[F.col(k).alias(p) for k, p in zip(pk_cols, ptags)]
-    )
-
-    def _touched(side: DataFrame) -> DataFrame:
-        return (
-            side.join(F.broadcast(pks_t), _nullsafe(pk_cols, ptags),
-                      "left_semi")
-            .select(*[c.alias(n) for n, c in group_exprs])
-            .distinct()
+        pks_t = pks.select(
+            *[F.col(k).alias(p) for k, p in zip(pk_cols, ptags)]
         )
 
-    touched = _touched(old).unionByName(_touched(new))
+        def _touched(side: DataFrame) -> DataFrame:
+            return (
+                side.join(F.broadcast(pks_t),
+                          _nullsafe(pk_cols, ptags), "left_semi")
+                .select(*[c.alias(n) for n, c in group_exprs])
+                .distinct()
+            )
+
+        touched = _touched(old).unionByName(_touched(new))
+    else:
+        # journalless path: the diff's BOTH-side rows already carry
+        # every touched group key (old side = the group a moved row
+        # left), so the touched set needs NO further fact scans — and
+        # under part_by fingerprints the diff itself reads only
+        # changed partitions (r9 verdict #1).
+        touched = snapshot_diff_rows(
+            spark, table, from_version, to_version, pk_cols
+        ).select(*[c.alias(n) for n, c in group_exprs])
     if extra_touched is not None:
         # groups implicated by churn in a JOINED side input (r9
         # verdict #3): the caller maps the side table's changed keys
@@ -630,8 +680,28 @@ def incremental_gold_refresh(spark: SparkSession, table: "SnapshotTable",
     touched_t = touched.select(
         *[F.col(n).alias(t) for n, t in zip(names, ttags)]
     )
+    recompute_src = new
+    if scope_parts:
+        # restrict the RECOMPUTE scan to fingerprint-changed
+        # partitions too.  Preconditions (caller-asserted): (a) each
+        # gold group's rows live inside a single partition (the group
+        # key refines the partition key — e.g. day groups under month
+        # partitions), so every touched group's rows sit in a
+        # partition whose fingerprint changed; (b) churn is the TRUE
+        # change set (the journalless diff, or an exact changed_pks —
+        # a superset would touch groups whose partitions never
+        # changed and silently drop them).  With both, the whole
+        # journalless refresh reads only churned partitions + the
+        # previous gold.
+        pruned = changed_partitions(table, from_version, to_version)
+        if pruned is None:
+            raise ValueError(
+                "scope_parts=True requires both versions committed "
+                "with the same part_by (partition fingerprints)"
+            )
+        recompute_src = _restrict_to_partitions(new, *pruned)
     scoped = (
-        new.select(
+        recompute_src.select(
             "*", *[c.alias(t) for (_, c), t in zip(group_exprs, tags)]
         )
         .join(F.broadcast(touched_t), _nullsafe(tags, ttags),

@@ -3015,6 +3015,109 @@ ORACLE_SQL["sim_recall_filtered_jl_vs_bruteforce"] = _recall_oracle(
 )
 
 
+def _hamming_filtered_oracle() -> str:
+    """The inline hamming oracle with the scope predicate pushed into
+    its candidate scan — guarded surgery like _jl_filtered_oracle.
+    Hamming is a FLAT scan (every in-scope sketch scored), so the
+    filtered serve can never short-fall below k while the scope holds
+    >= k vectors — the opposite failure geometry to the IVF family
+    below (r9 verdict #6)."""
+    marker = "FROM sk c, q WHERE c.vec_id <> q.query_id"
+    src = ORACLE_SQL["sim_topk_hamming"]
+    if src.count(marker) != 1:
+        raise AssertionError(
+            f"sim_topk_hamming oracle: expected exactly one "
+            f"{marker!r}, found {src.count(marker)}"
+        )
+    return src.replace(
+        marker,
+        marker + " AND c.vec_id IN (SELECT vec_id FROM embeddings"
+                 " WHERE label <= 2)",
+    )
+
+
+@_register("sim_topk_filtered_hamming_prebuilt", _hamming_filtered_oracle())
+@_shared_arm
+def sim_topk_filtered_hamming_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "hamming", n_bits=_SKETCH_BITS)
+    fidx = ann_index.ann_index_filter(idx, emb.filter(F.col("label") <= 2))
+    out = similarity.topk_hamming(
+        emb.limit(0), emb.filter(F.col("vec_id") < 10), k=5, index=fidx
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register("sim_recall_filtered_hamming_vs_bruteforce", None)
+def sim_recall_filtered_hamming_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir,
+                        sim_topk_filtered_hamming_prebuilt,
+                        truth_fn=sim_topk_filtered_bruteforce)
+
+
+ORACLE_SQL["sim_recall_filtered_hamming_vs_bruteforce"] = _recall_oracle(
+    "sim_topk_filtered_hamming_prebuilt",
+    truth_name="sim_topk_filtered_bruteforce",
+)
+
+
+def _cascade_filtered_oracle() -> str:
+    """The inline cascade oracle with the scope predicate pushed into
+    its TIER-1 candidate scan only — tiers 2-3 operate on tier-1
+    survivors (already in-scope), exactly as ann_index_filter
+    semi-joins both row parts of the artifact.  Flat within each
+    tier, so no short-fall; the shortlist funnel composes with the
+    filter (shortlist1 now drawn from the scope)."""
+    marker = "FROM sk c, hq WHERE c.vec_id <> hq.query_id"
+    src = ORACLE_SQL["sim_topk_cascade"]
+    if src.count(marker) != 1:
+        raise AssertionError(
+            f"sim_topk_cascade oracle: expected exactly one "
+            f"{marker!r}, found {src.count(marker)}"
+        )
+    return src.replace(
+        marker,
+        marker + " AND c.vec_id IN (SELECT vec_id FROM embeddings"
+                 " WHERE label <= 2)",
+    )
+
+
+@_register("sim_topk_filtered_cascade_prebuilt", _cascade_filtered_oracle())
+@_shared_arm
+def sim_topk_filtered_cascade_prebuilt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _prebuilt_index(spark, sf_dir, "cascade", n_bits=_SKETCH_BITS)
+    fidx = ann_index.ann_index_filter(idx, emb.filter(F.col("label") <= 2))
+    # candidates = full corpus: tier 3's late float fetch joins by
+    # survivor vec_id, and survivors are in-scope by construction
+    out = similarity.topk_cascade(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        shortlist1=_CASCADE_L1, shortlist2=_CASCADE_L2, index=fidx,
+    )
+    return out.withColumnRenamed("rank", "rnk").orderBy("query_id", "rnk")
+
+
+@_register("sim_recall_filtered_cascade_vs_bruteforce", None)
+def sim_recall_filtered_cascade_vs_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _recall_gate(spark, sf_dir,
+                        sim_topk_filtered_cascade_prebuilt,
+                        truth_fn=sim_topk_filtered_bruteforce)
+
+
+ORACLE_SQL["sim_recall_filtered_cascade_vs_bruteforce"] = _recall_oracle(
+    "sim_topk_filtered_cascade_prebuilt",
+    truth_name="sim_topk_filtered_bruteforce",
+)
+
+
 # ---------------------------------------------------------------------------
 # Filtered IVF serving with an ADAPTIVE probe budget (round-8 verdict
 # #1).  The flat kinds above (sq8/jl) scan the whole filtered view and
