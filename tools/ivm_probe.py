@@ -61,9 +61,8 @@ FRACTIONS = [
     ("last month, 1/8 keys", 1, 8, 1),
     ("last month", 1, 1, 1),
     ("last 8 months", 8, 1, 1),
-    # inflated facts: same churn window, 16x/48x the rows — where the
-    # recompute's scan term outgrows the refresh's fixed stage
-    # overhead and the wall-clock crossover appears
+    # inflated facts: same churn window, 16x/48x the rows — the
+    # pruned-vs-unpruned wall-clock gap opens here (~flat vs linear)
     ("last month @ 16x fact", 1, 1, 16),
     ("last month @ 48x fact", 1, 1, 48),
 ]
@@ -213,21 +212,21 @@ def main() -> None:
         "Reading the table: `fact rows read` is the scale story — "
         "the pruned+scoped journalless refresh reads only the "
         "churned months (3 scans of the changed partitions) while "
-        "recompute/unpruned re-scan the whole fact every cycle; at "
-        "100 TB with ~daily churn in recent partitions that ratio is "
-        "the size of the retention window.  Wall-clock at the base "
-        "sf0.1 is floor-bound by fixed per-stage overhead (a handful "
-        "of ~100 ms stages vs a sub-second single-stage recompute "
-        "over 150k rows) — which is why the INFLATED rows exist: "
-        "same churn window, 16x/48x the fact, and the recompute's "
-        "scan term crosses the refresh's fixed overhead while "
-        "pruned+scoped stays ~flat (its scans track the churned "
-        "months, not the fact).  That crossover, measured here, is "
-        "the slope that multiplies to 100 TB.  The JOURNAL arm is "
-        "the streaming path (run_stream_gold_refresh passes the "
-        "batch as changed_pks): zero diff cost but broadcast "
-        "semi-joins against the full fact; combine a journal with "
-        "scope_parts-style layout alignment to get both.",
+        "the unpruned journalless diff re-scans everything.  The "
+        "measured crossover is that pair: ~flat vs linear-in-fact "
+        "as the inflated rows grow the table at fixed churn.  The "
+        "full RECOMPUTE of this particular gold stays sub-second at "
+        "probe sizes because cau4 is a single-table scan-agg that "
+        "parallelizes perfectly on a warm local[32] JVM — its "
+        "rows-read column (the whole fact, every cycle) is the term "
+        "that becomes hours at 100 TB; join-heavy golds shift the "
+        "wall-clock crossover far earlier.  The JOURNAL arm is the "
+        "streaming path (run_stream_gold_refresh passes the batch "
+        "as changed_pks): zero diff cost but broadcast semi-joins "
+        "against the full fact — at the largest probe the "
+        "pruned+scoped journalless arm already beats it; combining "
+        "a journal with scope_parts-style layout alignment gets "
+        "both.",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "IVM.md"), "w") as fh:

@@ -231,6 +231,13 @@ PROBES = [
     ("sim_topk_filtered_bruteforce", {"embeddings": ["vec_id"]}),
     ("sim_topk_filtered_sq8_prebuilt", {"embeddings": ["vec_id"]}),
     ("sim_topk_filtered_jl_prebuilt", {"embeddings": ["vec_id"]}),
+    # round 10: churn-scale IVM (fingerprint-pruned diff + scoped
+    # recompute — the lifecycle still dominates the row; the isolated
+    # refresh arms are measured in tools/IVM.md) and the flat filtered
+    # kinds completing the ladder
+    ("gold_cau4_incremental_refresh_pruned", {"orders": ["o_orderkey"]}),
+    ("sim_topk_filtered_hamming_prebuilt", {"embeddings": ["vec_id"]}),
+    ("sim_topk_filtered_cascade_prebuilt", {"embeddings": ["vec_id"]}),
 ]
 
 ALL_TABLES = list(TESTDATA_TABLES)  # single source of truth (catalog)

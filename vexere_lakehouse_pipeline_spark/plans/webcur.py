@@ -635,7 +635,8 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return extract_audio_stats(media).orderBy("media_id")
@@ -857,7 +858,8 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_bmp(w, h, pixels))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return extract_image_stats(media).orderBy("media_id")
@@ -935,7 +937,8 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_png(w, h, pixels, filters=filters))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return extract_image_stats(media, decoder=png_stats).orderBy("media_id")
@@ -1043,7 +1046,8 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_jpeg_coeffs(16, 8, blks))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return extract_image_stats(media, decoder=jpeg_stats).orderBy("media_id")
@@ -1119,7 +1123,8 @@ def multimodal_mulaw_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return extract_mulaw_stats(media).orderBy("media_id")
@@ -1170,7 +1175,8 @@ def multimodal_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.select("doc_id", "text").mapInPandas(
+    media = docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return gzip_text_stats(media).orderBy("media_id")
@@ -1260,7 +1266,8 @@ def multimodal_mjpeg_framesample(spark: SparkSession,
                 payloads.append(encode_avi_mjpeg(8, 8, frames))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return framesample_mjpeg(media, step=2).orderBy("media_id")
@@ -1340,7 +1347,8 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_gif(w, h, idx, pal))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return extract_image_stats(media, decoder=gif_stats).orderBy("media_id")
@@ -1673,7 +1681,8 @@ def multimodal_wav_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return downsample_audio(media, factor=_DS_FACTOR).orderBy("media_id")
@@ -1749,7 +1758,8 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_bmp(w, h, pixels))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return downsample_image(media, factor=_RS_FACTOR).orderBy("media_id")
@@ -1831,7 +1841,8 @@ def multimodal_avi_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_avi(w, h, frames))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return framesample_video(media, step=_VFS_STEP).orderBy("media_id")
@@ -1919,7 +1930,8 @@ def multimodal_avi_framestride(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_avi(w, h, frames))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.select("doc_id").mapInPandas(
+    media = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism).mapInPandas(
         synth, schema="media_id long, payload binary"
     )
     return framestride_video(media, step=_VST_STEP).orderBy("media_id")
