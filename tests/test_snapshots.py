@@ -593,3 +593,77 @@ def test_incremental_gold_refresh_side_input_churn(spark, tmp_path):
         lambda f: agg(f, st.read(spark, version=1)), gold0, **kw,
     )
     assert rows(stale) != rows(want)  # without extra_touched: stale
+
+
+def test_snapshot_diff_rows_both_sides(spark, tmp_path):
+    """snapshot_diff_rows emits BOTH versions' rows per changed key:
+    updates give an old and a new row, inserts only new, deletes only
+    old — the old side is what lets the IVM derive the group a moved
+    row LEFT without re-scanning the fact."""
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        snapshot_diff_rows,
+    )
+
+    t = SnapshotTable(str(tmp_path / "sdr"))
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"))
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "id int, v string"))
+    out = sorted(
+        (r.id, r._change, r._side, r.v)
+        for r in snapshot_diff_rows(spark, t, 0, 1, ["id"]).collect()
+    )
+    assert out == [
+        (2, "update", "new", "B2"),
+        (2, "update", "old", "b"),
+        (3, "delete", "old", "c"),
+        (4, "insert", "new", "d"),
+    ]
+
+
+def test_scope_parts_requires_fingerprints(spark, tmp_path):
+    """scope_parts=True on a table without part_by metadata must fail
+    loudly, never silently fall back to a full scan."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        incremental_gold_refresh,
+    )
+
+    t = SnapshotTable(str(tmp_path / "sp"))
+    df = spark.range(10).selectExpr("id AS pk", "id % 2 AS g", "id AS v")
+    t.commit(df)
+    t.commit(df)
+
+    def agg(d):
+        return d.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+
+    with pytest.raises(ValueError, match="scope_parts"):
+        incremental_gold_refresh(
+            spark, t, 0, 1, ["pk"], [("g", F.col("g"))], agg,
+            agg(t.read(spark, version=0)), scope_parts=True,
+        ).collect()
+
+
+def test_touched_keys_changed_pks_path(spark, tmp_path):
+    """touched_keys with an explicit changed_pks set skips the diff
+    and still draws keys from BOTH versions (key-move safe)."""
+    from pyspark.sql import functions as F
+
+    from vexere_lakehouse_pipeline_spark.operators.snapshots import (
+        touched_keys,
+    )
+
+    t = SnapshotTable(str(tmp_path / "tk"))
+    t.commit(spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "pk int, owner int"))
+    t.commit(spark.createDataFrame(
+        [(1, 11), (2, 20), (3, 30)], "pk int, owner int"))
+    pks = spark.createDataFrame([(1,)], "pk int")
+    got = sorted(
+        r.owner for r in touched_keys(
+            spark, t, 0, 1, ["pk"], [("owner", F.col("owner"))],
+            changed_pks=pks,
+        ).collect()
+    )
+    assert got == [10, 11]  # both the old and the new owner
