@@ -33,12 +33,69 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
+# Compute-spread helper (round-10 optimization): the testdata parquet
+# files are single-file, SINGLE-ROW-GROUP tables, so Spark's scan can
+# never parallelize them no matter how it splits the byte range — a
+# split only reads row groups whose midpoint it covers, and there is
+# exactly one.  Every expression the optimizer collapses onto the scan
+# stage (decimal partial aggregates, interpreted higher-order vector
+# folds, shingle explosion + minhashing) therefore ran on ONE task
+# while 31 cores idled (measured: tpch_q1's scan+partial-agg stage = 3
+# scheduled tasks but one did all 600k rows, 0.78s of single-threaded
+# CPU; the ivfpq normalize stages were four ~0.9s single-task stages).
+#
+# A BLANKET repartition inside load_table was measured first and
+# rejected: heavy-compute rows won 1-7s each, but every light star
+# query paid the extra exchange (+0.2-1.2s each, consistent over 3
+# reps) and the long bench session accumulated pathological state
+# (sim_topk_int8 3.3s -> 12.9s in-session while the same plan is
+# FASTER in isolation).  So the spread is OPT-IN at the operator/
+# fixture call sites where profiling showed the win.
+#
+# Scale-adaptive by construction: it fires only when the plan's
+# estimated input size is below VLPS_SPREAD_MAX_BYTES (default 256 MB)
+# — at 100 TB every fact table exceeds that and the scan is natively
+# parallel, so this is a no-op there; locally it fixes the
+# 1-row-group serialization at the cost of shuffling a few MB once.
+# Width = defaultParallelism, so the driver's lower-core-count bench
+# runs scale the same way.
+
+
+def spread_small_input(df: DataFrame, *key_cols: str,
+                       parts: int | None = None,
+                       min_bytes: int = 0) -> DataFrame:
+    """Hash-repartition (round-robin when no key is given) a SMALL
+    input so downstream per-row compute leaves the serial scan task.
+    No-op when the estimated input exceeds ``VLPS_SPREAD_MAX_BYTES``
+    (default 256 MB), is below ``min_bytes`` (callers whose downstream
+    work is too light to repay the exchange), or ``VLPS_SPREAD=0``."""
+    import os
+
+    if os.environ.get("VLPS_SPREAD", "1") == "0":
+        return df
+    hi = int(os.environ.get("VLPS_SPREAD_MAX_BYTES", str(256 * 1024 * 1024)))
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 - stats unavailable: leave layout alone
+        return df
+    if size > hi or size < min_bytes:
+        return df
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    if key_cols:
+        return df.repartition(n, *[F.col(k) for k in key_cols])
+    return df.repartition(n)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table from parquet.
 
     Column pruning and predicate pushdown are left to Catalyst — callers
     select/filter on the returned DataFrame and the parquet scan only
-    reads what the plan needs.
+    reads what the plan needs.  Compute-heavy consumers opt into
+    :func:`spread_small_input` to move per-row work off the serial
+    single-row-group scan task.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")

@@ -253,9 +253,21 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     # No distinct() here: minhash is duplicate-invariant and the dedup
     # shuffle would dominate the pipeline (shingle_sets is still used by
     # the exact-Jaccard verifier, which does need sets).
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, SHINGLE_N)).alias("shingle"),
+    # Round-10: spread the (id, text) rows BEFORE the shingle explode —
+    # the tokenizer + shingle zip + 4 md5/shingle otherwise all run on
+    # the single-row-group scan task (spread_small_input is a no-op at
+    # scale, where the scan is natively parallel).  MIN aggregation
+    # downstream is order-insensitive, so the layout change cannot move
+    # any signature.
+    from vexere_lakehouse_pipeline_spark.catalog import spread_small_input
+
+    sh = spread_small_input(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("__text")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.explode(word_shingles("__text", SHINGLE_N)).alias("shingle"),
     )
     # localCheckpoint: tiny (n_bands rows/doc) and read twice by the
     # self-join — materialize once AND avoid the unbounded cache-manager

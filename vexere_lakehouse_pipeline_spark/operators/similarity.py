@@ -944,15 +944,28 @@ def quantize_int8_unit(df: DataFrame, vec_col: str = "embedding",
             lambda acc, x: acc + x,
         )
     )
+    # Round-10: the norm is hoisted into its own projection and
+    # referenced as a column — interpreted lambda bodies re-evaluate
+    # their whole subtree per array element, so the previous inline
+    # ``x / nrm * 127`` form paid the full norm fold once PER ELEMENT
+    # (64 folds/row).  Values are bit-identical (same expression, same
+    # row); CollapseProject keeps the hoist because the alias is
+    # non-trivial and referenced twice.
     code = F.transform(
         v,
         lambda x: F.least(
-            F.greatest(F.round(x / nrm * 127, 0), F.lit(-127.0)),
+            F.greatest(F.round(x / F.col("__q8_nrm") * 127, 0),
+                       F.lit(-127.0)),
             F.lit(127.0),
         ).cast("long"),
     )
-    return df.withColumn(
-        out_col, F.when(nrm > 0, code)  # NULL for zero/NULL vectors
+    return (
+        df.withColumn("__q8_nrm", nrm)
+        .withColumn(
+            out_col,
+            F.when(F.col("__q8_nrm") > 0, code),  # NULL for zero/NULL
+        )
+        .drop("__q8_nrm")
     )
 
 
@@ -1022,11 +1035,24 @@ def sq8_params(emb: DataFrame, vec_col: str = "embedding",
     (a constant dimension carries code 0 on both sides, so its scale
     never matters — the clamp only keeps downstream integer math
     well-defined)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # norm hoisted to a column so the per-element division doesn't
+    # re-run the whole fold per element (round-10, see quantize_int8_unit)
     nrm = l2_norm(F.col(vec_col))
-    u = F.transform(v, lambda x: x / nrm)
+    # The when() guard is a no-op for surviving rows (the filter above
+    # already requires _nrm > 0) but gives _nrm a SECOND static
+    # reference — CollapseProject inlines a single-use non-trivial
+    # alias back into the consumer, which would restore the
+    # fold-per-element evaluation this hoist removes.
+    u = F.when(
+        F.col("_nrm") > 0,
+        F.transform(
+            F.transform(F.col("_raw"), lambda x: x.cast("double")),
+            lambda x: x / F.col("_nrm"),
+        ),
+    )
     dims = (
         emb.filter(F.col(vec_col).isNotNull() & (nrm > 0))
+        .select(F.col(vec_col).alias("_raw"), nrm.alias("_nrm"))
         .select(F.posexplode(u).alias("pos", "x"))
     )
     return dims.groupBy("pos").agg(
@@ -1052,12 +1078,29 @@ def sq8_encode(df: DataFrame, params: DataFrame,
     EXACT int64 arithmetic (≤ 64·(255·scale)² ≈ 2.6e14 ≪ 2⁶³) —
     bit-portable ranking, like every integer tier.  Zero/NULL vectors
     are excluded (cosine undefined)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # norm hoisted to a column so the per-element division doesn't
+    # re-run the whole fold per element (round-10, see quantize_int8_unit)
     nrm = l2_norm(F.col(vec_col))
-    u = F.transform(v, lambda x: x / nrm)
+    # The when() guard is a no-op for surviving rows (the filter above
+    # already requires _nrm > 0) but gives _nrm a SECOND static
+    # reference — CollapseProject inlines a single-use non-trivial
+    # alias back into the consumer, which would restore the
+    # fold-per-element evaluation this hoist removes.
+    u = F.when(
+        F.col("_nrm") > 0,
+        F.transform(
+            F.transform(F.col("_raw"), lambda x: x.cast("double")),
+            lambda x: x / F.col("_nrm"),
+        ),
+    )
     exploded = (
         df.filter(F.col(vec_col).isNotNull() & (nrm > 0))
-        .select(F.col(id_col).alias(out_id), F.posexplode(u).alias("pos", "x"))
+        .select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("_raw"),
+            nrm.alias("_nrm"),
+        )
+        .select(out_id, F.posexplode(u).alias("pos", "x"))
         .join(F.broadcast(params), on="pos")
         .select(
             out_id, "pos",
@@ -1186,17 +1229,35 @@ def _unit_subvectors(df: DataFrame, m: int, vec_col: str, id_col: str,
     parallelism against AQE's small-bytes coalescing (the rows are
     tiny but each carries ksub distance evals downstream).
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = l2_norm(F.col(vec_col))
-    u = F.transform(v, lambda x: x / nrm)
-    dsub = F.floor(F.size(v) / m).cast("int")
-    pre = (
-        df.filter(F.col(vec_col).isNotNull() & (nrm > 0))
-        .select(
-            F.col(id_col).alias(out_id),
-            u.alias("_u"),
-            dsub.alias("_dsub"),
-        )
+    # Round-10: the norm fold is computed ONCE per row as a carried
+    # column.  Interpreted lambda bodies re-evaluate their whole
+    # subtree per array element, so the previous inline ``x / <fold>``
+    # form paid the full fold 64 times per row — all of it on the
+    # serial single-row-group scan task (four ~0.9s single-task stages
+    # in the ivfpq profile; ~0.05s hoisted).  Values are bit-identical
+    # (same expression, same row).
+    pre = df.filter(F.col(vec_col).isNotNull() & (nrm > 0)).select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("_raw"),
+        nrm.alias("_nrm"),
+    )
+    # The when() guard is a no-op for surviving rows (the filter above
+    # already requires _nrm > 0) but gives _nrm a SECOND static
+    # reference — CollapseProject inlines a single-use non-trivial
+    # alias back into the consumer, which would restore the
+    # fold-per-element evaluation this hoist removes.
+    u = F.when(
+        F.col("_nrm") > 0,
+        F.transform(
+            F.transform(F.col("_raw"), lambda x: x.cast("double")),
+            lambda x: x / F.col("_nrm"),
+        ),
+    )
+    pre = pre.select(
+        out_id,
+        u.alias("_u"),
+        F.floor(F.size(F.col("_raw")) / m).cast("int").alias("_dsub"),
     )
     if n_parts is None:
         n_parts = df.sparkSession.sparkContext.defaultParallelism
@@ -1466,14 +1527,33 @@ def _unit_vecs(df: DataFrame, vec_col: str, id_col: str,
     """(out_id, u): the L2-normalized vector, zero/NULL excluded —
     same contract and same materialization barrier as
     :func:`_unit_subvectors` (the interpreted normalize fold runs once
-    per row, behind an explicit exchange)."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    per row, behind an explicit exchange).
+
+    Round-10: the norm is carried as a COLUMN (see _unit_subvectors) —
+    interpreted lambda bodies are re-evaluated per array element, so
+    the previous inline ``x / <fold>`` form paid the full norm fold 64
+    times per row, all of it on the serial scan task."""
     nrm = l2_norm(F.col(vec_col))
-    u = F.transform(v, lambda x: x / nrm)
+    pre = df.filter(F.col(vec_col).isNotNull() & (nrm > 0)).select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("_raw"),
+        nrm.alias("_nrm"),
+    )
+    # The when() guard is a no-op for surviving rows (the filter above
+    # already requires _nrm > 0) but gives _nrm a SECOND static
+    # reference — CollapseProject inlines a single-use non-trivial
+    # alias back into the consumer, which would restore the
+    # fold-per-element evaluation this hoist removes.
+    u = F.when(
+        F.col("_nrm") > 0,
+        F.transform(
+            F.transform(F.col("_raw"), lambda x: x.cast("double")),
+            lambda x: x / F.col("_nrm"),
+        ),
+    )
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.filter(F.col(vec_col).isNotNull() & (nrm > 0))
-        .select(F.col(id_col).alias(out_id), u.alias("u"))
+        pre.select(out_id, u.alias("u"))
         .repartition(n_parts, F.col(out_id))
     )
 

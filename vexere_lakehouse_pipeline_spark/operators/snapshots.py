@@ -110,13 +110,28 @@ class SnapshotTable:
                     version = max(version, max(claimed) + 1)
             path = f"{self.base}/v={version}"
             try:
-                w = df.write.format(self.fmt).mode("errorifexists")
+                out_df = df
                 if part_by:
                     missing = [c for c in part_by if c not in df.columns]
                     if missing:
                         raise ValueError(
                             f"part_by columns {missing} not in DataFrame"
                         )
+                    # Cluster rows by partition value before the
+                    # partitioned write (Iceberg's
+                    # write.distribution-mode=hash): each partition
+                    # directory is then written by exactly ONE task as
+                    # ONE file, instead of every input task opening a
+                    # file in every directory — without this, a 32-way
+                    # input writing 24 month dirs produced ~768 tiny
+                    # files per version and the serial 1-task input
+                    # wrote all 24 dirs alone (round-10 measurement).
+                    # Caveat (documented trade-off, same as Iceberg's):
+                    # one giant partition value serializes into one
+                    # task; use a finer part_by if that bites.
+                    out_df = df.repartition(*[F.col(c) for c in part_by])
+                w = out_df.write.format(self.fmt).mode("errorifexists")
+                if part_by:
                     w = w.partitionBy(*part_by)
                 w.save(path)
             except ValueError:
@@ -288,8 +303,30 @@ def _sig_tokens(cols: list[str]) -> list:
 
 
 def _row_sig(cols: list[str]):
-    """One md5 per row over the fixed-width token concatenation."""
-    return F.md5(F.concat_ws("", *_sig_tokens(cols))) if cols else F.lit("")
+    """One 64-bit row signature over the null-tagged column tokens.
+
+    Round-10: one multi-argument ``xxhash64`` over the per-column
+    tagged strings replaced the previous one-md5-PER-COLUMN design —
+    the diff of a 600k-row fact spent ~39 s of CPU in md5 (measured,
+    gold_cau2_incremental_refresh's widest stage).  xxhash64 folds
+    each argument into the chain independently (no concatenation), so
+    no value content can shift column boundaries — the property the
+    fixed-width md5 tokens existed for — and every argument is
+    non-null ('n' tags SQL NULL; real values are prefix-tagged 'v'),
+    so Spark's hash-ignores-null rule can't conflate columns.  The
+    signature only ever compares rows WITHIN one run (diff old-vs-new,
+    fingerprint old-vs-new), so narrowing 128 -> 64 bits keeps the
+    same documented ~2^-64 per-pair collision trust as the manifest
+    fingerprints."""
+    if not cols:
+        return F.lit(0).cast("long")
+    toks = [
+        F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.xxhash64(*toks)
 
 
 def _partition_fingerprints(df: DataFrame, part_by: list[str]) -> list[dict]:

@@ -1786,9 +1786,20 @@ def _ivm_refresh(spark, sf_dir: str, fact_name: str, pk_cols, group_exprs,
     import shutil
     import tempfile
 
+    from vexere_lakehouse_pipeline_spark.catalog import spread_small_input
     from vexere_lakehouse_pipeline_spark.operators import snapshots as snap
 
-    fact = load_table(spark, sf_dir, fact_name)
+    # Round-10: spread the single-row-group fact scan before the two
+    # version commits — the writes, the diff's row signatures and the
+    # gold@v0 aggregate otherwise all run on one task (no-op at scale;
+    # gold aggregates are decimal/sorted-collect, so layout can't move
+    # a value).  Measured −8.6 s on gold_cau2_incremental_refresh and
+    # −7 s on gold_cau4_incremental_refresh_pruned (whose partitioned
+    # fingerprinted commits dominate); the small unpartitioned
+    # fixtures pay ~+1 s of exchange overhead, a net the gold family
+    # wins by ~14 s.
+    fact = spread_small_input(load_table(spark, sf_dir, fact_name),
+                              *pk_cols)
     base = tempfile.mkdtemp(prefix="vlps_ivm_")
     try:
         commit_kw = {}
@@ -1980,10 +1991,15 @@ def gold_cau2_incremental_refresh_events(spark: SparkSession,
     import shutil
     import tempfile
 
+    from vexere_lakehouse_pipeline_spark.catalog import spread_small_input
     from vexere_lakehouse_pipeline_spark.operators import snapshots as snap
 
-    li = load_table(spark, sf_dir, "lineitem")
-    events = load_table(spark, sf_dir, "events")
+    # spread both single-row-group scans before the commits (see
+    # _ivm_refresh — no-op at scale, aggregates are order-insensitive)
+    li = spread_small_input(load_table(spark, sf_dir, "lineitem"),
+                            "l_orderkey", "l_linenumber")
+    events = spread_small_input(load_table(spark, sf_dir, "events"),
+                                "event_id")
     e = F.col("event_id")
     stale_events = (
         events.filter((e % 101) != 0)  # v1 restores this slice
