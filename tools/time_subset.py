@@ -37,6 +37,27 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     force(ALL_QUERIES[names[0]](spark, sf_dir))  # warmup
+
+    # bench.py's frozen noise probe, sampled at start and end: this
+    # box has multi-hour slow phases (host co-tenancy — BENCH_DRIFT.md);
+    # a probe much above ~0.3 s at sf0.1 means the numbers are weather,
+    # not code.
+    from statistics import median
+
+    from pyspark.sql import functions as F
+
+    def _noise_probe() -> float:
+        t0 = time.time()
+        force(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity"),
+                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                 F.count("*"))
+        )
+        return time.time() - t0
+
+    noise_start = round(median(_noise_probe() for _ in range(3)), 3)
     out: dict[str, float] = {}
     for name in names:
         ts = []
@@ -51,8 +72,11 @@ def main() -> None:
             ts.append(time.time() - t0)
         out[name] = round(min(ts), 3)
         print(f"  {out[name]:8.3f}  {name}", file=sys.stderr)
+    noise_end = round(median(_noise_probe() for _ in range(3)), 3)
     print(json.dumps({"queries": out,
-                      "total": round(sum(out.values()), 3)}))
+                      "total": round(sum(out.values()), 3),
+                      "noise_start": noise_start,
+                      "noise_end": noise_end}))
 
 
 if __name__ == "__main__":
