@@ -67,12 +67,28 @@ def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _spread_docs(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, __text) spread off the serial single-row-group scan —
+    the tokenizer/shingle/hash work downstream of every explode here is
+    otherwise collapsed onto one scan task (round-10; see
+    catalog.spread_small_input — no-op at scale).  All consumers
+    aggregate order-insensitively (MIN/SUM/DISTINCT), so the layout
+    change cannot move any value."""
+    from vexere_lakehouse_pipeline_spark.catalog import spread_small_input
+
+    return spread_small_input(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("__text")),
+        "doc_id",
+    )
+
+
 def shingle_sets(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", n: int = SHINGLE_N) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    return _spread_docs(docs, text_col, id_col).select(
+        "doc_id",
+        F.explode(word_shingles("__text", n)).alias("shingle"),
     ).distinct()
 
 
@@ -255,17 +271,8 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     # the exact-Jaccard verifier, which does need sets).
     # Round-10: spread the (id, text) rows BEFORE the shingle explode —
     # the tokenizer + shingle zip + 4 md5/shingle otherwise all run on
-    # the single-row-group scan task (spread_small_input is a no-op at
-    # scale, where the scan is natively parallel).  MIN aggregation
-    # downstream is order-insensitive, so the layout change cannot move
-    # any signature.
-    from vexere_lakehouse_pipeline_spark.catalog import spread_small_input
-
-    sh = spread_small_input(
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("__text")),
-        "doc_id",
-    ).select(
+    # the single-row-group scan task (see _spread_docs).
+    sh = _spread_docs(docs, text_col, id_col).select(
         "doc_id",
         F.explode(word_shingles("__text", SHINGLE_N)).alias("shingle"),
     )
@@ -460,9 +467,9 @@ def simhash_sig(docs: DataFrame, text_col: str = "text",
     indexes the first bits/4 hex chars).  Returns (doc_id, simhash)."""
     if not 1 <= bits <= 63:
         raise ValueError(f"bits must be in [1, 63], got {bits}")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(text_col)).alias("token"),
+    toks = _spread_docs(docs, text_col, id_col).select(
+        "doc_id",
+        F.explode(tokenize("__text")).alias("token"),
     ).withColumn("h", F.md5("token"))
     sums = toks.groupBy("doc_id").agg(
         *[
@@ -860,8 +867,28 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
         # bit-identical to the one-pass plan: the margin bounds the
         # quantization error, so no pair with rounded exact cos ≥
         # threshold can miss the prefilter.
+        # norm hoisted to a column (round-10, see similarity.
+        # quantize_int8_unit): the interpreted transform lambda would
+        # otherwise re-run the whole norm fold once per element; the
+        # when() guard is a no-op for rows with _nrm > 0 but gives the
+        # alias a second static reference so CollapseProject keeps it.
+        v8 = F.transform(F.col("_vec"), lambda x: x.cast("double"))
+        nrm8 = F.sqrt(
+            F.aggregate(F.zip_with(v8, v8, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        )
         base8 = base.select(
-            "block", "_sub", "_id", _int8_unit_code("_vec").alias("_q8")
+            "block", "_sub", "_id", "_vec", nrm8.alias("_nrm")
+        ).select(
+            "block", "_sub", "_id",
+            F.when(
+                F.col("_nrm") > 0,
+                F.transform(
+                    F.transform(F.col("_vec"), lambda x: x.cast("double")),
+                    lambda x: F.round(x / F.col("_nrm") * 127, 0)
+                    .cast("tinyint"),
+                ),
+            ).alias("_q8"),
         )
         # The exchange is load-bearing (same lesson as similarity.
         # _unit_subvectors): the quantization is an interpreted HOF,
@@ -1078,9 +1105,9 @@ def contamination_flags(corpus: DataFrame, benchmark: DataFrame,
     # against the (small, distinct) benchmark set — AQE broadcasts it —
     # and count DISTINCT hits in the final aggregation, whose partial
     # phase dedups map-side.  One wide shuffle instead of two.
-    c = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    c = _spread_docs(corpus, text_col, id_col).select(
+        "doc_id",
+        F.explode(word_shingles("__text", n)).alias("shingle"),
     ).select("doc_id", F.md5("shingle").alias("h"))
     b = (
         benchmark.select(F.explode(word_shingles(text_col, n)).alias("shingle"))
@@ -1287,7 +1314,14 @@ def incremental_candidate_pairs(batch: DataFrame, corpus: DataFrame,
             F.lit(False).alias("_new"),
         )
     )
-    sh = tagged.select(
+    # spread the (uid, text) rows off the serial scan before the
+    # shingle explode + minhashing (see _spread_docs; MIN aggregation
+    # downstream is order-insensitive)
+    from vexere_lakehouse_pipeline_spark.catalog import spread_small_input
+
+    sh = spread_small_input(
+        tagged.select("_uid", "_t"), "_uid"
+    ).select(
         F.col("_uid").alias("doc_id"),
         F.explode(word_shingles("_t", SHINGLE_N)).alias("shingle"),
     )
@@ -1375,9 +1409,9 @@ def band_keys_for(docs: DataFrame, text_col: str = "text",
     band-key store holds.  No bucket capping here: the cap/split is a
     JOIN-time policy computed over store ∪ batch (a bucket that is
     fine today may be hot after the next ingest)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, SHINGLE_N)).alias("shingle"),
+    sh = _spread_docs(docs, text_col, id_col).select(
+        "doc_id",
+        F.explode(word_shingles("__text", SHINGLE_N)).alias("shingle"),
     )
     return minhash_band_keys(sh)
 
@@ -1615,8 +1649,10 @@ def exact_substring_clean(docs: DataFrame, text_col: str = "text",
     tokens at any scale.
     """
     from pyspark.sql import Window
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("_t")
+    # spread before the span explode: the per-span md5 of every n-token
+    # window otherwise runs on the serial scan task (see _spread_docs)
+    toks = _spread_docs(docs, text_col, id_col).select(
+        "doc_id", tokenize("__text").alias("_t")
     )
     spans = toks.filter(F.size("_t") >= n).select(
         "doc_id",
