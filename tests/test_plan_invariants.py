@@ -228,3 +228,30 @@ def test_watermark_twin_batch_census_broadcasts(spark):
     )
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_norm_hoists_survive_collapse_project(spark):
+    """Round-11 (ADVICE r10): the round-10 norm hoists depend on
+    CollapseProject KEEPING the carried `_nrm`/`__q8_nrm` aliases (an
+    interpreted HOF lambda re-evaluates invariant subtrees once per
+    array element, so a re-inlined norm fold silently restores a
+    dims-fold-per-row cost with no functional signal).  Pin the plan
+    shape: the optimized plan must still contain each hoisted alias."""
+    from vexere_lakehouse_pipeline_spark.catalog import load_table
+    from vexere_lakehouse_pipeline_spark.operators import dedup, similarity
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def _optimized(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    u = similarity._unit_vecs(emb, "embedding", "vec_id", "v")
+    assert " AS _nrm#" in _optimized(u)
+    sub = similarity._unit_subvectors(emb, 8, "embedding", "vec_id", "v")
+    assert " AS _nrm#" in _optimized(sub)
+    q8 = similarity.quantize_int8_unit(emb)
+    assert " AS __q8_nrm#" in _optimized(q8)
+    # the int8-prefilter path carries the same hoist (the default
+    # one-pass path scores in the Arrow kernel — no JVM fold to hoist)
+    nd = dedup.embedding_neardup_pairs(emb, prefilter=True)
+    assert " AS _nrm#" in _optimized(nd)

@@ -39,19 +39,45 @@ def oracle_con():
     return con
 
 
+@pytest.fixture(scope="module")
+def spark_results(spark):
+    """Every registered query's Spark rows, computed ONCE for the
+    module with independent queries overlapped on a small driver
+    thread pool (optimization guide §2.6: actions are only sequential
+    because the driver calls them sequentially).  Round-11: the
+    previous serial per-test collect() made this file ~8 minutes of
+    almost pure job-latency wait — the driver's verify budget gate.
+    Each query still computes fully on Spark and each parametrized
+    test below still compares (and fails) individually; a build/collect
+    error is re-raised inside the one test that owns the query."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(name):
+        try:
+            sdf = ALL_QUERIES[name](spark, SF_DIR)
+            return name, (sdf.columns, [tuple(r) for r in sdf.collect()])
+        except Exception as exc:  # noqa: BLE001 - owned by that test
+            return name, exc
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        return dict(pool.map(run, sorted(ALL_QUERIES)))
+
+
 @pytest.mark.parametrize("name", sorted(ALL_QUERIES))
-def test_star_query_matches_oracle(spark, oracle_con, name):
-    sdf = ALL_QUERIES[name](spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
+def test_star_query_matches_oracle(spark_results, oracle_con, name):
+    got = spark_results[name]
+    if isinstance(got, Exception):
+        raise got
+    scols, srows = got
     if name not in ALL_ORACLES:
         assert len(srows) > 0  # rows-only: must at least be non-empty
         return
     cur = oracle_con.execute(ALL_ORACLES[name])
     ocols = [d[0] for d in cur.description]
     orows = cur.fetchall()
-    assert sorted(sdf.columns) == sorted(ocols)
+    assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows)
-    assert table_hash(sdf.columns, srows) == table_hash(ocols, orows)
+    assert table_hash(scols, srows) == table_hash(ocols, orows)
 
 
 def test_approx_count_distinct_within_tolerance(spark):

@@ -68,7 +68,12 @@ def spread_small_input(df: DataFrame, *key_cols: str,
     input so downstream per-row compute leaves the serial scan task.
     No-op when the estimated input exceeds ``VLPS_SPREAD_MAX_BYTES``
     (default 256 MB), is below ``min_bytes`` (callers whose downstream
-    work is too light to repay the exchange), or ``VLPS_SPREAD=0``."""
+    work is too light to repay the exchange), or ``VLPS_SPREAD=0``.
+
+    Note (ADVICE r10): the VLPS_SPREAD* env vars are read at PLAN
+    CONSTRUCTION time, once per call — they are experiment kill
+    switches, not runtime conf; changing them mid-session changes
+    plans built afterwards, never already-built ones."""
     import os
 
     if os.environ.get("VLPS_SPREAD", "1") == "0":

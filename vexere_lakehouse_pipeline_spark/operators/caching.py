@@ -34,8 +34,16 @@ class CheckpointCache:
     """FIFO-capped map of key → lazily-localCheckpointed DataFrame."""
 
     def __init__(self, maxsize: int = 4):
+        import threading
+
         self.maxsize = maxsize
         self._entries: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        # Round-11: callers may overlap independent queries on driver
+        # threads (guide §2.6 — e.g. the oracle test suite); the lock
+        # guards the map only, never the builder, so concurrent MISSES
+        # on one key may build twice (wasteful, correct) but the map
+        # stays consistent and the loser's lazy duplicate is dropped.
+        self._lock = threading.RLock()
 
     @staticmethod
     def _release(df: DataFrame) -> None:
@@ -63,27 +71,36 @@ class CheckpointCache:
         builder: Callable[[], DataFrame],
     ) -> DataFrame:
         key = (spark.sparkContext.applicationId, name, sf_dir)
-        hit = self._entries.get(key)
-        if hit is None:
-            hit = builder().localCheckpoint(eager=False)
+        with self._lock:
+            hit = self._entries.get(key)
+            if hit is not None:
+                # LRU: refresh recency on hit so cycling over >maxsize
+                # keys evicts the stalest entry, not the next one we
+                # will ask for.
+                self._entries.move_to_end(key)
+                return hit
+        built = builder().localCheckpoint(eager=False)
+        with self._lock:
+            hit = self._entries.get(key)
+            if hit is not None:  # lost a concurrent build race: reuse
+                self._entries.move_to_end(key)  # the winner's frame
+                return hit
             while len(self._entries) >= self.maxsize:
                 _, old = self._entries.popitem(last=False)
                 self._release(old)
-            self._entries[key] = hit
-        else:
-            # LRU: refresh recency on hit so cycling over >maxsize keys
-            # evicts the stalest entry, not the next one we will ask for.
-            self._entries.move_to_end(key)
-        return hit
+            self._entries[key] = built
+        return built
 
     def clear(self) -> None:
-        while self._entries:
-            _, old = self._entries.popitem(last=False)
-            self._release(old)
+        with self._lock:
+            while self._entries:
+                _, old = self._entries.popitem(last=False)
+                self._release(old)
 
     def drop_if(self, pred) -> None:
         """Evict (and release) every entry whose key matches ``pred``
         — the benchmark/probe hook for selective cold-timing (see
         star_ml.reset_shared_arms)."""
-        for key in [k for k in self._entries if pred(k)]:
-            self._release(self._entries.pop(key))
+        with self._lock:
+            for key in [k for k in self._entries if pred(k)]:
+                self._release(self._entries.pop(key))

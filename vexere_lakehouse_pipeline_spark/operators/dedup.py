@@ -626,20 +626,34 @@ MAX_EMB_BLOCK_SIZE = 2048
 DEFAULT_PAIR_ENGINE = os.environ.get("SPARK_GRAFT_PAIR_ENGINE", "arrow")
 
 
-def _int8_unit_code(vec_col) -> Column:
+def _int8_unit_code(vec_col, nrm_col: str | None = None) -> Column:
     """array<tinyint> code of the UNIT vector: round(v_i/|v|·127).
 
     tinyint (not long) is load-bearing: Spark's UnsafeRow stores array
     elements at their declared width, so the quadratic pair-verify
     stream carries 1 byte/dim instead of 8 — the ~8x shuffle/memory
     cut.  Zero/NULL vectors yield a NULL code (cosine undefined — the
-    shared exclusion contract)."""
+    shared exclusion contract).
+
+    ``nrm_col``: name of a column already holding ``l2_norm(vec_col)``
+    — the round-10 hoist (interpreted lambdas re-evaluate invariant
+    subtrees per element, so the inline fold costs dims× the work).
+    The when() condition plus the in-lambda use give the hoisted alias
+    the two static references CollapseProject requires to keep it.
+    This is the ONLY construction the :func:`_int8_margin` soundness
+    proof covers — both prefilter sides must build codes through this
+    function (ADVICE r10: a drifted copy silently breaks the no-miss
+    guarantee).
+    """
     v = F.transform(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
                     lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0),
-                    lambda acc, x: acc + x)
-    )
+    if nrm_col is not None:
+        nrm = F.col(nrm_col)
+    else:
+        nrm = F.sqrt(
+            F.aggregate(F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0),
+                        lambda acc, x: acc + x)
+        )
     return F.when(
         nrm > 0,
         F.transform(v, lambda x: F.round(x / nrm * 127, 0).cast("tinyint")),
@@ -869,9 +883,10 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
         # threshold can miss the prefilter.
         # norm hoisted to a column (round-10, see similarity.
         # quantize_int8_unit): the interpreted transform lambda would
-        # otherwise re-run the whole norm fold once per element; the
-        # when() guard is a no-op for rows with _nrm > 0 but gives the
-        # alias a second static reference so CollapseProject keeps it.
+        # otherwise re-run the whole norm fold once per element.  The
+        # code construction is single-sourced through _int8_unit_code
+        # (ADVICE r10) so the _int8_margin soundness proof keeps
+        # covering exactly what runs here.
         v8 = F.transform(F.col("_vec"), lambda x: x.cast("double"))
         nrm8 = F.sqrt(
             F.aggregate(F.zip_with(v8, v8, lambda a, b: a * b),
@@ -881,14 +896,7 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding",
             "block", "_sub", "_id", "_vec", nrm8.alias("_nrm")
         ).select(
             "block", "_sub", "_id",
-            F.when(
-                F.col("_nrm") > 0,
-                F.transform(
-                    F.transform(F.col("_vec"), lambda x: x.cast("double")),
-                    lambda x: F.round(x / F.col("_nrm") * 127, 0)
-                    .cast("tinyint"),
-                ),
-            ).alias("_q8"),
+            _int8_unit_code("_vec", nrm_col="_nrm").alias("_q8"),
         )
         # The exchange is load-bearing (same lesson as similarity.
         # _unit_subvectors): the quantization is an interpreted HOF,
@@ -1042,10 +1050,20 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
                     F.col("l1"), F.coalesce(F.col("jl"), F.col("l1"))
                 ).alias("new_label"),
             )
-            .localCheckpoint(eager=True)  # materialize, then test convergence
+            # Round-11 (guide §5, r10 verdict #5): LAZY checkpoint +
+            # count in ONE action — the count below materializes (and
+            # persists) this round's labels AND tests convergence,
+            # where the previous eager checkpoint + isEmpty() paid two
+            # scheduled jobs per round.  count() scans every
+            # partition, so the checkpoint is always fully persisted
+            # before the next round reads it.
+            .localCheckpoint(eager=False)
         )
         labels = updated.select("u", F.col("new_label").alias("label"))
-        if updated.filter(F.col("new_label") < F.col("label")).isEmpty():
+        if (
+            updated.filter(F.col("new_label") < F.col("label")).count()
+            == 0
+        ):
             converged = True
             break
     if not converged:

@@ -95,7 +95,14 @@ def pagerank_weighted_fixed_point(edges: DataFrame, nodes: DataFrame,
         F.col(src_col).alias("_src"),
         F.col(dst_col).alias("_dst"),
         F.col(weight_col).cast("long").alias("_w"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ Round-11 (guide §5, r10 verdict #5): the edge list is derived
+    # from an arbitrary upstream build (for the k-NN rows: the whole
+    # arrow-bruteforce + rescore graph).  It is referenced by the
+    # weight check, wsum AND e_w — the lazy pin makes the weight
+    # check's first() materialize it ONCE, where previously wsum/e_w
+    # re-executed the full upstream lineage after the check already
+    # had.
     # Weight contract enforced, not assumed: a null/zero/negative
     # weight silently nulls (pr·w) DIV wsum and DROPS that node's
     # outbound mass; w > 2^63/PR_SCALE overflows pr·w.  One tiny
@@ -115,7 +122,9 @@ def pagerank_weighted_fixed_point(edges: DataFrame, nodes: DataFrame,
             f"nulls={wchk['nulls']}"
         )
     wsum = e.groupBy("_src").agg(F.sum("_w").alias("_wsum"))
-    e_w = e.join(wsum, on="_src").localCheckpoint(eager=True)
+    # lazy: read every round, but the first round's materialization
+    # persists it — no dedicated count() job (guide §5)
+    e_w = e.join(wsum, on="_src").localCheckpoint(eager=False)
     pr = nodes.select(
         F.col(id_col).alias("_id"),
         F.lit(PR_SCALE // n).cast("long").alias("pr_e12"),
@@ -137,7 +146,11 @@ def pagerank_weighted_fixed_point(edges: DataFrame, nodes: DataFrame,
                     + F.expr(f"{damping_pct} * coalesce(_s, 0) DIV 100")
                 ).cast("long").alias("pr_e12"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: truncates the logical plan per round (planning
+            # stays flat at any iteration count) WITHOUT an eager
+            # count() job per round — all rounds compute inside the
+            # caller's single action (guide §5, r10 verdict #5)
+            .localCheckpoint(eager=False)
         )
     return pr.select(F.col("_id").alias(id_col), "pr_e12")
 
@@ -171,7 +184,9 @@ def triangle_counts(edges: DataFrame, nodes: DataFrame,
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy (round-11): the three references share one RDD either
+        # way; eager paid a dedicated count() job before the real work
+        .localCheckpoint(eager=False)
     )
     wedge = (
         und.alias("e1")

@@ -260,18 +260,18 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
                 "tb"
             ),
         ).select("query_id", "tb.t", "tb.bucket")
+        # Round-11 (guide §2.3/§2.4, r10 verdict #3): the only output
+        # of this dedup is the distinct (query_id, vec_id) set — the
+        # previous row_number-over-(pair) window shuffled and SORTED
+        # every bucket-collision row; distinct() is a hash aggregate
+        # whose map-side partial collapses the up-to-n_tables
+        # duplicates before the exchange.
         pairs = (
             index.parts["buckets"]
             .join(F.broadcast(qx), on=["t", "bucket"])
             .filter(F.col("vec_id") != F.col("query_id"))
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("query_id", "vec_id").orderBy("t")
-                ),
-            )
-            .filter(F.col("_rn") == 1)
             .select("query_id", "vec_id")
+            .distinct()
         )
         qv = queries.select(
             F.col(id_col).alias("query_id"),
@@ -301,29 +301,46 @@ def topk_lsh_bucketed(candidates: DataFrame, queries: DataFrame, k: int = 5,
             F.col("vec_id") != F.col("query_id")
         )
     else:
-        q = queries.select(
+        # Round-11 (guide §2.3/§8, r10 verdict #3): the inline
+        # multi-table path now has the SAME shape as the prebuilt
+        # serve (whose output is gated hash-identical to this one):
+        # the bucket self-join and the pair dedup carry only ids —
+        # never the float arrays — and vectors are late-fetched per
+        # surviving pair.  The dedup is a distinct() hash aggregate
+        # (map-side partial collapses the ≤ n_tables duplicates),
+        # replacing a row_number window that shuffled AND sorted every
+        # bucket-collision row with two 64-double arrays aboard.
+        qx = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(_table_buckets(vec_col, n_bits, n_tables)).alias(
+                "tb"
+            ),
+        ).select("query_id", "tb.t", "tb.bucket")
+        cx = candidates.select(
+            F.col(id_col).alias("vec_id"),
+            F.explode(_table_buckets(vec_col, n_bits, n_tables)).alias(
+                "tb"
+            ),
+        ).select("vec_id", "tb.t", "tb.bucket")
+        pairs = (
+            cx.join(F.broadcast(qx), on=["t", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+            .distinct()
+        )
+        qv = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_emb"),
             l2_norm(vec_col).alias("q_norm"),
-            F.explode(_table_buckets(vec_col, n_bits, n_tables)).alias("tb"),
-        ).select("query_id", "q_emb", "q_norm", "tb.t", "tb.bucket")
-        c = candidates.select(
+        )
+        cv = candidates.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("emb"),
             l2_norm(vec_col).alias("c_norm"),
-            F.explode(_table_buckets(vec_col, n_bits, n_tables)).alias("tb"),
-        ).select("vec_id", "emb", "c_norm", "tb.t", "tb.bucket")
-        joined = c.join(F.broadcast(q), on=["t", "bucket"]).filter(
-            F.col("vec_id") != F.col("query_id")
         )
-    if index is None and n_tables > 1:
-        # one score per surviving pair, however many tables matched it
-        joined = joined.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("query_id", "vec_id").orderBy("t")
-            ),
-        ).filter(F.col("_rn") == 1)
+        joined = pairs.join(cv, on="vec_id").join(
+            F.broadcast(qv), on="query_id"
+        )
     scored = joined.select(
         "query_id",
         "vec_id",
@@ -753,17 +770,14 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
         nb = index.parts["buckets"]
         pa = nb.select("t", "bucket", F.col("vec_id").alias("src"))
         pb = nb.select("t", "bucket", F.col("vec_id").alias("dst"))
+        # distinct() == the old keep-first-table window here: only the
+        # (src, dst) set survives this step (guide §2.3 — hash
+        # aggregate with map-side partial vs full shuffle + sort)
         pairs = (
             pa.join(pb, on=["t", "bucket"])
             .filter(F.col("src") != F.col("dst"))
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("src", "dst").orderBy("t")
-                ),
-            )
-            .filter(F.col("_rn") == 1)
             .select("src", "dst")
+            .distinct()
         )
         v = index.parts["vecs"]
         scored = (
@@ -804,37 +818,54 @@ def knn_graph(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
             bucketed = base.withColumn(
                 "bucket", sign_lsh_bucket("emb", n_bits)
             )
-            join_keys = ["bucket"]
+            a = bucketed.select(
+                "bucket",
+                F.col("vec_id").alias("src"),
+                F.col("emb").alias("a_emb"),
+                F.col("norm").alias("a_norm"),
+            )
+            b = bucketed.select(
+                "bucket",
+                F.col("vec_id").alias("dst"),
+                F.col("emb").alias("b_emb"),
+                F.col("norm").alias("b_norm"),
+            )
+            pairs = a.join(b, on=["bucket"])
         else:
-            bucketed = base.select(
-                "vec_id", "emb", "norm",
+            # union semantics: score each (src, dst) pair once no
+            # matter how many tables co-bucketed it.  Round-11 (guide
+            # §2.3/§8, r10 verdict #3): same shape as the serving
+            # path — the bucket self-join + dedup carry only ids (the
+            # old row_number window shuffled and sorted every
+            # bucket-collision row with both float arrays aboard) and
+            # the vectors are late-fetched for surviving pairs.
+            ids = base.select(
+                "vec_id",
                 F.explode(_table_buckets("emb", n_bits, n_tables)).alias(
                     "tb"
                 ),
-            ).select("vec_id", "emb", "norm", "tb.t", "tb.bucket")
-            join_keys = ["t", "bucket"]
-        a = bucketed.select(
-            *join_keys,
-            F.col("vec_id").alias("src"),
-            F.col("emb").alias("a_emb"),
-            F.col("norm").alias("a_norm"),
-        )
-        b = bucketed.select(
-            *join_keys,
-            F.col("vec_id").alias("dst"),
-            F.col("emb").alias("b_emb"),
-            F.col("norm").alias("b_norm"),
-        )
-        pairs = a.join(b, on=join_keys)
-        if n_tables > 1:
-            # union semantics: score each (src, dst) pair once no
-            # matter how many tables co-bucketed it
-            pairs = pairs.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("src", "dst").orderBy("t")
-                ),
-            ).filter(F.col("_rn") == 1).drop("_rn", "t")
+            ).select("vec_id", "tb.t", "tb.bucket")
+            pairs = (
+                ids.select("t", "bucket", F.col("vec_id").alias("src"))
+                .join(
+                    ids.select("t", "bucket", F.col("vec_id").alias("dst")),
+                    on=["t", "bucket"],
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .select("src", "dst")
+                .distinct()
+            )
+            pairs = pairs.join(
+                base.select(F.col("vec_id").alias("src"),
+                            F.col("emb").alias("a_emb"),
+                            F.col("norm").alias("a_norm")),
+                on="src",
+            ).join(
+                base.select(F.col("vec_id").alias("dst"),
+                            F.col("emb").alias("b_emb"),
+                            F.col("norm").alias("b_norm")),
+                on="dst",
+            )
     scored = (
         pairs.filter(F.col("src") != F.col("dst"))
         .select(
@@ -951,6 +982,12 @@ def quantize_int8_unit(df: DataFrame, vec_col: str = "embedding",
     # (64 folds/row).  Values are bit-identical (same expression, same
     # row); CollapseProject keeps the hoist because the alias is
     # non-trivial and referenced twice.
+    if "__q8_nrm" in df.columns:
+        # the scratch column would silently overwrite (and then drop)
+        # a caller column of the same name — refuse loudly (ADVICE r10)
+        raise ValueError(
+            "quantize_int8_unit: input already has a '__q8_nrm' column"
+        )
     code = F.transform(
         v,
         lambda x: F.least(
@@ -1452,6 +1489,15 @@ def topk_pq_adc(candidates: DataFrame, queries: DataFrame, k: int = 5,
         if codebooks is None:
             codebooks = pq_sampled_codebooks(candidates, m, ksub,
                                              vec_col, id_col)
+        # Round-11 (guide §5, r10 verdict #1): the codebook subtree is
+        # referenced by the corpus encode AND the query LUT build; a
+        # LAZY localCheckpoint truncates the logical plan at build
+        # time, so Catalyst analyzes/optimizes the build lineage once
+        # instead of once per reference (the measured driver-side wall
+        # − stage-sum gap on the inline PQ/IVF-PQ rows).  eager=False:
+        # no extra job — the pinned RDD computes (and is persisted)
+        # inside the main action, and nothing outlives the query.
+        codebooks = codebooks.localCheckpoint(eager=False)
         # pack candidate codes: one row per vector, codes[s] ordered by s
         packed = (
             pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
@@ -1713,13 +1759,30 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
         if codebooks is None:
             codebooks = pq_sampled_codebooks(candidates, m, ksub,
                                              vec_col, id_col)
-        lists = assign_ivf_lists(candidates, n_centroids, vec_col, id_col,
-                                 dim)
-        cents = F.broadcast(
+        # Round-11 (guide §5, r10 verdict #1): lazy plan pins on the
+        # stages the rest of the query references more than once —
+        # codebooks feed the corpus encode AND the query LUT build,
+        # packed feeds the ADC scan and (under min_results) the
+        # adaptive-probe list counts.  Truncating the logical plan
+        # here stops Catalyst re-optimizing the whole build lineage
+        # per reference (the measured driver-side gap: ~3-4 s wall
+        # over ~3 s of stages on the inline ivfpq rows).  eager=False
+        # adds no job; the RDD computes once inside the main action.
+        codebooks = codebooks.localCheckpoint(eager=False)
+        # ONE pinned centroid table shared by the assignment argmin
+        # and the query-probe side (identical expression tree — the
+        # same first-n_centroids-by-id quantizer either way); before
+        # this the two sites each carried their own copy of the full
+        # normalize lineage through the optimizer
+        cents_tbl = (
             _unit_vecs(candidates, vec_col, id_col, "vec_id")
             .orderBy("vec_id").limit(n_centroids)
             .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+            .localCheckpoint(eager=False)
         )
+        lists = assign_ivf_lists(candidates, n_centroids, vec_col, id_col,
+                                 dim, centroids=cents_tbl)
+        cents = F.broadcast(cents_tbl)
         # packed codes + list id
         packed = (
             pq_encode(candidates, codebooks, m, vec_col, id_col, dsub)
@@ -1739,7 +1802,7 @@ def topk_ivfpq(candidates: DataFrame, queries: DataFrame, k: int = 5,
             # disappears entirely.  (The prebuilt-index path above
             # removes the join from serving altogether.)
             .join(lists.hint("shuffle_hash"), on="vec_id")
-        )
+        ).localCheckpoint(eager=False)
     # queries probe their nprobe nearest centroids
     qu = _unit_vecs(queries, vec_col, id_col, "query_id")
     qd = qu.join(cents).select(
@@ -1883,6 +1946,9 @@ def ivfpq_residual_state(candidates: DataFrame, n_centroids: int = 32,
         centroids = (
             u.orderBy("vec_id").limit(n_centroids)
             .select(F.col("vec_id").alias("cid"), F.col("u").alias("cu"))
+            # n_centroids rows, referenced by the assignment argmin
+            # AND the caller's query-probe side — lazy plan pin (§5)
+            .localCheckpoint(eager=False)
         )
     cents = F.broadcast(centroids)
     # assignment keeps the winning centroid VECTOR too — the residual
@@ -1908,8 +1974,15 @@ def ivfpq_residual_state(candidates: DataFrame, n_centroids: int = 32,
     n_parts = candidates.sparkSession.sparkContext.defaultParallelism
     # same materialization barrier as _unit_subvectors: the zip_with
     # residual is an interpreted HOF — pin it behind an exchange so it
-    # computes once per row, not once per post-explode reference
-    res = res.repartition(n_parts, F.col("vec_id"))
+    # computes once per row, not once per post-explode reference.
+    # Round-11: ALSO truncate the plan (lazy, no extra job) — res is
+    # referenced by the subvector explode AND the final codes ⋈ cid
+    # join, so without the pin the whole assignment argmin lineage is
+    # re-optimized (and its exchange re-planned) per reference
+    # (guide §5 / r10 verdict #1 driver gap).
+    res = res.repartition(n_parts, F.col("vec_id")).localCheckpoint(
+        eager=False
+    )
     rdsub = F.floor(F.size("r") / m).cast("int")
     rsub = (
         res.select(
@@ -1929,7 +2002,9 @@ def ivfpq_residual_state(candidates: DataFrame, n_centroids: int = 32,
         if train_iters > 0:
             codebooks = _train_codebooks_from_sub(rsub, codebooks,
                                                   train_iters, dsub)
-    codebooks = codebooks.localCheckpoint(eager=True)  # used by 2 arms
+    # used by 2 arms (encode + per-list query LUTs); lazy pin = same
+    # dedup as the previous eager pin without the extra count() job
+    codebooks = codebooks.localCheckpoint(eager=False)
     packed = (
         pq_encode_from_sub(rsub, codebooks, dsub)
         .groupBy("vec_id")
@@ -1945,7 +2020,7 @@ def ivfpq_residual_state(candidates: DataFrame, n_centroids: int = 32,
         .join(res.select("vec_id", "cid").hint("shuffle_hash"),
               on="vec_id")
         .select("vec_id", "cid", "codes")
-    )
+    ).localCheckpoint(eager=False)
     return centroids, codebooks, packed
 
 

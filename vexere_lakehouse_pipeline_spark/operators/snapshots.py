@@ -47,6 +47,15 @@ class SnapshotTable:
             )
         self.base = base.rstrip("/")
         self.fmt = fmt
+        # Round-11 (guide §6, r10 verdict #6): memoized DataFrame
+        # handles per (session, version).  Versions are immutable, so
+        # a version's DataFrame — and the file-listing its
+        # InMemoryFileIndex performed — can be reused for every read
+        # of that version instead of re-running partition discovery
+        # per read() call (the IVM refresh read the same two fact
+        # versions 4-5 times → 4-5 listing jobs).  This caches plan
+        # METADATA only (a lazy DataFrame), never computed rows.
+        self._df_cache: dict = {}
 
     # -- manifest protocol -------------------------------------------------
     def _manifest_path(self) -> str:
@@ -165,6 +174,19 @@ class SnapshotTable:
                     )
                 entry["part_by"] = list(part_by)
                 entry["parts"] = _partition_fingerprints(back, part_by)
+                # signature-format version (ADVICE r10): manifests
+                # written by a different _row_sig implementation must
+                # never be fingerprint-compared against this one —
+                # changed_partitions falls back to unpruned on
+                # mismatch instead of silently flagging every
+                # partition changed
+                entry["sigv"] = _SIG_VERSION
+                # seed the read cache with the validated read-back —
+                # subsequent read()s of this version reuse its file
+                # index instead of re-listing
+                self._df_cache[
+                    (spark.sparkContext.applicationId, version)
+                ] = back
             m = self._read_manifest()  # merge any concurrent publishes
             m["versions"] = [v for v in m["versions"] if v["version"] != version]
             m["versions"].append(entry)
@@ -198,6 +220,10 @@ class SnapshotTable:
             raise ValueError(
                 f"unknown version {version}; have {sorted(known)}"
             )
+        cache_key = (spark.sparkContext.applicationId, version)
+        hit = self._df_cache.get(cache_key)
+        if hit is not None:
+            return hit
         reader = spark.read.format(self.fmt)
         if known[version].get("schema") is not None:
             from pyspark.sql.types import StructType
@@ -205,7 +231,9 @@ class SnapshotTable:
             reader = reader.schema(
                 StructType.fromJson(known[version]["schema"])
             )
-        return reader.load(f"{self.base}/v={version}")
+        df = reader.load(f"{self.base}/v={version}")
+        self._df_cache[cache_key] = df
+        return df
 
     def history(self) -> list[dict]:
         m = self._read_manifest()
@@ -286,7 +314,19 @@ class SnapshotTable:
         for v in expired:
             shutil.rmtree(os.path.join(self.base, f"v={v}"),
                           ignore_errors=True)
+        # expired versions' data is gone — drop every memoized handle
+        # (cheap; survivors re-list on next read)
+        self._df_cache.clear()
         return expired
+
+
+# Fingerprint signature format version (ADVICE r10): bumped whenever
+# _row_sig / _partition_fingerprints change their value for identical
+# data (e.g. the round-10 md5 -> xxhash64 switch).  changed_partitions
+# only compares fingerprints recorded under the SAME version and falls
+# back to the unpruned diff otherwise — entries with no marker (pre-
+# round-11 manifests) are treated as unknown-format.
+_SIG_VERSION = 2
 
 
 def _sig_tokens(cols: list[str]) -> list:
@@ -313,11 +353,15 @@ def _row_sig(cols: list[str]):
     no value content can shift column boundaries — the property the
     fixed-width md5 tokens existed for — and every argument is
     non-null ('n' tags SQL NULL; real values are prefix-tagged 'v'),
-    so Spark's hash-ignores-null rule can't conflate columns.  The
-    signature only ever compares rows WITHIN one run (diff old-vs-new,
-    fingerprint old-vs-new), so narrowing 128 -> 64 bits keeps the
-    same documented ~2^-64 per-pair collision trust as the manifest
-    fingerprints."""
+    so Spark's hash-ignores-null rule can't conflate columns.
+    Signatures are compared between two VERSIONS of one table: within
+    one diff run, and — via the manifest partition fingerprints —
+    across commits/processes (changed_partitions).  The cross-commit
+    comparison is therefore guarded by the manifest ``sigv`` format
+    marker (_SIG_VERSION): fingerprints written by a different
+    signature implementation are never compared, the diff just falls
+    back to unpruned.  Narrowing 128 -> 64 bits keeps the documented
+    ~2^-64 per-pair collision trust of the manifest fingerprints."""
     if not cols:
         return F.lit(0).cast("long")
     toks = [
@@ -374,6 +418,12 @@ def changed_partitions(table: "SnapshotTable", from_version: int,
         return None
     pby = a.get("part_by")
     if not pby or pby != b.get("part_by"):
+        return None
+    # fingerprints are only comparable within one signature format
+    # (ADVICE r10): a manifest written by older code would otherwise
+    # flag every partition changed (safe, but silently unpruned) —
+    # fall back to the explicit unpruned path instead
+    if a.get("sigv") != _SIG_VERSION or b.get("sigv") != _SIG_VERSION:
         return None
     fa = {tuple(e["k"]): (e["n"], e["x"], e["s"]) for e in a["parts"]}
     fb = {tuple(e["k"]): (e["n"], e["x"], e["s"]) for e in b["parts"]}

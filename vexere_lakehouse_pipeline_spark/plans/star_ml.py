@@ -2438,6 +2438,10 @@ ORACLE_SQL["sim_recall_sq8_vs_bruteforce"] = _recall_oracle("sim_topk_sq8")
 # CheckpointCaches an unbounded dict holds only driver-side plan
 # objects (a few per process: 2 kinds × the sf_dirs visited).
 _ANN_INDEX_MEMO: dict[tuple, ann_index.AnnIndex] = {}
+# serializes build+save on a memo miss: callers may overlap queries on
+# driver threads (guide §2.6), and two concurrent builders of one tag
+# would race the same artifact directory
+_ANN_INDEX_LOCK = __import__("threading").RLock()
 
 
 def _prebuilt_index(spark: SparkSession, sf_dir: str,
@@ -2453,12 +2457,16 @@ def _prebuilt_index(spark: SparkSession, sf_dir: str,
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), tag)
     idx = _ANN_INDEX_MEMO.get(key)
     if idx is None:
-        emb = load_table(spark, sf_dir, "embeddings")
-        built = ann_index.ann_index_build(emb, kind=kind, **build_kw)
-        path = ann_index.default_index_path(sf_dir, tag)
-        ann_index.ann_index_save(built, path)
-        idx = ann_index.ann_index_load(spark, path)
-        _ANN_INDEX_MEMO[key] = idx
+        with _ANN_INDEX_LOCK:
+            idx = _ANN_INDEX_MEMO.get(key)
+            if idx is None:
+                emb = load_table(spark, sf_dir, "embeddings")
+                built = ann_index.ann_index_build(emb, kind=kind,
+                                                  **build_kw)
+                path = ann_index.default_index_path(sf_dir, tag)
+                ann_index.ann_index_save(built, path)
+                idx = ann_index.ann_index_load(spark, path)
+                _ANN_INDEX_MEMO[key] = idx
     return idx
 
 
